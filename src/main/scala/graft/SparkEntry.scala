@@ -43,7 +43,10 @@ object SparkEntry {
     Observations.guardValid(Observations.fromEvents(Tables.events(s, dir)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A4/A5/A7 + F9: grouped scalar aggregates (classic shape) ----
     "q1_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -114,9 +117,184 @@ object SparkEntry {
     })
   )
 
+  // ==== batch 2: shaping (explode, envelope, union), joins ====
+  private def shapingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- S5/O1: scan with pushed filter + projection (Catalyst pushes
+    // both into the parquet scan; .explain shows PushedFilters) ----
+    "q_scan_pushdown" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp") && col("l_discount") > 0.08)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- O2/O3/O4/O6/O7: the predicate kit on one frame ----
+    "q_filter_kit" -> ((s, dir) => {
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull)                       // O6 null guard
+        .where(col("event_type").isin("click", "view"))        // O4 in-list
+        .where(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").startsWith("2024-01-1")) // O3 prefix
+        .where(col("ts") <= cutoff)                            // O7 cutoff
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- O5: nested-array explode with position ----
+    "q_explode_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---- O10/F12/F13: envelope struct assembly + JSON serialize ----
+    "q_envelope_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("event_id") < 500)
+        .select(
+          col("event_id"),
+          to_json(struct(
+            col("event_id"), col("event_type"),
+            struct(col("user_id")).as("who")
+          )).as("envelope")
+        )
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- §2.7: discriminated union of two source paths ----
+    "q_union_disc" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val cur = ev.where(col("event_type") === "click").select(col("event_id"), col("user_id"))
+      val hist = ev.where(col("event_type") === "view").select(col("event_id"), col("user_id"))
+      graft.ops.Shaping.discriminatedUnion(cur, "current", hist, "history")
+        .groupBy(col("fetch_method"), col("user_id"))
+        .agg(count(lit(1)).as("n_rows"), min(col("event_id")).as("first_id"))
+        .orderBy(col("fetch_method"), col("user_id"))
+    }),
+
+    // ---- J1 chained: star-schema broadcast joins (dim⋈dim⋈fact) ----
+    "q_star_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = broadcast(Tables.nation(s, dir))
+      val r = broadcast(Tables.region(s, dir))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), centSum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // ---- J4: composite-key late-data dedup (anti join) ----
+    "q_late_dedup" -> ((s, dir) => {
+      val ev = obs(s, dir)
+      val incoming = ev.where(col("condition") === "error")
+        .select(col("obs_id"), col("location_id"), col("obs_date"), col("obs_hour"))
+      val existing = ev.where(col("condition") === "click")
+        .select(col("location_id"), col("obs_date"), col("obs_hour"))
+      Dedup.notYetProcessed(incoming, existing, Seq("location_id", "obs_date", "obs_hour"))
+        .select(col("obs_id"), col("location_id"), col("obs_date"),
+          col("obs_hour").cast("long").as("obs_hour"))
+        .orderBy(col("obs_id"))
+    })
+  )
+
+  // ==== batch 2: windows / ranking / tumbling ====
+  private def windowQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- W3/ST4: tumbling 10-minute event-time windows ----
+    "q_tumbling_10min" -> ((s, dir) => {
+      graft.ops.Windows.tumbling(
+        Tables.events(s, dir).where(col("user_id").isNotNull && col("user_id") < 20),
+        "ts", "10 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n_rows"), centSum(col("value")).as("sum_value"))
+      )
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("user_id"), col("n_rows"), col("sum_value"))
+        .orderBy(col("w_start"), col("user_id"))
+    }),
+
+    // ---- W1 + top-k: rank per key, keep top 3 ----
+    "q_rank_topk" -> ((s, dir) => {
+      graft.ops.Windows.topKPerKey(
+        Tables.events(s, dir).where(col("user_id").isNotNull && col("user_id") < 50)
+          .select(col("event_id"), col("user_id"), col("value")),
+        Seq("user_id"), Seq(col("value").desc, col("event_id").asc), 3
+      )
+        .select(col("user_id"), col("rnk"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("rnk"))
+    }),
+
+    // ---- lag/lead: delta vs previous observation per key ----
+    "q_lag_delta" -> ((s, dir) => {
+      graft.ops.Windows.lagDelta(
+        Tables.events(s, dir).where(col("user_id").isNotNull && col("user_id") < 20)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), Seq(col("ts").asc, col("event_id").asc), "value"
+      )
+        .select(col("user_id"), col("event_id"), col("value"), col("prev_value"), col("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- A8: ordered collect serialized to a string (oracle-stable
+    // form of sort_array(collect_list)) ----
+    "q_collect_sorted" -> ((s, dir) => {
+      obs(s, dir)
+        .where(col("location_id") < 30)
+        .groupBy(col("location_id"), col("obs_date"))
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("obs_id"), col("temp_c").cast("string").as("v")))),
+              x => x.getField("v")
+            ), ","
+          ).as("temps_csv"),
+          count(lit(1)).as("n_rows")
+        )
+        .orderBy(col("location_id"), col("obs_date"))
+    })
+  )
+
+  // ==== batch 2: scalar function kit ====
+  private def scalarQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- F7/F8: unit conversion + heat index (pure column arithmetic,
+    // mirrored op-for-op in the oracle so IEEE results are identical) ----
+    "q_heat_index" -> ((s, dir) => {
+      import graft.functions.{WeatherFunctions => WF}
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(
+          col("event_id"),
+          (col("value") / 10.0).as("temp_c"),
+          (col("event_id") % 101).cast("double").as("humidity")
+        )
+        .withColumn("temp_f", WF.cToF(col("temp_c")))
+        .withColumn("heat_index_c", WF.heatIndexC(col("temp_c"), col("humidity")))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- F1-F6/F11: the timestamp kit ----
+    "q_time_kit" -> ((s, dir) => {
+      import graft.functions.{WeatherFunctions => WF}
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          WF.formatTs(col("ts")).as("ts_str"),                       // F2
+          date_format(col("ts"), "yyyy-MM-dd HH").as("ts_hour_str"), // F2 (hour prefix)
+          unix_timestamp(col("ts")).as("epoch_s"),                   // F3
+          WF.formatTs(WF.toZone(col("ts"), "Asia/Jakarta")).as("jakarta_str"), // F4
+          date_add(to_date(col("ts")), 1).as("next_day"),            // F5
+          WF.zeroPad2(hour(col("ts"))).as("hh")                      // F6
+        )
+        .orderBy(col("event_id"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles
+
+  private def coreOracles: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -193,5 +371,118 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)""".stripMargin
+  )
+
+  private def batch2Oracles: Map[String, String] = Map(
+    "q_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.08""".stripMargin,
+
+    "q_filter_kit" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id IS NOT NULL
+        |  AND event_type IN ('click','view')
+        |  AND strftime(ts, '%Y-%m-%d %H:%M:%S') LIKE '2024-01-1%'
+        |  AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT doc_id,
+        |  CAST(unnest(generate_series(1, len(string_split(text, ' ')))) - 1 AS INT) AS pos,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q_envelope_json" ->
+      """SELECT event_id,
+        |  to_json(struct_pack(event_id := event_id, event_type := event_type,
+        |                      who := struct_pack(user_id := user_id))) AS envelope
+        |FROM events WHERE user_id IS NOT NULL AND event_id < 500""".stripMargin,
+
+    "q_union_disc" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, 'current' AS fetch_method FROM events
+        |    WHERE user_id IS NOT NULL AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, user_id, 'history' AS fetch_method FROM events
+        |    WHERE user_id IS NOT NULL AND event_type = 'view'
+        |)
+        |SELECT fetch_method, user_id, count(*) AS n_rows, min(event_id) AS first_id
+        |FROM u GROUP BY 1,2""".stripMargin,
+
+    "q_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2""".stripMargin,
+
+    "q_late_dedup" ->
+      """WITH obs AS (
+        |  SELECT event_id AS obs_id, user_id AS location_id, event_type AS condition,
+        |         CAST(ts AS DATE) AS obs_date,
+        |         CAST(extract(hour FROM ts) AS BIGINT) AS obs_hour
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |)
+        |SELECT obs_id, location_id, obs_date, obs_hour
+        |FROM obs i WHERE condition = 'error' AND NOT EXISTS (
+        |  SELECT 1 FROM obs e WHERE e.condition = 'click'
+        |    AND e.location_id = i.location_id AND e.obs_date = i.obs_date
+        |    AND e.obs_hour = i.obs_hour)""".stripMargin,
+
+    "q_tumbling_10min" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', ts) AS w_start,
+        |  time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS w_end,
+        |  user_id, count(*) AS n_rows,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        |FROM events WHERE user_id IS NOT NULL AND user_id < 20
+        |GROUP BY 1,2,3""".stripMargin,
+
+    "q_rank_topk" ->
+      """SELECT user_id, rnk, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS INT) AS rnk
+        |  FROM events WHERE user_id IS NOT NULL AND user_id < 50
+        |) WHERE rnk <= 3""".stripMargin,
+
+    "q_lag_delta" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events WHERE user_id IS NOT NULL AND user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    "q_collect_sorted" ->
+      """SELECT user_id AS location_id, CAST(ts AS DATE) AS obs_date,
+        |  string_agg(CAST(value AS VARCHAR), ',' ORDER BY event_id) AS temps_csv,
+        |  count(*) AS n_rows
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 30
+        |GROUP BY 1,2""".stripMargin,
+
+    "q_heat_index" ->
+      """SELECT event_id, value/10.0 AS temp_c,
+        |  CAST(event_id % 101 AS DOUBLE) AS humidity,
+        |  value/10.0*9.0/5.0 + 32.0 AS temp_f,
+        |  ((-42.379 + 2.04901523*(value/10.0*9.0/5.0 + 32.0)
+        |    + 10.14333127*CAST(event_id % 101 AS DOUBLE)
+        |    - 0.22475541*(value/10.0*9.0/5.0 + 32.0)*CAST(event_id % 101 AS DOUBLE)
+        |    - 6.83783e-3*(value/10.0*9.0/5.0 + 32.0)*(value/10.0*9.0/5.0 + 32.0)
+        |    - 5.481717e-2*CAST(event_id % 101 AS DOUBLE)*CAST(event_id % 101 AS DOUBLE)
+        |    + 1.22874e-3*(value/10.0*9.0/5.0 + 32.0)*(value/10.0*9.0/5.0 + 32.0)*CAST(event_id % 101 AS DOUBLE)
+        |    + 8.5282e-4*(value/10.0*9.0/5.0 + 32.0)*CAST(event_id % 101 AS DOUBLE)*CAST(event_id % 101 AS DOUBLE)
+        |    - 1.99e-6*(value/10.0*9.0/5.0 + 32.0)*(value/10.0*9.0/5.0 + 32.0)*CAST(event_id % 101 AS DOUBLE)*CAST(event_id % 101 AS DOUBLE)
+        |   ) - 32.0)*5.0/9.0 AS heat_index_c
+        |FROM events WHERE user_id IS NOT NULL""".stripMargin,
+
+    "q_time_kit" ->
+      """SELECT event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+        |  strftime(ts, '%Y-%m-%d %H') AS ts_hour_str,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |  strftime(ts + INTERVAL 7 HOUR, '%Y-%m-%d %H:%M:%S') AS jakarta_str,
+        |  CAST(ts AS DATE) + 1 AS next_day,
+        |  lpad(CAST(extract(hour FROM ts) AS VARCHAR), 2, '0') AS hh
+        |FROM events WHERE user_id IS NOT NULL AND event_id < 2000""".stripMargin
   )
 }

@@ -38,30 +38,34 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
             n_fail += 1
             continue
-        s = spark_df[s_cols].sort_values(s_cols, ignore_index=True)
-        d = duck_df[d_cols].sort_values(d_cols, ignore_index=True)
+        # normalize every cell to an exact string (float repr is
+        # round-trip exact) so nulls sort deterministically and
+        # comparison is bitwise on values
+        import numpy as np
+        def _cell(v):
+            if v is None or (isinstance(v, (float, np.floating)) and v != v):
+                return "\x00NULL"
+            if isinstance(v, (float, np.floating)):
+                return repr(float(v))
+            if isinstance(v, (list, np.ndarray)):
+                return "[" + ",".join(_cell(x) for x in v) + "]"
+            return str(v)
+        def norm(df):
+            out = df[s_cols].copy()
+            for c in s_cols:
+                out[c] = out[c].map(_cell)
+            return out.sort_values(s_cols, ignore_index=True)
+        s, d = norm(spark_df), norm(duck_df)
         if len(s) != len(d):
             print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
             n_fail += 1
             continue
-        mismatches = []
-        for c in s_cols:
-            sv, dv = s[c], d[c]
-            try:
-                eq = (sv.astype(object).where(sv.notna(), None)
-                      == dv.astype(object).where(dv.notna(), None))
-            except Exception:
-                eq = sv == dv
-            bad = (~eq).sum()
-            if bad:
-                mismatches.append((c, int(bad)))
+        mismatches = [(c, int((s[c] != d[c]).sum())) for c in s_cols if (s[c] != d[c]).any()]
         if mismatches:
             print(f"FAIL {name}: value mismatches {mismatches}")
             for c, _ in mismatches[:2]:
-                neq = (s[c].astype(object).where(s[c].notna(), None)
-                       != d[c].astype(object).where(d[c].notna(), None))
-                idx = neq[neq].index[:3]
-                for i in idx:
+                neq = s[c] != d[c]
+                for i in neq[neq].index[:3]:
                     print(f"   row {i} col {c}: spark={s[c][i]!r} duck={d[c][i]!r}")
             n_fail += 1
         else:
