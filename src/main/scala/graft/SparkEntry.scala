@@ -44,7 +44,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries
+    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A4/A5/A7 + F9: grouped scalar aggregates (classic shape) ----
@@ -290,9 +290,192 @@ object SparkEntry {
     })
   )
 
+  // ==== batch 3: training-data pipeline operators (dedup, similarity,
+  // text analysis) — first-class for the 100 TB corpus use case ====
+  private def trainingQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- exact dedup by content hash (double-ingest simulation —
+    // the distributed form of the reference's at-least-once dedup ST7) ----
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val reingested = d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000))
+      graft.operators.ExactDedup.keepCanonical(reingested, "text", "doc_id")
+        .select(col("content_hash"), col("dup_count"), col("doc_id"), col("lang"))
+        .orderBy(col("content_hash"))
+    }),
+
+    // ---- exact n-gram Jaccard near-dup pairs (inverted index) ----
+    "q_ngram_jaccard" -> ((s, dir) => {
+      graft.operators.NearDup.jaccardPairs(Tables.documents(s, dir), "text", 3, 0.8)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- MinHash + LSH banding, exact-verified (the 100 TB path;
+    // recall at j>=0.8 is 1-2e-8 so the exact-Jaccard oracle holds) ----
+    "q_minhash_lsh" -> ((s, dir) => {
+      graft.operators.NearDup.minhashNearDupPairs(Tables.documents(s, dir), "text", 3, 0.8)
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- SimHash fingerprints (md5-derived 60-bit, engine-reproducible) ----
+    "q_simhash" -> ((s, dir) => {
+      graft.operators.SimHash.fingerprints(Tables.documents(s, dir), "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- brute-force cosine top-k over embeddings (quantized-exact) ----
+    "q_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 100), 3)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---- text statistics (token counts, punctuation, quality score) ----
+    "q_text_stats" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(TF.tokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          TF.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+          TF.punctCount(col("text")).as("n_punct"),
+          TF.qualityScore(col("text")).as("quality")
+        )
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- language-ID heuristic (marker words, deterministic argmax) ----
+    "q_langid" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), TF.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- rolling-hash document fingerprint (order-sensitive) ----
+    "q_fingerprint" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TF.rollingFingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles
+
+  private val duckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
+
+  private def trainingOracles: Map[String, String] = {
+    val exactJaccardSql =
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+        |  FROM tok
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+        |)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common,
+        |  count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |GROUP BY 1,2
+        |HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8""".stripMargin
+    Map(
+      "q_dedup_exact" ->
+        """WITH u AS (
+          |  SELECT doc_id, text, lang FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+          |)
+          |SELECT md5(text) AS content_hash, count(*) AS dup_count,
+          |  min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang
+          |FROM u GROUP BY 1""".stripMargin,
+
+      "q_ngram_jaccard" -> exactJaccardSql,
+      "q_minhash_lsh" -> exactJaccardSql,
+
+      "q_simhash" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, ' +'))) AS t FROM documents
+           |), h AS (
+           |  SELECT doc_id, ${duckHash60.format("t")} AS hv FROM tok
+           |), bits AS (
+           |  SELECT doc_id, i,
+           |    sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i)
+           |  GROUP BY 1,2
+           |)
+           |SELECT doc_id,
+           |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+           |FROM bits GROUP BY 1""".stripMargin,
+
+      "q_cosine_topk" ->
+        """WITH qz AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+          |  FROM embeddings
+          |), s AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |    CAST(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*c.v[i])) AS BIGINT) AS dot,
+          |    CAST(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*q.v[i])) AS BIGINT) AS nq,
+          |    CAST(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i]*c.v[i])) AS BIGINT) AS nc
+          |  FROM qz q, qz c
+          |  WHERE q.vec_id < 100 AND q.vec_id != c.vec_id
+          |), scored AS (
+          |  SELECT query_id, corpus_id,
+          |    CAST(dot AS DOUBLE)/(sqrt(CAST(nq AS DOUBLE))*sqrt(CAST(nc AS DOUBLE))) AS cosine
+          |  FROM s
+          |)
+          |SELECT query_id, corpus_id, cosine,
+          |  CAST(rnk AS INT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+          |      FROM scored)
+          |WHERE rnk <= 3""".stripMargin,
+
+      "q_text_stats" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split_regex(text, ' +')) AS INT) AS n_tokens,
+          |  CAST(length(text) AS INT) AS n_chars_actual,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS bpeish_tokens,
+          |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS INT) AS n_punct,
+          |  least(CAST(len(string_split_regex(text, ' +')) AS DOUBLE)/64.0, 1.0)*0.4
+          |    + (CASE WHEN (CAST(length(text) AS DOUBLE) - (CAST(len(string_split_regex(text, ' +')) AS DOUBLE) - 1.0))
+          |                 / greatest(CAST(len(string_split_regex(text, ' +')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0
+          |            THEN 1.0 ELSE 0.5 END)*0.3
+          |    + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+          |                   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))*0.3 AS quality
+          |FROM documents""".stripMargin,
+
+      "q_langid" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang, string_split_regex(text, ' +') AS toks FROM documents
+          |), s AS (
+          |  SELECT doc_id, lang, 'de' AS cand, len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein'], x))) AS score FROM t
+          |  UNION ALL
+          |  SELECT doc_id, lang, 'en', len(list_filter(toks, x -> list_contains(['the','a','and','of','to','is','in'], x))) FROM t
+          |  UNION ALL
+          |  SELECT doc_id, lang, 'es', len(list_filter(toks, x -> list_contains(['el','la','los','las','de','que','es'], x))) FROM t
+          |  UNION ALL
+          |  SELECT doc_id, lang, 'fr', len(list_filter(toks, x -> list_contains(['le','la','les','des','et','est','une'], x))) FROM t
+          |  UNION ALL
+          |  SELECT doc_id, lang, 'zh', len(list_filter(toks, x -> list_contains(['的','是','了','在','和'], x))) FROM t
+          |)
+          |SELECT doc_id, lang, cand AS lang_pred
+          |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand ASC) AS rn FROM s)
+          |WHERE rn = 1""".stripMargin,
+
+      "q_fingerprint" ->
+        s"""SELECT doc_id,
+           |  list_reduce(
+           |    list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(string_split_regex(text, ' +'),
+           |        t -> ${duckHash60.format("t")} % 1000000007)),
+           |    (a, b) -> (a*31 + b) % 1000000007) AS fp
+           |FROM documents""".stripMargin
+    )
+  }
 
   private def coreOracles: Map[String, String] = Map(
     "q1_agg" ->

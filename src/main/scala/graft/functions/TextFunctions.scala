@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines: tokenization, shingling, deterministic hashing,
+  * language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * Everything is built from codegen'd built-ins (split / transform /
+  * aggregate / md5 / regexp_*) — no UDFs — so the whole text pipeline
+  * stays inside whole-stage codegen and scales linearly with input
+  * bytes. Hashes are md5-derived (not Spark's xxhash64) so every
+  * function is reproducible in any engine, which is what makes the
+  * DuckDB oracles possible.
+  */
+object TextFunctions {
+
+  val HashMod = 1000000007L
+
+  /** Whitespace tokenization (collapsing runs of spaces). */
+  def tokens(text: Column): Column = split(text, " +")
+
+  /** Word n-gram shingles joined with '_' — the unit for Jaccard /
+    * MinHash near-dup detection. Distinct (set semantics). Documents
+    * with fewer than n tokens yield an empty set (sequence(0, neg)
+    * would generate a DESCENDING range, so the short case is guarded). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws("_", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Character n-gram shingles (distinct). */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
+  /** Deterministic 60-bit hash of a string: first 15 hex chars of md5.
+    * Fits a signed long; reproducible in DuckDB as
+    * CAST('0x'||substr(md5(x),1,15) AS BIGINT). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Rolling polynomial fingerprint over tokens in document order:
+    * h := (h*31 + hash60(token) % M) % M, seeded 0. Order-sensitive —
+    * distinguishes permuted documents, unlike a bag-of-words hash. */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), t => hash60(t) % HashMod),
+      lit(0L),
+      (h, code) => (h * 31L + code) % HashMod
+    )
+
+  /** Marker stopwords per language for the n-gram language-ID
+    * heuristic. Public common function words. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和")
+  )
+
+  /** Count of tokens belonging to a marker list. */
+  def markerCount(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Language-ID heuristic: argmax marker count, ties broken by
+    * lexicographically smallest language code (deterministic). */
+  def langId(text: Column): Column = {
+    // build array<struct<neg_score,lang>> and array_min it: min on
+    // (-score, lang) == (max score, smallest lang)
+    val scored = array(LangMarkers.map { case (lang, markers) =>
+      struct((-markerCount(text, markers)).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    array_min(scored).getField("lang")
+  }
+
+  /** Number of non-alphanumeric, non-space characters. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))
+
+  /** Stopword ratio over a combined marker vocabulary. */
+  def stopwordRatio(text: Column): Column = {
+    val all = LangMarkers.flatMap(_._2).distinct
+    markerCount(text, all).cast("double") / greatest(size(tokens(text)), lit(1)).cast("double")
+  }
+
+  /** BPE-ish token count: words, digits, and individual symbols as
+    * separate tokens (approximates subword tokenizer counts within a
+    * few percent on ASCII text). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Heuristic document-quality score in [0,1]: rewards mid-length
+    * docs and normal word lengths, penalizes punctuation soup.
+    * Single IEEE expression — deterministic and oracle-mirrorable. */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    val nChar = length(text).cast("double")
+    val avgTokLen = (nChar - (nTok - 1.0)) / greatest(nTok, lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nChar, lit(1.0))
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val wordScore = when(avgTokLen >= 3.0 && avgTokLen <= 10.0, 1.0).otherwise(0.5)
+    val punctScore = lit(1.0) - least(punctRatio * 4.0, lit(1.0))
+    lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3
+  }
+}

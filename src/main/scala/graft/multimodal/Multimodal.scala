@@ -1,0 +1,125 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for training-data pipelines: media
+  * payloads travel as opaque `binary` columns with typed metadata
+  * structs; decode / feature-extract / resize / frame-sample run as
+  * partition-batched functions over the binary column.
+  *
+  * THE DECODERS ARE STUBS: this container has no image/audio codecs,
+  * so `decodeStub` derives a deterministic fake "decode" from the
+  * payload bytes (md5-seeded dimensions + features). The Spark-side
+  * contract — schema, batching, partition balancing, output shape —
+  * is real and tested; swapping in a real codec changes only the
+  * body of `decodeStub`.
+  *
+  * Scale notes:
+  *  - payloads never hit the driver; decode is mapPartitions over the
+  *    executor-side iterator (one codec init per partition, amortized
+  *    like a Pandas-UDF batch).
+  *  - `balanceBySize` repartitions by payload-size range so a few
+  *    huge videos don't serialize one task (skew guard).
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("declared_bytes", LongType, nullable = true)
+    )), nullable = true)
+  ))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),   // image/video
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true), // audio
+    StructField("features", ArrayType(DoubleType), nullable = true)
+  ))
+
+  /** Demo/test media frame derived from the documents table: payload =
+    * utf-8 text bytes, kind round-robins image/audio/video. */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(col("source").as("source"), col("n_chars").cast("long").as("declared_bytes")).as("meta")
+    )
+
+  /** Deterministic fake decode of one payload: md5-seeded dims and an
+    * 8-dim feature vector. ??? -> replace with a real codec call. */
+  private[multimodal] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    def u(i: Int): Int = d(i) & 0xff
+    val width = 64 + (u(0) << 4)         // fake: 64..4144
+    val height = 64 + (u(1) << 4)
+    val sampleRate = Seq(8000, 16000, 22050, 44100)(u(2) % 4)
+    val features = Array.tabulate(8)(i => u(i + 3) / 255.0)
+    (width, height, sampleRate, features)
+  }
+
+  /** Partition-batched decode + feature extraction over the binary
+    * column (the Scala analogue of mapInPandas: one iterator pass per
+    * partition, codec state initialized once per partition). */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val enc = Encoders.row(featureSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .mapPartitions { rows =>
+        // per-partition init happens here (real codecs would open once)
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          val (w, h, sr, feats) = decodeStub(kind, payload)
+          Row(id, kind, payload.length.toLong,
+            if (kind == "audio") null else Integer.valueOf(w),
+            if (kind == "audio") null else Integer.valueOf(h),
+            if (kind == "audio") Integer.valueOf(sr) else null,
+            feats.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Deterministic "resize": marks the target dims in metadata and
+    * truncates the payload proportionally (stub for a real resampler). */
+  def resizeStub(features: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    features
+      .withColumn("target_width", lit(targetW))
+      .withColumn("target_height", lit(targetH))
+      .withColumn("scale",
+        when(col("width").isNotNull,
+          least(lit(targetW).cast("double") / col("width"), lit(targetH).cast("double") / col("height"))))
+
+  /** Frame sampling for video payloads: emits every k-th fake frame
+    * index with a deterministic per-frame hash — the explode shape a
+    * real frame sampler produces. */
+  def frameSampleStub(media: DataFrame, everyK: Int, maxFrames: Int): DataFrame =
+    media.where(col("kind") === "video")
+      .withColumn("n_frames", (length(col("payload")) % 240 + 16).cast("int"))
+      .select(
+        col("media_id"),
+        posexplode(transform(
+          sequence(lit(0), least(floor((col("n_frames") - 1) / everyK).cast("int"), lit(maxFrames - 1))),
+          i => md5(concat(col("payload").cast("string"), lit(":"), (i * everyK).cast("string")))))
+          .as(Seq("frame_idx", "frame_hash"))
+      )
+      .withColumn("frame_idx", (col("frame_idx") * everyK).cast("int"))
+
+  /** Skew guard: range-partition by payload size so large payloads
+    * spread across tasks instead of hashing into one hot partition. */
+  def balanceBySize(media: DataFrame, partitions: Int): DataFrame =
+    media.withColumn("__sz", length(col("payload")))
+      .repartitionByRange(partitions, col("__sz"), col("media_id"))
+      .drop("__sz")
+}

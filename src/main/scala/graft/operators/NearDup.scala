@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate detection over a document corpus: exact n-gram
+  * Jaccard via a prefix-filtered set-similarity join (PPJoin-style),
+  * and MinHash+LSH banding for the 100 TB path.
+  *
+  * Design for scale:
+  *  - Shingle strings are hashed to 60-bit longs ONCE (md5-derived,
+  *    engine-reproducible); every downstream shuffle moves longs, not
+  *    strings (~4-8× less shuffle volume). Collision probability
+  *    within any candidate pair's sets is ≈ |set|²/2⁶¹ — negligible.
+  *  - The shingle frame is persisted for the duration of the query:
+  *    candidate generation and verification both consume it, and
+  *    recomputing the shingling HOFs per branch would dominate cost.
+  *  - Prefix filter (exact): order each doc's shingles rarest-first
+  *    (global df order); J(A,B) ≥ t forces a shared shingle within the
+  *    first |X| - ⌈t·|X|⌉ + 1 of each — only that prefix is indexed.
+  *  - Length filter (exact): J(A,B) ≥ t forces t ≤ |A|/|B| ≤ 1/t;
+  *    applied during candidate generation, before any array ships.
+  *  - Verification is exact set intersection on the sorted long
+  *    arrays of surviving candidates.
+  *  - MinHash path: one base hash per shingle + k affine permutations
+  *    (h_i(x) = (a_i·x+b_i) mod P) computed as k codegen'd min()
+  *    aggregates — no per-seed rehashing, no interpreted HOFs in the
+  *    hot path. With k=128, b=32, r=4, recall at j≥0.8 is 1-(1-0.8⁴)³²
+  *    ≈ 1-2e-8, so verified LSH output equals the exact join (which is
+  *    what the DuckDB oracle checks).
+  */
+object NearDup {
+
+  val MinHashP = 1000000007L
+
+  /** doc_id, sorted distinct 64-bit shingle-hash set, and set size.
+    *
+    * Shingle hashes are built WITHOUT materializing shingle strings:
+    * each token is hashed once with codegen'd xxhash64, then a shingle
+    * hash is a wrap-around polynomial mix of its n token hashes —
+    * arithmetic only. (Internal identity only — no query exposes these
+    * hashes, so engine-reproducibility isn't needed here; the oracle
+    * recomputes Jaccard from the shingle STRINGS and matches modulo a
+    * ~|set|²/2⁶⁴ collision probability.) */
+  def shingled(docs: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val th = transform(toks, t => xxhash64(t))
+    // shingle hash = xxhash64 over the n token hashes (overflow-free,
+    // position-sensitive, high-quality mixing)
+    val mixed = transform(sequence(lit(0), size(th) - n), i =>
+      xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*))
+    docs.select(
+      col("doc_id"),
+      when(size(th) >= n, sort_array(array_distinct(mixed)))
+        .otherwise(array().cast("array<long>")).as("hs"))
+      .withColumn("n_shingles", size(col("hs")))
+  }
+
+  /** Exact Jaccard-similar pairs (d1 < d2) with similarity ≥ threshold. */
+  def jaccardPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double): DataFrame = {
+    val sh = shingled(docs, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("doc_id"), col("n_shingles"), explode(col("hs")).as("h"))
+    val dfCounts = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // rarest-first prefix per document
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = inv.join(dfCounts, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("n_shingles") - ceil(col("n_shingles") * threshold).cast("int") + 1)
+      .select(col("h"), col("doc_id"), col("n_shingles"))
+    val a = prefix.select(col("h"), col("doc_id").as("d1"), col("n_shingles").as("n1"))
+    val b = prefix.select(col("h"), col("doc_id").as("d2"), col("n_shingles").as("n2"))
+    val cand = a.join(b, Seq("h"))
+      .where(col("d1") < col("d2") &&
+        col("n2") >= ceil(col("n1") * threshold) && col("n1") >= ceil(col("n2") * threshold))
+      .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs against the
+    * sorted hash sets; shared by the prefix-filter and MinHash paths. */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val s1 = sh.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n_shingles").as("n1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n_shingles").as("n2"))
+    cand.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .withColumn("common", size(array_intersect(col("hs1"), col("hs2"))))
+      .withColumn("jaccard", col("common").cast("double") / (col("n1") + col("n2") - col("common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("common"), col("jaccard"))
+  }
+
+  private def affine(i: Int, hm: org.apache.spark.sql.Column) =
+    (hm * (2L * i + 1L) + (i * 2654435761L) % MinHashP) % MinHashP
+
+  /** MinHash signatures from the hashed shingle sets: k affine
+    * min-hashes per document via explode → k codegen'd min()
+    * aggregates (map-side partial aggregation). */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val exploded = sh.where(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("hm", col("h") % MinHashP)
+    val minCols = (0 until k).map(i => min(affine(i, col("hm"))).as(s"m$i"))
+    exploded.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (band, md5-of-band-slice) per doc; docs sharing a
+    * (band, bucket) become candidate pairs. b bands of r rows. */
+  def lshBanded(sigs: DataFrame, b: Int, r: Int): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(b - 1)),
+        bi => md5(array_join(transform(sequence(lit(0), lit(r - 1)),
+          ri => element_at(col("sig"), bi * r + ri + 1).cast("string")), "_"))))
+        .as(Seq("band", "bucket"))
+    )
+
+  /** Candidate pairs from banding (+ exact length filter), then
+    * exact-Jaccard verification — the full sub-quadratic near-dup
+    * operator. */
+  def minhashNearDupPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double,
+                          k: Int = 128, b: Int = 32): DataFrame = {
+    val r = k / b
+    val sh = shingled(docs, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val banded = lshBanded(minhashSignatures(sh, k), b, r)
+      .join(sh.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"), col("n_shingles").as("n1"))
+    val rt = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"), col("n_shingles").as("n2"))
+    val cand = l.join(rt, Seq("band", "bucket"))
+      .where(col("d1") < col("d2") &&
+        col("n2") >= ceil(col("n1") * threshold) && col("n1") >= ceil(col("n2") * threshold))
+      .select(col("d1"), col("d2")).distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an Array[Float] column.
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k of a (small, broadcast)
+  *    query set against the corpus — the correctness baseline. One
+  *    broadcast join, no shuffle of the corpus; scales to any corpus
+  *    size as long as the query side stays broadcast-small.
+  *  - `lshTopK`: sign-random-projection LSH — deterministic ±1
+  *    hyperplanes derived from md5, bucket on the sign pattern,
+  *    search only within bucket (plus the query's own bucket
+  *    neighbors). Sub-linear candidate generation for the 100 TB
+  *    path; recall < 1 by construction (documented, tested
+  *    statistically, not oracle-gated).
+  *
+  * Cosine is computed over integer-quantized components
+  * (round(x*10000) as long): dot products and norms become exact
+  * integer sums — order-independent, overflow-safe (64 dims ×
+  * (4e6)² ≈ 1e15 < 2⁶³), and bit-reproducible in any engine. The
+  * final cosine = dot / (sqrt(na)*sqrt(nb)) is three IEEE ops.
+  */
+object Similarity {
+
+  /** Quantized copy of an embedding column: array<long>. */
+  def quantize(vec: Column, scale: Int = 10000): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Squared L2 norm of a quantized vector (exact integer). */
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine similarity from quantized vectors. */
+  def qcosine(a: Column, b: Column): Column =
+    qdot(a, b).cast("double") / (sqrt(qnorm2(a).cast("double")) * sqrt(qnorm2(b).cast("double")))
+
+  /** Exact top-k nearest (cosine) corpus vectors per query vector.
+    * Queries are broadcast; ties broken by corpus id ascending.
+    * Norms are precomputed per row (not per pair) — at N corpus ×
+    * Q query pairs that saves N·Q−N−Q norm evaluations. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("cnorm", sqrt(qnorm2(col("cv")).cast("double")))
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("qnorm", sqrt(qnorm2(col("qv")).cast("double")))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (qdot(col("qv"), col("cv")).cast("double") / (col("qnorm") * col("cnorm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane p, dimension i):
+    * sign of bit 0 of hash60("p:i"). */
+  private def planeSign(p: Column, i: Column): Column =
+    when(graft.functions.TextFunctions.hash60(concat(p.cast("string"), lit(":"), i.cast("string")))
+      .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+
+  /** LSH bucket id: nPlanes-bit sign pattern of random projections. */
+  def lshBucket(vecQ: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(
+        aggregate(
+          zip_with(vecQ, sequence(lit(0), size(vecQ) - 1), (x, i) => x * planeSign(lit(p), i)),
+          lit(0L), (acc, v) => acc + v
+        ) >= 0L,
+        lit(1L << p)
+      ).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: candidates share the query's LSH bucket; exact
+    * cosine + rank within candidates. Recall depends on nPlanes (8
+    * planes ⇒ 256 buckets ⇒ ~corpus/256 candidates per query). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"), quantize(col("embedding")).as("cv"))
+      .withColumn("bucket", lshBucket(col("cv"), nPlanes))
+    val q = queries.select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), nPlanes))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), qcosine(col("qv"), col("cv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+}

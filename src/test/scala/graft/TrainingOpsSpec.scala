@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.{ExactDedup, NearDup, SimHash, Similarity}
+import org.apache.spark.sql.functions._
+
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different content about database engines and vectorized execution plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "ab") // shorter than shingle width
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min-id canonical row and counts dups") {
+    val out = ExactDedup.keepCanonical(docs, "text", "doc_id")
+    assert(out.count() == 4) // 1&4 collapse
+    val canon = out.where($"dup_count" === 2).head()
+    assert(canon.getAs[Long]("doc_id") == 1L)
+  }
+
+  test("wordShingles: set semantics, short docs yield empty set") {
+    val sh = docs.select($"doc_id", TextFunctions.wordShingles($"text", 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[collection.Seq[String]]("sh")).toMap
+    assert(sh(5L).isEmpty)
+    assert(sh(1L).contains("the_quick_brown"))
+    assert(sh(1L).toSet.size == sh(1L).size) // distinct
+  }
+
+  test("exact jaccard pairs finds the near-dup and the exact dup, not the unrelated doc") {
+    val pairs = NearDup.jaccardPairs(docs, "text", 3, 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)) && pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH pairs equal exact jaccard pairs on this fixture") {
+    val exact = NearDup.jaccardPairs(docs, "text", 3, 0.5)
+      .select($"d1", $"d2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val lsh = NearDup.minhashNearDupPairs(docs, "text", 3, 0.5)
+      .select($"d1", $"d2", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: exact dups collide; near-dups land within small hamming distance") {
+    val fps = SimHash.fingerprints(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(1L) == fps(4L))
+    val hammingNear = java.lang.Long.bitCount(fps(1L) ^ fps(2L))
+    val hammingFar = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("hammingPairs finds exact-dup pair at distance 0") {
+    val pairs = SimHash.hammingPairs(SimHash.fingerprints(docs, "text"), maxDist = 3)
+      .select($"d1", $"d2", $"hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
+  private lazy val vecs = {
+    // deterministic synthetic vectors: id 0 and 1 nearly parallel,
+    // id 2 orthogonal-ish, id 3 antiparallel to 0
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, -0.1f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks the nearly-parallel vector first") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 2)
+      .orderBy($"rnk").select($"corpus_id").as[Long].collect()
+    assert(top.head == 1L)
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with exact cosines") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select($"query_id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect().toMap2
+    val lsh = Similarity.lshTopK(vecs, vecs, 3, nPlanes = 4)
+      .select($"query_id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect()
+    lsh.foreach { case (q, c, cos) =>
+      assert(bf.contains((q, c)) && math.abs(bf((q, c)) - cos) < 1e-12)
+    }
+  }
+
+  implicit private class Tuple3Ops(arr: Array[(Long, Long, Double)]) {
+    def toMap2: Map[(Long, Long), Double] = arr.map(t => (t._1, t._2) -> t._3).toMap
+  }
+
+  test("langId is deterministic and prefers matching markers") {
+    val df = Seq(
+      (1L, "the cat and the dog"),          // en markers
+      (2L, "der hund und die katze"),       // de markers
+      (3L, "xyz qqq zzz")                   // no markers → tie → 'de' (lexicographic)
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextFunctions.langId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "de")
+  }
+
+  test("rollingFingerprint is order-sensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fps = df.select($"doc_id", TextFunctions.rollingFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) != fps(2L))
+  }
+}
