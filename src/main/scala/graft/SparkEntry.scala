@@ -44,7 +44,55 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries
+    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries
+
+  // ==== batch 4: rollup, standalone mode, simhash pairs, and
+  // rows-only entries for ops the oracle can't express ====
+  private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- grouping sets surface (free in Spark; absent in reference) ----
+    "q_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- A6 standalone: deterministic mode per key ----
+    "q_mode_det" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(graft.functions.DeterministicMode.modeDet(col("event_type")).as("dominant_type"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- SimHash banded Hamming pairs (fully oracle-mirrored) ----
+    "q_simhash_pairs" -> ((s, dir) => {
+      graft.operators.SimHash.hammingPairs(
+        graft.operators.SimHash.fingerprints(Tables.documents(s, dir), "text"), maxDist = 3)
+        .select(col("d1"), col("d2"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("d1"), col("d2"))
+    }),
+
+    // ---- rows-only checks (no SQL-expressible oracle) ----
+    "q_lsh_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 50), 3, nPlanes = 6)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    "q_media_features" -> ((s, dir) => {
+      graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.balanceBySize(
+          graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)), 8))
+        .orderBy(col("media_id"))
+    }),
+    "q_frame_sample" -> ((s, dir) => {
+      graft.multimodal.Multimodal.frameSampleStub(
+        graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)), everyK = 4, maxFrames = 8)
+        .orderBy(col("media_id"), col("frame_idx"))
+    })
+  )
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A4/A5/A7 + F9: grouped scalar aggregates (classic shape) ----
@@ -363,7 +411,47 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles
+
+  private def extraOracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_mode_det" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1,2
+        |)
+        |SELECT c.user_id, c.event_type AS dominant_type, t.n_rows
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn FROM c) c
+        |JOIN (SELECT user_id, count(*) AS n_rows FROM events WHERE user_id IS NOT NULL GROUP BY 1) t
+        |  USING (user_id)
+        |WHERE c.rn = 1""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, ' +'))) AS t FROM documents
+         |), h AS (
+         |  SELECT doc_id, ${duckHash60.format("t")} AS hv FROM tok
+         |), bits AS (
+         |  SELECT doc_id, i, sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS i)
+         |  GROUP BY 1,2
+         |), sims AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY 1
+         |), banded AS (
+         |  SELECT doc_id, simhash, b, (simhash >> (b*15)) & 32767 AS bucket
+         |  FROM sims, (SELECT unnest(generate_series(0, 3)) AS b)
+         |)
+         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM banded a JOIN banded b ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  )
 
   private val duckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
 

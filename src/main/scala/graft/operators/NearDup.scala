@@ -28,8 +28,8 @@ import org.apache.spark.storage.StorageLevel
   *  - MinHash path: one base hash per shingle + k affine permutations
   *    (h_i(x) = (a_i·x+b_i) mod P) computed as k codegen'd min()
   *    aggregates — no per-seed rehashing, no interpreted HOFs in the
-  *    hot path. With k=128, b=32, r=4, recall at j≥0.8 is 1-(1-0.8⁴)³²
-  *    ≈ 1-2e-8, so verified LSH output equals the exact join (which is
+  *    hot path. With k=96, b=24, r=4, recall at j≥0.8 is 1-(1-0.8⁴)²⁴
+  *    ≈ 1-3e-6, so verified LSH output equals the exact join (which is
   *    what the DuckDB oracle checks).
   */
 object NearDup {
@@ -122,7 +122,7 @@ object NearDup {
     * exact-Jaccard verification — the full sub-quadratic near-dup
     * operator. */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double,
-                          k: Int = 128, b: Int = 32): DataFrame = {
+                          k: Int = 96, b: Int = 24): DataFrame = {
     val r = k / b
     val sh = shingled(docs, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = lshBanded(minhashSignatures(sh, k), b, r)

@@ -44,9 +44,30 @@ object SimHash {
     bitVals.reduce(_ + _)
   }
 
-  /** doc_id + simhash fingerprint. */
-  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(col("doc_id"), simhash(col(textCol)).as("simhash"))
+  /** doc_id + simhash fingerprint.
+    *
+    * Physical shape: explode distinct tokens → native hash60 → one
+    * hash aggregate with 60 codegen'd sum(±1) expressions, then the
+    * 60 bit-signs fold into the fingerprint in a single projection.
+    * The column-level `simhash()` form (60 interpreted aggregate()
+    * lambdas per row) is kept for composability, but at corpus scale
+    * this explode+aggregate shape is ~10× faster and gets map-side
+    * partial aggregation. Documents with no tokens keep the HOF
+    * form's semantics (empty sum ⇒ every bit set). */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("t"))
+    val hashed = toks.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("t")).as("hv"))
+    val bitSums = (0 until Bits).map(i =>
+      sum(when(shiftright(col("hv"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
+    val folded = (0 until Bits).map(i =>
+      when(col(s"b$i") >= 0L, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val computed = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), folded.as("simhash"))
+    // re-attach token-less docs with the empty-fold value (all bits set)
+    docs.select(col("doc_id")).join(computed, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit((1L << Bits) - 1)).as("simhash"))
+  }
 
   /** All pairs (d1 < d2) within Hamming distance ≤ maxDist (≤ Bands-1),
     * via exact sub-band blocking + bit_count verification. */
