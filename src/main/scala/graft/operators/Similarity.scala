@@ -29,8 +29,14 @@ object Similarity {
   def quantize(vec: Column, scale: Int = 10000): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
+  /** Exact integer dot product of two quantized vectors — native
+    * codegen'd loop (graft.plans.QDotLong); the composed
+    * aggregate(zip_with(...)) form is interpreted and allocates a
+    * zipped array per pair, which dominates scorer cost. */
+  def qdot(a: Column, b: Column): Column = graft.plans.QDotLong.qdot(a, b)
+
+  /** Composed built-in form of qdot (equivalence-tested vs native). */
+  def qdotComposed(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Squared L2 norm of a quantized vector (exact integer). */

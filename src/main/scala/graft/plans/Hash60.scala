@@ -70,6 +70,7 @@ object Hash60 {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hash60Descriptor)
+    ext.injectFunction(QDotLong.descriptor)
   }
 }
 
@@ -81,8 +82,8 @@ object GraftExtensions {
   )
 
   /** Runtime registration on an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (ident, info, builder) = hash60Descriptor
-    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(hash60Descriptor, QDotLong.descriptor).foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }

@@ -40,6 +40,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("props"), plan)
   }
 
+  test("date-partitioned layout: where(date) prunes partitions at the scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01", 1.0), (2L, "2024-01-02", 2.0), (3L, "2024-01-03", 3.0)
+    ).toDF("id", "obs_date", "v")
+    graft.sources.Sinks.upsertPartitions(df, path, Seq("obs_date"))
+    val q = spark.read.parquet(path).where($"obs_date" === "2024-01-02")
+    assert(q.collect().length == 1) // collect() runs q's own plan (count() builds a different one)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(obs_date"), plan)
+    // only 1 of 3 partition files is actually read (scan metrics)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.metrics("numFiles").value == 1, scan.metrics.mkString(","))
+  }
+
   test("flagship entry: broadcast dim join, no cartesian") {
     val df = SparkEntry.entry(spark)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
