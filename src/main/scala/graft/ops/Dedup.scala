@@ -36,6 +36,18 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** A2 in aggregation form: same result as `keepFirst`, but as a
+    * hash aggregate (min_by over the full row) — gets map-side partial
+    * aggregation, which the window form cannot, so prefer it when the
+    * input hasn't already been shuffled on the keys. Column order is
+    * preserved. */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame = {
+    val valueCols = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(valueCols.map(col): _*), col(orderCol)).as("__row"))
+      .select(df.columns.map(c => if (keys.contains(c)) col(c) else col(s"__row.$c").as(c)): _*)
+  }
+
   /** S10/A2 as a set op: the duplicate "losers" (everything except the
     * first per group) — the rows the reference bulk-deletes
     * (dags/transform_raw_weather.py:91-101). */

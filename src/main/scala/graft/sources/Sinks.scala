@@ -48,7 +48,7 @@ object Sinks {
     * key by explicit order (never "arrival order", which has no
     * distributed meaning). */
   def enforceUnique(df: DataFrame, keys: Seq[String], orderCol: String): DataFrame =
-    graft.ops.Dedup.keepFirst(df, keys, orderCol)
+    graft.ops.Dedup.keepFirstAgg(df, keys, orderCol)
 
   /** S9 — truncate-and-reload (dimension seed). */
   def truncateReload(df: DataFrame, path: String): Unit =
