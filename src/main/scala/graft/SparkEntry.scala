@@ -75,7 +75,42 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- set operations (engine surface beyond the reference) ----
+    "q_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val clickers = ev.where(col("event_type") === "click").select(col("user_id"))
+      val buyers = ev.where(col("event_type") === "purchase").select(col("user_id"))
+      val both = clickers.intersect(buyers).withColumn("set_op", lit("both"))
+      val clickOnly = clickers.except(buyers).withColumn("set_op", lit("click_only"))
+      both.unionByName(clickOnly).orderBy(col("set_op"), col("user_id"))
+    }),
+
+    // ---- distinct counting (exact; approx variant is rows-only q_approx) ----
+    "q_distinct_stats" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_rows"),
+          countDistinct(to_date(col("ts"))).as("n_days")
+        )
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- embedding-cosine near-dup pairs (quantized-exact) ----
+    "q_embed_neardup" -> ((s, dir) => {
+      graft.operators.Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // ---- rows-only checks (no SQL-expressible oracle) ----
+    "q_approx_distinct" -> ((s, dir) => {
+      // HLL sketches aren't bit-reproducible across engines → rows-only
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 50), 3, nPlanes = 6)
@@ -414,6 +449,34 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles
 
   private def extraOracles: Map[String, String] = Map(
+    "q_set_ops" ->
+      """WITH c AS (SELECT user_id FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
+        |     b AS (SELECT user_id FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase')
+        |SELECT user_id, 'both' AS set_op FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b)
+        |UNION ALL
+        |SELECT user_id, 'click_only' AS set_op FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM b)""".stripMargin,
+
+    "q_distinct_stats" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.v)), k -> a.v[k]*b.v[k])) AS BIGINT) AS dot,
+        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.v)), k -> a.v[k]*a.v[k])) AS BIGINT) AS DOUBLE)) AS an,
+        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b.v)), k -> b.v[k]*b.v[k])) AS BIGINT) AS DOUBLE)) AS bn
+        |  FROM q a, q b WHERE a.vec_id < b.vec_id
+        |)
+        |SELECT a_id, b_id, CAST(dot AS DOUBLE)/(an*bn) AS cosine
+        |FROM s WHERE CAST(dot AS DOUBLE)/(an*bn) >= 0.5""".stripMargin,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid

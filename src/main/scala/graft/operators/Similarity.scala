@@ -64,6 +64,21 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    * threshold. Brute-force form (corpus × corpus) — at 100 TB use
+    * the `lshTopK` bucketing to generate candidates first; this exact
+    * form is the correctness baseline and the oracle semantics. */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
+    val a = q.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = q.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (qdot(col("av"), col("bv")).cast("double") / (col("an") * col("bn"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** Deterministic ±1 hyperplane weight for (plane p, dimension i):
     * sign of bit 0 of hash60("p:i"). */
   private def planeSign(p: Column, i: Column): Column =
