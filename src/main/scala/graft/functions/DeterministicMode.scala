@@ -34,7 +34,10 @@ object DeterministicModeAgg extends Aggregator[String, Map[String, Long], String
   def finish(b: Map[String, Long]): String =
     if (b.isEmpty) null
     else b.minBy { case (k, v) => (-v, k) }._1
-  def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+  // ExpressionEncoder (catalyst map layout), not Kryo blobs — partial
+  // buffers shuffle as typed maps and skip generic serialization
+  def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
   def outputEncoder: Encoder[String] = Encoders.STRING
 }
 

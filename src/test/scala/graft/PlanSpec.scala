@@ -56,6 +56,18 @@ class PlanSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == 1, scan.metrics.mkString(","))
   }
 
+  test("plan sweep: no accidental cartesian products or RDD scans in any query") {
+    // intentional cross joins: cosine scorers (corpus × broadcast query set)
+    val allowCross = Set("q_cosine_topk", "q_embed_neardup")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
+      if (!allowCross(name)) {
+        assert(!plan.contains("Join Cross"), s"$name has a cross join:\n$plan")
+      }
+      assert(!plan.contains("ExistingRDD"), s"$name scans an RDD (breaks pushdown):\n$plan")
+    }
+  }
+
   test("flagship entry: broadcast dim join, no cartesian") {
     val df = SparkEntry.entry(spark)
     val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
