@@ -75,6 +75,34 @@ object SparkEntry {
         .orderBy(col("d1"), col("d2"))
     }),
 
+    // ---- nested gold round-trip: build the FULL nested daily recap
+    // (hourly array of structs with embedded slot arrays), then
+    // explode it back to flat rows — proves the A8/A9 nested assembly
+    // against the same oracle the flat path uses ----
+    "q_recap_nested" -> ((s, dir) => {
+      Recap.daily(Recap.hourly(Recap.slotFirst(obs(s, dir))))
+        .select(col("location_id"), col("obs_date"), col("is_full_recap"),
+          explode(col("hourly")).as("h"))
+        .select(
+          col("location_id"), col("obs_date"), col("is_full_recap"),
+          col("h.hour").cast("long").as("obs_hour"),
+          col("h.avg_temp_c"), col("h.min_temp_c"), col("h.max_temp_c"),
+          col("h.dominant_condition"), col("h.total_precip_mm"), col("h.n_obs"),
+          size(filter(col("h.data_points"), p => p.isNotNull)).cast("long").as("n_slots_filled")
+        )
+        .orderBy(col("location_id"), col("obs_date"), col("obs_hour"))
+    }),
+
+    // ---- cube (full grouping-sets lattice) ----
+    "q_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     // ---- set operations (engine surface beyond the reference) ----
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
@@ -449,6 +477,53 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles
 
   private def extraOracles: Map[String, String] = Map(
+    "q_recap_nested" ->
+      """WITH obs AS (
+        |  SELECT event_id AS obs_id, user_id AS location_id,
+        |         CAST(ts AS DATE) AS obs_date,
+        |         CAST(extract(hour FROM ts) AS BIGINT) AS obs_hour,
+        |         (CAST(extract(minute FROM ts) AS INT) // 10) * 10 AS obs_slot,
+        |         value AS temp_c, event_type AS condition,
+        |         CASE WHEN event_type = 'purchase' THEN value END AS precip_mm
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), slot_first AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY location_id, obs_date, obs_hour, obs_slot ORDER BY obs_id) AS rn
+        |    FROM obs) WHERE rn = 1
+        |), cond_counts AS (
+        |  SELECT location_id, obs_date, obs_hour, condition, count(*) AS c
+        |  FROM slot_first GROUP BY 1,2,3,4
+        |), dominant AS (
+        |  SELECT location_id, obs_date, obs_hour, condition AS dominant_condition
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY location_id, obs_date, obs_hour ORDER BY c DESC, condition ASC) AS rn
+        |        FROM cond_counts) WHERE rn = 1
+        |), hourly AS (
+        |  SELECT f.location_id, f.obs_date, f.obs_hour,
+        |    round(sum(CAST(round(f.temp_c*100) AS BIGINT))*1.0/count(f.temp_c))/100.0 AS avg_temp_c,
+        |    min(f.temp_c) AS min_temp_c,
+        |    max(f.temp_c) AS max_temp_c,
+        |    any_value(d.dominant_condition) AS dominant_condition,
+        |    coalesce(sum(CAST(round(f.precip_mm*100) AS BIGINT)), 0)/100.0 AS total_precip_mm,
+        |    count(f.temp_c) AS n_obs
+        |  FROM slot_first f JOIN dominant d
+        |    ON f.location_id = d.location_id AND f.obs_date = d.obs_date AND f.obs_hour = d.obs_hour
+        |  GROUP BY 1,2,3
+        |), flags AS (
+        |  SELECT location_id, obs_date,
+        |         max(CASE WHEN obs_hour = 23 THEN true ELSE false END) AS is_full_recap
+        |  FROM hourly GROUP BY 1,2
+        |)
+        |SELECT h.location_id, h.obs_date, f.is_full_recap, h.obs_hour,
+        |  h.avg_temp_c, h.min_temp_c, h.max_temp_c, h.dominant_condition,
+        |  h.total_precip_mm, h.n_obs, h.n_obs AS n_slots_filled
+        |FROM hourly h JOIN flags f ON h.location_id = f.location_id AND h.obs_date = f.obs_date""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
     "q_set_ops" ->
       """WITH c AS (SELECT user_id FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
         |     b AS (SELECT user_id FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase')
