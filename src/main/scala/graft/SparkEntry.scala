@@ -103,6 +103,17 @@ object SparkEntry {
         .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // ---- semi-structured JSON parsing (the reference's raw payloads
+    // are nested JSON; here: extract + type + aggregate) ----
+    "q_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- set operations (engine surface beyond the reference) ----
     "q_set_ops" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
@@ -523,6 +534,14 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_set_ops" ->
       """WITH c AS (SELECT user_id FROM events WHERE user_id IS NOT NULL AND event_type = 'click'),
