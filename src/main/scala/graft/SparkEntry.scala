@@ -515,7 +515,8 @@ object SparkEntry {
         |    max(f.temp_c) AS max_temp_c,
         |    any_value(d.dominant_condition) AS dominant_condition,
         |    coalesce(sum(CAST(round(f.precip_mm*100) AS BIGINT)), 0)/100.0 AS total_precip_mm,
-        |    count(f.temp_c) AS n_obs
+        |    count(f.temp_c) AS n_obs,
+        |    count(*) AS n_slots
         |  FROM slot_first f JOIN dominant d
         |    ON f.location_id = d.location_id AND f.obs_date = d.obs_date AND f.obs_hour = d.obs_hour
         |  GROUP BY 1,2,3
@@ -526,7 +527,7 @@ object SparkEntry {
         |)
         |SELECT h.location_id, h.obs_date, f.is_full_recap, h.obs_hour,
         |  h.avg_temp_c, h.min_temp_c, h.max_temp_c, h.dominant_condition,
-        |  h.total_precip_mm, h.n_obs, h.n_obs AS n_slots_filled
+        |  h.total_precip_mm, h.n_obs, h.n_slots AS n_slots_filled
         |FROM hourly h JOIN flags f ON h.location_id = f.location_id AND h.obs_date = f.obs_date""".stripMargin,
 
     "q_cube" ->

@@ -24,11 +24,21 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
     * read as a timestamp. Read nanos as long and truncate to micros
     * (floor division — matches DuckDB's nanos→micros cast for the
-    * oracle). */
+    * oracle). The legacy conf is restored after schema resolution so
+    * the loader doesn't permanently change how OTHER nanos parquet
+    * reads behave in the session (scan execution uses the schema
+    * resolved here, not the live conf). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try
+      table(spark, sfDir, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

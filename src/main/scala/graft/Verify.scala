@@ -21,12 +21,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any stale dump from a previous run so a failure can't
-        // masquerade as a pass downstream
-        val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) {
-          dir.listFiles().foreach(_.delete())
-          dir.delete()
+        // masquerade as a pass downstream (recursive: a mid-write
+        // failure can leave a _temporary/ subtree behind)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          if (!f.delete() && f.exists())
+            System.err.println(s"[verify] WARNING: could not delete stale ${f.getPath}")
         }
+        rm(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

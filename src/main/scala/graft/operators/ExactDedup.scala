@@ -21,11 +21,17 @@ object ExactDedup {
 
   /** One canonical row per distinct content: the row with the smallest
     * `idCol`. Map-side partial aggregation via min_by — a single
-    * shuffle, no window, no join-back. */
+    * shuffle, no window, no join-back.
+    *
+    * Null-content rows are NOT comparable to each other (md5(null) is
+    * null, and grouping them would silently collapse N unrelated
+    * contentless rows into one, plus create a giant skew group at
+    * corpus scale) — they pass through unchanged with dup_count=1. */
   def keepCanonical(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     val hashed = withContentHash(df, contentCol)
     val valueCols = hashed.columns.filterNot(_ == "content_hash")
-    hashed
+    val deduped = hashed
+      .where(col(contentCol).isNotNull)
       .groupBy(col("content_hash"))
       .agg(
         min_by(struct(valueCols.map(col): _*), col(idCol)).as("row"),
@@ -33,12 +39,16 @@ object ExactDedup {
       )
       .select((Seq(col("content_hash"), col("dup_count")) ++
         valueCols.map(c => col(s"row.$c").as(c))): _*)
+    val nullContent = hashed.where(col(contentCol).isNull)
+      .select((Seq(col("content_hash"), lit(1L).as("dup_count")) ++ valueCols.map(col)): _*)
+    deduped.unionByName(nullContent)
   }
 
   /** Duplicate-cluster summary: content hashes appearing >1 time, their
-    * cardinality and canonical (min) id. */
+    * cardinality and canonical (min) id. Null content excluded (see
+    * keepCanonical). */
   def duplicateClusters(df: DataFrame, contentCol: String, idCol: String): DataFrame =
-    withContentHash(df, contentCol)
+    withContentHash(df.where(col(contentCol).isNotNull), contentCol)
       .groupBy(col("content_hash"))
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("canonical_id"))
       .where(col("dup_count") > 1)

@@ -4,20 +4,24 @@ import graft.functions.TextFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Near-duplicate detection over a document corpus: exact n-gram
   * Jaccard via a prefix-filtered set-similarity join (PPJoin-style),
   * and MinHash+LSH banding for the 100 TB path.
   *
   * Design for scale:
-  *  - Shingle strings are hashed to 60-bit longs ONCE (md5-derived,
-  *    engine-reproducible); every downstream shuffle moves longs, not
-  *    strings (~4-8× less shuffle volume). Collision probability
-  *    within any candidate pair's sets is ≈ |set|²/2⁶¹ — negligible.
-  *  - The shingle frame is persisted for the duration of the query:
-  *    candidate generation and verification both consume it, and
-  *    recomputing the shingling HOFs per branch would dominate cost.
+  *  - Shingles are hashed to 64-bit longs ONCE (codegen'd xxhash64
+  *    token mixing, no shingle strings materialized); every downstream
+  *    shuffle moves longs, not strings (~4-8× less shuffle volume).
+  *    Collision probability within any candidate pair's sets is
+  *    ≈ |set|²/2⁶⁴ — negligible.
+  *  - The shingle frame is consumed by both candidate generation and
+  *    verification. It is deliberately NOT persisted internally: at
+  *    corpus scale caching a corpus-wide intermediate is an
+  *    anti-pattern (storage pressure, no lifecycle owner), and the
+  *    recompute is a narrow scan+hash. Callers that do want caching
+  *    persist the `shingled` frame themselves and use the `*From`
+  *    overloads, owning the unpersist.
   *  - Prefix filter (exact): order each doc's shingles rarest-first
   *    (global df order); J(A,B) ≥ t forces a shared shingle within the
   *    first |X| - ⌈t·|X|⌉ + 1 of each — only that prefix is indexed.
@@ -60,8 +64,12 @@ object NearDup {
   }
 
   /** Exact Jaccard-similar pairs (d1 < d2) with similarity ≥ threshold. */
-  def jaccardPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double): DataFrame = {
-    val sh = shingled(docs, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+  def jaccardPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double): DataFrame =
+    jaccardPairsFrom(shingled(docs, textCol, n), threshold)
+
+  /** As `jaccardPairs`, over a pre-built (optionally caller-persisted)
+    * `shingled` frame. */
+  def jaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val inv = sh.select(col("doc_id"), col("n_shingles"), explode(col("hs")).as("h"))
     val dfCounts = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // rarest-first prefix per document
@@ -129,9 +137,14 @@ object NearDup {
     * exact-Jaccard verification — the full sub-quadratic near-dup
     * operator. */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double,
-                          k: Int = 96, b: Int = 24): DataFrame = {
+                          k: Int = 96, b: Int = 24): DataFrame =
+    minhashNearDupPairsFrom(shingled(docs, textCol, n), threshold, k, b)
+
+  /** As `minhashNearDupPairs`, over a pre-built (optionally
+    * caller-persisted) `shingled` frame. */
+  def minhashNearDupPairsFrom(sh: DataFrame, threshold: Double,
+                              k: Int = 96, b: Int = 24): DataFrame = {
     val r = k / b
-    val sh = shingled(docs, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val banded = lshBanded(minhashSignatures(sh, k), b, r)
       .join(sh.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"), col("n_shingles").as("n1"))

@@ -52,8 +52,8 @@ object SimHash {
     * The column-level `simhash()` form (60 interpreted aggregate()
     * lambdas per row) is kept for composability, but at corpus scale
     * this explode+aggregate shape is ~10× faster and gets map-side
-    * partial aggregation. Documents with no tokens keep the HOF
-    * form's semantics (empty sum ⇒ every bit set). */
+    * partial aggregation. Documents with no tokens are dropped (no
+    * comparable content ⇒ no fingerprint). */
   def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("t"))
@@ -62,11 +62,12 @@ object SimHash {
       sum(when(shiftright(col("hv"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
     val folded = (0 until Bits).map(i =>
       when(col(s"b$i") >= 0L, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val computed = hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    // token-less (null/empty) docs are dropped: a sentinel fingerprint
+    // would make every pair of contentless docs a "hamming-0 near-dup",
+    // and it matches the oracle's behavior (unnest of an empty token
+    // list emits no rows)
+    hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), folded.as("simhash"))
-    // re-attach token-less docs with the empty-fold value (all bits set)
-    docs.select(col("doc_id")).join(computed, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("simhash"), lit((1L << Bits) - 1)).as("simhash"))
   }
 
   /** All pairs (d1 < d2) within Hamming distance ≤ maxDist (≤ Bands-1),

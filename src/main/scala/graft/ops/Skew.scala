@@ -27,9 +27,18 @@ object Skew {
   def salt(idCol: Column, salts: Int): Column = pmod(xxhash64(idCol), lit(salts.toLong))
 
   /** Equi-join `large ⋈ small` on `key`, salted `salts` ways.
-    * `large` must carry `idCol` (any column with high entropy). */
+    * `large` must carry `idCol` (any column with high entropy).
+    *
+    * Only inner/left-outer/semi/anti are supported: the small side is
+    * exploded ×salts, so a right/full outer join would emit each
+    * unmatched small-side row `salts` times. */
   def saltedEquiJoin(large: DataFrame, small: DataFrame, key: String,
                      idCol: String, salts: Int, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")) ||
+      allowed.contains(joinType.toLowerCase),
+      s"saltedEquiJoin supports inner/left/semi/anti joins, not '$joinType' " +
+        "(the exploded small side would duplicate unmatched right-side rows)")
     val saltedLarge = large.withColumn("__salt", salt(col(idCol), salts))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))

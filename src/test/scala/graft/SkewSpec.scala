@@ -18,6 +18,16 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("salted join rejects right/full outer joins (small side is exploded)") {
+    val large = Seq((1L, 1L)).toDF("row_id", "k")
+    val small = Seq((1L, "x")).toDF("k", "label")
+    intercept[IllegalArgumentException] {
+      Skew.saltedEquiJoin(large, small, "k", "row_id", 4, joinType = "full")
+    }
+    // left outer stays allowed
+    assert(Skew.saltedEquiJoin(large, small, "k", "row_id", 4, joinType = "left").count() == 1)
+  }
+
   test("salt is deterministic and bounded") {
     val df = (1 to 100).map(_.toLong).toDF("id")
     val s1 = df.select(Skew.salt($"id", 8).as("s")).as[Long].collect()

@@ -22,6 +22,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(canon.getAs[Long]("doc_id") == 1L)
   }
 
+  test("exact dedup: null-content rows pass through individually, never collapse") {
+    val withNulls = docs.select($"doc_id", $"text")
+      .unionByName(Seq((90L, Option.empty[String]), (91L, Option.empty[String])).toDF("doc_id", "text"))
+    val out = ExactDedup.keepCanonical(withNulls, "text", "doc_id")
+    // 4 deduped content rows + BOTH null rows untouched
+    assert(out.count() == 6)
+    assert(out.where($"text".isNull).count() == 2)
+    assert(ExactDedup.duplicateClusters(withNulls, "text", "doc_id").count() == 1)
+  }
+
+  test("simhash drops token-less docs instead of assigning a sentinel") {
+    val withEmpty = docs.select($"doc_id", $"text")
+      .unionByName(Seq((90L, Option.empty[String])).toDF("doc_id", "text"))
+    val fps = SimHash.fingerprints(withEmpty, "text")
+    assert(!fps.select($"doc_id").as[Long].collect().contains(90L))
+  }
+
   test("wordShingles: set semantics, short docs yield empty set") {
     val sh = docs.select($"doc_id", TextFunctions.wordShingles($"text", 3).as("sh"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[collection.Seq[String]]("sh")).toMap
