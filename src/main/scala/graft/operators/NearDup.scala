@@ -15,13 +15,16 @@ import org.apache.spark.sql.functions._
   *    shuffle moves longs, not strings (~4-8× less shuffle volume).
   *    Collision probability within any candidate pair's sets is
   *    ≈ |set|²/2⁶⁴ — negligible.
-  *  - The shingle frame is consumed by both candidate generation and
-  *    verification. It is deliberately NOT persisted internally: at
-  *    corpus scale caching a corpus-wide intermediate is an
-  *    anti-pattern (storage pressure, no lifecycle owner), and the
-  *    recompute is a narrow scan+hash. Callers that do want caching
-  *    persist the `shingled` frame themselves and use the `*From`
-  *    overloads, owning the unpersist.
+  *  - The shingle frame feeds candidate generation (which itself
+  *    branches: df-counts, prefix window, self-join sides) AND
+  *    verification — uncached, the subtree re-executes 4-5× and
+  *    measured 3× slower end-to-end. The convenience entry points
+  *    therefore persist it, with a BOUNDED lifecycle: each call
+  *    unpersists the previous call's frame (at most one cached
+  *    shingle frame alive per operator; unpersist is advisory, so a
+  *    concurrent query still running on the old frame just falls
+  *    back to recompute). Callers wanting full control use the
+  *    `*From` overloads with their own persistence.
   *  - Prefix filter (exact): order each doc's shingles rarest-first
   *    (global df order); J(A,B) ≥ t forces a shared shingle within the
   *    first |X| - ⌈t·|X|⌉ + 1 of each — only that prefix is indexed.
@@ -39,6 +42,19 @@ import org.apache.spark.sql.functions._
 object NearDup {
 
   val MinHashP = 1000000007L
+
+  /** Bounded internal cache: the previous call's shingle frame is
+    * unpersisted when a new one (with a different plan) replaces it. */
+  private val lastCached = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def cacheBounded(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prev = lastCached.getAndSet(df)
+    if (prev != null && !prev.queryExecution.logical.sameResult(df.queryExecution.logical)) {
+      prev.unpersist(blocking = false)
+    }
+    df
+  }
 
   /** doc_id, sorted distinct 64-bit shingle-hash set, and set size.
     *
@@ -65,7 +81,7 @@ object NearDup {
 
   /** Exact Jaccard-similar pairs (d1 < d2) with similarity ≥ threshold. */
   def jaccardPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double): DataFrame =
-    jaccardPairsFrom(shingled(docs, textCol, n), threshold)
+    jaccardPairsFrom(cacheBounded(shingled(docs, textCol, n)), threshold)
 
   /** As `jaccardPairs`, over a pre-built (optionally caller-persisted)
     * `shingled` frame. */
@@ -138,7 +154,7 @@ object NearDup {
     * operator. */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double,
                           k: Int = 96, b: Int = 24): DataFrame =
-    minhashNearDupPairsFrom(shingled(docs, textCol, n), threshold, k, b)
+    minhashNearDupPairsFrom(cacheBounded(shingled(docs, textCol, n)), threshold, k, b)
 
   /** As `minhashNearDupPairs`, over a pre-built (optionally
     * caller-persisted) `shingled` frame. */
