@@ -155,10 +155,18 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 50), 3, nPlanes = 6)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // ---- multimodal decode-stub features, flattened to scalars (the
+    // md5-seeded stub is engine-reproducible, so this gets a full
+    // DuckDB oracle; raw array<double> columns would also break the
+    // driver's pandas hash compare) ----
     "q_media_features" -> ((s, dir) => {
-      graft.multimodal.Multimodal.decodeFeatures(
+      val feats = graft.multimodal.Multimodal.decodeFeatures(
         graft.multimodal.Multimodal.balanceBySize(
           graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)), 8))
+      feats.select(
+        Seq(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"), col("sample_rate")) ++
+          (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy(col("media_id"))
     }),
     "q_frame_sample" -> ((s, dir) => {
@@ -642,6 +650,55 @@ object SparkEntry {
 
       "q_ngram_jaccard" -> exactJaccardSql,
       "q_minhash_lsh" -> exactJaccardSql,
+
+      // Mirrors Multimodal.decodeStub exactly: payload = utf8(text),
+      // md5 digest bytes u0..u10 drive dims/rate/features.
+      "q_media_features" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+          |         md5(coalesce(text, '')) AS d,
+          |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+          |  FROM documents
+          |), u AS (
+          |  SELECT media_id, kind, n_bytes,
+          |         ('0x' || substr(d, 1, 2))::INT AS u0,
+          |         ('0x' || substr(d, 3, 2))::INT AS u1,
+          |         ('0x' || substr(d, 5, 2))::INT AS u2,
+          |         ('0x' || substr(d, 7, 2))::INT AS u3,
+          |         ('0x' || substr(d, 9, 2))::INT AS u4,
+          |         ('0x' || substr(d, 11, 2))::INT AS u5,
+          |         ('0x' || substr(d, 13, 2))::INT AS u6,
+          |         ('0x' || substr(d, 15, 2))::INT AS u7,
+          |         ('0x' || substr(d, 17, 2))::INT AS u8,
+          |         ('0x' || substr(d, 19, 2))::INT AS u9,
+          |         ('0x' || substr(d, 21, 2))::INT AS u10
+          |  FROM m
+          |)
+          |SELECT media_id, kind, n_bytes,
+          |       CASE WHEN kind = 'audio' THEN NULL ELSE 64 + u0 * 16 END AS width,
+          |       CASE WHEN kind = 'audio' THEN NULL ELSE 64 + u1 * 16 END AS height,
+          |       CASE WHEN kind = 'audio' THEN ([8000,16000,22050,44100])[CAST(u2 % 4 + 1 AS INT)] END AS sample_rate,
+          |       u3 / 255.0 AS f0, u4 / 255.0 AS f1, u5 / 255.0 AS f2, u6 / 255.0 AS f3,
+          |       u7 / 255.0 AS f4, u8 / 255.0 AS f5, u9 / 255.0 AS f6, u10 / 255.0 AS f7
+          |FROM u""".stripMargin,
+
+      // Mirrors Multimodal.frameSampleStub (everyK=4, maxFrames=8):
+      // video kind = doc_id%3==2; hash = md5(text || ':' || frame_idx).
+      "q_frame_sample" ->
+        """WITH v AS (
+          |  SELECT doc_id AS media_id, text AS t,
+          |         octet_length(encode(text)) % 240 + 16 AS n_frames
+          |  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL
+          |), e AS (
+          |  SELECT media_id, t,
+          |         unnest(generate_series(0, CAST(least((n_frames - 1) // 4, 7) AS BIGINT))) AS j
+          |  FROM v
+          |)
+          |SELECT media_id,
+          |       CAST(j * 4 AS INT) AS frame_idx,
+          |       md5(t || ':' || CAST(j * 4 AS VARCHAR)) AS frame_hash
+          |FROM e""".stripMargin,
 
       "q_simhash" ->
         s"""WITH tok AS (

@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   *  - Verification is exact set intersection on the sorted long
   *    arrays of surviving candidates.
   *  - MinHash path: one base hash per shingle + k affine permutations
-  *    (h_i(x) = (a_i·x+b_i) mod P) computed as k codegen'd min()
-  *    aggregates — no per-seed rehashing, no interpreted HOFs in the
-  *    hot path. With k=96, b=24, r=4, recall at j≥0.8 is 1-(1-0.8⁴)²⁴
+  *    (h_i(x) = (a_i·x+b_i) mod P) computed by ONE native codegen'd
+  *    expression per doc (graft.plans.MinHashSig) — a narrow
+  *    projection, no explode/groupBy exchange, no interpreted HOFs in
+  *    the hot path. With k=96, b=24, r=4, recall at j≥0.8 is 1-(1-0.8⁴)²⁴
   *    ≈ 1-3e-6, so verified LSH output equals the exact join (which is
   *    what the DuckDB oracle checks).
   */
@@ -58,26 +59,21 @@ object NearDup {
 
   /** doc_id, sorted distinct 64-bit shingle-hash set, and set size.
     *
-    * Shingle hashes are built WITHOUT materializing shingle strings:
-    * each token is hashed once with codegen'd xxhash64, then a shingle
-    * hash is a wrap-around polynomial mix of its n token hashes —
-    * arithmetic only. (Internal identity only — no query exposes these
-    * hashes, so engine-reproducibility isn't needed here; the oracle
-    * recomputes Jaccard from the shingle STRINGS and matches modulo a
+    * Shingle hashes are built WITHOUT materializing shingle strings,
+    * by ONE native codegen'd expression (graft.plans.ShingleHashes):
+    * a single pass over the document's UTF-8 bytes hashes each token
+    * in place and mixes n-token windows — no interpreted HOFs, no
+    * intermediate arrays (round 1's transform/xxhash64 composition
+    * measured 17 s on the sf0.1 corpus; this form <1 s). (Internal
+    * identity only — no query exposes these hashes, so
+    * engine-reproducibility isn't needed here; the oracle recomputes
+    * Jaccard from the shingle STRINGS and matches modulo a
     * ~|set|²/2⁶⁴ collision probability.) */
-  def shingled(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val th = transform(toks, t => xxhash64(t))
-    // shingle hash = xxhash64 over the n token hashes (overflow-free,
-    // position-sensitive, high-quality mixing)
-    val mixed = transform(sequence(lit(0), size(th) - n), i =>
-      xxhash64((0 until n).map(j => element_at(th, i + j + 1)): _*))
+  def shingled(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs.select(
       col("doc_id"),
-      when(size(th) >= n, sort_array(array_distinct(mixed)))
-        .otherwise(array().cast("array<long>")).as("hs"))
+      graft.plans.ShingleHashes.shingleHashes(col(textCol), n).as("hs"))
       .withColumn("n_shingles", size(col("hs")))
-  }
 
   /** Exact Jaccard-similar pairs (d1 < d2) with similarity ≥ threshold. */
   def jaccardPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double): DataFrame =
@@ -115,37 +111,28 @@ object NearDup {
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
   }
 
-  private def affine(i: Int, hm: org.apache.spark.sql.Column) =
-    (hm * (2L * i + 1L) + (i * 2654435761L) % MinHashP) % MinHashP
+  /** MinHash signatures from the hashed shingle sets: all k affine
+    * min-hashes per document in ONE native codegen'd expression
+    * (graft.plans.MinHashSig) — a narrow map-side projection, no
+    * explode/groupBy exchange. Replaced round 1's k-wide min()
+    * aggregate, whose ~10 s one-time Janino compile (k≈96 agg
+    * expression trees) dominated the cold-JVM bench; the tight
+    * JIT-compiled double loop also beats 96 separate expression
+    * evaluations per shingle. Permutation family unchanged:
+    * h_i(x) = ((x mod P)·(2i+1) + (i·2654435761) mod P) mod P. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.where(size(col("hs")) > 0)
+      .select(col("doc_id"), graft.plans.MinHashSig.minhashSig(col("hs"), k).as("sig"))
 
-  /** MinHash signatures from the hashed shingle sets: k affine
-    * min-hashes per document via explode → k codegen'd min()
-    * aggregates (map-side partial aggregation).
-    *
-    * Note: the wide codegen'd aggregate costs ~10 s of one-time
-    * Janino/JIT compile per JVM at k≈100, but an Aggregator-over-
-    * long[] alternative was measured SLOWER end to end (object
-    * buffers + a per-row array allocation beat the compile saving:
-    * 25 s cold / 6 s warm vs 20 s cold / 3 s warm at sf0.1) — the
-    * codegen'd form wins on both repeat-use and per-row cost. */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val exploded = sh.where(size(col("hs")) > 0)
-      .select(col("doc_id"), explode(col("hs")).as("h"))
-      .withColumn("hm", col("h") % MinHashP)
-    val minCols = (0 until k).map(i => min(affine(i, col("hm"))).as(s"m$i"))
-    exploded.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
-  }
-
-  /** LSH banding: (band, md5-of-band-slice) per doc; docs sharing a
-    * (band, bucket) become candidate pairs. b bands of r rows. */
+  /** LSH banding: (band, bucket-hash) per doc; docs sharing a
+    * (band, bucket) become candidate pairs. b bands of r rows. Bucket
+    * hashes come from one native expression (murmur-style mix of the
+    * band's r slots — engine-internal identity, so no reproducible-md5
+    * requirement), replacing round 1's interpreted transform+md5 HOFs. */
   def lshBanded(sigs: DataFrame, b: Int, r: Int): DataFrame =
     sigs.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(b - 1)),
-        bi => md5(array_join(transform(sequence(lit(0), lit(r - 1)),
-          ri => element_at(col("sig"), bi * r + ri + 1).cast("string")), "_"))))
+      posexplode(graft.plans.MinHashSig.bandBuckets(col("sig"), b, r))
         .as(Seq("band", "bucket"))
     )
 
