@@ -46,29 +46,18 @@ object SimHash {
 
   /** doc_id + simhash fingerprint.
     *
-    * Physical shape: explode distinct tokens → native hash60 → one
-    * hash aggregate with 60 codegen'd sum(±1) expressions, then the
-    * 60 bit-signs fold into the fingerprint in a single projection.
-    * The column-level `simhash()` form (60 interpreted aggregate()
-    * lambdas per row) is kept for composability, but at corpus scale
-    * this explode+aggregate shape is ~10× faster and gets map-side
-    * partial aggregation. Documents with no tokens are dropped (no
-    * comparable content ⇒ no fingerprint). */
-  def fingerprints(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(array_distinct(graft.functions.TextFunctions.tokens(col(textCol)))).as("t"))
-    val hashed = toks.select(col("doc_id"), graft.functions.TextFunctions.hash60(col("t")).as("hv"))
-    val bitSums = (0 until Bits).map(i =>
-      sum(when(shiftright(col("hv"), i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"b$i"))
-    val folded = (0 until Bits).map(i =>
-      when(col(s"b$i") >= 0L, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    // token-less (null/empty) docs are dropped: a sentinel fingerprint
-    // would make every pair of contentless docs a "hamming-0 near-dup",
-    // and it matches the oracle's behavior (unnest of an empty token
-    // list emits no rows)
-    hashed.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), folded.as("simhash"))
-  }
+    * Physical shape: ONE native codegen'd expression per document
+    * (graft.plans.SimHash60) — a narrow projection, no explode, no
+    * groupBy exchange. Bit-compatible with the column-level
+    * `simhash()` form (kept for composability) and the DuckDB oracle;
+    * round 1's explode → 60-column sum aggregate shape paid a
+    * 60-expression Janino compile plus a full corpus-token shuffle.
+    * Null-text docs are dropped (no comparable content ⇒ no
+    * fingerprint — matches the oracle, whose unnest of a null token
+    * list emits no rows). */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col("doc_id"), graft.plans.SimHash60.simhash60(col(textCol)).as("simhash"))
 
   /** All pairs (d1 < d2) within Hamming distance ≤ maxDist (≤ Bands-1),
     * via exact sub-band blocking + bit_count verification. */

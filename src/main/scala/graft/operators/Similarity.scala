@@ -80,21 +80,24 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane weight for (plane p, dimension i):
-    * sign of bit 0 of hash60("p:i"). */
-  private def planeSign(p: Column, i: Column): Column =
-    when(graft.functions.TextFunctions.hash60(concat(p.cast("string"), lit(":"), i.cast("string")))
-      .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+    * sign of bit 0 of hash60("p:i"). The planes depend only on (p, i),
+    * so they are computed ONCE driver-side (same Hash60 identity the
+    * old column form evaluated per row) and shipped as literal
+    * arrays — round 1 re-derived every weight per ROW through an
+    * interpreted zip_with/aggregate pair with an md5 per (row, p, i). */
+  private def planeSign(p: Int, i: Int): Long =
+    if ((graft.plans.Hash60Impl.hash(s"$p:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)) & 1L) == 1L) 1L
+    else -1L
 
-  /** LSH bucket id: nPlanes-bit sign pattern of random projections. */
-  def lshBucket(vecQ: Column, nPlanes: Int): Column =
+  /** LSH bucket id: nPlanes-bit sign pattern of random projections,
+    * each projection a native codegen'd dot with a literal ±1 plane.
+    * `dim` must cover the embedding width (extra plane slots beyond
+    * the actual vector length are harmless — QDotLong stops at the
+    * common prefix, matching the old per-element form). */
+  def lshBucket(vecQ: Column, nPlanes: Int, dim: Int = 64): Column =
     (0 until nPlanes).map { p =>
-      when(
-        aggregate(
-          zip_with(vecQ, sequence(lit(0), size(vecQ) - 1), (x, i) => x * planeSign(lit(p), i)),
-          lit(0L), (acc, v) => acc + v
-        ) >= 0L,
-        lit(1L << p)
-      ).otherwise(lit(0L))
+      val plane = typedLit((0 until dim).map(i => planeSign(p, i)))
+      when(qdot(vecQ, plane) >= 0L, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate top-k: candidates share the query's LSH bucket; exact
