@@ -155,6 +155,15 @@ object SparkEntry {
       graft.operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 50), 3, nPlanes = 6)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // ---- IVF ANN (deterministic coarse quantizer → full oracle:
+    // DuckDB replicates the same assignment/probe approximation) ----
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 50), 3,
+        nLists = 16, nProbe = 4)
+        .select(col("query_id"), col("corpus_id"), col("cosine"), col("rnk").cast("int").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // ---- multimodal decode-stub features, flattened to scalars (the
     // md5-seeded stub is engine-reproducible, so this gets a full
     // DuckDB oracle; raw array<double> columns would also break the
@@ -699,6 +708,46 @@ object SparkEntry {
           |       CAST(j * 4 AS INT) AS frame_idx,
           |       md5(t || ':' || CAST(j * 4 AS VARCHAR)) AS frame_hash
           |FROM e""".stripMargin,
+
+      // Mirrors Similarity.ivfTopK (nLists=16, nProbe=4, k=3,
+      // queries = vec_id < 50): same quantization, same deterministic
+      // centroid set (vec_id < 16), same tie-breaks — the oracle
+      // reproduces the exact approximation, not just its intent.
+      "q_ivf_topk" ->
+        """WITH qz AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+          |  FROM embeddings
+          |), nrm AS (
+          |  SELECT vec_id, v,
+          |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+          |  FROM qz
+          |), cent AS (
+          |  SELECT vec_id AS cid, v AS cv, nv AS cn FROM nrm WHERE vec_id < 16
+          |), cscore AS (
+          |  SELECT n.vec_id, c.cid,
+          |    CAST(CAST(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)/(n.nv*c.cn) AS cos,
+          |    row_number() OVER (PARTITION BY n.vec_id
+          |                       ORDER BY CAST(CAST(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)/(n.nv*c.cn) DESC, c.cid ASC) AS rn
+          |  FROM nrm n, cent c
+          |), corpus_assign AS (
+          |  SELECT vec_id AS corpus_id, cid AS list_id FROM cscore WHERE rn = 1
+          |), probes AS (
+          |  SELECT vec_id AS query_id, cid AS list_id FROM cscore WHERE rn <= 4 AND vec_id < 50
+          |), cand AS (
+          |  SELECT p.query_id, a.corpus_id
+          |  FROM probes p JOIN corpus_assign a ON a.list_id = p.list_id
+          |  WHERE a.corpus_id != p.query_id
+          |), scored AS (
+          |  SELECT c.query_id, c.corpus_id,
+          |    CAST(CAST(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*t.v[i])) AS BIGINT) AS DOUBLE)/(q.nv*t.nv) AS cosine
+          |  FROM cand c
+          |  JOIN nrm q ON q.vec_id = c.query_id
+          |  JOIN nrm t ON t.vec_id = c.corpus_id
+          |)
+          |SELECT query_id, corpus_id, cosine, CAST(rnk AS INT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+          |      FROM scored)
+          |WHERE rnk <= 3""".stripMargin,
 
       "q_simhash" ->
         s"""WITH tok AS (

@@ -100,6 +100,87 @@ object Similarity {
       when(qdot(vecQ, plane) >= 0L, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style approximate nearest neighbor — the classic
+    * inverted-file index shape: a coarse quantizer assigns every
+    * corpus vector to exactly one of nLists inverted lists; a query
+    * probes only its nProbe nearest lists and scores exact cosine
+    * within them. Search cost drops from O(N) to ~O(N·nProbe/nLists)
+    * per query.
+    *
+    * Centroids here are the nLists smallest-vec_id corpus vectors —
+    * a deterministic stand-in for k-means (the assignment/probe/score
+    * machinery is identical; production swaps `cents` for trained
+    * means). They are model parameters: tiny (nLists × dim), collected
+    * once driver-side and inlined as LITERAL arrays, so both
+    * assignment and probing are NARROW projections over the native
+    * dot product — no shuffle, no broadcast join, no per-row
+    * re-derivation. The only shuffle is the per-list candidate join.
+    *
+    * Fully deterministic (argmax ties → smallest centroid id; final
+    * ranking ties → smallest corpus id), so the DuckDB oracle
+    * replicates the exact same approximation.
+    *
+    * At 100 TB: assignment is embarrassingly parallel; writing the
+    * corpus bucketed/partitioned BY list id makes each query's probe
+    * a partition-pruned scan of nProbe/nLists of the data. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    // centroid collect: nLists rows × dim longs — model-parameter sized
+    val cents: Array[(Int, Array[Long], Double)] = corpus
+      .where(col("vec_id") < nLists)
+      .select(col("vec_id").cast("int"), quantize(col("embedding")))
+      .collect()
+      .map { r =>
+        val id = r.getInt(0)
+        val v = r.getSeq[Long](1).toArray
+        // exact-integer norm², converted once — same value DuckDB gets
+        // from sqrt(CAST(list_sum(...) AS DOUBLE))
+        var n2 = 0L; var i = 0
+        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(n2.toDouble))
+      }
+
+    // per-vector centroid scores: array<struct<cos,negid>>; array_max =
+    // (highest cosine, then smallest centroid id)
+    def centScores = array(cents.map { case (cid, cv, cn) =>
+      struct(
+        (qdot(col("v"), typedLit(cv.toSeq)).cast("double") / (col("nrm") * lit(cn))).as("cos"),
+        lit(-cid).as("negid"))
+    }: _*)
+
+    val base = corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
+
+    // assignment: one list per corpus vector (narrow)
+    val assigned = base
+      .withColumn("list_id", -array_max(centScores).getField("negid"))
+      .select(col("vec_id").as("corpus_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("list_id"))
+
+    // probing: the query's nProbe best lists (sort asc on (-cos, id),
+    // take the first nProbe) — query side is small by contract
+    val probed = queries
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
+      .withColumn("probes",
+        slice(array_sort(array(cents.map { case (cid, cv, cn) =>
+          struct(
+            (-(qdot(col("v"), typedLit(cv.toSeq)).cast("double") / (col("nrm") * lit(cn)))).as("negcos"),
+            lit(cid).as("cid"))
+        }: _*)), 1, nProbe))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(col("probes").getField("cid")).as("list_id"))
+
+    val scored = assigned.join(broadcast(probed), Seq("list_id"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        (qdot(col("qv"), col("cv")).cast("double") / (col("qn") * col("cn"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Approximate top-k: candidates share the query's LSH bucket; exact
     * cosine + rank within candidates. Recall depends on nPlanes (8
     * planes ⇒ 256 buckets ⇒ ~corpus/256 candidates per query). */

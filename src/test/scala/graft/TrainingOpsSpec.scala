@@ -108,6 +108,26 @@ class TrainingOpsSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), Double] = arr.map(t => (t._1, t._2) -> t._3).toMap
   }
 
+  test("ivfTopK: full probe over a tiny corpus equals brute force") {
+    // nLists=2, nProbe=2 → every list is probed → exact search
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 2)
+      .select($"query_id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs, 2, nLists = 2, nProbe = 2)
+      .select($"query_id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("ivfTopK: partial probe returns exact cosines for a candidate subset") {
+    val bf = Similarity.bruteForceTopK(vecs, vecs, 3)
+      .select($"query_id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect().toMap2
+    val ivf = Similarity.ivfTopK(vecs, vecs, 3, nLists = 2, nProbe = 1)
+      .select($"query_id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, c, cos) =>
+      assert(bf.contains((q, c)) && bf((q, c)) == cos)
+    }
+  }
+
   test("langId is deterministic and prefers matching markers") {
     val df = Seq(
       (1L, "the cat and the dog"),          // en markers
