@@ -709,6 +709,43 @@ object SparkEntry {
           |       md5(t || ':' || CAST(j * 4 AS VARCHAR)) AS frame_hash
           |FROM e""".stripMargin,
 
+      // Mirrors Similarity.lshTopK (nPlanes=6, k=3, queries =
+      // vec_id < 50): the ±1 hyperplanes are hash60("p:i")-derived
+      // constants, so DuckDB rebuilds the same 6×64 sign matrix (384
+      // rows, computed once) and reproduces the exact bucketing.
+      "q_lsh_topk" ->
+        """WITH qz AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+          |  FROM embeddings
+          |), nrm AS (
+          |  SELECT vec_id, v,
+          |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+          |  FROM qz
+          |), planes AS (
+          |  SELECT p.p, i.i,
+          |    CASE WHEN CAST('0x' || substr(md5(p.p || ':' || i.i), 1, 15) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS s
+          |  FROM (SELECT unnest(generate_series(0, 5)) AS p) p,
+          |       (SELECT unnest(generate_series(0, 63)) AS i) i
+          |), proj AS (
+          |  SELECT n.vec_id, pl.p, CAST(SUM(n.v[pl.i + 1] * pl.s) AS BIGINT) AS dot
+          |  FROM nrm n JOIN planes pl ON pl.i < len(n.v)
+          |  GROUP BY 1, 2
+          |), bkt AS (
+          |  SELECT vec_id, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM proj GROUP BY 1
+          |), scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+          |    CAST(CAST(list_sum(list_transform(generate_series(1, len(qn.v)), i -> qn.v[i]*cn.v[i])) AS BIGINT) AS DOUBLE)/(qn.nv*cn.nv) AS cosine
+          |  FROM bkt q JOIN bkt c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+          |  JOIN nrm qn ON qn.vec_id = q.vec_id
+          |  JOIN nrm cn ON cn.vec_id = c.vec_id
+          |  WHERE q.vec_id < 50
+          |)
+          |SELECT query_id, corpus_id, cosine, CAST(rnk AS INT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
+          |      FROM scored)
+          |WHERE rnk <= 3""".stripMargin,
+
       // Mirrors Similarity.ivfTopK (nLists=16, nProbe=4, k=3,
       // queries = vec_id < 50): same quantization, same deterministic
       // centroid set (vec_id < 16), same tie-breaks — the oracle
