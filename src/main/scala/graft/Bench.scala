@@ -19,14 +19,18 @@ object Bench {
     val warm = spark.read.parquet(s"$sfDir/region.parquet")
     warm.join(org.apache.spark.sql.functions.broadcast(warm), Seq("r_regionkey"))
       .groupBy("r_regionkey").count().orderBy("r_regionkey").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order: Map iteration order shifts whenever a
+    // query is added, silently reassigning shared first-touch costs
+    // (page-cache, codegen, the near-dup shingle cache) to a different
+    // query and making rounds incomparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

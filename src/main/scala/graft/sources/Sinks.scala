@@ -53,4 +53,17 @@ object Sinks {
   /** S9 — truncate-and-reload (dimension seed). */
   def truncateReload(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
+
+  /** Co-located (bucketed) layout — the 100 TB join strategy: pay the
+    * shuffle ONCE at write time (`bucketBy` on the join/dedup key),
+    * and every later equi-join or aggregation on that key reads
+    * buckets pairwise with NO exchange. Two fact tables bucketed the
+    * same way join shuffle-free at any size; `sortBy` additionally
+    * lets sort-merge join skip its sort. BucketedJoinSpec asserts the
+    * exchange-free plan. (Parquet path tables can't carry bucket
+    * metadata, so this sink goes through the session catalog —
+    * `saveAsTable` — which is where Spark records bucket specs.) */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 }
