@@ -32,8 +32,8 @@ import org.apache.spark.sql.functions._
   *    applied during candidate generation, before any array ships.
   *  - Verification is exact set intersection on the sorted long
   *    arrays of surviving candidates.
-  *  - MinHash path: one base hash per shingle + k affine permutations
-  *    (h_i(x) = (a_i·x+b_i) mod P) computed by ONE native codegen'd
+  *  - MinHash path: one base hash per shingle + k xor-seeded
+  *    murmur-mixed permutations computed by ONE native codegen'd
   *    expression per doc (graft.plans.MinHashSig) — a narrow
   *    projection, no explode/groupBy exchange, no interpreted HOFs in
   *    the hot path. With k=96, b=24, r=4, recall at j≥0.8 is 1-(1-0.8⁴)²⁴
@@ -41,8 +41,6 @@ import org.apache.spark.sql.functions._
   *    what the DuckDB oracle checks).
   */
 object NearDup {
-
-  val MinHashP = 1000000007L
 
   /** Bounded internal cache: the previous call's shingle frame is
     * unpersisted when a new one (with a different plan) replaces it. */
@@ -75,12 +73,26 @@ object NearDup {
       graft.plans.ShingleHashes.shingleHashes(col(textCol), n).as("hs"))
       .withColumn("n_shingles", size(col("hs")))
 
+  /** Shingle-SET clustering: documents with an identical shingle set
+    * (exact dups and near-clones that tokenize identically) collapse
+    * into one row keyed by the min doc_id representative, with the
+    * member list carried for final expansion. All pair generation and
+    * verification then runs over DISTINCT sets: on a dup-heavy corpus
+    * (the operating point of a dedup pass) candidate volume tracks
+    * distinct content, not raw rows, and each cluster pair is
+    * verified once instead of |A|·|B| times. Same move as
+    * SimHash.hammingPairs' fingerprint-space expansion. */
+  def clusteredSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("hs"))
+      .agg(min(col("doc_id")).as("doc_id"), collect_list(col("doc_id")).as("ids"))
+      .withColumn("n_shingles", size(col("hs")))
+
   /** Exact Jaccard-similar pairs (d1 < d2) with similarity ≥ threshold. */
   def jaccardPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double): DataFrame =
-    jaccardPairsFrom(cacheBounded(shingled(docs, textCol, n)), threshold)
+    jaccardPairsFrom(cacheBounded(clusteredSets(shingled(docs, textCol, n))), threshold)
 
   /** As `jaccardPairs`, over a pre-built (optionally caller-persisted)
-    * `shingled` frame. */
+    * `clusteredSets` frame. */
   def jaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val inv = sh.select(col("doc_id"), col("n_shingles"), explode(col("hs")).as("h"))
     val dfCounts = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
@@ -96,11 +108,12 @@ object NearDup {
       .where(col("d1") < col("d2") &&
         col("n2") >= ceil(col("n1") * threshold) && col("n1") >= ceil(col("n2") * threshold))
       .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(cand, sh, threshold)
+    expandClusters(verifyJaccard(cand, sh, threshold), sh)
   }
 
-  /** Exact-Jaccard verification of candidate (d1, d2) pairs against the
-    * sorted hash sets; shared by the prefix-filter and MinHash paths. */
+  /** Exact-Jaccard verification of candidate (d1, d2) REPRESENTATIVE
+    * pairs against the sorted hash sets; shared by the prefix-filter
+    * and MinHash paths. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val s1 = sh.select(col("doc_id").as("d1"), col("hs").as("hs1"), col("n_shingles").as("n1"))
     val s2 = sh.select(col("doc_id").as("d2"), col("hs").as("hs2"), col("n_shingles").as("n2"))
@@ -111,6 +124,27 @@ object NearDup {
       .select(col("d1"), col("d2"), col("common"), col("jaccard"))
   }
 
+  /** Expand verified representative pairs back to doc pairs, plus the
+    * intra-cluster pairs (identical sets: jaccard exactly 1). Clusters
+    * with an empty shingle set never pair (mirrors the un-clustered
+    * behavior, where 0/0 Jaccard fails the threshold). */
+  private def expandClusters(repPairs: DataFrame, cl: DataFrame): DataFrame = {
+    val cross = repPairs
+      .join(cl.select(col("doc_id").as("d1"), col("ids").as("ids1")), Seq("d1"))
+      .join(cl.select(col("doc_id").as("d2"), col("ids").as("ids2")), Seq("d2"))
+      .select(col("common"), col("jaccard"), explode(col("ids1")).as("i1"), col("ids2"))
+      .select(col("common"), col("jaccard"), col("i1"), explode(col("ids2")).as("i2"))
+      .select(least(col("i1"), col("i2")).as("d1"), greatest(col("i1"), col("i2")).as("d2"),
+        col("common"), col("jaccard"))
+    val intra = cl.where(size(col("ids")) >= 2 && col("n_shingles") > 0)
+      .select(col("n_shingles"), explode(col("ids")).as("i1"), col("ids"))
+      .select(col("n_shingles"), col("i1"), explode(col("ids")).as("i2"))
+      .where(col("i1") < col("i2"))
+      .select(col("i1").as("d1"), col("i2").as("d2"),
+        col("n_shingles").as("common"), lit(1.0).as("jaccard"))
+    cross.unionByName(intra)
+  }
+
   /** MinHash signatures from the hashed shingle sets: all k affine
     * min-hashes per document in ONE native codegen'd expression
     * (graft.plans.MinHashSig) — a narrow map-side projection, no
@@ -118,8 +152,9 @@ object NearDup {
     * aggregate, whose ~10 s one-time Janino compile (k≈96 agg
     * expression trees) dominated the cold-JVM bench; the tight
     * JIT-compiled double loop also beats 96 separate expression
-    * evaluations per shingle. Permutation family unchanged:
-    * h_i(x) = ((x mod P)·(2i+1) + (i·2654435761) mod P) mod P. */
+    * evaluations per shingle. Permutation family: mix64(x ⊕ seed_i)
+    * (see MinHashImpl — the affine family it replaces was measurably
+    * biased at 50k-corpus scale). */
   def minhashSignatures(sh: DataFrame, k: Int): DataFrame =
     sh.where(size(col("hs")) > 0)
       .select(col("doc_id"), graft.plans.MinHashSig.minhashSig(col("hs"), k).as("sig"))
@@ -141,10 +176,10 @@ object NearDup {
     * operator. */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double,
                           k: Int = 96, b: Int = 24): DataFrame =
-    minhashNearDupPairsFrom(cacheBounded(shingled(docs, textCol, n)), threshold, k, b)
+    minhashNearDupPairsFrom(cacheBounded(clusteredSets(shingled(docs, textCol, n))), threshold, k, b)
 
   /** As `minhashNearDupPairs`, over a pre-built (optionally
-    * caller-persisted) `shingled` frame. */
+    * caller-persisted) `clusteredSets` frame. */
   def minhashNearDupPairsFrom(sh: DataFrame, threshold: Double,
                               k: Int = 96, b: Int = 24): DataFrame = {
     val r = k / b
@@ -156,6 +191,6 @@ object NearDup {
       .where(col("d1") < col("d2") &&
         col("n2") >= ceil(col("n1") * threshold) && col("n1") >= ceil(col("n2") * threshold))
       .select(col("d1"), col("d2")).distinct()
-    verifyJaccard(cand, sh, threshold)
+    expandClusters(verifyJaccard(cand, sh, threshold), sh)
   }
 }
