@@ -68,10 +68,8 @@ object Hash60 {
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `GraftExtensions.register(spark)` at runtime. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.hash60Descriptor)
-    ext.injectFunction(QDotLong.descriptor)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
@@ -81,9 +79,35 @@ object GraftExtensions {
     (children: Seq[Expression]) => Hash60(children.head)
   )
 
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  private[graft] val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    hash60Descriptor,
+    QDotLong.descriptor,
+    (FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) =>
+        ShingleHashes(children.head, intArg(children(1), "graft_shingle_hashes"))),
+    (FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSig(children.head, intArg(children(1), "graft_minhash_sig"))),
+    (FunctionIdentifier("graft_band_buckets"),
+      new ExpressionInfo(classOf[BandBuckets].getName, "graft_band_buckets"),
+      (children: Seq[Expression]) => BandBuckets(children.head,
+        intArg(children(1), "graft_band_buckets"), intArg(children(2), "graft_band_buckets"))),
+    (FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
+      (children: Seq[Expression]) => SimHash60(children.head))
+  )
+
   /** Runtime registration on an existing session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(hash60Descriptor, QDotLong.descriptor).foreach { case (ident, info, builder) =>
+    descriptors.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
 }

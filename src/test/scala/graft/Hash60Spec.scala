@@ -27,6 +27,21 @@ class Hash60Spec extends SparkSpec {
     assert(r == expected)
   }
 
+  test("all graft_* SQL functions resolve and agree with their column forms") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_shingle_hashes('a b c d', 3) AS sh,
+        |       graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 4) AS sig,
+        |       graft_band_buckets(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 4), 2, 2) AS bb,
+        |       graft_simhash60('a b c d') AS sim""".stripMargin).head()
+    assert(row.getSeq[Long](0).length == 2)    // 4 tokens, n=3 → 2 shingles
+    assert(row.getSeq[Long](1).length == 4)
+    assert(row.getSeq[Long](2).length == 2)
+    val viaColumns = strs.limit(0).sparkSession.range(1)
+      .select(graft.plans.SimHash60.simhash60(lit("a b c d"))).head().getLong(0)
+    assert(row.getLong(3) == viaColumns)
+  }
+
   test("native expression stays inside whole-stage codegen") {
     // needs a real scan (a LocalTableScan projection has no codegen stage)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
