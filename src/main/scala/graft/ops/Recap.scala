@@ -48,42 +48,46 @@ object Recap {
   /** Stage B — hourly rollup over slot-deduped observations: scalar
     * aggregates + the fixed 6-slot data_points array (missing slots are
     * null structs, reference dags/daily_compile_weather.py:48-56). */
-  def hourly(slotObs: DataFrame): DataFrame =
+  def hourly(slotObs: DataFrame): DataFrame = {
+    val scalarAggs = Seq(
+      // avg rounded to 2dp (reference dags/daily_compile_weather.py:71).
+      // Computed in exact integer cents: double summation is not
+      // associative and shuffle merge order varies run-to-run, so a
+      // plain avg() can flip the final rounding. Integer sums are
+      // exact at any merge order.
+      (round(sum(round(col("temp_c") * 100).cast("long")) / count(col("temp_c"))) / 100.0)
+        .as("avg_temp_c"),
+      min(col("temp_c")).as("min_temp_c"),
+      max(col("temp_c")).as("max_temp_c"),
+      modeDet(col("condition")).as("dominant_condition"),
+      // reference: sum over empty ⇒ 0, unlike avg/min/max ⇒ null
+      // (dags/daily_compile_weather.py:78 vs :71-75); exact cents again
+      (coalesce(sum(round(col("precip_mm") * 100).cast("long")), lit(0L)) / 100.0)
+        .as("total_precip_mm"),
+      count(col("temp_c")).as("n_obs")
+    )
+    // fixed 6-slot grid as six declarative per-slot aggregates:
+    // slotFirst guarantees ≤1 row per (group, slot), so
+    // max(when(slot===s, payload)) is exactly that row's payload, or
+    // null for an empty slot (max skips nulls) — the reference's null
+    // fill. Declarative min/max keep the whole assembly inside
+    // codegen'd aggregation; the previous map_from_entries ∘
+    // collect_list + interpreted transform/element_at lookup built a
+    // per-group map only to probe it 6 times.
+    val slotAggs = (0 to 50 by 10).map { s =>
+      max(when(col("obs_slot") === s,
+        struct(col("obs_slot").as("minute"),
+          col("temp_c"), col("condition"), col("precip_mm"))))
+        .as(s"slot_$s")
+    }
+    val aggs = scalarAggs ++ slotAggs
     slotObs
       .groupBy(col("location_id"), col("obs_date"), col("obs_hour"))
-      .agg(
-        // avg rounded to 2dp (reference dags/daily_compile_weather.py:71).
-        // Computed in exact integer cents: double summation is not
-        // associative and shuffle merge order varies run-to-run, so a
-        // plain avg() can flip the final rounding. Integer sums are
-        // exact at any merge order.
-        (round(sum(round(col("temp_c") * 100).cast("long")) / count(col("temp_c"))) / 100.0)
-          .as("avg_temp_c"),
-        min(col("temp_c")).as("min_temp_c"),
-        max(col("temp_c")).as("max_temp_c"),
-        modeDet(col("condition")).as("dominant_condition"),
-        // reference: sum over empty ⇒ 0, unlike avg/min/max ⇒ null
-        // (dags/daily_compile_weather.py:78 vs :71-75); exact cents again
-        (coalesce(sum(round(col("precip_mm") * 100).cast("long")), lit(0L)) / 100.0)
-          .as("total_precip_mm"),
-        count(col("temp_c")).as("n_obs"),
-        map_from_entries(
-          collect_list(
-            struct(
-              col("obs_slot"),
-              struct(
-                col("obs_slot").as("minute"),
-                col("temp_c"), col("condition"), col("precip_mm")
-              ).as("payload")
-            )
-          )
-        ).as("slot_map")
-      )
-      .withColumn(
-        "data_points",
-        transform(sequence(lit(0), lit(50), lit(10)), s => element_at(col("slot_map"), s))
-      )
-      .drop("slot_map")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("data_points",
+        array((0 to 50 by 10).map(s => col(s"slot_$s")): _*))
+      .drop((0 to 50 by 10).map(s => s"slot_$s"): _*)
+  }
 
   /** Stage C — daily nesting: hours (sorted, missing hours omitted) →
     * `hourly` array; is_full_recap ⇔ hour 23 present. */
