@@ -335,6 +335,19 @@ object SparkEntry {
         .select(col("obs_id"), col("location_id"), col("obs_date"),
           col("obs_hour").cast("long").as("obs_hour"))
         .orderBy(col("obs_id"))
+    }),
+
+    // ---- salted skew join: correctness ≡ plain equi-join (which is
+    // exactly what the oracle states); the salt spreads hot fact keys
+    // over 8 sub-partitions ----
+    "q_skew_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.ops.Skew.saltedEquiJoin(ev, dim, "user_id", "event_id", 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -505,6 +518,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles
 
   private def extraOracles: Map[String, String] = Map(
+    "q_skew_join" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     "q_recap_nested" ->
       """WITH obs AS (
         |  SELECT event_id AS obs_id, user_id AS location_id,
