@@ -91,4 +91,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  /** Random dup-heavy corpora: words from a 6-word vocabulary force
+    * heavy shingle-set collisions and exact-duplicate clusters — the
+    * regime the clustered pair-generation rewrite has to get right. */
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.listOf(for {
+      id <- Gen.choose(0L, 199L)
+      n <- Gen.choose(0, 8)
+      words <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+    } yield (id, words.mkString(" ")))
+      .map(_.groupBy(_._1).map(_._2.head).toList) // unique doc ids
+
+  /** Brute-force reference: exact 3-gram Jaccard over all doc pairs. */
+  private def refJaccardPairs(docs: List[(Long, String)], t: Double): Set[(Long, Long)] = {
+    def sh(s: String): Set[List[String]] = {
+      val toks = s.split(" +", -1).toList
+      if (toks.length < 3) Set.empty else toks.sliding(3).toSet
+    }
+    (for {
+      (d1, t1) <- docs; (d2, t2) <- docs if d1 < d2
+      s1 = sh(t1); s2 = sh(t2)
+      inter = (s1 & s2).size
+      union = s1.size + s2.size - inter
+      if union > 0 && inter.toDouble / union >= t
+    } yield (d1, d2)).toSet
+  }
+
+  test("jaccardPairs ≡ brute-force exact Jaccard on dup-heavy corpora") {
+    forAllSamples(corpusGen) { docs =>
+      if (docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val got = graft.operators.NearDup.jaccardPairs(df, "text", 3, 0.6)
+          .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+        assert(got == refJaccardPairs(docs, 0.6))
+      }
+    }
+  }
+
+  test("minhashNearDupPairs ≡ jaccardPairs (LSH recall at tiny scale)") {
+    forAllSamples(corpusGen) { docs =>
+      if (docs.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val exact = graft.operators.NearDup.jaccardPairs(df, "text", 3, 0.6)
+          .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+        val lsh = graft.operators.NearDup.minhashNearDupPairs(df, "text", 3, 0.6)
+          .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+        assert(lsh == exact)
+      }
+    }
+  }
 }
