@@ -348,6 +348,37 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_rows"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- gap-based sessionization (classic event analytics: lag +
+    // running sum of session starts; 30-min inactivity gap) ----
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        .orderBy(col("user_id"), col("sess_no"))
+    }),
+
+    // ---- pivot (explicit value list → deterministic columns) ----
+    "q_pivot" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
     })
   )
 
@@ -518,6 +549,36 @@ object SparkEntry {
   def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles
 
   private def extraOracles: Map[String, String] = Map(
+    // micros arithmetic on both sides: Spark unix_micros == DuckDB
+    // epoch_us after the shared nanos→micros truncation
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), g AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_no
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
+        |       min(ts) AS sess_start, max(ts) AS sess_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n_rows,
         |       count(DISTINCT e.user_id) AS n_users
