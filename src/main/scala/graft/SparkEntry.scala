@@ -371,6 +371,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("sess_no"))
     }),
 
+    // ---- RANGE window frame: per-user trailing-1-hour sum (range
+    // frames over event time, distinct from the ROWS frames elsewhere;
+    // integer micros ordering + integer cents values keep it exact) ----
+    "q_range_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.withColumn("trailing_1h", (sum(col("cents")).over(w) / 100.0))
+        .select(col("event_id"), col("user_id"), col("ts"), col("trailing_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- pivot (explicit value list → deterministic columns) ----
     "q_pivot" -> ((s, dir) => {
       Tables.events(s, dir).where(col("user_id").isNotNull)
@@ -568,6 +585,13 @@ object SparkEntry {
         |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
         |       min(ts) AS sess_start, max(ts) AS sess_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  SUM(CAST(round(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) / 100.0 AS trailing_1h
+        |FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,
