@@ -19,6 +19,16 @@ object Bench {
     val warm = spark.read.parquet(s"$sfDir/region.parquet")
     warm.join(org.apache.spark.sql.functions.broadcast(warm), Seq("r_regionkey"))
       .groupBy("r_regionkey").count().orderBy("r_regionkey").collect()
+    // warm the OS page cache for the dataset (a few tens of MB): the
+    // host drops caches periodically, and a cold first read otherwise
+    // charges multi-second disk latency to whichever query happens to
+    // touch that table first
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        val buf = new Array[Byte](1 << 20)
+        try while (in.read(buf) != -1) {} finally in.close()
+      }
     // deterministic name order: Map iteration order shifts whenever a
     // query is added, silently reassigning shared first-touch costs
     // (page-cache, codegen, the near-dup shingle cache) to a different
