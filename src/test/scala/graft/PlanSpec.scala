@@ -74,4 +74,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("runtime bloom-filter pruning injects on a selective fact-dim join") {
+    // at 100 TB the bloom filter built from the selective dim side is
+    // pushed into the fact scan, skipping row groups server-side; the
+    // thresholds are lowered here because the test tables are tiny
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val hi = spark.read.parquet(s"$sfDir/orders.parquet")
+        .where(col("o_totalprice") > 400000).select(col("o_orderkey"))
+      val j = li.join(hi, li("l_orderkey") === hi("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"), plan.take(4000))
+      assert(plan.contains("might_contain"), plan.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
