@@ -388,6 +388,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- near-dup clusters: pair graph → connected components →
+    // canonical representative (the dedup pipeline's final step) ----
+    "q_dup_components" -> ((s, dir) => {
+      val pairs = graft.operators.NearDup
+        .minhashNearDupPairs(Tables.documents(s, dir), "text", 3, 0.8)
+      graft.operators.Components.duplicateClusters(pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- pivot (explicit value list → deterministic columns) ----
     "q_pivot" -> ((s, dir) => {
       Tables.events(s, dir).where(col("user_id").isNotNull)
@@ -751,7 +760,36 @@ object SparkEntry {
         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1,2
         |HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8""".stripMargin
+    // transitive closure over the same exact-Jaccard pair set; min
+    // reachable id per node = the component label Spark's min-label
+    // propagation converges to
+    val componentsSql =
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+        |  FROM tok
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2
+        |  HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8
+        |), edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2 AS src, d1 AS dst FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_canonical
+        |FROM reach GROUP BY 1""".stripMargin
     Map(
+      "q_dup_components" -> componentsSql,
+
       "q_dedup_exact" ->
         """WITH u AS (
           |  SELECT doc_id, text, lang FROM documents

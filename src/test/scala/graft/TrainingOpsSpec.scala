@@ -108,6 +108,23 @@ class TrainingOpsSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), Double] = arr.map(t => (t._1, t._2) -> t._3).toMap
   }
 
+  test("connectedComponents: chain graph needs multi-round propagation") {
+    // path 7-5-3-1 (diameter 3) + disjoint pair (2,8) + clique (4,6,9)
+    val pairs = Seq((5L, 7L), (3L, 5L), (1L, 3L), (2L, 8L), (4L, 6L), (4L, 9L), (6L, 9L))
+      .toDF("d1", "d2")
+    val comps = graft.operators.Components.duplicateClusters(pairs)
+      .as[(Long, Long, Boolean)].collect().toMap2b
+    assert(Seq(1L, 3L, 5L, 7L).map(comps(_)._1).forall(_ == 1L))
+    assert(Seq(2L, 8L).map(comps(_)._1).forall(_ == 2L))
+    assert(Seq(4L, 6L, 9L).map(comps(_)._1).forall(_ == 4L))
+    assert(comps(1L)._2 && comps(2L)._2 && comps(4L)._2)
+    assert(!comps(3L)._2 && !comps(8L)._2 && !comps(9L)._2)
+  }
+
+  implicit private class TupleMapOps(arr: Array[(Long, Long, Boolean)]) {
+    def toMap2b: Map[Long, (Long, Boolean)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
+  }
+
   test("ivfTopK: full probe over a tiny corpus equals brute force") {
     // nLists=2, nProbe=2 → every list is probed → exact search
     val bf = Similarity.bruteForceTopK(vecs, vecs, 2)
