@@ -101,12 +101,23 @@ object NearDup {
     val prefix = inv.join(dfCounts, Seq("h"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n_shingles") - ceil(col("n_shingles") * threshold).cast("int") + 1)
-      .select(col("h"), col("doc_id"), col("n_shingles"))
-    val a = prefix.select(col("h"), col("doc_id").as("d1"), col("n_shingles").as("n1"))
-    val b = prefix.select(col("h"), col("doc_id").as("d2"), col("n_shingles").as("n2"))
+      .select(col("h"), col("doc_id"), col("n_shingles"), col("rn"))
+    val a = prefix.select(col("h"), col("doc_id").as("d1"), col("n_shingles").as("n1"), col("rn").as("p1"))
+    val b = prefix.select(col("h"), col("doc_id").as("d2"), col("n_shingles").as("n2"), col("rn").as("p2"))
+    // position filter (the "PP" of PPJoin): a match at ordered
+    // positions (p1, p2) with no shared element before it bounds the
+    // overlap at 1 + min(n1-p1, n2-p2); J ≥ t needs overlap ≥
+    // t/(1+t)·(n1+n2). A true pair's FIRST shared prefix shingle has
+    // no shared predecessor, so at least that row passes — recall
+    // stays exact under the trailing distinct (the 1e-9 slack keeps
+    // float rounding from clipping borderline equality).
+    val alphaOk =
+      (lit(1.0) + least(col("n1") - col("p1"), col("n2") - col("p2"))) * (1.0 + threshold) >=
+        lit(threshold) * (col("n1") + col("n2")) - 1e-9
     val cand = a.join(b, Seq("h"))
       .where(col("d1") < col("d2") &&
-        col("n2") >= ceil(col("n1") * threshold) && col("n1") >= ceil(col("n2") * threshold))
+        col("n2") >= ceil(col("n1") * threshold) && col("n1") >= ceil(col("n2") * threshold) &&
+        alphaOk)
       .select(col("d1"), col("d2")).distinct()
     expandClusters(verifyJaccard(cand, sh, threshold), sh)
   }
