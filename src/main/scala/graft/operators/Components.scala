@@ -27,15 +27,36 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** (id, component) for every node of the pair graph; component =
-    * min doc id reachable. Pairs carry columns d1, d2. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    * min doc id reachable. Pairs carry columns d1, d2.
+    *
+    * `partitions` sizes the per-round jobs: the pair graph of a dedup
+    * pass is tiny relative to the corpus (it holds only near-dup doc
+    * ids), so the default keeps each round a handful of tasks; at
+    * larger graph sizes pass a higher value. Edges are hash-
+    * partitioned by src once and cached, co-partitioned with the
+    * label frame each round (the propagate join reuses the cached
+    * layout instead of re-exchanging). Convergence is detected by the
+    * label SUM: labels only ever decrease, so an unchanged sum ⇔
+    * fixpoint — one small aggregate per round instead of a join. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          partitions: Int = 4): DataFrame = {
+    // pairs feeds both union branches — persist so the (potentially
+    // expensive) pair-generation pipeline runs once, not twice
+    val p = pairs.persist()
+    val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
+      .repartition(partitions, col("src"))
       .persist()
     edges.count() // materialize once; every round reuses it
+    p.unpersist(blocking = false)
 
+    // localCheckpoint (eager) per round: persist alone keeps the full
+    // lineage, so round i's plan embeds i joins — analysis + codegen
+    // grow linearly and dominate past a few rounds. Checkpointing
+    // truncates the plan to a constant size.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).persist()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -43,15 +64,13 @@ object Components {
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("neighbor_comp"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      labels = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
-        .persist()
-      val changed = next.as("n").join(labels.as("o"), Seq("id"))
-        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0
+        .localCheckpoint(true)
+      val nextSum = labels.agg(sum(col("comp"))).first().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     edges.unpersist(blocking = false)
