@@ -388,6 +388,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- histogram with exact integer-cents bucketing (floor of a
+    // double division is misround-safe at cent magnitudes) ----
+    "q_histogram" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("value").isNotNull)
+        .withColumn("bucket",
+          floor(round(col("value") * 100).cast("long") / lit(500.0)).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          (min(round(col("value") * 100).cast("long")) / 100.0).as("lo"),
+          (max(round(col("value") * 100).cast("long")) / 100.0).as("hi"))
+        .orderBy(col("bucket"))
+    }),
+
     // ---- near-dup clusters: pair graph → connected components →
     // canonical representative (the dedup pipeline's final step) ----
     "q_dup_components" -> ((s, dir) => {
@@ -594,6 +607,14 @@ object SparkEntry {
         |SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no, count(*) AS n_events,
         |       min(ts) AS sess_start, max(ts) AS sess_end
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(CAST(round(value*100) AS BIGINT) / 500.0) AS BIGINT) AS bucket,
+        |       count(*) AS n_rows,
+        |       min(CAST(round(value*100) AS BIGINT)) / 100.0 AS lo,
+        |       max(CAST(round(value*100) AS BIGINT)) / 100.0 AS hi
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     "q_range_frame" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
