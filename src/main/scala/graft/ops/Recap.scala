@@ -81,7 +81,17 @@ object Recap {
         .as(s"slot_$s")
     }
     val aggs = scalarAggs ++ slotAggs
+    // one exchange serves the whole rest of the pipeline: hash on
+    // (location_id, obs_date) satisfies the clustering required by
+    // BOTH this (loc, date, hour) aggregation and daily()'s
+    // (loc, date) aggregation — Catalyst plans them exchange-free on
+    // top of it (3 exchanges → 2 across slotFirst→hourly→daily).
+    // slotFirst keeps its own 4-key exchange because its map-side
+    // partial aggregation is the big pre-shuffle reducer (~17× on the
+    // events corpus); from there the data is small enough that
+    // re-clustering it once more beats two further exchanges.
     slotObs
+      .repartition(col("location_id"), col("obs_date"))
       .groupBy(col("location_id"), col("obs_date"), col("obs_hour"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("data_points",
