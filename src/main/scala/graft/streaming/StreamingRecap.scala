@@ -54,6 +54,30 @@ object StreamingRecap {
         col("total_precip_mm"), col("n_obs")
       )
 
+  /** ST6 end-to-end — update-mode hourly aggregates flowing into the
+    * idempotent keyed sink: each micro-batch re-emits only the
+    * (hour, location) groups that changed, and `foreachBatch` +
+    * dynamic partition overwrite replaces exactly those groups'
+    * partitions. The partition key set matches the update unit (one
+    * aggregate row per partition) so an overwrite can never drop
+    * sibling groups — with plain parquet that is the correct (if
+    * fine-grained) layout; a table format with row-level MERGE would
+    * coarsen it to obs_date at 100 TB. Returns a started query the
+    * caller awaits/stops. */
+  def hourlyToGold(obs: DataFrame, path: String, watermark: String = "2 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyWindowed(obs, watermark)
+      .withColumn("obs_date", to_date(col("hour_start")))
+      .withColumn("obs_hour", hour(col("hour_start")))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Sinks.upsertPartitions(
+            batch.toDF(), path, Seq("obs_date", "obs_hour", "location_id"))
+      }
+      .start()
+
   /** ST1/ST4 — the 10-minute micro-batch window (slot granularity). */
   def slotWindowed(obs: DataFrame, watermark: String = "30 minutes"): DataFrame =
     obs

@@ -16,6 +16,34 @@ class StreamingSpec extends SparkSpec {
   case class Obs(obs_id: Long, location_id: Long, ts: Timestamp, temp_c: Double,
                  condition: String, precip_mm: Option[Double])
 
+  test("hourlyToGold: update-mode re-emission upserts the gold table (ST6)") {
+    implicit val sqlCtx = spark.sqlContext
+    val goldDir = java.nio.file.Files.createTempDirectory("gold_stream").toString
+    val input = MemoryStream[Obs]
+    val query = StreamingRecap.hourlyToGold(input.toDF(), goldDir)
+    try {
+      input.addData(
+        Obs(1, 1, ts("2024-01-01 05:03:00"), 20.0, "rain", Some(1.0)),
+        Obs(2, 1, ts("2024-01-01 05:31:00"), 22.0, "sun", None),
+        Obs(3, 2, ts("2024-01-01 06:10:00"), 30.0, "sun", None)
+      )
+      query.processAllAvailable()
+      // late row re-emits ONLY loc 1 hour 05; the overwrite must not
+      // disturb loc 2 hour 06
+      input.addData(Obs(4, 1, ts("2024-01-01 05:55:00"), 24.0, "sun", Some(0.5)))
+      query.processAllAvailable()
+      // partition columns come back type-inferred (int), not the
+      // writer's long — read numerically
+      val gold = spark.read.parquet(goldDir)
+        .collect().map(r => (r.getAs[Number]("location_id").longValue,
+          r.getAs[Number]("obs_hour").intValue) ->
+          (r.getAs[Long]("n_obs"), r.getAs[Double]("avg_temp_c"))).toMap
+      assert(gold((1L, 5)) == ((3L, 22.0)))
+      assert(gold((2L, 6)) == ((1L, 30.0)))
+      assert(gold.size == 2)
+    } finally query.stop()
+  }
+
   test("hourlyWindowed runs incrementally over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Obs]
