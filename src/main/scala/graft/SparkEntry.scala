@@ -47,7 +47,7 @@ object SparkEntry {
     coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries
 
   // ==== batch 4: rollup, standalone mode, simhash pairs, and
-  // rows-only entries for ops the oracle can't express ====
+  // the one rows-only sketch entry (the rest are oracled) ====
   private def extraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- grouping sets surface (free in Spark; absent in reference) ----
     "q_rollup" -> ((s, dir) => {
@@ -142,9 +142,12 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ---- rows-only checks (no SQL-expressible oracle) ----
+    // ---- sketches & stubs: q_approx_distinct is the ONLY rows-only
+    // query (HLL sketches aren't bit-reproducible across engines);
+    // q_lsh_topk / q_media_features / q_frame_sample below all have
+    // exact oracles (constant planes and md5-seeded stubs are
+    // SQL-replicable) ----
     "q_approx_distinct" -> ((s, dir) => {
-      // HLL sketches aren't bit-reproducible across engines → rows-only
       Tables.events(s, dir).where(col("user_id").isNotNull)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))

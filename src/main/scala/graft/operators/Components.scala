@@ -47,13 +47,24 @@ object Components {
       .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(partitions, col("src"))
       .persist()
-    edges.count() // materialize once; every round reuses it
+    val nEdges = edges.count() // materialize once; every round reuses it
     p.unpersist(blocking = false)
+    if (nEdges == 0) {
+      // empty pair graph: no components (and the label-sum convergence
+      // probe below would read sum(comp) = null)
+      edges.unpersist(blocking = false)
+      return edges.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("comp")).limit(0)
+    }
 
     // localCheckpoint (eager) per round: persist alone keeps the full
     // lineage, so round i's plan embeds i joins — analysis + codegen
     // grow linearly and dominate past a few rounds. Checkpointing
-    // truncates the plan to a constant size.
+    // truncates the plan to a constant size. Superseded checkpoint
+    // blocks are reclaimed by the ContextCleaner rather than
+    // explicitly (Dataset.unpersist can't reach a checkpoint RDD);
+    // exposure is bounded at maxIter snapshots of O(#nodes) rows —
+    // small next to the edge list the loop keeps cached on purpose.
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
@@ -74,6 +85,12 @@ object Components {
       i += 1
     }
     edges.unpersist(blocking = false)
+    // silent non-convergence would emit intermediate labels that LOOK
+    // like components — fail loudly instead (a diameter > maxIter
+    // graph means a long similarity chain; raise maxIter to handle it)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "graph diameter exceeds maxIter; pass a larger maxIter")
     labels
   }
 

@@ -93,12 +93,19 @@ object Similarity {
     * each projection a native codegen'd dot with a literal ±1 plane.
     * `dim` must cover the embedding width (extra plane slots beyond
     * the actual vector length are harmless — QDotLong stops at the
-    * common prefix, matching the old per-element form). */
-  def lshBucket(vecQ: Column, nPlanes: Int, dim: Int = 64): Column =
-    (0 until nPlanes).map { p =>
+    * common prefix, matching the old per-element form). A vector
+    * WIDER than dim would be silently truncated (degrading recall
+    * with no error), so that case raises instead. */
+  def lshBucket(vecQ: Column, nPlanes: Int, dim: Int = 64): Column = {
+    val bucket = (0 until nPlanes).map { p =>
       val plane = typedLit((0 until dim).map(i => planeSign(p, i)))
       when(qdot(vecQ, plane) >= 0L, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(vecQ) > dim,
+      raise_error(concat(lit(s"lshBucket: vector wider than the $dim-dim plane set: "),
+        size(vecQ).cast("string"))).cast("long"))
+      .otherwise(bucket)
+  }
 
   /** IVF-style approximate nearest neighbor — the classic
     * inverted-file index shape: a coarse quantizer assigns every

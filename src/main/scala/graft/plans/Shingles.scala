@@ -35,36 +35,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * bytes, then an XXH64.hashLong chain across the n-token window —
   * position-sensitive, collision odds ≈ |set|²/2⁶⁴ per pair.
   */
+/** The ONE `split(" +", -1)`-equivalent token-boundary walk, shared by
+  * every tokenizing expression (ShingleImpl, SimHash60Impl) so the
+  * subtle boundary semantics — empty leading/trailing tokens, space-
+  * run skipping, the i<=len end-of-input emit — live in exactly one
+  * place. Calls f(start, endExclusive) per token. */
+object TokenWalk {
+  def foreachToken(bytes: Array[Byte], f: (Int, Int) => Unit): Unit = {
+    val len = bytes.length
+    var i = 0
+    var start = 0
+    while (i <= len) {
+      val atSpace = i < len && bytes(i) == ' '.toByte
+      if (atSpace || i == len) {
+        f(start, i) // token = [start, i): emitted at each space run or end
+        i += 1
+        while (i < len && bytes(i) == ' '.toByte) i += 1
+        start = i
+      } else {
+        i += 1
+      }
+    }
+  }
+}
+
 object ShingleImpl {
   private val Seed = 42L
 
   private val EmptyResult = new GenericArrayData(Array.empty[Long])
 
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val base = s.getBaseObject
-    val off = s.getBaseOffset
-    val len = s.numBytes()
-
-    // one pass: token boundaries -> per-token hash
-    var tokenHashes = new Array[Long](math.max(8, len / 5))
+    // one copy of the text, then a single boundary walk with per-token
+    // hashing in place (the copy is noise next to the hashing)
+    val bytes = s.getBytes
+    var tokenHashes = new Array[Long](math.max(8, bytes.length / 5))
     var m = 0
-    var i = 0
-    var start = 0
-    while (i <= len) {
-      val atSpace = i < len && UTF8StringBytes.byteAt(base, off, i) == ' '.toByte
-      if (atSpace || i == len) {
-        // token = [start, i) — emitted at each maximal space run or end
-        if (m == tokenHashes.length) tokenHashes = java.util.Arrays.copyOf(tokenHashes, m * 2)
-        tokenHashes(m) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
-        m += 1
-        // skip the whole space run
-        i += 1
-        while (i < len && UTF8StringBytes.byteAt(base, off, i) == ' '.toByte) i += 1
-        start = i
-      } else {
-        i += 1
-      }
-    }
+    TokenWalk.foreachToken(bytes, (start, end) => {
+      if (m == tokenHashes.length) tokenHashes = java.util.Arrays.copyOf(tokenHashes, m * 2)
+      tokenHashes(m) = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, end - start, Seed)
+      m += 1
+    })
 
     if (m < n) return EmptyResult
 
@@ -91,13 +102,6 @@ object ShingleImpl {
   /** Null text behaves like the composed form's `.otherwise(array())`. */
   def shinglesNullSafe(s: UTF8String, n: Int): ArrayData =
     if (s == null) EmptyResult else shingles(s, n)
-}
-
-/** Byte access helper: UTF8String data may live on-heap (byte[]) or
-  * off-heap; Platform.getByte handles both. */
-object UTF8StringBytes {
-  def byteAt(base: Object, off: Long, i: Int): Byte =
-    org.apache.spark.unsafe.Platform.getByte(base, off + i)
 }
 
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {

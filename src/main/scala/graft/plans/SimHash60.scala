@@ -33,40 +33,29 @@ object SimHash60Impl {
   }
 
   def simhash(s: UTF8String): Long = {
-    // one copy of the whole text; tokens are (start, len) slices
+    // one copy of the whole text; tokens are (start, end) slices from
+    // the shared TokenWalk boundary walk
     val bytes = s.getBytes
-    val len = bytes.length
     val digest = md.get()
     val counts = new Array[Int](60)
     val seen = new java.util.HashSet[java.lang.Long]()
-    var i = 0
-    var start = 0
-    while (i <= len) {
-      val atSpace = i < len && bytes(i) == ' '.toByte
-      if (atSpace || i == len) {
-        // token = [start, i)
-        digest.reset()
-        digest.update(bytes, start, i - start)
-        val d = digest.digest()
-        var d0 = 0L; var d1 = 0L
-        var j = 0
-        while (j < 8) { d0 = (d0 << 8) | (d(j) & 0xffL); d1 = (d1 << 8) | (d(j + 8) & 0xffL); j += 1 }
-        // dedup key: both md5 halves mixed (128-bit identity)
-        if (seen.add(d0 ^ (d1 * 0x9E3779B97F4A7C15L))) {
-          val hv = d0 >>> 4 // first 60 bits of md5 = Hash60 identity
-          var b = 0
-          while (b < 60) {
-            counts(b) += (if (((hv >>> b) & 1L) == 1L) 1 else -1)
-            b += 1
-          }
+    TokenWalk.foreachToken(bytes, (start, end) => {
+      digest.reset()
+      digest.update(bytes, start, end - start)
+      val d = digest.digest()
+      var d0 = 0L; var d1 = 0L
+      var j = 0
+      while (j < 8) { d0 = (d0 << 8) | (d(j) & 0xffL); d1 = (d1 << 8) | (d(j + 8) & 0xffL); j += 1 }
+      // dedup key: both md5 halves mixed (128-bit identity)
+      if (seen.add(d0 ^ (d1 * 0x9E3779B97F4A7C15L))) {
+        val hv = d0 >>> 4 // first 60 bits of md5 = Hash60 identity
+        var b = 0
+        while (b < 60) {
+          counts(b) += (if (((hv >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
         }
-        i += 1
-        while (i < len && bytes(i) == ' '.toByte) i += 1
-        start = i
-      } else {
-        i += 1
       }
-    }
+    })
     var fp = 0L
     var b = 0
     while (b < 60) { if (counts(b) >= 0) fp |= 1L << b; b += 1 }

@@ -72,9 +72,11 @@ object StreamingRecap {
       .writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          graft.sources.Sinks.upsertPartitions(
-            batch.toDF(), path, Seq("obs_date", "obs_hour", "location_id"))
+        // no isEmpty pre-check: it would run the stateful aggregation
+        // once just to probe, then again for the write — and a dynamic
+        // partition overwrite of an empty batch touches no partitions
+        graft.sources.Sinks.upsertPartitions(
+          batch.toDF(), path, Seq("obs_date", "obs_hour", "location_id"))
       }
       .start()
 
