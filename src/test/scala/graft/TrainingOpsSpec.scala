@@ -108,6 +108,19 @@ class TrainingOpsSpec extends SparkSpec {
     def toMap2: Map[(Long, Long), Double] = arr.map(t => (t._1, t._2) -> t._3).toMap
   }
 
+  test("connectedComponents: empty pair graph yields an empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(graft.operators.Components.duplicateClusters(empty).count() == 0)
+  }
+
+  test("connectedComponents: throws instead of emitting unconverged labels") {
+    // path of diameter 4 with maxIter 2: must fail loudly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      graft.operators.Components.connectedComponents(chain, maxIter = 2).count()
+    }
+  }
+
   test("connectedComponents: chain graph needs multi-round propagation") {
     // path 7-5-3-1 (diameter 3) + disjoint pair (2,8) + clique (4,6,9)
     val pairs = Seq((5L, 7L), (3L, 5L), (1L, 3L), (2L, 8L), (4L, 6L), (4L, 9L), (6L, 9L))
