@@ -185,6 +185,16 @@ object SparkEntry {
       graft.multimodal.Multimodal.frameSampleStub(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)), everyK = 4, maxFrames = 8)
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+    // ---- resize planning over decoded media (audio rows keep null
+    // dims/scale; the uniform-scale doubles are exact IEEE divisions) ----
+    "q_media_resize" -> ((s, dir) => {
+      val feats = graft.multimodal.Multimodal.decodeFeatures(
+        graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)))
+      graft.multimodal.Multimodal.resizeStub(feats, 224, 224)
+        .select(col("media_id"), col("kind"), col("width"), col("height"),
+          col("target_width"), col("target_height"), col("scale"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -857,6 +867,28 @@ object SparkEntry {
           |       CASE WHEN kind = 'audio' THEN ([8000,16000,22050,44100])[CAST(u2 % 4 + 1 AS INT)] END AS sample_rate,
           |       u3 / 255.0 AS f0, u4 / 255.0 AS f1, u5 / 255.0 AS f2, u6 / 255.0 AS f3,
           |       u7 / 255.0 AS f4, u8 / 255.0 AS f5, u9 / 255.0 AS f6, u10 / 255.0 AS f7
+          |FROM u""".stripMargin,
+
+      // Mirrors Multimodal.resizeStub(224, 224) over the decode stub's
+      // md5-derived dimensions.
+      "q_media_resize" ->
+        """WITH m AS (
+          |  SELECT doc_id AS media_id,
+          |         (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+          |         md5(coalesce(text, '')) AS d
+          |  FROM documents
+          |), u AS (
+          |  SELECT media_id, kind,
+          |         ('0x' || substr(d, 1, 2))::INT AS u0,
+          |         ('0x' || substr(d, 3, 2))::INT AS u1
+          |  FROM m
+          |)
+          |SELECT media_id, kind,
+          |       CASE WHEN kind = 'audio' THEN NULL ELSE 64 + u0 * 16 END AS width,
+          |       CASE WHEN kind = 'audio' THEN NULL ELSE 64 + u1 * 16 END AS height,
+          |       224 AS target_width, 224 AS target_height,
+          |       CASE WHEN kind = 'audio' THEN NULL
+          |            ELSE least(224.0 / (64 + u0 * 16), 224.0 / (64 + u1 * 16)) END AS scale
           |FROM u""".stripMargin,
 
       // Mirrors Multimodal.frameSampleStub (everyK=4, maxFrames=8):
