@@ -587,6 +587,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus-wide top-k bigrams (doc frequency; deterministic
+    // (count desc, ngram asc) tie-break makes the LIMIT cut exact) ----
+    "q_top_ngrams" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Tables.documents(s, dir)
+        .select(explode(TF.wordShingles(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(desc("n_docs"), col("ngram"))
+        .limit(20)
+    }),
+
     // ---- rolling-hash document fingerprint (order-sensitive) ----
     "q_fingerprint" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
@@ -836,6 +848,21 @@ object SparkEntry {
 
       "q_ngram_jaccard" -> exactJaccardSql,
       "q_minhash_lsh" -> exactJaccardSql,
+
+      "q_top_ngrams" ->
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-1),
+          |    i -> toks[i] || '_' || toks[i+1])) AS grams
+          |  FROM tok
+          |), e AS (
+          |  SELECT unnest(grams) AS ngram FROM sh
+          |)
+          |SELECT ngram, count(*) AS n_docs
+          |FROM e GROUP BY 1
+          |ORDER BY n_docs DESC, ngram
+          |LIMIT 20""".stripMargin,
 
       // Mirrors Multimodal.decodeStub exactly: payload = utf8(text),
       // md5 digest bytes u0..u10 drive dims/rate/features.
