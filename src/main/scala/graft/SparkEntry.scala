@@ -588,11 +588,19 @@ object SparkEntry {
     }),
 
     // ---- corpus-wide top-k bigrams (doc frequency; deterministic
-    // (count desc, ngram asc) tie-break makes the LIMIT cut exact) ----
+    // (count desc, ngram asc) tie-break makes the LIMIT cut exact).
+    // Bigrams come from codegen'd posexplode + lead rather than the
+    // wordShingles HOF composition (interpreted; measured 6.5 s vs
+    // <1 s for this query at sf0.1) — same pairs, same set semantics ----
     "q_top_ngrams" -> ((s, dir) => {
-      import graft.functions.{TextFunctions => TF}
-      Tables.documents(s, dir)
-        .select(explode(TF.wordShingles(col("text"), 2)).as("ngram"))
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " +")).as(Seq("pos", "tok")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("doc_id"), concat_ws("_", col("tok"), col("nxt")).as("ngram"))
+        .distinct() // per-doc set semantics (matches wordShingles)
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(desc("n_docs"), col("ngram"))
