@@ -40,16 +40,23 @@ object Components {
     * fixpoint — one small aggregate per round instead of a join. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           partitions: Int = 4): DataFrame = {
-    // pairs feeds both union branches — persist so the (potentially
-    // expensive) pair-generation pipeline runs once, not twice
-    val p = pairs.persist()
+    // localCheckpoint (eager) the pair list FIRST: it runs the
+    // (potentially expensive) pair-generation pipeline exactly once
+    // AND truncates lineage, so every loop round below plans over a
+    // trivial scan of materialized blocks instead of re-analyzing /
+    // re-optimizing / re-codegenning the whole upstream pipeline per
+    // round. (A persist-only version kept the full lineage: with a
+    // MinHash pair generator upstream, each of ~5 rounds spent
+    // seconds in the planner on an already-cached subtree — the loop
+    // cost 10× the pair generation itself. The self-union below also
+    // raced both branches into cache population, running the
+    // generator twice.)
+    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(partitions, col("src"))
       .persist()
-    val nEdges = edges.count() // materialize once; every round reuses it
-    p.unpersist(blocking = false)
-    if (nEdges == 0) {
+    if (p.isEmpty) {
       // empty pair graph: no components (and the label-sum convergence
       // probe below would read sum(comp) = null)
       edges.unpersist(blocking = false)
@@ -57,6 +64,12 @@ object Components {
         .select(lit(0L).as("id"), lit(0L).as("comp")).limit(0)
     }
 
+    // Seed = one propagation round done as a single aggregation (no
+    // join): comp₀(v) = min(v, min over neighbors). Near-dup graphs
+    // are unions of near-cliques, so most components are already
+    // final after this seed and the loop usually runs one verify
+    // round plus one no-change round.
+    //
     // localCheckpoint (eager) per round: persist alone keeps the full
     // lineage, so round i's plan embeds i joins — analysis + codegen
     // grow linearly and dominate past a few rounds. Checkpointing
@@ -65,8 +78,9 @@ object Components {
     // explicitly (Dataset.unpersist can't reach a checkpoint RDD);
     // exposure is bounded at maxIter snapshots of O(#nodes) rows —
     // small next to the edge list the loop keeps cached on purpose.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), min(col("src"))).as("comp"))
+      .localCheckpoint(true)
     var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
     var converged = false
     var i = 0
