@@ -44,7 +44,72 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries
+    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries ++ temporalQueries
+
+  // ==== batch 5: temporal joins, deterministic sampling, exact
+  // quantiles — training-pipeline staples beyond plain equi-joins ====
+  private def temporalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- as-of join: each purchase picks up the most recent click
+    // at-or-before it per user (union + window plan — one shuffle,
+    // no range join; see ops.Joins.asOfJoin) ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+          round(col("value") * 100).cast("long").as("click_cents"))
+      graft.ops.Joins.asOfJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", tieBreak = "click_id",
+          payload = Seq("click_id", "click_cents"))
+        .select(col("event_id"), col("user_id"), col("click_id"), col("click_cents"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- point-in-interval range join via bucketed equi-join:
+    // sampled order-week intervals × discounted lineitem ship days ----
+    "q_range_join" -> ((s, dir) => {
+      val iv = Tables.orders(s, dir).where(col("o_orderkey") % 200 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long").as("start_day"))
+        .withColumn("end_day", col("start_day") + 5)
+      val pts = Tables.lineitem(s, dir).where(col("l_discount") > 0.08)
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date"))
+            .cast("long").as("ship_day"))
+      graft.ops.Joins.rangeJoinByBucket(pts, iv, "ship_day", "start_day", "end_day",
+          bucketWidth = 4)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_matches"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- deterministic hash split (train/valid/test as a pure
+    // function of doc_id — engine-reproducible md5 buckets) ----
+    "q_hash_split" -> ((s, dir) => {
+      graft.ops.Sampling.assignSplit(Tables.documents(s, dir), "doc_id", 80, 10)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    // ---- exact discrete quantiles per group: sorted integer-cents
+    // array indexed at floor((n-1)·p) — deterministic in any engine,
+    // unlike interpolated percentile_cont over doubles ----
+    "q_quantiles" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("cents"))).as("sorted"), count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          (element_at(col("sorted"), (floor((col("n") - 1) * 0.5) + 1).cast("int")) / 100.0).as("p50"),
+          (element_at(col("sorted"), (floor((col("n") - 1) * 0.9) + 1).cast("int")) / 100.0).as("p90"),
+          (element_at(col("sorted"), (floor((col("n") - 1) * 0.99) + 1).cast("int")) / 100.0).as("p99"))
+        .orderBy(col("event_type"))
+    })
+  )
 
   // ==== batch 4: rollup, standalone mode, simhash pairs, and
   // the one rows-only sketch entry (the rest are oracled) ====
@@ -618,7 +683,72 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles
+
+  private def temporalOracles: Map[String, String] = Map(
+    // The as-of semantics restated as a correlated LATERAL top-1:
+    // most recent click at-or-before each purchase, ties broken by
+    // the largest click_id — exactly asOfJoin's (ts, tieBreak) order.
+    "q_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS click_id,
+        |         CAST(round(value*100) AS BIGINT) AS click_cents
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, x.click_id, x.click_cents
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.click_id, c.click_cents FROM c
+        |  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+        |  ORDER BY c.ts DESC, c.click_id DESC LIMIT 1
+        |) x ON true""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS start_day
+        |  FROM orders WHERE o_orderkey % 200 = 0
+        |), pts AS (
+        |  SELECT l_quantity,
+        |         date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS ship_day
+        |  FROM lineitem WHERE l_discount > 0.08
+        |)
+        |SELECT iv.o_orderkey, count(*) AS n_matches, sum(l_quantity) AS sum_qty
+        |FROM iv JOIN pts
+        |  ON pts.ship_day >= iv.start_day AND pts.ship_day < iv.start_day + 5
+        |GROUP BY 1""".stripMargin,
+
+    // Same md5 bucket on both sides (graft_hash60 ≡ first 15 md5 hex
+    // chars as a non-negative int), same cut-points.
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       lang, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_quantiles" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, list_sort(list(cents)) AS sorted, count(*) AS n
+        |  FROM v GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |       sorted[CAST(floor((n-1)*0.5) AS BIGINT) + 1] / 100.0 AS p50,
+        |       sorted[CAST(floor((n-1)*0.9) AS BIGINT) + 1] / 100.0 AS p90,
+        |       sorted[CAST(floor((n-1)*0.99) AS BIGINT) + 1] / 100.0 AS p99
+        |FROM g""".stripMargin
+  )
 
   private def extraOracles: Map[String, String] = Map(
     // micros arithmetic on both sides: Spark unix_micros == DuckDB

@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-reproducible sampling and train/valid/test
+  * splitting for training-data pipelines.
+  *
+  * Random sampling (`df.sample`, `rand()`) is useless for a corpus
+  * that is re-processed incrementally: membership must be a PURE
+  * FUNCTION of the row key so that (a) re-runs and backfills land
+  * every document in the same split, (b) two engines (or two teams)
+  * agree on the split without sharing state, and (c) adding documents
+  * never reshuffles existing assignments. The standard trick: hash
+  * the key, take a bucket in [0, 100), compare against percentage
+  * cut-points.
+  *
+  * The hash is the library's md5-based `graft_hash60` (native codegen
+  * expression, `plans.Hash60`) — cross-engine reproducible (DuckDB:
+  * `CAST(concat('0x', substr(md5(k),1,15)) AS BIGINT)`), uniform, and
+  * stable across Spark versions, unlike `hash()`/`xxhash64` whose
+  * seeds/variants are engine-private. Scale shape: a narrow
+  * projection, no shuffle, no state — filters by bucket push down to
+  * a partition-local scan.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) as a pure function of `key`
+    * (cast to its canonical string form first). */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(graft.plans.Hash60.hash60(key.cast("string")), lit(buckets.toLong))
+
+  /** Keep ~pct% of rows, deterministically by key. */
+  def sampleByHash(df: DataFrame, key: String, pct: Int): DataFrame =
+    df.where(hashBucket(col(key)) < pct)
+
+  /** Assign train/valid/test by hash cut-points: [0, trainPct) →
+    * train, [trainPct, trainPct+validPct) → valid, rest → test.
+    * Partitions are disjoint and exhaustive by construction. */
+  def assignSplit(df: DataFrame, key: String,
+                  trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      "cut-points must fit in [0, 100]")
+    val b = hashBucket(col(key))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Joins
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // left: queries at t; right: quotes at t with a payload
+  private def leftDf = Seq(
+    (1L, "a", 100L), // after both a-quotes
+    (2L, "a", 55L),  // between the two
+    (3L, "a", 10L),  // exactly ON the first quote's ts (inclusive)
+    (4L, "a", 5L),   // before any quote -> null
+    (5L, "b", 50L),  // key with no quotes at all -> null
+    (6L, "c", 70L)   // tie-break case: two c-quotes share ts=70
+  ).toDF("qid", "k", "t")
+
+  private def rightDf = Seq(
+    ("a", 10L, 101L, 1.0),
+    ("a", 60L, 102L, 2.0),
+    ("c", 70L, 103L, 3.0),
+    ("c", 70L, 104L, 4.0) // same ts, larger id -> wins the tie
+  ).toDF("k", "t", "quote_id", "px")
+
+  test("asOfJoin: most recent at-or-before per key, ties by largest tieBreak") {
+    val out = Joins.asOfJoin(leftDf, rightDf, Seq("k"),
+        leftTs = "t", rightTs = "t", tieBreak = "quote_id",
+        payload = Seq("quote_id", "px"))
+      .select($"qid", $"quote_id", $"px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, v1, v2) => k -> ((v1, v2)) }.toMap
+    assert(out(1L) == ((Some(102L), Some(2.0))))  // latest a-quote
+    assert(out(2L) == ((Some(101L), Some(1.0))))  // only the first is <= 55
+    assert(out(3L) == ((Some(101L), Some(1.0))))  // equal ts is inclusive
+    assert(out(4L) == ((None, None)))             // nothing before
+    assert(out(5L) == ((None, None)))             // key absent from right
+    assert(out(6L) == ((Some(104L), Some(4.0))))  // tie -> max quote_id
+  }
+
+  test("asOfJoin preserves every left row exactly once") {
+    val out = Joins.asOfJoin(leftDf, rightDf, Seq("k"), "t", "t", "quote_id", Seq("px"))
+    assert(out.count() == leftDf.count())
+    assert(out.select($"qid").distinct().count() == leftDf.count())
+  }
+
+  test("rangeJoinByBucket equals the naive theta-join, across bucket widths") {
+    val pts = (0L to 200L by 3L).map(p => (p, s"p$p")).toDF("x", "pname")
+    val ivs = Seq(
+      (1L, 0L, 10L), (2L, 5L, 6L), (3L, 50L, 120L), (4L, 200L, 200L), // empty
+      (5L, 199L, 205L), (6L, 7L, 7L) // empty
+    ).toDF("iv_id", "s", "e")
+    val naive = pts.join(ivs, $"x" >= $"s" && $"x" < $"e")
+      .select($"iv_id", $"x").orderBy($"iv_id", $"x")
+    for (w <- Seq(1L, 4L, 64L, 1000L)) {
+      val bucketed = Joins.rangeJoinByBucket(pts, ivs, "x", "s", "e", w)
+        .select($"iv_id", $"x").orderBy($"iv_id", $"x")
+      assert(bucketed.collect().toSeq == naive.collect().toSeq, s"bucketWidth=$w")
+    }
+  }
+
+  test("rangeJoinByBucket: empty and inverted intervals match nothing") {
+    val pts = Seq(Tuple1(5L)).toDF("x")
+    val ivs = Seq((1L, 5L, 5L), (2L, 9L, 3L)).toDF("iv_id", "s", "e")
+    assert(Joins.rangeJoinByBucket(pts, ivs, "x", "s", "e", 10L).count() == 0)
+  }
+}
