@@ -95,6 +95,17 @@ object SparkEntry {
         .orderBy(col("split"), col("lang"))
     }),
 
+    // ---- sequence packing: deterministic context-window layout —
+    // running token total per lang shard cut at a 2048-token budget ----
+    "q_pack_budget" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TF.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      graft.ops.Packing.packByBudget(docs, "doc_id", "n_tok", 2048, Seq("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // ---- exact discrete quantiles per group: sorted integer-cents
     // array indexed at floor((n-1)·p) — deterministic in any engine,
     // unlike interpolated percentile_cont over doubles ----
@@ -734,6 +745,24 @@ object SparkEntry {
         |       lang, count(*) AS n_docs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB sum(BIGINT) over a window is HUGEINT — cast back before
+    // the integer div/mod so pandas doesn't degrade it to float64.
+    "q_pack_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         CAST(coalesce(sum(n_tok) OVER (
+        |           PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        |  FROM d
+        |)
+        |SELECT doc_id, lang, n_tok,
+        |       cumb // 2048 AS bin, cumb % 2048 AS bin_offset
+        |FROM c""".stripMargin,
 
     "q_quantiles" ->
       """WITH v AS (

@@ -80,6 +80,25 @@ object StreamingRecap {
       }
       .start()
 
+  /** Event-time SESSION windows (gap-based, the streaming form of the
+    * batch `q_sessionize` lag/cumsum query): a session extends while
+    * events keep arriving within `gap` of the previous one, and the
+    * window closes `gap` after the last event. Spark's native
+    * `session_window` keeps per-key open-session state bounded by the
+    * watermark — at scale, state is O(open sessions), not O(events),
+    * and merges are associative so map-side partials apply. */
+  def sessionWindowed(events: DataFrame, gap: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (coalesce(sum(round(col("value") * 100).cast("long")), lit(0L)) / 100.0).as("sum_value"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** ST1/ST4 — the 10-minute micro-batch window (slot granularity). */
   def slotWindowed(obs: DataFrame, watermark: String = "30 minutes"): DataFrame =
     obs

@@ -1,0 +1,42 @@
+package graft
+
+import graft.ops.Packing
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packByBudget cuts the running total at budget boundaries per partition") {
+    val df = Seq(
+      // shard a: weights 600, 600, 600, 600 -> cum_before 0,600,1200,1800
+      ("a", 1L, 600L), ("a", 2L, 600L), ("a", 3L, 600L), ("a", 4L, 600L),
+      // shard b restarts at bin 0
+      ("b", 1L, 100L), ("b", 2L, 100L)
+    ).toDF("shard", "id", "w")
+    val out = Packing.packByBudget(df, "id", "w", 1000L, Seq("shard"))
+      .select($"shard", $"id", $"bin", $"bin_offset")
+      .as[(String, Long, Long, Long)].collect().map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("a", 1L)) == ((0L, 0L)))
+    assert(out(("a", 2L)) == ((0L, 600L)))
+    assert(out(("a", 3L)) == ((1L, 200L)))   // cum_before 1200
+    assert(out(("a", 4L)) == ((1L, 800L)))   // cum_before 1800
+    assert(out(("b", 1L)) == ((0L, 0L)))     // bins restart per shard
+    assert(out(("b", 2L)) == ((0L, 100L)))
+  }
+
+  test("an oversized row occupies its starting bin; followers continue after it") {
+    val df = Seq(("a", 1L, 5000L), ("a", 2L, 10L)).toDF("shard", "id", "w")
+    val out = Packing.packByBudget(df, "id", "w", 1000L, Seq("shard"))
+      .select($"id", $"bin", $"bin_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 0L)))
+    assert(out(2L) == ((5L, 0L)))  // cum_before 5000 -> bin 5
+  }
+
+  test("unpartitioned pack is rejected (would serialize through one task)") {
+    val df = Seq(("a", 1L, 1L)).toDF("shard", "id", "w")
+    intercept[IllegalArgumentException] {
+      Packing.packByBudget(df, "id", "w", 1000L, Seq.empty)
+    }
+  }
+}

@@ -72,6 +72,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class Ev(user_id: Long, ts: Timestamp, value: Option[Double])
+
+  test("sessionWindowed: gaps split sessions, close events merge, append emits on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // session windows are append-only in streaming: a session is
+    // emitted once, when the watermark passes its end
+    val query = StreamingRecap.sessionWindowed(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 05:00:00"), Some(1.0)),
+        Ev(1, ts("2024-01-01 05:20:00"), Some(2.0)),  // within gap: same session
+        Ev(1, ts("2024-01-01 07:00:00"), Some(4.0)),  // 100-min gap: new session
+        Ev(1, ts("2024-01-01 07:10:00"), Some(1.0)),  // merges into + extends it
+        Ev(2, ts("2024-01-01 05:10:00"), None)        // other key, own session
+      )
+      query.processAllAvailable()
+      // advance the watermark far past every session end to flush them
+      input.addData(Ev(3, ts("2024-01-01 20:00:00"), Some(0.0)))
+      query.processAllAvailable()
+      val out = spark.table("sess_out")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("sess_start").toString) ->
+          (r.getAs[Timestamp]("sess_end").toString, r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toMap
+      assert(out((1L, "2024-01-01 05:00:00.0")) == (("2024-01-01 05:50:00.0", 2L, 3.0)))
+      // 07:00 and 07:10 merged; session end = last event + gap
+      assert(out((1L, "2024-01-01 07:00:00.0")) == (("2024-01-01 07:40:00.0", 2L, 5.0)))
+      assert(out((2L, "2024-01-01 05:10:00.0")) == (("2024-01-01 05:40:00.0", 1L, 0.0)))
+      // the flush event's own session is still open -> not emitted
+      assert(out.size == 3)
+    } finally query.stop()
+  }
+
   test("slotWindowed keeps the first observation per 10-minute slot") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Obs]
