@@ -491,11 +491,12 @@ object SparkEntry {
     }),
 
     // ---- near-dup clusters: pair graph → connected components →
-    // canonical representative (the dedup pipeline's final step) ----
+    // canonical representative (the dedup pipeline's final step;
+    // components run in representative space — one node per distinct
+    // shingle set — and members inherit their rep's label) ----
     "q_dup_components" -> ((s, dir) => {
-      val pairs = graft.operators.NearDup
-        .minhashNearDupPairs(Tables.documents(s, dir), "text", 3, 0.8)
-      graft.operators.Components.duplicateClusters(pairs)
+      graft.operators.NearDup
+        .minhashDuplicateClusters(Tables.documents(s, dir), "text", 3, 0.8)
         .orderBy(col("doc_id"))
     }),
 

@@ -192,7 +192,18 @@ object NearDup {
   /** As `minhashNearDupPairs`, over a pre-built (optionally
     * caller-persisted) `clusteredSets` frame. */
   def minhashNearDupPairsFrom(sh: DataFrame, threshold: Double,
-                              k: Int = 96, b: Int = 24): DataFrame = {
+                              k: Int = 96, b: Int = 24): DataFrame =
+    expandClusters(minhashRepPairsFrom(sh, threshold, k, b), sh)
+
+  /** Verified REPRESENTATIVE pairs (one row per pair of distinct
+    * shingle SETS, not per doc pair) from LSH banding + exact
+    * verification — the pre-expansion stage of
+    * `minhashNearDupPairsFrom`, exposed for consumers that operate in
+    * representative space (e.g. clustering, where expanding each
+    * near-clone cluster into |A|·|B| clique edges only to contract
+    * them again is pure waste). */
+  def minhashRepPairsFrom(sh: DataFrame, threshold: Double,
+                          k: Int = 96, b: Int = 24): DataFrame = {
     val r = k / b
     val banded = lshBanded(minhashSignatures(sh, k), b, r)
       .join(sh.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
@@ -202,6 +213,44 @@ object NearDup {
       .where(col("d1") < col("d2") &&
         col("n2") >= ceil(col("n1") * threshold) && col("n1") >= ceil(col("n2") * threshold))
       .select(col("d1"), col("d2")).distinct()
-    expandClusters(verifyJaccard(cand, sh, threshold), sh)
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Near-dup CLUSTERS (doc_id, cluster_id, is_canonical) — the full
+    * dedup pipeline's final step, computed in REPRESENTATIVE space:
+    * connected components run over one node per distinct shingle set
+    * and one edge per verified set pair; members then inherit their
+    * representative's component. Equivalent to running components
+    * over the expanded doc-pair graph (each member is connected to
+    * its rep by a jaccard-1 clique edge, and reps are the min id of
+    * their set-cluster, so min-doc == min-rep per component) — but
+    * the CC input shrinks from O(Σ|cluster|²) clique edges to one
+    * node/edge per distinct CONTENT, the same move as the
+    * fingerprint-space pair expansion. On a dup-heavy corpus (the
+    * operating point of a dedup pass) that is the difference between
+    * the propagation loop scaling with raw rows² and scaling with
+    * distinct content.
+    *
+    * A multi-member set-cluster is a component even when its rep has
+    * no cross-set edges (its members pair at jaccard exactly 1);
+    * empty-shingle-set docs never pair, matching the pair operators.
+    */
+  def minhashDuplicateClusters(docs: DataFrame, textCol: String, n: Int, threshold: Double,
+                               k: Int = 96, b: Int = 24): DataFrame = {
+    val sh = cacheBounded(clusteredSets(shingled(docs, textCol, n)))
+    val repPairs = minhashRepPairsFrom(sh, threshold, k, b)
+    val repComp = Components.connectedComponents(repPairs) // (id = rep, comp)
+    val membership = sh
+      .where(col("n_shingles") > 0)
+      .select(col("doc_id").as("rep"), size(col("ids")).as("n_members"),
+        explode(col("ids")).as("doc_id"))
+    membership
+      .join(repComp.select(col("id").as("rep"), col("comp")), Seq("rep"), "left")
+      // no cross-set edge: still a component iff the set has >= 2 members
+      .withColumn("cluster_id",
+        coalesce(col("comp"), when(col("n_members") >= 2, col("rep"))))
+      .where(col("cluster_id").isNotNull)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 }

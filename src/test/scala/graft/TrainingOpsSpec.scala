@@ -138,6 +138,24 @@ class TrainingOpsSpec extends SparkSpec {
     def toMap2b: Map[Long, (Long, Boolean)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
 
+  test("rep-space minhashDuplicateClusters equals components over expanded doc pairs") {
+    // exact-dup clique {1,4} ∪ near-dup 2 (one component), isolated 3 and 5,
+    // plus an exact-dup pair {6,7} whose set has NO cross-set edges
+    val corpus = docs.unionByName(Seq(
+      (6L, "standalone duplicated sentence with enough tokens to form shingles here"),
+      (7L, "standalone duplicated sentence with enough tokens to form shingles here")
+    ).toDF("doc_id", "text"))
+    val viaReps = NearDup.minhashDuplicateClusters(corpus, "text", 3, 0.5)
+      .as[(Long, Long, Boolean)].collect().toMap2b
+    val viaPairs = graft.operators.Components.duplicateClusters(
+        NearDup.minhashNearDupPairs(corpus, "text", 3, 0.5))
+      .as[(Long, Long, Boolean)].collect().toMap2b
+    assert(viaReps == viaPairs)
+    assert(viaReps(6L) == ((6L, true)) && viaReps(7L) == ((6L, false)))
+    assert(Seq(1L, 2L, 4L).forall(viaReps(_)._1 == 1L))
+    assert(!viaReps.contains(3L) && !viaReps.contains(5L))
+  }
+
   test("ivfTopK: full probe over a tiny corpus equals brute force") {
     // nLists=2, nProbe=2 → every list is probed → exact search
     val bf = Similarity.bruteForceTopK(vecs, vecs, 2)
