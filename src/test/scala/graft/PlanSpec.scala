@@ -56,6 +56,23 @@ class PlanSpec extends SparkSpec {
     assert(scan.metrics("numFiles").value == 1, scan.metrics.mkString(","))
   }
 
+  test("q_asof_join: union + window plan, never a range/nested-loop join") {
+    val plan = planOf("q_asof_join")
+    assert(plan.contains("Window"), plan)
+    assert(plan.contains("Union"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // exactly two exchanges: hash on the key for the window, range for
+    // the query's deterministic output order
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("q_range_join: bucketed equi-join, never a nested loop") {
+    val plan = planOf("q_range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // the range predicate survives as a post-join filter on an equi-join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
     // intentional cross joins: cosine scorers (corpus × broadcast query set)
     val allowCross = Set("q_cosine_topk", "q_embed_neardup")
