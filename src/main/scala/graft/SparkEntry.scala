@@ -106,6 +106,52 @@ object SparkEntry {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // ---- full outer join (both-side null fill — the one outer-join
+    // shape no other query exercises) ----
+    "q_full_outer" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_custkey") < 200)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_big_orders"))
+      c.join(o, Seq("custkey"), "full_outer")
+        .select(col("custkey"), col("c_name"), col("n_big_orders"))
+        .orderBy(col("custkey"))
+    }),
+
+    // ---- distribution window functions: ntile / percent_rank /
+    // cume_dist / dense_rank under an explicit total order ----
+    "q_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value").asc_nulls_first, col("event_id").asc)
+      Tables.events(s, dir).where(col("user_id").isNotNull && col("user_id") < 20)
+        .select(col("event_id"), col("user_id"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          dense_rank().over(w).cast("long").as("drank"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // ---- string/null cleaning kit (ETL normalization surface):
+    // case folding, trim, literal + regex replace, translate,
+    // substring, nullif/coalesce ----
+    "q_clean_kit" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          lower(substring(col("text"), 1, 40)).as("head_lower"),
+          upper(col("lang")).as("lang_upper"),
+          trim(substring(col("text"), 1, 20)).as("head_trim"),
+          regexp_replace(substring(col("text"), 1, 60), "[aeiou]", "_").as("devoweled"),
+          translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"),
+          nullif(col("lang"), lit("en")).as("lang_nullif"),
+          coalesce(nullif(col("lang"), lit("en")), lit("english")).as("lang_coalesced"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact discrete quantiles per group: sorted integer-cents
     // array indexed at floor((n-1)·p) — deterministic in any engine,
     // unlike interpolated percentile_cont over doubles ----
@@ -746,6 +792,39 @@ object SparkEntry {
         |       lang, count(*) AS n_docs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS custkey, c_name FROM customer WHERE c_custkey < 200
+        |), o AS (
+        |  SELECT o_custkey AS custkey, count(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 400000 GROUP BY 1
+        |)
+        |SELECT coalesce(c.custkey, o.custkey) AS custkey, c_name, n_big_orders
+        |FROM c FULL OUTER JOIN o ON c.custkey = o.custkey""".stripMargin,
+
+    // percent_rank = (rank-1)/(n-1) and cume_dist = k/n are exact
+    // integer ratios — the single IEEE division matches across engines
+    "q_window_ranks" ->
+      """SELECT event_id, user_id, value,
+        |  ntile(4)       OVER w AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist()    OVER w AS cume,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM events WHERE user_id IS NOT NULL AND user_id < 20
+        |WINDOW w AS (PARTITION BY user_id ORDER BY value ASC NULLS FIRST, event_id ASC)""".stripMargin,
+
+    "q_clean_kit" ->
+      """SELECT doc_id,
+        |  lower(substr(text, 1, 40)) AS head_lower,
+        |  upper(lang) AS lang_upper,
+        |  trim(substr(text, 1, 20)) AS head_trim,
+        |  regexp_replace(substr(text, 1, 60), '[aeiou]', '_', 'g') AS devoweled,
+        |  translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+        |  nullif(lang, 'en') AS lang_nullif,
+        |  coalesce(nullif(lang, 'en'), 'english') AS lang_coalesced,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
 
     // DuckDB sum(BIGINT) over a window is HUGEINT — cast back before
     // the integer div/mod so pandas doesn't degrade it to float64.

@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream and stream-static joins (SURVEY §2.9 extension):
+  * the streaming forms of the batch join operators, with the state
+  * bounds Structured Streaming requires spelled out.
+  */
+object StreamJoins {
+
+  /** Inner stream-stream join on `key` where the right event lands
+    * within [leftTs - tolerance, leftTs + tolerance]. Both sides are
+    * watermarked: the event-time range condition is what lets Spark
+    * EVICT buffered rows — without it a stream-stream join buffers
+    * both streams forever. State per side is bounded by
+    * watermark + tolerance, so at scale this holds O(rate × window)
+    * rows per key-partition, independent of stream length.
+    *
+    * Column contract: both sides keep their own column names; `key`
+    * is the equi-join column, `leftTs`/`rightTs` the event-time
+    * columns (must be distinct names across the two sides).
+    */
+  def withinTolerance(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      tolerance: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $tolerance") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $tolerance"))
+      .drop(r(key))
+  }
+
+  /** Stream-static dimension enrichment: a broadcast-style join of a
+    * stream against a batch dim table. Stateless — each micro-batch
+    * joins against the CURRENT dim snapshot (re-read per batch for
+    * file sources, so slowly-changing dims pick up updates). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+}

@@ -105,6 +105,56 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  case class Click(user_id: Long, click_ts: Timestamp, page: String)
+  case class Buy(user_id: Long, buy_ts: Timestamp, amount: Double)
+
+  test("stream-stream interval join matches within tolerance, evicts beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = graft.streaming.StreamJoins.withinTolerance(
+      buys.toDF(), clicks.toDF(), "user_id", "buy_ts", "click_ts", "30 MINUTES")
+    val query = joined.select($"user_id", $"page", $"amount")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    try {
+      clicks.addData(
+        Click(1, ts("2024-01-01 05:00:00"), "home"),
+        Click(1, ts("2024-01-01 03:00:00"), "old"),   // 2h before the buy: outside
+        Click(2, ts("2024-01-01 05:05:00"), "promo"))
+      buys.addData(
+        Buy(1, ts("2024-01-01 05:20:00"), 9.99),      // joins 'home' only
+        Buy(3, ts("2024-01-01 05:20:00"), 1.0))       // no clicks for user 3
+      clicks.addData(Click(9, ts("2024-01-01 12:00:00"), "wm"))
+      buys.addData(Buy(9, ts("2024-01-01 12:00:00"), 0.0))
+      query.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select($"user_id", $"page", $"amount").as[(Long, String, Double)].collect().toSet
+      assert(out.contains((1L, "home", 9.99)))
+      assert(!out.exists(r => r._2 == "old"), "click outside the tolerance must not join")
+      assert(!out.exists(_._1 == 2L), "click without a buy emits nothing (inner join)")
+      assert(!out.exists(_._1 == 3L), "buy without a click emits nothing (inner join)")
+    } finally query.stop()
+  }
+
+  test("stream-static dim enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val query = graft.streaming.StreamJoins.enrichWithDim(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("dim_out").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("2024-01-01 05:00:00"), Some(1.0)),
+        Ev(7, ts("2024-01-01 05:01:00"), None))     // no dim row -> null tier
+      query.processAllAvailable()
+      val out = spark.table("dim_out")
+        .select($"user_id", $"tier").collect()
+        .map(r => r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+      assert(out(1L) == Some("gold"))
+      assert(out(7L) == None)
+    } finally query.stop()
+  }
+
   test("slotWindowed keeps the first observation per 10-minute slot") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Obs]
