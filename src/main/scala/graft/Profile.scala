@@ -53,6 +53,28 @@ object Profile {
         time("jaccardFrom warm")(NearDup.jaccardPairsFrom(cl, 0.8).count())
         time("minhashFrom")(NearDup.minhashNearDupPairsFrom(cl, 0.8).count())
         time("minhashFrom warm")(NearDup.minhashNearDupPairsFrom(cl, 0.8).count())
+      case "asofscale" =>
+        // as-of join scaling: events at 1x and a 10x synthetic union
+        // (ids and users shifted so the key space also grows 10x)
+        def evN(n: Int) = {
+          val base = Tables.events(spark, sfDir).where(col("user_id").isNotNull)
+          (0 until n).map(i => base
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L))
+            .withColumn("user_id", col("user_id") + lit(i.toLong * 1000L)))
+            .reduce(_ unionByName _)
+        }
+        for (n <- Seq(1, 10)) {
+          val ev = evN(n).persist()
+          val rows = ev.count()
+          val purchases = ev.where(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"))
+          val clicks = ev.where(col("event_type") === "click")
+            .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+          time(s"asof ${n}x ($rows rows)")(
+            graft.ops.Joins.asOfJoin(purchases, clicks, Seq("user_id"),
+              "ts", "ts", "click_id", Seq("click_id")).count())
+          ev.unpersist()
+        }
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())
