@@ -66,4 +66,18 @@ object Sinks {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Range-clustered layout — the 100 TB data-SKIPPING strategy for
+    * range predicates (time travel, date slices, id ranges):
+    * `repartitionByRange` + an in-partition sort give each output
+    * file a narrow, near-disjoint min/max envelope on `col`, so
+    * parquet row-group statistics let a range filter skip whole
+    * files instead of scanning and discarding. Complements bucketing
+    * (equi-join co-location) the way a sort index complements a hash
+    * index. `nFiles` sizes the layout: at cluster scale pick
+    * data_volume / target_file_size (e.g. 1 GiB files). */
+  def writeRangeClustered(df: DataFrame, path: String, col: String, nFiles: Int): Unit =
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(col))
+      .sortWithinPartitions(col)
+      .write.mode("overwrite").parquet(path)
 }

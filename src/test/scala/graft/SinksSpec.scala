@@ -49,4 +49,35 @@ class SinksSpec extends SparkSpec {
     val out = spark.read.parquet(path).collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("id")).toMap
     assert(out == Map("k1" -> 1L, "k2" -> 3L))
   }
+
+  test("writeRangeClustered: files carry disjoint ranges and a range scan prunes files") {
+    val path = tmp()
+    // shuffled input: without range clustering every file would span
+    // the whole ts domain and nothing could be skipped
+    val df = spark.range(10000).select(
+      $"id",
+      (($"id" * 2654435761L) % 10000).as("ts_val"))
+    Sinks.writeRangeClustered(df, path, "ts_val", nFiles = 8)
+
+    // per-file [min,max] envelopes must be pairwise disjoint
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    val envelopes = files.map { f =>
+      val r = spark.read.parquet(f).agg(min($"ts_val"), max($"ts_val")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    envelopes.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: ${envelopes.toSeq}")
+      case _                        =>
+    }
+
+    // a narrow range filter must touch ~1 file's worth of data: the
+    // scan's "number of files read" metric is the skip evidence
+    val q = spark.read.parquet(path).where($"ts_val" >= 100 && $"ts_val" < 200)
+    assert(q.count() == 100)
+    val scan = q.queryExecution.executedPlan.collectLeaves().head
+    val filesRead = scan.metrics.get("numFiles").map(_.value)
+    assert(filesRead.exists(_ <= 2), s"expected <=2 files read, got $filesRead")
+  }
 }
