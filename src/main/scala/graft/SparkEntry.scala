@@ -152,6 +152,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- stratified deterministic sampling: per-language keep
+    // percentages (the deterministic sampleBy) ----
+    "q_strat_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSampleByHash(
+          Tables.documents(s, dir), "doc_id", "lang",
+          Map("en" -> 30, "de" -> 100), defaultPct = 60)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- exact discrete quantiles per group: sorted integer-cents
     // array indexed at floor((n-1)·p) — deterministic in any engine,
     // unlike interpolated percentile_cont over doubles ----
@@ -546,6 +558,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- the COMPLETE dedup pipeline as one query: near-dup
+    // clusters (subsumes exact dups at jaccard 1) → drop every
+    // non-canonical member → surviving-corpus stats per lang ----
+    "q_dedup_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val losers = graft.operators.NearDup
+        .minhashDuplicateClusters(docs, "text", 3, 0.8)
+        .where(!col("is_canonical")).select(col("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- pivot (explicit value list → deterministic columns) ----
     "q_pivot" -> ((s, dir) => {
       Tables.events(s, dir).where(col("user_id").isNotNull)
@@ -844,6 +872,18 @@ object SparkEntry {
         |       cumb // 2048 AS bin, cumb % 2048 AS bin_offset
         |FROM c""".stripMargin,
 
+    "q_strat_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b
+        |WHERE bucket < (CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100 ELSE 60 END)
+        |GROUP BY 1""".stripMargin,
+
     "q_quantiles" ->
       """WITH v AS (
         |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
@@ -1080,8 +1120,40 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_canonical
         |FROM reach GROUP BY 1""".stripMargin
+    // Same closure as componentsSql, then anti-join the non-canonical
+    // members away and aggregate the survivors.
+    val dedupPipelineSql =
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+        |  FROM tok
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2
+        |  HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8
+        |), edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2 AS src, d1 AS dst FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+        |), losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING id <> min(r)
+        |)
+        |SELECT d.lang, count(*) AS n_docs, min(d.doc_id) AS min_doc,
+        |       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
+        |WHERE l.id IS NULL
+        |GROUP BY 1""".stripMargin
     Map(
       "q_dup_components" -> componentsSql,
+      "q_dedup_pipeline" -> dedupPipelineSql,
 
       "q_dedup_exact" ->
         """WITH u AS (

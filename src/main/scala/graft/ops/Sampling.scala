@@ -34,6 +34,20 @@ object Sampling {
   def sampleByHash(df: DataFrame, key: String, pct: Int): DataFrame =
     df.where(hashBucket(col(key)) < pct)
 
+  /** Stratified deterministic sampling: a different keep-percentage
+    * per stratum (e.g. downsample boilerplate-heavy languages, keep
+    * all of a rare one) — the deterministic form of `df.sampleBy`.
+    * Strata missing from `pcts` fall back to `defaultPct`. Membership
+    * stays a pure function of (key, stratum percentages), so re-runs
+    * and corpus growth never reshuffle kept rows. */
+  def stratifiedSampleByHash(df: DataFrame, key: String, strataCol: String,
+                             pcts: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val pctCol = pcts.foldLeft(lit(defaultPct)) { case (acc, (stratum, pct)) =>
+      when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.where(hashBucket(col(key)) < pctCol)
+  }
+
   /** Assign train/valid/test by hash cut-points: [0, trainPct) →
     * train, [trainPct, trainPct+validPct) → valid, rest → test.
     * Partitions are disjoint and exhaustive by construction. */

@@ -34,6 +34,21 @@ class SamplingSpec extends SparkSpec {
     assert(small == large.filter(_ <= 1000L), "adding rows must not reshuffle old assignments")
   }
 
+  test("stratifiedSampleByHash applies each stratum's pct over the same bucket space") {
+    val df = ids.withColumn("stratum",
+      when($"id" % 3 === 0, "a").when($"id" % 3 === 1, "b").otherwise("c"))
+    val out = Sampling.stratifiedSampleByHash(df, "id", "stratum",
+      Map("a" -> 100, "b" -> 0), defaultPct = 20)
+    val kept = out.select($"id", $"stratum").as[(Long, String)].collect()
+    val byStratum = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byStratum("a").size == 5000 / 3 + 1 || byStratum("a").size == 5000 / 3)
+    assert(!byStratum.contains("b"))
+    // stratum c at 20% = exactly the global 20% sample restricted to c
+    val global20 = Sampling.sampleByHash(df, "id", 20)
+      .where($"stratum" === "c").select($"id").as[Long].collect().toSet
+    assert(byStratum.getOrElse("c", Set.empty) == global20)
+  }
+
   test("hashBucket matches the documented DuckDB formula on a spot value") {
     // graft_hash60('42') = first 15 hex chars of md5('42') as a long
     val h = ids.where($"id" === 42L)
