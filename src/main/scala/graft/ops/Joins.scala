@@ -28,6 +28,8 @@ object Joins {
     *
     * Right rows sort BEFORE left rows at an equal timestamp (side 0 <
     * side 1), making the match at-or-before INCLUSIVE of equal ts.
+    * `tieBreak` must be unique per (key, rightTs) — with duplicates
+    * the picked payload depends on partition merge order.
     *
     * @param payload right-side columns to carry; emitted under their
     *                own names (must not collide with left's columns).
@@ -36,6 +38,8 @@ object Joins {
                leftTs: String, rightTs: String, tieBreak: String,
                payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    require(!(leftCols ++ right.columns).exists(_.startsWith("__")),
+      "asOfJoin reserves the __-prefixed column namespace internally")
     val pStruct = struct(payload.map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
@@ -74,7 +78,10 @@ object Joins {
     * engine-internal join key, never exposed.)
     *
     * Empty or inverted intervals (end ≤ start) match nothing, by the
-    * half-open contract.
+    * half-open contract. Bucket ids come from a floor of a double
+    * division (correct for negative domains, unlike truncating
+    * integer division) — exact for |value| < 2⁵³, far past any
+    * epoch-seconds/days domain.
     */
   def rangeJoinByBucket(points: DataFrame, intervals: DataFrame,
                         pointCol: String, startCol: String, endCol: String,

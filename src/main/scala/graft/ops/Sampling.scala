@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform bucket in [0, buckets) as a pure function of `key`
-    * (cast to its canonical string form first). */
+    * (cast to its canonical string form first). A NULL key yields a
+    * NULL bucket: null-keyed rows fail every `bucket < pct` filter
+    * (dropped by samples) and fall to `assignSplit`'s otherwise-
+    * branch ("test") — identically in the DuckDB mirror, since both
+    * engines propagate NULL through comparison and CASE. */
   def hashBucket(key: Column, buckets: Int = 100): Column =
     pmod(graft.plans.Hash60.hash60(key.cast("string")), lit(buckets.toLong))
 

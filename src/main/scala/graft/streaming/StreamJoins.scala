@@ -24,6 +24,8 @@ object StreamJoins {
   def withinTolerance(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String,
                       tolerance: String, watermark: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs,
+      "the two event-time columns must have distinct names (the range condition references both unqualified)")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,

@@ -38,6 +38,13 @@ class JoinsSpec extends SparkSpec {
     assert(out(6L) == ((Some(104L), Some(4.0))))  // tie -> max quote_id
   }
 
+  test("asOfJoin rejects __-prefixed user columns (reserved namespace)") {
+    val l = Seq((1L, "a", 1L)).toDF("qid", "k", "t").withColumn("__x", lit(1))
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(l, rightDf, Seq("k"), "t", "t", "quote_id", Seq("px"))
+    }
+  }
+
   test("asOfJoin preserves every left row exactly once") {
     val out = Joins.asOfJoin(leftDf, rightDf, Seq("k"), "t", "t", "quote_id", Seq("px"))
     assert(out.count() == leftDf.count())
