@@ -73,6 +73,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q_top_ngrams: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    // orderBy + limit must fuse into per-partition top-k + driver merge;
+    // a global Sort before the limit would shuffle the whole ngram table
+    val plan = planOf("q_top_ngrams")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
     // intentional cross joins: cosine scorers (corpus × broadcast query set)
     val allowCross = Set("q_cosine_topk", "q_embed_neardup")
