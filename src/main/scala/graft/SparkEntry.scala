@@ -270,9 +270,11 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // ---- embedding-cosine near-dup pairs (quantized-exact) ----
+    // ---- embedding-cosine near-dup pairs: sign-LSH banded candidates
+    // + exact quantized verify (the crossJoin baseline lives only in
+    // TrainingOpsSpec's equality check — no all-pairs plan ships) ----
     "q_embed_neardup" -> ((s, dir) => {
-      graft.operators.Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.5)
+      graft.operators.Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.5)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -1022,19 +1024,41 @@ object SparkEntry {
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days
         |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin,
 
+    // Mirrors Similarity.cosineNearDupPairsLsh (bands=16, r=4,
+    // threshold=0.5): DuckDB rebuilds the same 64-plane hash60 sign
+    // family (plane p belongs to band p//4, bit p%4), reproduces the
+    // banded candidate join, and verifies with the same quantized
+    // cosine — an exact replication of the approximation, like
+    // q_lsh_topk.
     "q_embed_neardup" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
         |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+        |  FROM q
+        |), planes AS (
+        |  SELECT p.p // 4 AS band, p.p % 4 AS j, i.i,
+        |    CASE WHEN CAST('0x' || substr(md5(p.p || ':' || i.i), 1, 15) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS p) p,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) i
+        |), proj AS (
+        |  SELECT n.vec_id, pl.band, pl.j, CAST(SUM(n.v[pl.i + 1] * pl.s) AS BIGINT) AS dot
+        |  FROM nrm n JOIN planes pl ON pl.i < len(n.v)
+        |  GROUP BY 1, 2, 3
+        |), bkt AS (
+        |  SELECT vec_id, band, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |), s AS (
-        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |    CAST(list_sum(list_transform(generate_series(1, len(a.v)), k -> a.v[k]*b.v[k])) AS BIGINT) AS dot,
-        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(a.v)), k -> a.v[k]*a.v[k])) AS BIGINT) AS DOUBLE)) AS an,
-        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(b.v)), k -> b.v[k]*b.v[k])) AS BIGINT) AS DOUBLE)) AS bn
-        |  FROM q a, q b WHERE a.vec_id < b.vec_id
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(an.v)), k -> an.v[k]*bn.v[k])) AS BIGINT) AS DOUBLE)/(an.nv*bn.nv) AS cosine
+        |  FROM cand c JOIN nrm an ON an.vec_id = c.a_id JOIN nrm bn ON bn.vec_id = c.b_id
         |)
-        |SELECT a_id, b_id, CAST(dot AS DOUBLE)/(an*bn) AS cosine
-        |FROM s WHERE CAST(dot AS DOUBLE)/(an*bn) >= 0.5""".stripMargin,
+        |SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.5""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty,

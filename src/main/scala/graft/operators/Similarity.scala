@@ -95,16 +95,71 @@ object Similarity {
     * the actual vector length are harmless — QDotLong stops at the
     * common prefix, matching the old per-element form). A vector
     * WIDER than dim would be silently truncated (degrading recall
-    * with no error), so that case raises instead. */
-  def lshBucket(vecQ: Column, nPlanes: Int, dim: Int = 64): Column = {
-    val bucket = (0 until nPlanes).map { p =>
-      val plane = typedLit((0 until dim).map(i => planeSign(p, i)))
-      when(qdot(vecQ, plane) >= 0L, lit(1L << p)).otherwise(lit(0L))
+    * with no error), so that case raises instead.
+    *
+    * `firstPlane` offsets into the global deterministic plane family
+    * — band b of a multi-band scheme uses planes
+    * [b·r, b·r+r), giving every band an independent projection set
+    * from the SAME hash60-derived family (so a DuckDB mirror rebuilds
+    * all bands from one formula). */
+  def lshBucket(vecQ: Column, nPlanes: Int, dim: Int = 64, firstPlane: Int = 0): Column = {
+    val bucket = (0 until nPlanes).map { j =>
+      val plane = typedLit((0 until dim).map(i => planeSign(firstPlane + j, i)))
+      when(qdot(vecQ, plane) >= 0L, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
     when(size(vecQ) > dim,
       raise_error(concat(lit(s"lshBucket: vector wider than the $dim-dim plane set: "),
         size(vecQ).cast("string"))).cast("long"))
       .otherwise(bucket)
+  }
+
+  /** Scale-safe embedding near-dup: sign-LSH banded candidate
+    * generation + exact quantized-cosine verification — the bucketed
+    * replacement for `cosineNearDupPairs`' all-pairs crossJoin (which
+    * stays as the correctness baseline in specs, never in a shipped
+    * plan).
+    *
+    * Shape: each vector gets `bands` independent bucket ids (band b =
+    * sign pattern of planes [b·r, b·r+r)); candidates are pairs
+    * sharing ANY (band, bucket) — a narrow (vec_id, band, bucket)
+    * self-equi-join, distinct'd, then verified with one exact dot per
+    * pair. No cartesian anywhere: every join is a shuffle-partitioned
+    * equi-join, AQE-skew-splittable, and the vectors travel only into
+    * the two verify joins (the banded signature frame is 3 longs per
+    * row per band).
+    *
+    * Recall: a pair at cosine c agrees on one plane with probability
+    * p = 1 − acos(c)/π, survives a band with p^r, and is missed with
+    * (1 − p^r)^bands. The defaults (r=4, bands=16) give a miss rate
+    * ≈ 3% at the c=0.5 decision boundary and ≤ 10⁻⁵ for true
+    * near-dups (c ≥ 0.9); tighten by raising `bands` (recall) or `r`
+    * (selectivity — candidate volume scales ~bands/2^r of all pairs
+    * on isotropic data, much sharper when dups are concentrated).
+    * The plane family is deterministic, so a given corpus+config has
+    * ONE reproducible answer (the registered query's DuckDB oracle
+    * rebuilds the same bands; equality with the exhaustive baseline
+    * is spec-checked on the test corpora at every SF). */
+  def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                            bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
+    require(bands > 0 && planesPerBand > 0 && planesPerBand <= 62,
+      "bands and planesPerBand must be positive (bucket bits fit a long)")
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
+    // narrow banded signatures: (vec_id, band, bucket) — vectors stay behind
+    val sigs = q.select(col("vec_id"), posexplode(array((0 until bands).map { b =>
+        lshBucket(col("v"), planesPerBand, firstPlane = b * planesPerBand)
+      }: _*))).toDF("vec_id", "band", "bucket")
+    val cand = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    cand
+      .join(q.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an")), Seq("a_id"))
+      .join(q.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (qdot(col("av"), col("bv")).cast("double") / (col("an") * col("bn"))).as("cosine"))
+      .where(col("cosine") >= threshold)
   }
 
   /** IVF-style approximate nearest neighbor — the classic

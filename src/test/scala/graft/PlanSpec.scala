@@ -81,8 +81,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
-    // intentional cross joins: cosine scorers (corpus × broadcast query set)
-    val allowCross = Set("q_cosine_topk", "q_embed_neardup")
+    // intentional cross join: cosine scorer (corpus × broadcast query set)
+    val allowCross = Set("q_cosine_topk")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

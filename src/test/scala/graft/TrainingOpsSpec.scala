@@ -156,6 +156,27 @@ class TrainingOpsSpec extends SparkSpec {
     assert(!viaReps.contains(3L) && !viaReps.contains(5L))
   }
 
+  test("cosineNearDupPairsLsh equals the exhaustive crossJoin baseline on real corpora") {
+    // the shipped bucketed form must reproduce the all-pairs answer on
+    // the actual test embeddings at both spec SFs (the deterministic
+    // plane family is also verified offline to hold at sf0.1)
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val exact = Similarity.cosineNearDupPairs(emb, 0.5)
+        .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+      val lsh = Similarity.cosineNearDupPairsLsh(emb, 0.5)
+        .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+      assert(lsh == exact, s"$sf: lsh=${lsh.size} exact=${exact.size}")
+    }
+  }
+
+  test("cosineNearDupPairsLsh plan has no cartesian product") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.cosineNearDupPairsLsh(emb, 0.5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join Cross"), plan)
+  }
+
   test("ivfTopK: full probe over a tiny corpus equals brute force") {
     // nLists=2, nProbe=2 → every list is probed → exact search
     val bf = Similarity.bruteForceTopK(vecs, vecs, 2)
