@@ -29,7 +29,11 @@ object Joins {
     * Right rows sort BEFORE left rows at an equal timestamp (side 0 <
     * side 1), making the match at-or-before INCLUSIVE of equal ts.
     * `tieBreak` must be unique per (key, rightTs) — with duplicates
-    * the picked payload depends on partition merge order.
+    * the picked payload would depend on partition merge order, so the
+    * contract is ENFORCED: a duplicate (key, rightTs, tieBreak) right
+    * row fails the job loudly (same policy as `Packing.packByBudget`'s
+    * duplicate-order guard). The probe is a lag over the ordering the
+    * window pass already sorts by — no extra shuffle or sort.
     *
     * @param payload right-side columns to carry; emitted under their
     *                own names (must not collide with left's columns).
@@ -52,14 +56,31 @@ object Joins {
         lit(null).cast(r.schema("__tie").dataType).as("__tie"),
         lit(null).cast(r.schema("__p").dataType).as("__p"),
         struct(leftCols.map(col): _*).as("__l")): _*)
-    val w = Window.partitionBy(keys.map(col): _*)
+    val ord = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // duplicate right rows are adjacent in the window order, so one lag
+    // detects them; the flag is hoisted to the whole key partition
+    // (unordered max, same hash partitioning — no new exchange) and
+    // poisons the output rather than letting merge order pick a winner
+    val dupHere = col("__side") === 0 &&
+      lag(col("__ts"), 1).over(ord) === col("__ts") &&
+      lag(col("__side"), 1).over(ord) === 0 &&
+      lag(col("__tie"), 1).over(ord) <=> col("__tie")
+    val wAll = Window.partitionBy(keys.map(col): _*)
     r.unionByName(l)
+      .withColumn("__dup", when(dupHere, 1).otherwise(0))
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__anydup", max(col("__dup")).over(wAll))
       .where(col("__side") === 1)
       .select(leftCols.map(c => col(s"__l.$c")) ++
-        payload.map(p => col(s"__asof.$p")): _*)
+        payload.map(p =>
+          when(col("__anydup") > 0,
+            raise_error(concat(
+              lit(s"asOfJoin: duplicate (key, $rightTs, $tieBreak) right rows make the "),
+              lit("pick partition-order-dependent; dedup the right side or supply a unique tie-break")))
+              .cast(r.schema("__p").dataType.asInstanceOf[org.apache.spark.sql.types.StructType](p).dataType))
+            .otherwise(col(s"__asof.$p")).as(p)): _*)
   }
 
   /** Point-in-interval range join: rows of `points` matched to every
@@ -82,17 +103,31 @@ object Joins {
     * division (correct for negative domains, unlike truncating
     * integer division) — exact for |value| < 2⁵³, far past any
     * epoch-seconds/days domain.
+    *
+    * Replication is CAPPED at `maxReplication` buckets per interval,
+    * enforced per row: one open-ended sentinel interval (end =
+    * Long.MaxValue) would otherwise explode into billions of array
+    * elements and kill the job before the join starts. Callers with
+    * legitimate outliers either clamp the sentinel end first or raise
+    * the cap deliberately — a loud failure beats a silent OOM.
     */
   def rangeJoinByBucket(points: DataFrame, intervals: DataFrame,
                         pointCol: String, startCol: String, endCol: String,
-                        bucketWidth: Long): DataFrame = {
+                        bucketWidth: Long, maxReplication: Long = 100000L): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxReplication > 0, "maxReplication must be positive")
+    val firstBucket = floor(col(startCol) / bucketWidth)
+    val lastBucket = floor((col(endCol) - 1) / bucketWidth)
     val iv = intervals
       .where(col(endCol) > col(startCol))
       .withColumn("__bucket",
-        explode(sequence(
-          floor(col(startCol) / bucketWidth),
-          floor((col(endCol) - 1) / bucketWidth))))
+        explode(when(lastBucket - firstBucket >= maxReplication,
+          raise_error(concat(
+            lit(s"rangeJoinByBucket: interval spans more than $maxReplication buckets "),
+            lit(s"of width $bucketWidth (open-ended sentinel end? clamp it or raise the cap): ["),
+            col(startCol).cast("string"), lit(", "), col(endCol).cast("string"), lit(")")))
+            .cast("array<bigint>"))
+          .otherwise(sequence(firstBucket, lastBucket))))
     val pt = points.withColumn("__bucket", floor(col(pointCol) / bucketWidth))
     pt.join(iv, Seq("__bucket"))
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))

@@ -27,21 +27,43 @@ object Packing {
     * `bin_offset` (running-total-before mod budget), packing in
     * `orderCol` order within each combination of `partitionCols`.
     * Bin ids restart at 0 per partition — globally unique bins are
-    * (partitionCols..., bin). Weights must be non-negative; a single
-    * weight larger than `budget` occupies its starting bin and spills
-    * into the next (split-at-tokenize semantics). */
+    * (partitionCols..., bin). A single weight larger than `budget`
+    * occupies its starting bin and spills into the next
+    * (split-at-tokenize semantics).
+    *
+    * Contract, ENFORCED at runtime (not just documented): weights
+    * must be non-negative (a negative weight makes the truncating
+    * `div`/`%` disagree with floor semantics and can walk bins
+    * backwards), and `orderCol` must be a unique total order within
+    * each partition (with duplicates, the row-level running sum
+    * depends on partition merge order — the same class of
+    * nondeterminism the as-of join's tie-break column exists to
+    * kill). Both checks ride the window pass the pack already does:
+    * no extra shuffle, no extra scan. */
   def packByBudget(df: DataFrame, orderCol: String, weightCol: String,
                    budget: Long, partitionCols: Seq[String]): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(partitionCols.nonEmpty,
       "pack within explicit partitions (e.g. a hashBucket shard id); " +
         "a global pack serializes the whole frame through one task")
-    val w = Window.partitionBy(partitionCols.map(col): _*)
-      .orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wtType = df.schema(weightCol).dataType
+    val guardedWeight = when(col(weightCol) < 0,
+      raise_error(concat(lit(s"packByBudget: negative $weightCol: "),
+        col(weightCol).cast("string"))).cast(wtType))
+      .otherwise(col(weightCol))
+    val part = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val w = part.rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__cum_before",
-        coalesce(sum(col(weightCol)).over(w), lit(0L)))
-      .withColumn("bin", expr(s"__cum_before div $budget"))
+        coalesce(sum(guardedWeight).over(w), lit(0L)))
+      // duplicate-order probe shares the window sort (lag over the
+      // same partitioning/ordering folds into the same Window exec)
+      .withColumn("bin",
+        when(lag(col(orderCol), 1).over(part) === col(orderCol),
+          raise_error(concat(
+            lit(s"packByBudget: duplicate $orderCol within a partition "),
+            lit("(packing order must be a unique total order): "),
+            col(orderCol).cast("string"))).cast("long"))
+          .otherwise(expr(s"__cum_before div $budget")))
       .withColumn("bin_offset", col("__cum_before") % budget)
       .drop("__cum_before")
   }

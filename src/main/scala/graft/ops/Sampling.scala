@@ -30,13 +30,37 @@ object Sampling {
     * NULL bucket: null-keyed rows fail every `bucket < pct` filter
     * (dropped by samples) and fall to `assignSplit`'s otherwise-
     * branch ("test") — identically in the DuckDB mirror, since both
-    * engines propagate NULL through comparison and CASE. */
-  def hashBucket(key: Column, buckets: Int = 100): Column =
+    * engines propagate NULL through comparison and CASE.
+    *
+    * The key must cast to the SAME canonical string in every engine,
+    * which holds for integral and string keys only — double and
+    * timestamp render differently between Spark and DuckDB, silently
+    * desynchronizing the "same split everywhere" guarantee. The
+    * DataFrame-level entry points enforce that; callers handing a
+    * bare Column here keep that obligation themselves. */
+  def hashBucket(key: Column, buckets: Int = 100): Column = {
+    require(buckets > 0, "buckets must be positive")
     pmod(graft.plans.Hash60.hash60(key.cast("string")), lit(buckets.toLong))
+  }
+
+  /** Cross-engine-reproducible key types: integral or string. */
+  private def requirePortableKey(df: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(key).dataType
+    val portable = dt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    require(portable,
+      s"sampling key '$key' is $dt; only integral/string keys have one " +
+        "canonical string form across engines (cast explicitly first)")
+  }
 
   /** Keep ~pct% of rows, deterministically by key. */
-  def sampleByHash(df: DataFrame, key: String, pct: Int): DataFrame =
+  def sampleByHash(df: DataFrame, key: String, pct: Int): DataFrame = {
+    requirePortableKey(df, key)
     df.where(hashBucket(col(key)) < pct)
+  }
 
   /** Stratified deterministic sampling: a different keep-percentage
     * per stratum (e.g. downsample boilerplate-heavy languages, keep
@@ -46,6 +70,7 @@ object Sampling {
     * and corpus growth never reshuffle kept rows. */
   def stratifiedSampleByHash(df: DataFrame, key: String, strataCol: String,
                              pcts: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    requirePortableKey(df, key)
     val pctCol = pcts.foldLeft(lit(defaultPct)) { case (acc, (stratum, pct)) =>
       when(col(strataCol) === stratum, lit(pct)).otherwise(acc)
     }
@@ -59,6 +84,7 @@ object Sampling {
                   trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
       "cut-points must fit in [0, 100]")
+    requirePortableKey(df, key)
     val b = hashBucket(col(key))
     df.withColumn("split",
       when(b < trainPct, "train")

@@ -19,19 +19,20 @@ object StreamJoins {
     *
     * Column contract: both sides keep their own column names; `key`
     * is the equi-join column, `leftTs`/`rightTs` the event-time
-    * columns (must be distinct names across the two sides).
+    * columns. The range condition binds through side-qualified
+    * references, so a column on the opposite side sharing the
+    * event-time name can neither make the condition ambiguous nor
+    * silently bind to the wrong side.
     */
   def withinTolerance(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String,
                       tolerance: String, watermark: String = "1 hour"): DataFrame = {
-    require(leftTs != rightTs,
-      "the two event-time columns must have distinct names (the range condition references both unqualified)")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       l(key) === r(key) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $tolerance") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $tolerance"))
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $tolerance") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $tolerance"))
       .drop(r(key))
   }
 

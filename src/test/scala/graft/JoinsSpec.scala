@@ -71,4 +71,33 @@ class JoinsSpec extends SparkSpec {
     val ivs = Seq((1L, 5L, 5L), (2L, 9L, 3L)).toDF("iv_id", "s", "e")
     assert(Joins.rangeJoinByBucket(pts, ivs, "x", "s", "e", 10L).count() == 0)
   }
+
+  private def allMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("rangeJoinByBucket: an open-ended sentinel interval fails loudly, not OOM") {
+    val pts = Seq(Tuple1(5L)).toDF("x")
+    val ivs = Seq((1L, 0L, Long.MaxValue)).toDF("iv_id", "s", "e")
+    val e = intercept[Throwable] {
+      Joins.rangeJoinByBucket(pts, ivs, "x", "s", "e", 10L).collect()
+    }
+    assert(allMessages(e).contains("spans more than"), allMessages(e))
+    // a deliberately raised cap admits the wide interval
+    val wide = Seq((1L, 0L, 1000L)).toDF("iv_id", "s", "e")
+    assert(Joins.rangeJoinByBucket(pts, wide, "x", "s", "e", 10L, maxReplication = 200L).count() == 1)
+  }
+
+  test("asOfJoin: duplicate (key, rightTs, tieBreak) right rows are rejected, not merge-order-resolved") {
+    val dupRight = rightDf.unionByName(Seq(("c", 70L, 104L, 9.9)).toDF("k", "t", "quote_id", "px"))
+    val e = intercept[Throwable] {
+      Joins.asOfJoin(leftDf, dupRight, Seq("k"), "t", "t", "quote_id", Seq("quote_id", "px"))
+        .collect()
+    }
+    assert(allMessages(e).contains("duplicate (key, t, quote_id)"), allMessages(e))
+    // equal-ts rows with DISTINCT tie-breaks remain legal (the fixture
+    // already has two c-quotes at ts=70) — only exact duplicates fail
+    assert(Joins.asOfJoin(leftDf, rightDf, Seq("k"), "t", "t", "quote_id", Seq("px"))
+      .count() == leftDf.count())
+  }
 }

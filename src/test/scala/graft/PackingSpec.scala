@@ -39,4 +39,24 @@ class PackingSpec extends SparkSpec {
       Packing.packByBudget(df, "id", "w", 1000L, Seq.empty)
     }
   }
+
+  private def allMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
+  test("negative weights fail loudly (truncating div would walk bins backwards)") {
+    val df = Seq(("a", 1L, 100L), ("a", 2L, -5L)).toDF("shard", "id", "w")
+    val e = intercept[Throwable] {
+      Packing.packByBudget(df, "id", "w", 1000L, Seq("shard")).collect()
+    }
+    assert(allMessages(e).contains("negative w"), allMessages(e))
+  }
+
+  test("duplicate orderCol values fail loudly (running sum would be merge-order-dependent)") {
+    val df = Seq(("a", 1L, 100L), ("a", 1L, 200L)).toDF("shard", "id", "w")
+    val e = intercept[Throwable] {
+      Packing.packByBudget(df, "id", "w", 1000L, Seq("shard")).collect()
+    }
+    assert(allMessages(e).contains("duplicate id"), allMessages(e))
+  }
 }
