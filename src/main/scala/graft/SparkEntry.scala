@@ -279,7 +279,9 @@ object SparkEntry {
     }),
 
     // ---- sketches & stubs: q_approx_distinct is the ONLY rows-only
-    // query (HLL sketches aren't bit-reproducible across engines);
+    // query (HLL sketches aren't bit-reproducible across engines); its
+    // accuracy is bounded instead — SketchSpec asserts the estimate is
+    // within 3×rsd of the exact count per group on the real data.
     // q_lsh_topk / q_media_features / q_frame_sample below all have
     // exact oracles (constant planes and md5-seeded stubs are
     // SQL-replicable) ----
