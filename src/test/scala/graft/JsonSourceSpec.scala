@@ -42,4 +42,43 @@ class JsonSourceSpec extends SparkSpec {
     assert(r.getAs[String]("location_name") == "Bandung")
     assert(math.abs(r.getAs[Double]("lat") - (-6.92)) < 1e-9)
   }
+
+  // S1/S2's in-engine half: a landing dir of raw payload lines —
+  // two good docs, one API error doc, one malformed line
+  private def writeLanding(): String = {
+    val dir = Files.createTempDirectory("graft-landing")
+    Files.writeString(dir.resolve("batch1.json"),
+      """{"created_at":"2024-01-01 06:00:00","fetch_method":"current","location":{"id":1,"name":"Bandung","lat":-6.92,"lon":107.61},"current":{"obs_id":10,"time":"2024-01-01 05:03:00","temp_c":20.5,"condition":"rain","precip_mm":1.0}}
+        |{"error":{"code":1006,"message":"No matching location found."}}
+        |{"created_at":"2024-01-01 06:00:00","fetch_method":"history","location":{"id":2,"name":"Bogor"},"current":{"obs_id":11,"time":"2024-01-01 04:00:00","temp_c":18.0,"condition":"sun"}}
+        |{"created_at": "2024-01-01 06:00:00", "fetch_method": "current", "location": {"id": 3""".stripMargin)
+    dir.toString
+  }
+
+  test("landedJson: malformed lines and API error docs are dropped; good payloads flatten") {
+    val obs = graft.sources.Sources.landedJson(spark, writeLanding())
+      .orderBy($"obs_id").collect()
+    assert(obs.length == 2)
+    val first = obs.head
+    assert(first.getAs[Long]("location_id") == 1L)
+    assert(first.getAs[java.sql.Timestamp]("ts") == java.sql.Timestamp.valueOf("2024-01-01 05:03:00"))
+    assert(first.getAs[Double]("temp_c") == 20.5)
+    assert(first.getAs[String]("fetch_method") == "current")
+    // absent optional field → null, not a parse failure
+    assert(obs(1).isNullAt(obs(1).fieldIndex("precip_mm")))
+  }
+
+  test("landedJsonRaw: the corrupt line is quarantined with its original text, not lost") {
+    val raw = graft.sources.Sources.landedJsonRaw(spark, writeLanding()).cache()
+    try {
+      assert(raw.count() == 4) // every input line became a row
+      val corrupt = raw.where(col(graft.sources.Sources.CorruptCol).isNotNull).collect()
+      assert(corrupt.length == 1)
+      assert(corrupt.head.getAs[String](graft.sources.Sources.CorruptCol).contains("\"id\": 3"))
+      // the error doc is decodable (NOT corrupt) and carries its message
+      val err = raw.where(col("error").isNotNull).head()
+      assert(err.getAs[org.apache.spark.sql.Row]("error").getAs[String]("message")
+        .contains("No matching location"))
+    } finally raw.unpersist()
+  }
 }

@@ -73,4 +73,37 @@ class PipelineIntegrationSpec extends SparkSpec {
     val loc2 = spark.read.parquet(gold).where($"location_id" === 2).head()
     assert(loc2.getAs[Long]("hours_present") == 1)
   }
+
+  test("raw landed JSON → ingest: the full S1/S2 shape from files on disk") {
+    // a landing dir as the fetcher leaves it: current + history payloads
+    // interleaved with an API error doc, a malformed line, and a
+    // future-dated observation
+    val landing = Files.createTempDirectory("graft-landing2")
+    def doc(method: String, loc: Long, obsId: Long, time: String, temp: Double) =
+      s"""{"created_at":"2024-01-01 08:00:00","fetch_method":"$method","location":{"id":$loc,"name":"L$loc"},"current":{"obs_id":$obsId,"time":"$time","temp_c":$temp,"condition":"sun"}}"""
+    Files.writeString(landing.resolve("landed.json"), Seq(
+      doc("current", 1L, 1L, "2024-01-01 05:03:00", 20.0),
+      doc("current", 2L, 2L, "2024-01-01 06:10:00", 30.0),
+      doc("history", 1L, 3L, "2024-01-01 03:15:00", 18.0),
+      doc("history", 1L, 4L, "2024-01-02 09:00:00", 15.0), // future → cut
+      """{"error":{"code":2008,"message":"API key disabled."}}""",
+      """{"fetch_method":"current","location":{"id":"""
+    ).mkString("\n"))
+
+    val obs = graft.sources.Sources.landedJson(spark, landing.toString)
+    val live = obs.where($"fetch_method" === "current").drop("fetch_method")
+    val backfill = obs.where($"fetch_method" === "history").drop("fetch_method")
+    val bronze = tmp()
+    val fresh = Pipelines.ingest(live, backfill,
+      lit("2024-01-01 23:59:59").cast("timestamp"),
+      obs.limit(0).select("location_id", "ts"), bronze)
+    // 6 lines: -1 error doc, -1 malformed, -1 future cutoff = 3 ingested
+    assert(fresh.count() == 3)
+    val stored = spark.read.parquet(bronze)
+    assert(stored.count() == 3)
+    assert(stored.select($"location_id").as[Long].collect().sorted.toSeq == Seq(1L, 1L, 2L))
+    // discriminated union re-tagged both legs
+    assert(stored.select($"fetch_method").distinct().as[String].collect().toSet ==
+      Set("current", "history"))
+  }
 }
