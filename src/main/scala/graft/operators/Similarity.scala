@@ -187,8 +187,16 @@ object Similarity {
     * a partition-pruned scan of nProbe/nLists of the data. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    // centroid collect: nLists rows × dim longs — model-parameter sized
-    val cents: Array[(Int, Array[Long], Double)] = corpus
+    val cents = centroidModel(corpus, nLists)
+    scoreProbedLists(assignLists(corpus, cents), probeLists(queries, cents, nProbe), k)
+  }
+
+  /** The coarse-quantizer model: nLists (id, quantized vector, norm)
+    * triples — deterministic (smallest vec_ids) stand-in for trained
+    * k-means means. Model-parameter sized (nLists × dim longs),
+    * collected once driver-side and inlined as literals downstream. */
+  def centroidModel(corpus: DataFrame, nLists: Int): Array[(Int, Array[Long], Double)] =
+    corpus
       .where(col("vec_id") < nLists)
       .select(col("vec_id").cast("int"), quantize(col("embedding")))
       .collect()
@@ -202,27 +210,31 @@ object Similarity {
         (id, v, math.sqrt(n2.toDouble))
       }
 
+  /** Assignment: one inverted list per corpus vector — a NARROW
+    * projection over literal centroids (no shuffle, no broadcast).
+    * Output: (corpus_id, cv, cn, list_id). */
+  def assignLists(corpus: DataFrame, cents: Array[(Int, Array[Long], Double)]): DataFrame = {
     // per-vector centroid scores: array<struct<cos,negid>>; array_max =
     // (highest cosine, then smallest centroid id)
-    def centScores = array(cents.map { case (cid, cv, cn) =>
+    val centScores = array(cents.map { case (cid, cv, cn) =>
       struct(
         (qdot(col("v"), typedLit(cv.toSeq)).cast("double") / (col("nrm") * lit(cn))).as("cos"),
         lit(-cid).as("negid"))
     }: _*)
-
-    val base = corpus
+    corpus
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
-
-    // assignment: one list per corpus vector (narrow)
-    val assigned = base
       .withColumn("list_id", -array_max(centScores).getField("negid"))
       .select(col("vec_id").as("corpus_id"), col("v").as("cv"),
         col("nrm").as("cn"), col("list_id"))
+  }
 
-    // probing: the query's nProbe best lists (sort asc on (-cos, id),
-    // take the first nProbe) — query side is small by contract
-    val probed = queries
+  /** Probing: the query's nProbe best lists (sort asc on (-cos, id),
+    * take the first nProbe) — query side is small by contract.
+    * Output: (query_id, qv, qn, list_id), one row per probed list. */
+  def probeLists(queries: DataFrame, cents: Array[(Int, Array[Long], Double)],
+                 nProbe: Int): DataFrame =
+    queries
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
       .withColumn("probes",
@@ -234,6 +246,10 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(col("probes").getField("cid")).as("list_id"))
 
+  /** Exact cosine within probed lists + per-query rank. The probe side
+    * is broadcast: on a list_id-partitioned index this join triggers
+    * dynamic partition pruning, so the scan touches only probed lists. */
+  private def scoreProbedLists(assigned: DataFrame, probed: DataFrame, k: Int): DataFrame = {
     val scored = assigned.join(broadcast(probed), Seq("list_id"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
@@ -241,6 +257,53 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Persist the inverted-file index: the assigned corpus written
+    * `partitionBy(list_id)` — the on-disk layout that turns the
+    * Scaladoc claim "a probe reads nProbe/nLists of the data" into a
+    * planner-enforced fact (directory-level partition pruning, stronger
+    * than row-group stats). A centroid sidecar (`<path>.centroids`,
+    * nLists rows) makes the index self-describing: probes never touch
+    * the big table to recover the model.
+    *
+    * At 100 TB: the one-time write shuffles by list_id (each list's
+    * files are written together); every later query reads only its
+    * probed directories. IvfIndexSpec measures the skip with scan
+    * metrics (numFiles) the way SinksSpec does for range clustering. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    val cents = centroidModel(corpus, nLists)
+    assignLists(corpus, cents)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    import scala.jdk.CollectionConverters._
+    val rows = cents.map { case (cid, cv, cn) =>
+      org.apache.spark.sql.Row(cid, cv.toSeq, cn)
+    }.toSeq.asJava
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("cn", org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(rows, schema).coalesce(1)
+      .write.mode("overwrite").parquet(path + ".centroids")
+  }
+
+  /** Query a persisted IVF index: rebuild the centroid model from the
+    * sidecar (tiny), compute each query's probe lists, and join — the
+    * broadcast probe side dynamically prunes the scan to the probed
+    * list_id directories. Results are identical to `ivfTopK` run
+    * in-memory with the same nLists/nProbe (spec-checked). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val cents: Array[(Int, Array[Long], Double)] =
+      spark.read.parquet(path + ".centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+    val index = spark.read.parquet(path)
+      .select(col("corpus_id"), col("cv"), col("cn"), col("list_id").cast("int").as("list_id"))
+    scoreProbedLists(index, probeLists(queries, cents, nProbe), k)
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket; exact
