@@ -75,6 +75,54 @@ object Profile {
               "ts", "ts", "click_id", Seq("click_id")).count())
           ev.unpersist()
         }
+      case "skew" =>
+        // hot-key join at scale: events ×100 (10M rows), one key owning
+        // 50% of the fact side, joined to a 50k-row dim FORCED through
+        // sort-merge (broadcast would hide the shuffle skew entirely —
+        // and is itself the first fix when the dim fits).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val base = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("value"), col("props"))
+        val big = (0 until 100).map(i => base
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _)
+        val dim = spark.range(50000L)
+          .select(col("id").as("k"), (col("id") % 97).as("w")).persist()
+        dim.count()
+
+        for (hotPct <- Seq(50, 90)) {
+          val skewed = big.withColumn("k",
+              when(pmod(xxhash64(col("event_id")), lit(100L)) < hotPct, lit(0L))
+                .otherwise(pmod(xxhash64(col("user_id"), col("event_id")), lit(50000L))))
+            .persist()
+          println(s"fact rows=${skewed.count()} ($hotPct% on key 0)")
+
+          // aggregate over props too: column pruning must NOT strip the
+          // wide payload, or the hot partition shrinks to 3 longs a row
+          // and the experiment measures nothing a 100 TB row would feel
+          def plainAgg() = skewed.join(dim, "k")
+            .agg(sum(col("value") * col("w")), sum(length(col("props")))).collect()
+          def saltedAgg() = graft.ops.Skew
+            .saltedEquiJoin(skewed, dim, "k", "event_id", salts = 32)
+            .agg(sum(col("value") * col("w")), sum(length(col("props")))).collect()
+
+          plainAgg() // warm-up: codegen + cache touch, AQE state irrelevant
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          time(s"$hotPct% plain SMJ, AQE off")(plainAgg())
+          time(s"$hotPct% salted 32, AQE off")(saltedAgg())
+          spark.conf.set("spark.sql.adaptive.enabled", "true")
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+          time(s"$hotPct% plain SMJ, AQE default")(plainAgg())
+          // local partitions are MBs, far below the 256 MB default skew
+          // threshold — tune it down so AQE's splitter actually engages,
+          // the local stand-in for what it does out of the box at TB scale
+          spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+          time(s"$hotPct% plain SMJ, AQE tuned")(plainAgg())
+          time(s"$hotPct% salted 32, AQE tuned")(saltedAgg())
+          skewed.unpersist()
+        }
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())
