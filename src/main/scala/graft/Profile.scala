@@ -123,6 +123,25 @@ object Profile {
           time(s"$hotPct% salted 32, AQE tuned")(saltedAgg())
           skewed.unpersist()
         }
+      case "embed" =>
+        import graft.operators.Similarity
+        val emb = Tables.embeddings(spark, sfDir)
+        val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+          .withColumn("nrm", sqrt(expr("aggregate(transform(v, x -> x*x), 0L, (a,x) -> a+x)").cast("double")))
+        val sigs = q.select(col("vec_id"),
+          posexplode(graft.plans.SignBands.signBands(col("v"), 16, 4)))
+          .toDF("vec_id", "band", "bucket")
+        time("sigs.count")(sigs.count())
+        time("sigs.count warm")(sigs.count())
+        val cand = sigs.as("x").join(sigs.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id")).distinct()
+        time("cand.count")(cand.count())
+        time("cand.count warm")(cand.count())
+        time("full cold")(Similarity.cosineNearDupPairsLsh(emb, 0.5).count())
+        time("full warm")(Similarity.cosineNearDupPairsLsh(emb, 0.5).count())
+        time("full+sort warm")(SparkEntry.queries("q_embed_neardup")(spark, sfDir).count())
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

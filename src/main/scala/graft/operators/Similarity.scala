@@ -145,10 +145,17 @@ object Similarity {
       "bands and planesPerBand must be positive (bucket bits fit a long)")
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
-    // narrow banded signatures: (vec_id, band, bucket) — vectors stay behind
-    val sigs = q.select(col("vec_id"), posexplode(array((0 until bands).map { b =>
-        lshBucket(col("v"), planesPerBand, firstPlane = b * planesPerBand)
-      }: _*))).toDF("vec_id", "band", "bucket")
+    // narrow banded signatures: (vec_id, band, bucket) — vectors stay
+    // behind. All `bands` buckets come from ONE fused native pass
+    // (graft.plans.SignBands); the composed per-band lshBucket form is
+    // the equality baseline in TrainingOpsSpec. Keeping candidates
+    // NARROW (16-byte rows) through the distinct + verify joins beats
+    // carrying the vectors with the signatures: the inline-verify
+    // variant was measured 1.4× slower — 2M wide join-output rows cost
+    // more to materialize than three candidate-sized narrow exchanges.
+    val sigs = q.select(col("vec_id"),
+      posexplode(graft.plans.SignBands.signBands(col("v"), bands, planesPerBand)))
+      .toDF("vec_id", "band", "bucket")
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

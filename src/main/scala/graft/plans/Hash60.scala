@@ -102,7 +102,12 @@ object GraftExtensions {
         intArg(children(1), "graft_band_buckets"), intArg(children(2), "graft_band_buckets"))),
     (FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
-      (children: Seq[Expression]) => SimHash60(children.head))
+      (children: Seq[Expression]) => SimHash60(children.head)),
+    (FunctionIdentifier("graft_sign_bands"),
+      new ExpressionInfo(classOf[SignBands].getName, "graft_sign_bands"),
+      (children: Seq[Expression]) => SignBands(children.head,
+        intArg(children(1), "graft_sign_bands"), intArg(children(2), "graft_sign_bands"),
+        intArg(children(3), "graft_sign_bands")))
   )
 
   /** Runtime registration on an existing session. */

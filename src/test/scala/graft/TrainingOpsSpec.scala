@@ -170,6 +170,29 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("native SignBands equals the composed per-band lshBucket family") {
+    // the fused expression must reproduce every band's bucket id from
+    // the same deterministic plane family, on real embeddings
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", Similarity.quantize($"embedding").as("v"))
+    val bands = 16; val r = 4
+    val composed = emb.select($"vec_id", array((0 until bands).map { b =>
+      Similarity.lshBucket($"v", r, firstPlane = b * r)
+    }: _*).as("buckets"))
+    val native = emb.select($"vec_id",
+      graft.plans.SignBands.signBands($"v", bands, r).as("buckets"))
+    val c = composed.as[(Long, Seq[Long])].collect().toMap
+    val n = native.as[(Long, Seq[Long])].collect().toMap
+    assert(n == c)
+    // wider-than-dim vectors raise, matching lshBucket's guard
+    val wide = Seq((1L, Seq.fill(65)(1L))).toDF("vec_id", "v")
+    val e = intercept[Exception] {
+      wide.select(graft.plans.SignBands.signBands($"v", bands, r)).collect()
+    }
+    assert(e.getMessage.contains("wider than") ||
+      Option(e.getCause).exists(_.getMessage.contains("wider than")), e.toString)
+  }
+
   test("cosineNearDupPairsLsh plan has no cartesian product") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = Similarity.cosineNearDupPairsLsh(emb, 0.5)
