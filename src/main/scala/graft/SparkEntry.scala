@@ -734,6 +734,46 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- token-budget chunking: model-window pieces with overlap
+    // (chunk i covers tokens [i·24, i·24+32); final short chunk kept) ----
+    "q_chunk_tokens" -> ((s, dir) => {
+      graft.ops.Chunking.chunkByTokens(Tables.documents(s, dir), "text", "doc_id",
+          maxTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // ---- PII redaction + audit counts. The PII is constructed
+    // deterministically from table columns (the corpus itself is
+    // synthetic and PII-free), so both engines rewrite identical
+    // inputs; counts are taken on the pre-redaction text ----
+    "q_redact" -> ((s, dir) => {
+      import graft.functions.Redact
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7 tel +62 812-3456-789"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Redact.redact(pii).as("redacted"),
+          Redact.emailCount(pii).as("n_emails"),
+          Redact.ipv4Count(pii).as("n_ips"),
+          Redact.phoneCount(pii).as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- incremental near-dup: a new batch (doc_id ≡ 0 mod 20)
+    // probed against the rest of the corpus through the band-table /
+    // shingle-store index shape (persistence itself is spec'd in
+    // IncrementalSpec; the query runs the same frames in-memory) ----
+    "q_incr_neardup" -> ((s, dir) => {
+      import graft.operators.{Incremental, NearDup}
+      val docs = Tables.documents(s, dir)
+      val newSh = NearDup.shingled(docs.where(pmod(col("doc_id"), lit(20L)) === 0), "text", 3)
+      val oldSh = NearDup.shingled(docs.where(pmod(col("doc_id"), lit(20L)) =!= 0), "text", 3)
+      Incremental.nearDupsAgainstFrom(newSh, Incremental.bandTable(oldSh), oldSh, 0.8)
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // ---- language-ID heuristic (marker words, deterministic argmax) ----
     "q_langid" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
@@ -1104,6 +1144,24 @@ object SparkEntry {
   private val duckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
 
   private def trainingOracles: Map[String, String] = {
+    // cross-batch exact Jaccard (new = doc_id ≡ 0 mod 20 vs the rest):
+    // the q_incr_neardup contract, same shingle/threshold conventions
+    // as exactJaccardSql below
+    val incrementalJaccardSql =
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+        |  FROM tok
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+        |)
+        |SELECT a.doc_id AS new_id, b.doc_id AS old_id, CAST(count(*) AS INT) AS common,
+        |  count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) AS jaccard
+        |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+        |GROUP BY 1,2
+        |HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8""".stripMargin
     val exactJaccardSql =
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
@@ -1193,6 +1251,34 @@ object SparkEntry {
 
       "q_ngram_jaccard" -> exactJaccardSql,
       "q_minhash_lsh" -> exactJaccardSql,
+      "q_incr_neardup" -> incrementalJaccardSql,
+
+      "q_chunk_tokens" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+          |), s AS (
+          |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t
+          |)
+          |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_idx,
+          |  CAST(len(toks[start+1 : start+32]) AS INT) AS n_tokens,
+          |  array_to_string(toks[start+1 : start+32], ' ') AS chunk_text
+          |FROM s""".stripMargin,
+
+      "q_redact" ->
+        """WITH p AS (
+          |  SELECT doc_id, text || ' contact user' || doc_id || '@mail.example.com ip 10.0.'
+          |    || (doc_id % 256) || '.7 tel +62 812-3456-789' AS pii
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(pii,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+          |    '\+?\d{2,3}([- ]\d{3,6}){2,3}', '[PHONE]', 'g') AS redacted,
+          |  CAST(len(regexp_extract_all(pii, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          |  CAST(len(regexp_extract_all(pii, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+          |  CAST(len(regexp_extract_all(pii, '\+?\d{2,3}([- ]\d{3,6}){2,3}')) AS INT) AS n_phones
+          |FROM p""".stripMargin,
 
       "q_top_ngrams" ->
         """WITH tok AS (
