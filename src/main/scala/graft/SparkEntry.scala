@@ -774,6 +774,28 @@ object SparkEntry {
         .orderBy(col("new_id"), col("old_id"))
     }),
 
+    // ---- train/eval contamination: n-gram containment of a held-out
+    // split (doc_id ≡ 0 mod 50) against the rest of the corpus ----
+    "q_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Contamination.evalContamination(
+          docs.where(pmod(col("doc_id"), lit(50L)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(50L)) === 0),
+          "text", 3, 0.8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- intra-document n-gram repetition ratio (boilerplate signal) ----
+    "q_repetition" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          greatest(size(TF.tokens(col("text"))) - 2, lit(0)).as("n_ngrams"),
+          size(TF.wordShingles(col("text"), 3)).as("n_distinct"),
+          TF.repetitionRatio(col("text"), 3).as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- language-ID heuristic (marker words, deterministic argmax) ----
     "q_langid" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
@@ -1252,6 +1274,44 @@ object SparkEntry {
       "q_ngram_jaccard" -> exactJaccardSql,
       "q_minhash_lsh" -> exactJaccardSql,
       "q_incr_neardup" -> incrementalJaccardSql,
+
+      "q_contamination" ->
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+          |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+          |  FROM tok
+          |), train AS (
+          |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0
+          |), ev AS (
+          |  SELECT doc_id, len(shingles) AS n_sh, shingles FROM sh WHERE doc_id % 50 = 0
+          |), hits AS (
+          |  SELECT e.doc_id, count(*) AS n_cont
+          |  FROM (SELECT doc_id, unnest(shingles) AS s FROM ev) e
+          |  JOIN train t ON e.s = t.s
+          |  GROUP BY 1
+          |)
+          |SELECT ev.doc_id, CAST(ev.n_sh AS INT) AS n_shingles,
+          |  CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+          |  CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END AS containment,
+          |  (CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END) >= 0.8 AS is_contaminated
+          |FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id""".stripMargin,
+
+      "q_repetition" ->
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+          |), g AS (
+          |  SELECT doc_id, greatest(len(toks)-2, 0) AS n_ngrams,
+          |    CASE WHEN len(toks) >= 3 THEN len(list_distinct(list_transform(
+          |      generate_series(1, len(toks)-2),
+          |      i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))) ELSE 0 END AS n_distinct
+          |  FROM tok
+          |)
+          |SELECT doc_id, CAST(n_ngrams AS INT) AS n_ngrams,
+          |  CAST(n_distinct AS INT) AS n_distinct,
+          |  CASE WHEN n_ngrams > 0 THEN 1.0 - n_distinct * 1.0 / n_ngrams ELSE 0.0 END AS rep_ratio
+          |FROM g""".stripMargin,
 
       "q_chunk_tokens" ->
         """WITH t AS (

@@ -104,6 +104,21 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
+  /** Intra-document n-gram repetition ratio in [0,1]:
+    * 1 − distinct/total over word n-grams (0 = no repeated n-gram,
+    * →1 = the same n-gram over and over — the classic low-quality /
+    * boilerplate signal). Documents shorter than n tokens have no
+    * n-grams and report 0. Pure columnar arithmetic; the total count
+    * is positional (size − n + 1), the distinct count reuses
+    * `wordShingles`' set semantics. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(0))
+    val distinctN = size(wordShingles(text, n))
+    when(total > 0,
+      lit(1.0) - distinctN.cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Heuristic document-quality score in [0,1]: rewards mid-length
     * docs and normal word lengths, penalizes punctuation soup.
     * Single IEEE expression — deterministic and oracle-mirrorable. */

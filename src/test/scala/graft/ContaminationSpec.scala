@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Contamination
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog every day"),
+    (2L, "spark catalyst plans declarative queries into physical operators")
+  ).toDF("doc_id", "text")
+
+  test("a verbatim eval doc is fully contaminated; a fresh one is clean") {
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every day"), // verbatim
+      (101L, "eleven genuinely novel benchmark tokens appearing nowhere in training"),
+      (102L, "too short")  // < 3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val out = Contamination.evalContamination(train, eval, "text", 3, 0.8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("containment"), r.getAs[Boolean]("is_contaminated")))).toMap
+    assert(out(100L) == ((1.0, true)))
+    assert(out(101L) == ((0.0, false)))
+    assert(out(102L) == ((0.0, false)))
+  }
+
+  test("partial overlap reports the exact shingle fraction") {
+    // eval doc shares its first 5 tokens (3 shingles) with train doc 1
+    val eval = Seq((200L, "the quick brown fox jumps straight into entirely new material here"))
+      .toDF("doc_id", "text")
+    val r = Contamination.evalContamination(train, eval, "text", 3, 0.5).head()
+    val nSh = r.getAs[Int]("n_shingles")
+    assert(r.getAs[Long]("n_contaminated") == 3L)
+    assert(r.getAs[Double]("containment") == 3.0 / nSh)
+    assert(!r.getAs[Boolean]("is_contaminated"))
+  }
+
+  test("repetitionRatio: boilerplate scores high, varied text scores 0") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "each word here appears exactly once in this sentence"),
+      (3L, "ab cd")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TF.repetitionRatio($"text", 3).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 10 tokens → 8 trigrams, only 2 distinct ("buy now buy", "now buy now")
+    assert(out(1L) == 1.0 - 2.0 / 8.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0) // shorter than n → no n-grams, reports 0
+  }
+}
