@@ -796,6 +796,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-document top terms by TF-IDF (rational idf — see
+    // TfIdf Scaladoc for why not ln) ----
+    "q_tfidf_terms" -> ((s, dir) => {
+      graft.operators.TfIdf.topTerms(Tables.documents(s, dir), "text", 5)
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // ---- language-ID heuristic (marker words, deterministic argmax) ----
     "q_langid" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
@@ -1297,6 +1304,25 @@ object SparkEntry {
           |  CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END AS containment,
           |  (CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END) >= 0.8 AS is_contaminated
           |FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id""".stripMargin,
+
+      "q_tfidf_terms" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS term FROM documents
+          |), tf AS (
+          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+          |), dft AS (
+          |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+          |), n AS (
+          |  SELECT count(*) AS n FROM documents
+          |), s AS (
+          |  SELECT t.doc_id, t.term, t.tf, d.df,
+          |    t.tf * (n.n + 1.0) / (d.df + 1.0) AS tfidf
+          |  FROM tf t JOIN dft d USING (term) CROSS JOIN n
+          |), r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM s
+          |)
+          |SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+          |FROM r WHERE rnk <= 5""".stripMargin,
 
       "q_repetition" ->
         """WITH tok AS (

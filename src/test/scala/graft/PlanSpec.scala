@@ -82,6 +82,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("q_chunk_tokens: chunking is narrow — only the output-order exchange") {
+    val plan = planOf("q_chunk_tokens")
+    // tokenize → starts → posexplode → slice is all map-side; the one
+    // exchange is the deterministic output order's range partition
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(plan.contains("Generate"), plan)
+  }
+
+  test("q_contamination: containment probes are semi joins, never nested loops") {
+    val plan = planOf("q_contamination")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
     // intentional cross join: cosine scorer (corpus × broadcast query set)
     val allowCross = Set("q_cosine_topk")
