@@ -97,8 +97,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
-    // intentional cross join: cosine scorer (corpus × broadcast query set)
-    val allowCross = Set("q_cosine_topk")
+    // intentional cross joins: cosine scorer (corpus × broadcast query
+    // set) and tf-idf's corpus size N (a 1-row broadcast scalar)
+    val allowCross = Set("q_cosine_topk", "q_tfidf_terms")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
