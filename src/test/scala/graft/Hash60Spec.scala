@@ -33,13 +33,18 @@ class Hash60Spec extends SparkSpec {
       """SELECT graft_shingle_hashes('a b c d', 3) AS sh,
         |       graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 4) AS sig,
         |       graft_band_buckets(graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 4), 2, 2) AS bb,
-        |       graft_simhash60('a b c d') AS sim""".stripMargin).head()
+        |       graft_simhash60('a b c d') AS sim,
+        |       graft_sign_bands(array(1L, -2L, 3L), 4, 2, 64) AS sb""".stripMargin).head()
     assert(row.getSeq[Long](0).length == 2)    // 4 tokens, n=3 → 2 shingles
     assert(row.getSeq[Long](1).length == 4)
     assert(row.getSeq[Long](2).length == 2)
     val viaColumns = strs.limit(0).sparkSession.range(1)
       .select(graft.plans.SimHash60.simhash60(lit("a b c d"))).head().getLong(0)
     assert(row.getLong(3) == viaColumns)
+    val sbViaColumns = strs.limit(0).sparkSession.range(1)
+      .select(graft.plans.SignBands.signBands(
+        typedLit(Seq(1L, -2L, 3L)), 4, 2)).head().getSeq[Long](0)
+    assert(row.getSeq[Long](4) == sbViaColumns && sbViaColumns.length == 4)
   }
 
   test("native expression stays inside whole-stage codegen") {
