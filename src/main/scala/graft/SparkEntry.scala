@@ -803,6 +803,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // ---- per-column data-quality profile (pruned single-column scans) ----
+    "q_profile" -> ((s, dir) => {
+      graft.ops.DataProfile.profileNumeric(Tables.events(s, dir),
+          Seq("event_id", "user_id", "value"))
+        .orderBy(col("col_name"))
+    }),
+
     // ---- language-ID heuristic (marker words, deterministic argmax) ----
     "q_langid" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
@@ -1304,6 +1311,25 @@ object SparkEntry {
           |  CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END AS containment,
           |  (CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END) >= 0.8 AS is_contaminated
           |FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id""".stripMargin,
+
+      "q_profile" ->
+        """SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          |  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+          |  CAST(min(event_id) AS DOUBLE) AS min_val, CAST(max(event_id) AS DOUBLE) AS max_val
+          |FROM events
+          |UNION ALL
+          |SELECT 'user_id', CAST(count(*) AS BIGINT),
+          |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  CAST(count(DISTINCT user_id) AS BIGINT),
+          |  CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+          |FROM events
+          |UNION ALL
+          |SELECT 'value', CAST(count(*) AS BIGINT),
+          |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  CAST(count(DISTINCT value) AS BIGINT),
+          |  CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+          |FROM events""".stripMargin,
 
       "q_tfidf_terms" ->
         """WITH tok AS (
