@@ -33,11 +33,14 @@ object Contamination {
                         n: Int, threshold: Double): DataFrame = {
     val trainShingles = NearDup.shingled(train, textCol, n)
       .select(explode(col("hs")).as("h")).distinct()
-    val evalShingles = NearDup.shingled(eval, textCol, n)
+    // ONE shingling pass over the eval corpus, reused for both the
+    // exploded semi-join side and the per-doc spine
+    val evalSh = NearDup.shingled(eval, textCol, n)
+    val evalShingles = evalSh
       .select(col("doc_id"), col("n_shingles"), explode(col("hs")).as("h"))
     val hits = evalShingles.join(trainShingles, Seq("h"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    NearDup.shingled(eval, textCol, n)
+    evalSh
       .select(col("doc_id"), col("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))

@@ -32,12 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
-  /** Per-doc band table for a shingled frame: (band, bucket, doc_id,
-    * n_shingles). One narrow native-expression projection — no
-    * shuffle. */
+  /** Per-doc band table for a shingled frame — delegates to the one
+    * canonical definition (`NearDup.bandTable`) so index candidates
+    * and corpus-wide dedup candidates can never drift apart. */
   def bandTable(sh: DataFrame, k: Int = 96, b: Int = 24): DataFrame =
-    NearDup.lshBanded(NearDup.minhashSignatures(sh, k), b, k / b)
-      .join(sh.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
+    NearDup.bandTable(sh, k, b)
 
   /** Build the index from a corpus: one shingling pass, then the band
     * table and the shingle store land under `root`. */

@@ -202,11 +202,18 @@ object NearDup {
     * representative space (e.g. clustering, where expanding each
     * near-clone cluster into |A|·|B| clique edges only to contract
     * them again is pure waste). */
+  /** Per-doc band table: (band, bucket, doc_id, n_shingles) — one
+    * narrow native-expression projection, no shuffle. THE canonical
+    * banded-candidate shape: both corpus-wide pair generation (below)
+    * and the incremental index (`Incremental`) build from this one
+    * definition, so their candidate semantics can never drift. */
+  def bandTable(sh: DataFrame, k: Int = 96, b: Int = 24): DataFrame =
+    lshBanded(minhashSignatures(sh, k), b, k / b)
+      .join(sh.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
+
   def minhashRepPairsFrom(sh: DataFrame, threshold: Double,
                           k: Int = 96, b: Int = 24): DataFrame = {
-    val r = k / b
-    val banded = lshBanded(minhashSignatures(sh, k), b, r)
-      .join(sh.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
+    val banded = bandTable(sh, k, b)
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"), col("n_shingles").as("n1"))
     val rt = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"), col("n_shingles").as("n2"))
     val cand = l.join(rt, Seq("band", "bucket"))

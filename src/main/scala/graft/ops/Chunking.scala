@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   * (and, when n − start ≤ overlap, fully contained in its
   * predecessor — kept, because dropping it would make chunk counts
   * depend on a containment test that subword re-tokenization breaks;
-  * budget-exact dedup belongs downstream if wanted). Empty documents
-  * yield zero chunks.
+  * budget-exact dedup belongs downstream if wanted). NULL documents
+  * yield zero chunks; an empty string yields ONE chunk containing the
+  * single empty token (the whitespace-split convention: "" tokenizes
+  * to [""], and the oracle mirrors it) — filter empty text upstream
+  * if empty samples are unwanted.
   */
 object Chunking {
 

@@ -63,10 +63,13 @@ object Joins {
     // detects them; the flag is hoisted to the whole key partition
     // (unordered max, same hash partitioning — no new exchange) and
     // poisons the output rather than letting merge order pick a winner
+    // null-SAFE comparisons throughout: null rightTs rows sort adjacent
+    // too, and null === null is null (not true), which would let them
+    // evade the guard entirely
     val dupHere = col("__side") === 0 &&
-      lag(col("__ts"), 1).over(ord) === col("__ts") &&
-      lag(col("__side"), 1).over(ord) === 0 &&
-      lag(col("__tie"), 1).over(ord) <=> col("__tie")
+      (lag(col("__ts"), 1).over(ord) <=> col("__ts")) &&
+      (lag(col("__side"), 1).over(ord) <=> 0) &&
+      (lag(col("__tie"), 1).over(ord) <=> col("__tie"))
     val wAll = Window.partitionBy(keys.map(col): _*)
     r.unionByName(l)
       .withColumn("__dup", when(dupHere, 1).otherwise(0))

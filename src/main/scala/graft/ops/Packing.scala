@@ -57,12 +57,20 @@ object Packing {
         coalesce(sum(guardedWeight).over(w), lit(0L)))
       // duplicate-order probe shares the window sort (lag over the
       // same partitioning/ordering folds into the same Window exec)
+      // null order keys have no position in a total order — reject
+      // outright (and null === null is null, so without this a pair of
+      // null keys would slip past a null-unsafe duplicate guard);
+      // the duplicate probe itself uses null-safe <=>
       .withColumn("bin",
-        when(lag(col(orderCol), 1).over(part) === col(orderCol),
-          raise_error(concat(
-            lit(s"packByBudget: duplicate $orderCol within a partition "),
-            lit("(packing order must be a unique total order): "),
-            col(orderCol).cast("string"))).cast("long"))
+        when(col(orderCol).isNull,
+          raise_error(lit(
+            s"packByBudget: null $orderCol (packing order must be a unique total order)"))
+            .cast("long"))
+          .when(lag(col(orderCol), 1).over(part) <=> col(orderCol),
+            raise_error(concat(
+              lit(s"packByBudget: duplicate $orderCol within a partition "),
+              lit("(packing order must be a unique total order): "),
+              col(orderCol).cast("string"))).cast("long"))
           .otherwise(expr(s"__cum_before div $budget")))
       .withColumn("bin_offset", col("__cum_before") % budget)
       .drop("__cum_before")

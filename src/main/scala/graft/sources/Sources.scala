@@ -78,15 +78,22 @@ object Sources {
     landedJsonRaw(spark, dir)
       .where(col(CorruptCol).isNull)  // malformed payloads out
       .where(col("error").isNull)     // API error docs out (fetch_weather.py:60-62)
-      // key guard: a payload without a location id or timestamp can
-      // join nothing downstream (reference transform drops these too)
-      .where(col("location.id").isNotNull && col("current.time").isNotNull)
       .select(
         col("current.obs_id").as("obs_id"),
         col("location.id").as("location_id"),
-        graft.functions.WeatherFunctions.parseTs(col("current.time")).as("ts"),
+        // try_to_timestamp, NOT to_timestamp: a decodable payload with a
+        // drifted time format must be quarantined like any other bad
+        // row, not kill the batch (Spark 4 ANSI makes to_timestamp
+        // THROW on parse failure — the FAILFAST behavior this module
+        // exists to avoid)
+        try_to_timestamp(col("current.time"),
+          lit("yyyy-MM-dd HH:mm:ss")).as("ts"),
         col("current.temp_c").as("temp_c"),
         col("current.condition").as("condition"),
         col("current.precip_mm").as("precip_mm"),
         col("fetch_method"))
+      // key guard: a payload without a location id or a PARSEABLE
+      // timestamp can join nothing downstream (reference transform
+      // drops these too)
+      .where(col("location_id").isNotNull && col("ts").isNotNull)
 }

@@ -30,6 +30,11 @@ import java.sql.Timestamp
   * Late arrivals (below the watermark when their micro-batch runs)
   * are EVICTED, never emitted: the batch path's as-of over the stored
   * table handles older backfill, mirroring ST3's split.
+  *
+  * Duplicate-(key, ts) quotes resolve to the LARGEST value — an
+  * explicit rule so the answer never depends on arrival or
+  * partition-merge order (the batch asOfJoin rejects such duplicates;
+  * a stream can't reject, so it resolves them stably).
   */
 object StreamAsOf {
 
@@ -46,10 +51,17 @@ object StreamAsOf {
   private[streaming] case class State(quoteTs: List[Long], quoteVal: List[Double],
                                       probeTs: List[Long], probeId: List[Long])
 
+  /** Latest quote at-or-before tsMs. Duplicate-(key, ts) quotes
+    * resolve to the LARGEST value — an explicit deterministic rule
+    * (mirroring the batch asOfJoin's stance that arrival/merge order
+    * must never pick the payload; the batch form rejects duplicates
+    * outright, a stream cannot reject retractions-as-dups so it
+    * resolves them stably instead). */
   private def latestAtOrBefore(s: State, tsMs: Long): Option[(Long, Double)] =
     s.quoteTs.iterator.zip(s.quoteVal.iterator)
       .filter(_._1 <= tsMs)
-      .reduceOption((a, b) => if (b._1 >= a._1) b else a)
+      .reduceOption((a, b) =>
+        if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a)
 
   /** Emit every pending probe the watermark has passed; prune emitted
     * probes and quotes older than the floor; arm the timeout for the
@@ -63,11 +75,15 @@ object StreamAsOf {
         m.map(q => new Timestamp(q._1)), m.map(_._2))
     }
     // quote retention: everything above the watermark can still serve
-    // future probes; below it only the newest (the floor) can
+    // future probes; below it only the newest (the floor) can. Collapse
+    // duplicate timestamps to their max value (the same deterministic
+    // tie rule the lookup applies) and keep the list sorted so state
+    // layout is independent of arrival order.
     val floor = s.quoteTs.filter(_ <= watermarkMs).maxOption
-    val keep = s.quoteTs.zip(s.quoteVal).filter { case (t, _) =>
-      t > watermarkMs || floor.contains(t)
-    }
+    val keep = s.quoteTs.zip(s.quoteVal)
+      .filter { case (t, _) => t > watermarkMs || floor.contains(t) }
+      .groupBy(_._1).map { case (t, vs) => (t, vs.map(_._2).max) }
+      .toList.sortBy(_._1)
     val next = State(keep.map(_._1), keep.map(_._2), pending.map(_._1), pending.map(_._2))
     if (next.quoteTs.isEmpty && next.probeTs.isEmpty) state.remove()
     else {

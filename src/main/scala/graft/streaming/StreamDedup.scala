@@ -28,14 +28,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * is a pruning structure, not an answer.
   *
   * The caller must have initialized the index (`Incremental
-  * .writeIndex`, empty corpus is fine) before starting the query.
+  * .writeIndex`, empty corpus is fine) before starting the query, and
+  * SHOULD pass a durable `checkpointLocation` — without one Spark
+  * assigns a temp checkpoint deleted on stop, and a restarted query
+  * re-reads the source from scratch under NEW batch ids, landing
+  * duplicate partitions in the clean corpus (the replay-idempotence
+  * story holds only when batch ids are stable across restarts).
   */
 object StreamDedup {
 
   def dedupedIngest(docs: DataFrame, textCol: String, n: Int, threshold: Double,
-                    indexRoot: String, cleanPath: String): StreamingQuery =
-    docs.writeStream
+                    indexRoot: String, cleanPath: String,
+                    checkpointLocation: Option[String] = None): StreamingQuery = {
+    val base = docs.writeStream
       .outputMode("append")
+    checkpointLocation.foreach(base.option("checkpointLocation", _))
+    base
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -61,4 +69,5 @@ object StreamDedup {
         } finally b.unpersist(blocking = false)
       }
       .start()
+  }
 }

@@ -100,4 +100,17 @@ class JoinsSpec extends SparkSpec {
     assert(Joins.asOfJoin(leftDf, rightDf, Seq("k"), "t", "t", "quote_id", Seq("px"))
       .count() == leftDf.count())
   }
+
+  test("asOfJoin: duplicate right rows with NULL rightTs are caught too (null-safe guard)") {
+    // null === null is null, so a null-unsafe guard would let these two
+    // slip through and pick the payload by partition-merge order
+    val right = Seq(
+      ("a", Option.empty[Long], 1L, 1.0),
+      ("a", Option.empty[Long], 1L, 2.0)
+    ).toDF("k", "t", "quote_id", "px")
+    val e = intercept[Throwable] {
+      Joins.asOfJoin(leftDf, right, Seq("k"), "t", "t", "quote_id", Seq("px")).collect()
+    }
+    assert(allMessages(e).contains("duplicate (key, t, quote_id)"), allMessages(e))
+  }
 }

@@ -51,14 +51,19 @@ class JsonSourceSpec extends SparkSpec {
       """{"created_at":"2024-01-01 06:00:00","fetch_method":"current","location":{"id":1,"name":"Bandung","lat":-6.92,"lon":107.61},"current":{"obs_id":10,"time":"2024-01-01 05:03:00","temp_c":20.5,"condition":"rain","precip_mm":1.0}}
         |{"error":{"code":1006,"message":"No matching location found."}}
         |{"created_at":"2024-01-01 06:00:00","fetch_method":"history","location":{"id":2,"name":"Bogor"},"current":{"obs_id":11,"time":"2024-01-01 04:00:00","temp_c":18.0,"condition":"sun"}}
+        |{"created_at":"2024-01-01 06:00:00","fetch_method":"current","location":{"id":4,"name":"Depok"},"current":{"obs_id":12,"time":"2024-01-01T05:00:00Z","temp_c":21.0,"condition":"sun"}}
         |{"created_at": "2024-01-01 06:00:00", "fetch_method": "current", "location": {"id": 3""".stripMargin)
     dir.toString
   }
 
-  test("landedJson: malformed lines and API error docs are dropped; good payloads flatten") {
+  test("landedJson: malformed lines, error docs, and unparseable timestamps drop; good payloads flatten") {
+    // the drifted-ISO-time payload (obs 12) is valid JSON but must be
+    // quarantined by the try_to_timestamp guard, not crash the batch
+    // under Spark 4 ANSI
     val obs = graft.sources.Sources.landedJson(spark, writeLanding())
       .orderBy($"obs_id").collect()
     assert(obs.length == 2)
+    assert(!obs.exists(_.getAs[Long]("obs_id") == 12L))
     val first = obs.head
     assert(first.getAs[Long]("location_id") == 1L)
     assert(first.getAs[java.sql.Timestamp]("ts") == java.sql.Timestamp.valueOf("2024-01-01 05:03:00"))
@@ -71,7 +76,7 @@ class JsonSourceSpec extends SparkSpec {
   test("landedJsonRaw: the corrupt line is quarantined with its original text, not lost") {
     val raw = graft.sources.Sources.landedJsonRaw(spark, writeLanding()).cache()
     try {
-      assert(raw.count() == 4) // every input line became a row
+      assert(raw.count() == 5) // every input line became a row
       val corrupt = raw.where(col(graft.sources.Sources.CorruptCol).isNotNull).collect()
       assert(corrupt.length == 1)
       assert(corrupt.head.getAs[String](graft.sources.Sources.CorruptCol).contains("\"id\": 3"))

@@ -59,4 +59,13 @@ class PackingSpec extends SparkSpec {
     }
     assert(allMessages(e).contains("duplicate id"), allMessages(e))
   }
+
+  test("null orderCol values fail loudly (no position in a total order)") {
+    val df = Seq(("a", Option.empty[Long], 100L), ("a", Some(2L), 200L))
+      .toDF("shard", "id", "w")
+    val e = intercept[Throwable] {
+      Packing.packByBudget(df, "id", "w", 1000L, Seq("shard")).collect()
+    }
+    assert(allMessages(e).contains("null id"), allMessages(e))
+  }
 }

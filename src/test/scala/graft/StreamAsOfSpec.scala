@@ -93,6 +93,25 @@ class StreamAsOfSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("duplicate-(key, ts) quotes resolve to the largest value, not arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    val probes = MemoryStream[ProbeEvent]
+    val quotes = MemoryStream[QuoteEvent]
+    val query = StreamAsOf.asOfMatches(probes.toDS(), quotes.toDS())
+      .writeStream.format("memory").queryName("asof4").outputMode("append").start()
+    try {
+      quotes.addData(QuoteEvent(5, ts("2024-01-01 05:00:00"), 2.0),
+                     QuoteEvent(5, ts("2024-01-01 05:00:00"), 1.0))
+      probes.addData(ProbeEvent(5, ts("2024-01-01 05:30:00"), 500))
+      query.processAllAvailable()
+      probes.addData(ProbeEvent(5, ts("2024-01-01 07:00:00"), 501))
+      quotes.addData(QuoteEvent(5, ts("2024-01-01 07:00:00"), 9.0))
+      query.processAllAvailable()
+      val m = collectMatches("asof4")
+      assert(m(500L)._2 == Some(2.0), m) // max value, regardless of order
+    } finally query.stop()
+  }
+
   test("a probe with no quote at all on its key emits a null match") {
     implicit val sqlCtx = spark.sqlContext
     val probes = MemoryStream[ProbeEvent]
