@@ -844,6 +844,30 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"), TF.rollingFingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- leakage-safe split: near-dup clusters are split ATOMS —
+    // hash cut-points applied to the cluster label, not the doc ----
+    "q_leak_split" -> ((s, dir) => {
+      graft.operators.Splits
+        .leakageSafeSplit(Tables.documents(s, dir), "text", 3, 0.8, 80, 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic per-group quota cap (corpus balancing):
+    // at most 25 docs per lang, selected in md5-hash order ----
+    "q_group_cap" -> ((s, dir) => {
+      graft.ops.Sampling.capPerGroup(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", 25)
+        .orderBy(col("lang"), col("sel_rank"))
+    }),
+
+    // ---- vocabulary coverage curve: top-k tokens with cumulative
+    // share of total token mass ----
+    "q_vocab_coverage" -> ((s, dir) => {
+      graft.ops.Vocab.coverage(Tables.documents(s, dir), "text", 50)
+        .orderBy(col("rank"))
     })
   )
 
@@ -1271,9 +1295,80 @@ object SparkEntry {
         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
         |WHERE l.id IS NULL
         |GROUP BY 1""".stripMargin
+    // Same transitive closure as componentsSql, but the component
+    // label becomes the SPLIT KEY: md5 cut-points on
+    // coalesce(cluster, doc_id) — the whole cluster moves as one atom.
+    val leakSplitSql =
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+        |  FROM tok
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
+        |), pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1,2
+        |  HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8
+        |), edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2 AS src, d1 AS dst FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+        |), clusters AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        |), keyed AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
+        |  FROM documents d LEFT JOIN clusters c USING (doc_id)
+        |)
+        |SELECT doc_id, group_key,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, group_key,
+        |    CAST(concat('0x', substr(md5(CAST(group_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM keyed
+        |)""".stripMargin
     Map(
       "q_dup_components" -> componentsSql,
       "q_dedup_pipeline" -> dedupPipelineSql,
+      "q_leak_split" -> leakSplitSql,
+
+      // Same md5 hash order (hash, then doc_id tie-break), ranked
+      // per lang, cut at the quota.
+      "q_group_cap" ->
+        s"""WITH r AS (
+           |  SELECT doc_id, lang,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY ${duckHash60.format("CAST(doc_id AS VARCHAR)")}, doc_id) AS sel_rank
+           |  FROM documents
+           |)
+           |SELECT doc_id, lang, CAST(sel_rank AS INT) AS sel_rank
+           |FROM r WHERE sel_rank <= 25""".stripMargin,
+
+      // cum_share divides two exactly-aggregated BIGINTs — the double
+      // is bit-identical across engines.
+      "q_vocab_coverage" ->
+        """WITH tok AS (
+          |  SELECT unnest(string_split_regex(text, ' +')) AS token FROM documents
+          |), c AS (
+          |  SELECT token, count(*) AS cnt FROM tok WHERE len(token) > 0 GROUP BY 1
+          |), t AS (
+          |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c
+          |), r AS (
+          |  SELECT token, cnt,
+          |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank,
+          |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, token) AS BIGINT) AS cum
+          |  FROM c
+          |)
+          |SELECT token, cnt, rank,
+          |  CAST(cum AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE) AS cum_share
+          |FROM r WHERE rank <= 50""".stripMargin,
 
       "q_dedup_exact" ->
         """WITH u AS (

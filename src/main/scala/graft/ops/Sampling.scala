@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-reproducible sampling and train/valid/test
@@ -90,5 +91,80 @@ object Sampling {
       when(b < trainPct, "train")
         .when(b < trainPct + validPct, "valid")
         .otherwise("test"))
+  }
+
+  /** The pseudo-random-but-deterministic per-group selection order
+    * shared by both `capPerGroup` variants: hash first (uniform,
+    * engine-reproducible), raw key as the total-order tie-break. */
+  private def selectionOrder(key: String) =
+    Seq(graft.plans.Hash60.hash60(col(key).cast("string")), col(key))
+
+  /** Keep at most `maxPerGroup` rows per group, selected in
+    * deterministic hash order of `key` (a quota cap: balance a corpus
+    * across languages/sources/domains without `rand()`'s
+    * irreproducibility). Emits `sel_rank` (1-based position in the
+    * group's selection order) with the kept rows.
+    *
+    * Membership is a pure function of (key, the group's key SET):
+    * re-runs agree, and — unlike percentage sampling — adding rows to
+    * a group can displace the highest-ranked survivors (a cap is a
+    * top-k, not a coin flip; use `sampleByHash` when insert-stable
+    * membership matters more than an exact quota).
+    *
+    * Scale shape: one hash-partition shuffle on the group column, then
+    * a per-group sort — O(|group| log |group|) in the hot partition.
+    * Fine while groups fit a task's spill budget; for the 100 TB
+    * corpus with billion-row groups use `capPerGroupPruned`, which
+    * bounds the sorted volume to ~`maxPerGroup` per group first. */
+  def capPerGroup(df: DataFrame, key: String, groupCol: String,
+                  maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    requirePortableKey(df, key)
+    val w = Window.partitionBy(col(groupCol)).orderBy(selectionOrder(key): _*)
+    df.withColumn("sel_rank", row_number().over(w))
+      .where(col("sel_rank") <= maxPerGroup)
+  }
+
+  /** `capPerGroup` for groups too large to sort whole: prune first,
+    * rank after. The 60-bit hash is range-bucketed by its HIGH bits
+    * (`hash >> (60 - bucketBits)`) — an order-PRESERVING coarsening,
+    * so per-(group, bucket) counts give each group a cutoff bucket
+    * (the first whose running count reaches the cap) and every row
+    * ranked ≤ `maxPerGroup` provably lives at-or-before it. Only rows
+    * up to the cutoff — ~`maxPerGroup` + one bucket's tail — reach
+    * the exact row_number; the billion-row group never sorts.
+    *
+    * Cost: one extra count aggregation (map-side-combined to at most
+    * groups × 2^bucketBits rows) and a cutoff join on the group key
+    * (one row per group — AQE broadcasts it when the group count is
+    * small; at huge group cardinality it hash-joins on the same key
+    * the rank shuffle needs anyway), bought back by the hot partition
+    * shrinking from |group| to ~cap. Output is row-identical to
+    * `capPerGroup` (spec-proven). */
+  def capPerGroupPruned(df: DataFrame, key: String, groupCol: String,
+                        maxPerGroup: Int, bucketBits: Int = 13): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    require(bucketBits > 0 && bucketBits < 60, "bucketBits must be in (0, 60)")
+    requirePortableKey(df, key)
+    val bucketed = df.withColumn("__b",
+      shiftright(graft.plans.Hash60.hash60(col(key).cast("string")), 60 - bucketBits))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+    val cutoff = bucketed.groupBy(col(groupCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__cum", sum(col("__n")).over(wCum))
+      // buckets strictly before this one hold < cap rows, so rank
+      // maxPerGroup can still fall here — keep through the first
+      // bucket whose running count reaches the cap
+      .where(col("__cum") - col("__n") < maxPerGroup)
+      .groupBy(col(groupCol)).agg(max(col("__b")).as("__bmax"))
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(selectionOrder(key): _*)
+    bucketed
+      .join(cutoff, Seq(groupCol))
+      .where(col("__b") <= col("__bmax"))
+      .withColumn("sel_rank", row_number().over(wRank))
+      .where(col("sel_rank") <= maxPerGroup)
+      // the using-join moved the group column first — restore the
+      // caller's column order so both variants are drop-in equal
+      .select(df.columns.map(col) :+ col("sel_rank"): _*)
   }
 }

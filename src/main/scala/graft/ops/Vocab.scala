@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus vocabulary statistics: the top-k tokens by frequency with
+  * each prefix's cumulative share of total token mass — the curve
+  * behind "how large a vocabulary covers 95% of the corpus", the
+  * first question of any tokenizer/vocab design pass.
+  *
+  * Plan shape, inside-out: one (token) hash aggregate with map-side
+  * partials (the only full-corpus shuffle, moving one row per
+  * DISTINCT token per map partition); the global top-k plans as
+  * TakeOrderedAndProject (no total sort — each partition keeps its
+  * local k); total mass enters as a 1-row broadcast cross join (same
+  * move as TfIdf's N). The rank/cumulative window runs over the k
+  * SURVIVORS only — a k-row single partition, constant work at any
+  * corpus size.
+  *
+  * `cum_share` divides two exactly-aggregated longs, so the double is
+  * bit-identical across engines (no float summation-order hazard).
+  * Ordering is total: count desc, then token — ties can't reshuffle
+  * the top-k frontier between runs or engines.
+  */
+object Vocab {
+
+  /** (token, cnt, rank, cum_share) for the `k` most frequent tokens.
+    * Empty tokens (from leading whitespace) are excluded; NULL text
+    * contributes nothing. */
+  def coverage(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_share",
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total").cast("double"))
+      .select(col("token"), col("cnt"), col("rank"), col("cum_share"))
+  }
+}

@@ -98,8 +98,9 @@ class PlanSpec extends SparkSpec {
 
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
     // intentional cross joins: cosine scorer (corpus × broadcast query
-    // set) and tf-idf's corpus size N (a 1-row broadcast scalar)
-    val allowCross = Set("q_cosine_topk", "q_tfidf_terms")
+    // set) and the 1-row broadcast scalars carrying tf-idf's corpus
+    // size N and vocab coverage's total token mass
+    val allowCross = Set("q_cosine_topk", "q_tfidf_terms", "q_vocab_coverage")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

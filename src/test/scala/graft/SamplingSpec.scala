@@ -58,4 +58,40 @@ class SamplingSpec extends SparkSpec {
     val expected = java.lang.Long.parseLong(md.take(15), 16) % 100
     assert(h == expected)
   }
+
+  private def grouped = ids.withColumn("g",
+    when($"id" % 10 === 0, "small").otherwise("big")) // 500 vs 4500 rows
+
+  test("capPerGroup keeps exactly the quota per group, ranked 1..cap, deterministically") {
+    val out = Sampling.capPerGroup(grouped, "id", "g", 50)
+    val byGroup = out.groupBy($"g").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("small" -> 50L, "big" -> 50L))
+    val ranks = out.where($"g" === "big").select($"sel_rank").as[Int].collect().sorted
+    assert(ranks.toSeq == (1 to 50))
+    // pure function of (key set): re-evaluation picks the same rows
+    val again = Sampling.capPerGroup(grouped, "id", "g", 50)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("capPerGroup with a quota above the group size keeps the whole group") {
+    val out = Sampling.capPerGroup(grouped, "id", "g", 1000)
+    assert(out.where($"g" === "small").count() == 500L)
+  }
+
+  test("capPerGroupPruned is row-identical to capPerGroup (skewed groups, tiny buckets)") {
+    // bucketBits=3 → 8 coarse buckets, so the cutoff logic is actually
+    // exercised (most buckets hold far more than the cap)
+    val simple = Sampling.capPerGroup(grouped, "id", "g", 37)
+    val pruned = Sampling.capPerGroupPruned(grouped, "id", "g", 37, bucketBits = 3)
+    assert(simple.exceptAll(pruned).isEmpty && pruned.exceptAll(simple).isEmpty)
+    assert(pruned.count() == 74L)
+  }
+
+  test("capPerGroupPruned: groups smaller than the cap survive whole (cutoff never drops short groups)") {
+    val out = Sampling.capPerGroupPruned(grouped, "id", "g", 1000, bucketBits = 3)
+    assert(out.where($"g" === "small").count() == 500L)
+    assert(out.where($"g" === "big").count() == 1000L)
+    val full = Sampling.capPerGroup(grouped, "id", "g", 1000)
+    assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty)
+  }
 }

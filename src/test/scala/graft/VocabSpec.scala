@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.Vocab
+import org.apache.spark.sql.functions._
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a a a b b c"),
+    (2L, "a b d"),
+    (3L, "  a  "), // leading/trailing whitespace → empty tokens, dropped
+    (4L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("coverage ranks by (count desc, token asc) with exact cumulative shares") {
+    val out = Vocab.coverage(docs, "text", 10)
+      .orderBy($"rank")
+      .as[(String, Long, Int, Double)].collect()
+    // counts: a=5, b=3, c=1, d=1 → total 10
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("a", 5L, 1), ("b", 3L, 2), ("c", 1L, 3), ("d", 1L, 4)))
+    assert(out.map(_._4).toSeq == Seq(0.5, 0.8, 0.9, 1.0))
+  }
+
+  test("k cuts the frontier deterministically (ties broken by token)") {
+    val out = Vocab.coverage(docs, "text", 3).orderBy($"rank")
+      .select($"token").as[String].collect()
+    assert(out.toSeq == Seq("a", "b", "c")) // c beats d on the tie by name
+  }
+
+  test("the global top-k plans as TakeOrderedAndProject, not a total sort") {
+    val plan = Vocab.coverage(docs, "text", 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("rejects a non-positive k") {
+    intercept[IllegalArgumentException] { Vocab.coverage(docs, "text", 0) }
+  }
+}
