@@ -868,6 +868,25 @@ object SparkEntry {
     "q_vocab_coverage" -> ((s, dir) => {
       graft.ops.Vocab.coverage(Tables.documents(s, dir), "text", 50)
         .orderBy(col("rank"))
+    }),
+
+    // ---- weighted corpus mixture: 50/25/25 over three sources,
+    // sized by the binding source, md5-threshold membership ----
+    "q_mix" -> ((s, dir) => {
+      graft.ops.Mixture.byWeights(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- reproducible global shuffle: the first 100 docs of epoch-7
+    // training order (TakeOrderedAndProject — no total sort) ----
+    "q_shuffle_order" -> ((s, dir) => {
+      graft.ops.Shuffle.withOrder(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", seed = 7L)
+        .orderBy(col("shuffle_key"), col("doc_id"))
+        .limit(100)
     })
   )
 
@@ -1350,6 +1369,39 @@ object SparkEntry {
            |)
            |SELECT doc_id, lang, CAST(sel_rank AS INT) AS sel_rank
            |FROM r WHERE sel_rank <= 25""".stripMargin,
+
+      // Same binding-source arithmetic in DOUBLE on both sides (the
+      // DECIMAL-literal trap: DuckDB's bare 0.5 is DECIMAL, whose
+      // division differs from Spark's double — cast explicitly).
+      "q_mix" ->
+        """WITH c AS (
+          |  SELECT source, count(*) AS n FROM documents
+          |  WHERE source IN ('src0','src1','src2') GROUP BY 1
+          |), w(source, wt) AS (
+          |  VALUES ('src0', CAST(0.5 AS DOUBLE)),
+          |         ('src1', CAST(0.25 AS DOUBLE)),
+          |         ('src2', CAST(0.25 AS DOUBLE))
+          |), s AS (
+          |  SELECT c.source, c.n, w.wt,
+          |         min(CAST(c.n AS DOUBLE) / w.wt) OVER () AS scale
+          |  FROM c JOIN w USING (source)
+          |), cut AS (
+          |  SELECT source,
+          |         CAST(floor(1048576.0 * scale * wt / CAST(n AS DOUBLE)) AS BIGINT) AS cutoff
+          |  FROM s
+          |)
+          |SELECT d.doc_id, d.source
+          |FROM documents d JOIN cut USING (source)
+          |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 < cutoff""".stripMargin,
+
+      // hash60('7:' || doc_id) replicated literally; the top-100 set
+      // and the key values must both match.
+      "q_shuffle_order" ->
+        s"""SELECT doc_id,
+           |  ${duckHash60.format("concat('7:', CAST(doc_id AS VARCHAR))")} AS shuffle_key
+           |FROM documents
+           |ORDER BY shuffle_key, doc_id
+           |LIMIT 100""".stripMargin,
 
       // cum_share divides two exactly-aggregated BIGINTs — the double
       // is bit-identical across engines.

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Weighted corpus mixing: draw from each source at target
+  * proportions, deterministically — the "data mixture" step of a
+  * training pipeline (e.g. 60% web, 30% code, 10% reference, from
+  * sources of wildly different sizes).
+  *
+  * The mixture is sized by its BINDING source: the largest total
+  * consistent with the weights takes scale = min_i(n_i / w_i) rows,
+  * keeping kept_i = scale · w_i from source i — every source is
+  * drawn at its target share and at least one is used whole. Rows
+  * are chosen by the same md5 hash-threshold trick as `Sampling`
+  * (keep iff bucket(key) < kept_i / n_i of the bucket space):
+  * membership is a pure function of (key, source sizes, weights), so
+  * re-runs and two engines agree exactly, with realized shares
+  * accurate to the bucket granularity (2^-20).
+  *
+  * Plan shape: one count aggregate per source (map-side partials,
+  * group-key = the source column), a broadcast of the per-source
+  * cutoffs (one row per source), and a narrow hash filter — no
+  * repartition of the corpus, filters stay pushdown-friendly.
+  */
+object Mixture {
+
+  /** 2^20 buckets: share resolution ~1e-6, and cutoff arithmetic
+    * stays exactly representable (n_i ≤ 2^43 keeps n·2^20 in range). */
+  private val Buckets = 1L << 20
+
+  /** Keep a `weights`-proportioned mixture of the rows, by source.
+    * Sources absent from `weights` are dropped (weight 0); weights
+    * must be positive and are normalized internally. Returns the
+    * input columns (the mixture is a filter, not a projection). */
+  def byWeights(df: DataFrame, key: String, sourceCol: String,
+                weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    Sampling.requirePortableKey(df, key)
+    val total = weights.values.sum
+    // per-source target share of the final mixture
+    val share = weights.view.mapValues(_ / total).toMap
+
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .where(col(sourceCol).isin(share.keys.toSeq: _*))
+    // scale = min_i(n_i / share_i); kept_i = scale * share_i;
+    // cutoff_i = floor(Buckets * kept_i / n_i). All of it in one
+    // source-count frame: a window min over at most |sources| rows.
+    val shareCol = share.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, w)) => when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cutoffs = counts
+      .withColumn("__scale", min(col("__n").cast("double") / shareCol).over(wAll))
+      .withColumn("__cutoff",
+        floor(lit(Buckets.toDouble) * col("__scale") * shareCol / col("__n").cast("double")))
+      .select(col(sourceCol), col("__cutoff"))
+
+    df.join(broadcast(cutoffs), Seq(sourceCol))
+      .where(Sampling.hashBucket(col(key), Buckets.toInt) < col("__cutoff"))
+      .drop("__cutoff")
+      .select(df.columns.map(col): _*)
+  }
+}

@@ -45,7 +45,7 @@ object Sampling {
   }
 
   /** Cross-engine-reproducible key types: integral or string. */
-  private def requirePortableKey(df: DataFrame, key: String): Unit = {
+  private[ops] def requirePortableKey(df: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(key).dataType
     val portable = dt match {

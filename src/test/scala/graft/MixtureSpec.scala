@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Mixture
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // uneven sources: a is huge, c is the binding (scarcest per weight)
+  private def corpus = (
+    (1L to 8000L).map(i => (i, "a")) ++
+      (8001L to 10000L).map(i => (i, "b")) ++
+      (10001L to 10500L).map(i => (i, "c"))
+    ).toDF("id", "src")
+
+  test("realized proportions track the weights; the binding source is used whole") {
+    // weights 50/25/25; c has 500 rows at weight .25 → scale 2000:
+    // target 1000 a, 500 b, 500 c (c kept whole)
+    val out = Mixture.byWeights(corpus, "id", "src", Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val got = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(got("c") == 500L, s"binding source must be kept whole: $got")
+    // md5-threshold realization: within ~5% of the 1000/500 targets
+    assert(math.abs(got("a") - 1000L) < 50, got.toString)
+    assert(math.abs(got("b") - 500L) < 35, got.toString)
+  }
+
+  test("membership is deterministic and a subset of the corpus, preserving columns") {
+    val w = Map("a" -> 1.0, "b" -> 1.0)
+    val x = Mixture.byWeights(corpus, "id", "src", w)
+    val y = Mixture.byWeights(corpus, "id", "src", w)
+    assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty)
+    assert(x.columns.toSeq == Seq("id", "src"))
+    // equal weights over unequal sources: b binds, both draw ~2000
+    val got = x.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(got("b") == 2000L && math.abs(got("a") - 2000L) < 120, got.toString)
+  }
+
+  test("unweighted sources are dropped; bad weights are rejected") {
+    val out = Mixture.byWeights(corpus, "id", "src", Map("a" -> 1.0))
+    assert(out.where($"src" =!= "a").isEmpty)
+    intercept[IllegalArgumentException] {
+      Mixture.byWeights(corpus, "id", "src", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.byWeights(corpus, "id", "src", Map("a" -> 0.0))
+    }
+  }
+
+  test("weights are scale-free: normalization doesn't change the draw") {
+    val x = Mixture.byWeights(corpus, "id", "src", Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val y = Mixture.byWeights(corpus, "id", "src", Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+    assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty)
+  }
+}
