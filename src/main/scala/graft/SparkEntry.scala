@@ -887,6 +887,15 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id")), "doc_id", seed = 7L)
         .orderBy(col("shuffle_key"), col("doc_id"))
         .limit(100)
+    }),
+
+    // ---- boilerplate removal: drop tokens present in >40% of all
+    // docs (df-based chrome stripping), reassemble in order ----
+    "q_boilerplate" -> ((s, dir) => {
+      graft.ops.Boilerplate.removeFrequentUnits(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text", " ", maxDfPermille = 400)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1393,6 +1402,29 @@ object SparkEntry {
           |SELECT d.doc_id, d.source
           |FROM documents d JOIN cut USING (source)
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 < cutoff""".stripMargin,
+
+      // Exact-integer df threshold on both sides; order-preserving
+      // reassembly via string_agg(... ORDER BY pos).
+      "q_boilerplate" ->
+        """WITH toks AS (
+          |  SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+          |), u AS (
+          |  SELECT doc_id, i.i AS pos, ts[i.i] AS unit
+          |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) i
+          |  WHERE len(ts[i.i]) > 0
+          |), d AS (
+          |  SELECT unit, count(DISTINCT doc_id) AS df FROM u GROUP BY 1
+          |), n AS (
+          |  SELECT count(*) AS n_docs FROM documents
+          |), kept AS (
+          |  SELECT u.doc_id, string_agg(u.unit, ' ' ORDER BY u.pos) AS t
+          |  FROM u JOIN d USING (unit), n
+          |  WHERE d.df * 1000 <= 400 * n.n_docs
+          |  GROUP BY 1
+          |)
+          |SELECT doc_id,
+          |  CASE WHEN doc.text IS NULL THEN NULL ELSE coalesce(k.t, '') END AS text
+          |FROM documents doc LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
       // hash60('7:' || doc_id) replicated literally; the top-100 set
       // and the key values must both match.

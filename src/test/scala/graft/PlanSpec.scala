@@ -100,7 +100,8 @@ class PlanSpec extends SparkSpec {
     // intentional cross joins: cosine scorer (corpus × broadcast query
     // set) and the 1-row broadcast scalars carrying tf-idf's corpus
     // size N and vocab coverage's total token mass
-    val allowCross = Set("q_cosine_topk", "q_tfidf_terms", "q_vocab_coverage")
+    // (q_boilerplate's scalar is the corpus doc count)
+    val allowCross = Set("q_cosine_topk", "q_tfidf_terms", "q_vocab_coverage", "q_boilerplate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
