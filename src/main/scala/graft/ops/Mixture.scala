@@ -39,7 +39,11 @@ object Mixture {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ > 0), "weights must be positive")
     Sampling.requirePortableKey(df, key)
-    val total = weights.values.sum
+    // sum in sorted-key order: double addition is order-sensitive in
+    // the last ulp, and Map iteration order must not leak into the
+    // normalized shares (membership is supposed to be a pure function
+    // of the WEIGHTS, not of how the caller built the Map)
+    val total = weights.toSeq.sortBy(_._1).map(_._2).sum
     // per-source target share of the final mixture
     val share = weights.view.mapValues(_ / total).toMap
 

@@ -95,7 +95,10 @@ object Sampling {
 
   /** The pseudo-random-but-deterministic per-group selection order
     * shared by both `capPerGroup` variants: hash first (uniform,
-    * engine-reproducible), raw key as the total-order tie-break. */
+    * engine-reproducible), raw key as the total-order tie-break.
+    * NULL keys hash to NULL and sort FIRST (Spark's ASC default);
+    * engines disagree on null placement (DuckDB sorts them last), so
+    * exclude null keys upstream when cross-engine parity matters. */
   private def selectionOrder(key: String) =
     Seq(graft.plans.Hash60.hash60(col(key).cast("string")), col(key))
 
