@@ -896,6 +896,21 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           "text", " ", maxDfPermille = 400)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- curation funnel: per-lang survivor counts through four
+    // cumulative filter stages, ONE scan (conditional aggregation) ----
+    "q_curation_funnel" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      graft.ops.Funnel.counts(
+          Tables.documents(s, dir),
+          Seq(
+            "nonempty" -> (col("text").isNotNull && length(col("text")) > 0),
+            "token_min" -> (size(TF.tokens(col("text"))) >= 30),
+            "quality" -> (TF.qualityScore(col("text")) >= 0.7),
+            "sampled" -> (graft.ops.Sampling.hashBucket(col("doc_id")) < 50)),
+          groupCols = Seq("lang"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -1402,6 +1417,28 @@ object SparkEntry {
           |SELECT d.doc_id, d.source
           |FROM documents d JOIN cut USING (source)
           |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1048576 < cutoff""".stripMargin,
+
+      // Cumulative conditional aggregation with the same stage
+      // predicates; the quality expression is the q_text_stats mirror.
+      "q_curation_funnel" -> {
+        val quality =
+          """least(CAST(len(string_split_regex(text, ' +')) AS DOUBLE)/64.0, 1.0)*0.4
+            |    + (CASE WHEN (CAST(length(text) AS DOUBLE) - (CAST(len(string_split_regex(text, ' +')) AS DOUBLE) - 1.0))
+            |                 / greatest(CAST(len(string_split_regex(text, ' +')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0
+            |            THEN 1.0 ELSE 0.5 END)*0.3
+            |    + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+            |                   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))*0.3""".stripMargin
+        val c1 = "(text IS NOT NULL AND length(text) > 0)"
+        val c2 = s"$c1 AND len(string_split_regex(text, ' +')) >= 30"
+        val c3 = s"$c2 AND ($quality) >= 0.7"
+        val c4 = s"$c3 AND ${duckHash60.format("CAST(doc_id AS VARCHAR)")} % 100 < 50"
+        s"""SELECT lang, count(*) AS n_raw,
+           |  CAST(sum(CASE WHEN $c1 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+           |  CAST(sum(CASE WHEN $c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_token_min,
+           |  CAST(sum(CASE WHEN $c3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           |  CAST(sum(CASE WHEN $c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+           |FROM documents GROUP BY lang""".stripMargin
+      },
 
       // Exact-integer df threshold on both sides; order-preserving
       // reassembly via string_agg(... ORDER BY pos).
