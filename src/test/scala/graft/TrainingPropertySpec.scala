@@ -96,4 +96,76 @@ class TrainingPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("mixture: output is a subset, the binding source is whole, shares track weights") {
+    val gen = for {
+      na <- Gen.choose(50, 400)
+      nb <- Gen.choose(50, 400)
+      wa <- Gen.choose(1, 4)
+      wb <- Gen.choose(1, 4)
+    } yield (na, nb, wa.toDouble, wb.toDouble)
+    forAllSamples(gen) { case (na, nb, wa, wb) =>
+      val df = ((1 to na).map(i => (i.toLong, "a")) ++
+        (1 to nb).map(i => ((i + 100000).toLong, "b"))).toDF("id", "src")
+      val out = graft.ops.Mixture.byWeights(df, "id", "src", Map("a" -> wa, "b" -> wb))
+      val got = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+      val scale = math.min(na / wa, nb / wb)
+      val (bindSrc, bindN) = if (na / wa <= nb / wb) ("a", na.toLong) else ("b", nb.toLong)
+      assert(got.getOrElse(bindSrc, 0L) == bindN,
+        s"binding source not whole: $got na=$na nb=$nb wa=$wa wb=$wb")
+      // the other source draws its target within md5-bucket noise
+      val other = if (bindSrc == "a") "b" else "a"
+      val target = scale * (if (other == "a") wa else wb)
+      val tol = math.max(10.0, target * 0.25)
+      assert(math.abs(got.getOrElse(other, 0L) - target) <= tol,
+        s"off-target draw: $got target=$target na=$na nb=$nb wa=$wa wb=$wb")
+      // subset of the corpus
+      assert(out.exceptAll(df).isEmpty)
+    }
+  }
+
+  test("shuffle: withOrder is a permutation-inducing pure projection (no loss, no dup)") {
+    val gen = Gen.choose(1, 500)
+    forAllSamples(gen) { n =>
+      val df = (1L to n.toLong).toDF("id")
+      val out = graft.ops.Shuffle.withOrder(df, "id", seed = 11L)
+      assert(out.count() == n.toLong)
+      assert(out.select($"id").distinct().count() == n.toLong)
+      // hash keys are unique enough to define a total order with the
+      // id tie-break: ranking twice yields identical sequences
+      val o1 = out.orderBy($"shuffle_key", $"id").select($"id").as[Long].collect().toSeq
+      val o2 = graft.ops.Shuffle.withOrder(df, "id", 11L)
+        .orderBy($"shuffle_key", $"id").select($"id").as[Long].collect().toSeq
+      assert(o1 == o2)
+      assert(o1.sorted == (1L to n.toLong))
+    }
+  }
+
+  test("boilerplate: with a threshold of 1000 permille the corpus round-trips (modulo separator runs)") {
+    val docGen = Gen.choose(1, 10).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("u", "v", "w", "x", "y")).map(_.mkString(" ")))
+    val gen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, docGen))
+    forAllSamples(gen) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.ops.Boilerplate.removeFrequentUnits(df, "text", " ", 1000)
+        .orderBy($"doc_id").as[(Long, String)].collect()
+      assert(out.map(_._2).toSeq == texts, "df<=100% must keep every unit in order")
+    }
+  }
+
+  test("funnel: stage counts are monotone non-increasing for any predicate set") {
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      t1 <- Gen.choose(0, 100)
+      t2 <- Gen.choose(0, 100)
+    } yield (n, t1, t2)
+    forAllSamples(gen) { case (n, t1, t2) =>
+      val df = (1L to n.toLong).toDF("id")
+      val out = graft.ops.Funnel.counts(df,
+        Seq("s1" -> (pmod($"id", lit(101)) >= t1), "s2" -> (pmod($"id" * 7, lit(101)) >= t2)))
+        .as[(Long, Long, Long)].head()
+      assert(out._1 >= out._2 && out._2 >= out._3, s"$out n=$n t1=$t1 t2=$t2")
+      assert(out._1 == n.toLong)
+    }
+  }
 }
