@@ -1280,10 +1280,12 @@ object SparkEntry {
         |FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         |GROUP BY 1,2
         |HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8""".stripMargin
-    // transitive closure over the same exact-Jaccard pair set; min
-    // reachable id per node = the component label Spark's min-label
-    // propagation converges to
-    val componentsSql =
+    // The ONE transitive closure over the exact-Jaccard pair set
+    // (shingle -> pairs -> edges -> reach); min reachable id per node
+    // = the component label Spark's min-label propagation converges
+    // to. Shared verbatim by the three cluster-consuming oracles so a
+    // threshold/shingling tweak can never desynchronize them.
+    val closurePrefix =
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
         |), sh AS (
@@ -1304,33 +1306,15 @@ object SparkEntry {
         |  SELECT src, src FROM edges
         |  UNION
         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-        |)
+        |)""".stripMargin
+    val componentsSql =
+      s"""$closurePrefix
         |SELECT id AS doc_id, min(r) AS cluster_id, (id = min(r)) AS is_canonical
         |FROM reach GROUP BY 1""".stripMargin
-    // Same closure as componentsSql, then anti-join the non-canonical
-    // members away and aggregate the survivors.
+    // Same closure, then anti-join the non-canonical members away and
+    // aggregate the survivors.
     val dedupPipelineSql =
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
-        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
-        |  FROM tok
-        |), ex AS (
-        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
-        |), pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1,2
-        |  HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8
-        |), edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM pairs
-        |  UNION SELECT d2 AS src, d1 AS dst FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-        |), losers AS (
+      s"""$closurePrefix, losers AS (
         |  SELECT id FROM reach GROUP BY id HAVING id <> min(r)
         |)
         |SELECT d.lang, count(*) AS n_docs, min(d.doc_id) AS min_doc,
@@ -1338,31 +1322,11 @@ object SparkEntry {
         |FROM documents d LEFT JOIN losers l ON d.doc_id = l.id
         |WHERE l.id IS NULL
         |GROUP BY 1""".stripMargin
-    // Same transitive closure as componentsSql, but the component
-    // label becomes the SPLIT KEY: md5 cut-points on
-    // coalesce(cluster, doc_id) — the whole cluster moves as one atom.
+    // Same closure, but the component label becomes the SPLIT KEY:
+    // md5 cut-points on coalesce(cluster, doc_id) — the whole cluster
+    // moves as one atom.
     val leakSplitSql =
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
-        |), sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
-        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
-        |  FROM tok
-        |), ex AS (
-        |  SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh
-        |), pairs AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1,2
-        |  HAVING count(*)*1.0/(any_value(a.n) + any_value(b.n) - count(*)) >= 0.8
-        |), edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM pairs
-        |  UNION SELECT d2 AS src, d1 AS dst FROM pairs
-        |), reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-        |), clusters AS (
+      s"""$closurePrefix, clusters AS (
         |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
         |), keyed AS (
         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key
@@ -1407,11 +1371,14 @@ object SparkEntry {
           |         ('src2', CAST(0.25 AS DOUBLE))
           |), s AS (
           |  SELECT c.source, c.n, w.wt,
+          |         CAST(c.n AS DOUBLE) / w.wt AS ratio,
           |         min(CAST(c.n AS DOUBLE) / w.wt) OVER () AS scale
           |  FROM c JOIN w USING (source)
           |), cut AS (
           |  SELECT source,
-          |         CAST(floor(1048576.0 * scale * wt / CAST(n AS DOUBLE)) AS BIGINT) AS cutoff
+          |         CASE WHEN scale = ratio THEN 1048576
+          |              ELSE CAST(floor(1048576.0 * scale * wt / CAST(n AS DOUBLE)) AS BIGINT)
+          |         END AS cutoff
           |  FROM s
           |)
           |SELECT d.doc_id, d.source

@@ -29,6 +29,8 @@ object Funnel {
              groupCols: Seq[String] = Nil): DataFrame = {
     require(stages.nonEmpty, "at least one stage")
     require(stages.map(_._1).distinct.size == stages.size, "stage names must be unique")
+    require(!stages.exists(_._1 == "raw"),
+      "stage name 'raw' collides with the built-in n_raw column")
     val cumulative = stages
       .scanLeft(lit(true)) { case (acc, (_, p)) => acc && coalesce(p, lit(false)) }
       .tail // drop the seed

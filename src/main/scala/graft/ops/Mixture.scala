@@ -57,9 +57,18 @@ object Mixture {
     }
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cutoffs = counts
-      .withColumn("__scale", min(col("__n").cast("double") / shareCol).over(wAll))
+      .withColumn("__ratio", col("__n").cast("double") / shareCol)
+      .withColumn("__scale", min(col("__ratio")).over(wAll))
+      // the BINDING source (scale == its own n/share — min copies the
+      // exact double, so the equality is reliable) is whole by
+      // definition: pin its cutoff to the full bucket space rather
+      // than trusting floor(B·scale·share/n) to round-trip to exactly
+      // B through three double ops (it lands on B-1 for ~5% of
+      // weight/count combinations, shaving the top bucket off a
+      // source the contract promises to keep whole)
       .withColumn("__cutoff",
-        floor(lit(Buckets.toDouble) * col("__scale") * shareCol / col("__n").cast("double")))
+        when(col("__scale") === col("__ratio"), lit(Buckets))
+          .otherwise(floor(lit(Buckets.toDouble) * col("__scale") * shareCol / col("__n").cast("double"))))
       .select(col(sourceCol), col("__cutoff"))
 
     df.join(broadcast(cutoffs), Seq(sourceCol))

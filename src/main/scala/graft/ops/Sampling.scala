@@ -149,8 +149,13 @@ object Sampling {
     require(maxPerGroup > 0, "maxPerGroup must be positive")
     require(bucketBits > 0 && bucketBits < 60, "bucketBits must be in (0, 60)")
     requirePortableKey(df, key)
-    val bucketed = df.withColumn("__b",
-      shiftright(graft.plans.Hash60.hash60(col(key).cast("string")), 60 - bucketBits))
+    // NULL keys hash to NULL; coalesce their bucket to -1 so they
+    // occupy a bucket BEFORE every real one — the same position the
+    // rank window's nulls-first ordering gives them, keeping this
+    // variant row-identical to capPerGroup on null keys too
+    val bucketed = df.withColumn("__b", coalesce(
+      shiftright(graft.plans.Hash60.hash60(col(key).cast("string")), 60 - bucketBits),
+      lit(-1L)))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__b"))
     val cutoff = bucketed.groupBy(col(groupCol), col("__b"))
       .agg(count(lit(1)).as("__n"))
@@ -160,14 +165,15 @@ object Sampling {
       // bucket whose running count reaches the cap
       .where(col("__cum") - col("__n") < maxPerGroup)
       .groupBy(col(groupCol)).agg(max(col("__b")).as("__bmax"))
+      .withColumnRenamed(groupCol, "__g")
     val wRank = Window.partitionBy(col(groupCol)).orderBy(selectionOrder(key): _*)
     bucketed
-      .join(cutoff, Seq(groupCol))
+      // null-SAFE group match: a NULL group is a group like any other
+      // to Window.partitionBy, so the cutoff join must not drop it
+      .join(cutoff, col(groupCol) <=> col("__g"))
       .where(col("__b") <= col("__bmax"))
       .withColumn("sel_rank", row_number().over(wRank))
       .where(col("sel_rank") <= maxPerGroup)
-      // the using-join moved the group column first — restore the
-      // caller's column order so both variants are drop-in equal
       .select(df.columns.map(col) :+ col("sel_rank"): _*)
   }
 }

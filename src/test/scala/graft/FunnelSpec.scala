@@ -43,6 +43,10 @@ class FunnelSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Funnel.counts(rows, Seq("s" -> $"flag", "s" -> $"flag"))
     }
+    // 'raw' would collide with the built-in n_raw column
+    intercept[IllegalArgumentException] {
+      Funnel.counts(rows, Seq("raw" -> $"flag"))
+    }
   }
 
   test("single scan: exactly one aggregate, no join, no extra exchange") {

@@ -46,6 +46,18 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("binding source keeps its TOP hash bucket (floor-underflow regression)") {
+    // weights (a=0.2, b=1.0) with |a|=50, |b|=1000 make a the binding
+    // source AND make floor(B·scale·share/n) land on B-1 in double
+    // arithmetic; id 1706733 hashes into bucket B-1 = 1048575, so
+    // without the binding-source pin it would be silently dropped
+    val df = ((1L to 49L).map((_, "a")) ++ Seq((1706733L, "a")) ++
+      (10001L to 11000L).map((_, "b"))).toDF("id", "src")
+    val out = Mixture.byWeights(df, "id", "src", Map("a" -> 0.2, "b" -> 1.0))
+    assert(out.where($"src" === "a").count() == 50L, "binding source must be whole")
+    assert(out.where($"id" === 1706733L).count() == 1L, "top-bucket row was dropped")
+  }
+
   test("weights are scale-free: normalization doesn't change the draw") {
     val x = Mixture.byWeights(corpus, "id", "src", Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
     val y = Mixture.byWeights(corpus, "id", "src", Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))

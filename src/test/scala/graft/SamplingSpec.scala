@@ -94,4 +94,21 @@ class SamplingSpec extends SparkSpec {
     val full = Sampling.capPerGroup(grouped, "id", "g", 1000)
     assert(out.exceptAll(full).isEmpty && full.exceptAll(out).isEmpty)
   }
+
+  test("capPerGroupPruned equals capPerGroup on NULL groups and NULL keys too") {
+    // a NULL group is a partition like any other to the rank window;
+    // NULL keys hash to NULL and rank FIRST — the pruned variant's
+    // cutoff join and bucket filter must not drop either
+    val df = (
+      (1L to 200L).map(i => (Some(i), Option("g1"))) ++
+        (201L to 400L).map(i => (Some(i), Option.empty[String])) ++ // null group
+        Seq((Option.empty[Long], Option("g1")), (Option.empty[Long], Option.empty[String]))
+      ).toDF("id", "g")
+    val simple = Sampling.capPerGroup(df, "id", "g", 50)
+    val pruned = Sampling.capPerGroupPruned(df, "id", "g", 50, bucketBits = 3)
+    assert(simple.exceptAll(pruned).isEmpty && pruned.exceptAll(simple).isEmpty)
+    // null keys took rank 1 in their groups (nulls-first contract)
+    assert(simple.where($"id".isNull && $"sel_rank" === 1).count() == 2L)
+    assert(pruned.where($"id".isNull && $"sel_rank" === 1).count() == 2L)
+  }
 }
