@@ -23,10 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** One row per group: `n_raw` plus `n_<stage>` survivor counts for
-    * the cumulative prefix of each stage. */
-  def counts(df: DataFrame, stages: Seq[(String, Column)],
-             groupCols: Seq[String] = Nil): DataFrame = {
+  /** The conditional-aggregation columns for a stage list — shared by
+    * the batch entry point and the streaming per-window variant
+    * (`streaming.StreamFunnel`). */
+  private[graft] def stageAggs(stages: Seq[(String, Column)]): Seq[Column] = {
     require(stages.nonEmpty, "at least one stage")
     require(stages.map(_._1).distinct.size == stages.size, "stage names must be unique")
     require(!stages.exists(_._1 == "raw"),
@@ -34,10 +34,17 @@ object Funnel {
     val cumulative = stages
       .scanLeft(lit(true)) { case (acc, (_, p)) => acc && coalesce(p, lit(false)) }
       .tail // drop the seed
-    val aggs = count(lit(1)).as("n_raw") +:
+    count(lit(1)).as("n_raw") +:
       cumulative.zip(stages).map { case (cum, (name, _)) =>
         sum(when(cum, 1L).otherwise(0L)).as(s"n_$name")
       }
+  }
+
+  /** One row per group: `n_raw` plus `n_<stage>` survivor counts for
+    * the cumulative prefix of each stage. */
+  def counts(df: DataFrame, stages: Seq[(String, Column)],
+             groupCols: Seq[String] = Nil): DataFrame = {
+    val aggs = stageAggs(stages)
     if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
