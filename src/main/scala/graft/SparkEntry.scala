@@ -911,6 +911,32 @@ object SparkEntry {
             "sampled" -> (graft.ops.Sampling.hashBucket(col("doc_id")) < 50)),
           groupCols = Seq("lang"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- score-proportional sampling: survival probability equals
+    // the doc's quality score, membership deterministic by key ----
+    "q_score_sample" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      graft.ops.Sampling.sampleByScore(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("lang"), col("text"),
+              TF.qualityScore(col("text")).as("q")),
+          "doc_id", "q")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- weight-proportional repetition: quality-weighted
+    // upsampling (each doc appears ~2·quality times per epoch) ----
+    "q_repeat_weight" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      graft.ops.Sampling.repeatByWeight(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"),
+              (TF.qualityScore(col("text")) * 2.0).as("w")),
+          "doc_id", "w")
+        .select(col("doc_id"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
     })
   )
 
@@ -1246,6 +1272,16 @@ object SparkEntry {
 
   private val duckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
 
+  /** DuckDB mirror of TextFunctions.qualityScore — shared by every
+    * oracle that filters or weights on quality. */
+  private val qualitySql =
+    """least(CAST(len(string_split_regex(text, ' +')) AS DOUBLE)/64.0, 1.0)*0.4
+      |    + (CASE WHEN (CAST(length(text) AS DOUBLE) - (CAST(len(string_split_regex(text, ' +')) AS DOUBLE) - 1.0))
+      |                 / greatest(CAST(len(string_split_regex(text, ' +')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0
+      |            THEN 1.0 ELSE 0.5 END)*0.3
+      |    + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+      |                   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))*0.3""".stripMargin
+
   private def trainingOracles: Map[String, String] = {
     // cross-batch exact Jaccard (new = doc_id ≡ 0 mod 20 vs the rest):
     // the q_incr_neardup contract, same shingle/threshold conventions
@@ -1388,13 +1424,7 @@ object SparkEntry {
       // Cumulative conditional aggregation with the same stage
       // predicates; the quality expression is the q_text_stats mirror.
       "q_curation_funnel" -> {
-        val quality =
-          """least(CAST(len(string_split_regex(text, ' +')) AS DOUBLE)/64.0, 1.0)*0.4
-            |    + (CASE WHEN (CAST(length(text) AS DOUBLE) - (CAST(len(string_split_regex(text, ' +')) AS DOUBLE) - 1.0))
-            |                 / greatest(CAST(len(string_split_regex(text, ' +')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 10.0
-            |            THEN 1.0 ELSE 0.5 END)*0.3
-            |    + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-            |                   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))*0.3""".stripMargin
+        val quality = qualitySql
         val c1 = "(text IS NOT NULL AND length(text) > 0)"
         val c2 = s"$c1 AND len(string_split_regex(text, ' +')) >= 30"
         val c3 = s"$c2 AND ($quality) >= 0.7"
@@ -1406,6 +1436,32 @@ object SparkEntry {
            |  CAST(sum(CASE WHEN $c4 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
            |FROM documents GROUP BY lang""".stripMargin
       },
+
+      // Same clamp/floor cut on the salted md5 bucket; the quality
+      // double is bit-identical cross-engine (proven by q_text_stats).
+      "q_score_sample" ->
+        s"""WITH q AS (
+           |  SELECT doc_id, lang, ($qualitySql) AS qv FROM documents
+           |)
+           |SELECT doc_id, lang FROM q
+           |WHERE ${duckHash60.format("concat('score:', CAST(doc_id AS VARCHAR))")} % 1048576
+           |      < CAST(floor(least(greatest(qv, 0.0), 1.0) * 1048576) AS BIGINT)""".stripMargin,
+
+      // floor(w) copies + one more iff the salted bucket clears the
+      // fractional cut; LATERAL generate_series mirrors the explode.
+      "q_repeat_weight" ->
+        s"""WITH w AS (
+           |  SELECT doc_id, 2.0 * ($qualitySql) AS wv FROM documents
+           |), n AS (
+           |  SELECT doc_id,
+           |    CAST(floor(wv) AS INT) +
+           |    (CASE WHEN ${duckHash60.format("concat('repeat:', CAST(doc_id AS VARCHAR))")} % 1048576
+           |               < CAST(floor((wv - floor(wv)) * 1048576) AS BIGINT) THEN 1 ELSE 0 END) AS n
+           |  FROM w
+           |)
+           |SELECT n.doc_id, CAST(g.i AS INT) AS copy_idx
+           |FROM n, LATERAL (SELECT unnest(generate_series(0, n.n - 1)) AS i) g
+           |WHERE n.n > 0""".stripMargin,
 
       // Exact-integer df threshold on both sides; order-preserving
       // reassembly via string_agg(... ORDER BY pos).

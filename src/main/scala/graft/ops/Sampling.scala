@@ -93,6 +93,59 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Score-proportional sampling: keep each row with probability
+    * equal to `scoreCol` (clamped to [0, 1]), deterministically —
+    * soft quality filtering, where a 0.9-quality doc survives 90% of
+    * the time and a 0.2 doc 20%, but WHICH docs survive is a pure
+    * function of the key (re-runs and engines agree; no rand()).
+    * Keep iff hashBucket(salt:key) < floor(score · 2²⁰): the score
+    * and the product are computed identically by both engines (IEEE
+    * doubles), so the floor cut is exact. The `salt` decorrelates
+    * this decision from the other md5-bucket ops on the same key
+    * (split membership, mixture draw) — unsalted, the same low-bucket
+    * rows would win every probabilistic decision at once. Narrow
+    * filter — no shuffle. */
+  def sampleByScore(df: DataFrame, key: String, scoreCol: String,
+                    salt: String = "score"): DataFrame = {
+    requirePortableKey(df, key)
+    val b = 1 << 20
+    val clamped = least(greatest(col(scoreCol).cast("double"), lit(0.0)), lit(1.0))
+    df.where(hashBucket(concat_ws(":", lit(salt), col(key).cast("string")), b)
+      < floor(clamped * b).cast("long"))
+  }
+
+  /** Weight-proportional repetition: emit each row `floor(w)` times
+    * plus one more with probability `frac(w)` — the deterministic
+    * form of quality-weighted upsampling ("see high-quality docs ~w
+    * times per epoch"). Copies carry `copy_idx` (0-based) so
+    * downstream shuffling can interleave them. `maxRepeat` bounds the
+    * blow-up (a mis-scaled weight column multiplying the corpus by
+    * 1000 should fail loudly, not OOM the shuffle): weights above it
+    * raise an error at execution time. Negative weights emit nothing.
+    *
+    * Scale shape: a narrow sequence-explode (map-side Generate) —
+    * output volume is Σw, the thing the caller asked for; no shuffle,
+    * no state. */
+  def repeatByWeight(df: DataFrame, key: String, weightCol: String,
+                     maxRepeat: Int = 16, salt: String = "repeat"): DataFrame = {
+    require(maxRepeat > 0, "maxRepeat must be positive")
+    requirePortableKey(df, key)
+    val b = 1 << 20
+    val w = col(weightCol).cast("double")
+    val guarded = when(w > maxRepeat,
+      raise_error(concat(lit(s"repeatByWeight: weight exceeds maxRepeat=$maxRepeat: "),
+        w.cast("string"))).cast("double"))
+      .otherwise(w)
+    val whole = floor(guarded).cast("int")
+    val extra = (hashBucket(concat_ws(":", lit(salt), col(key).cast("string")), b)
+      < floor((guarded - floor(guarded)) * b).cast("long")).cast("int")
+    val copies = greatest(whole + extra, lit(0))
+    df.withColumn("__n", copies)
+      .where(col("__n") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(0), col("__n") - 1)).as("copy_idx"): _*)
+  }
+
   /** The pseudo-random-but-deterministic per-group selection order
     * shared by both `capPerGroup` variants: hash first (uniform,
     * engine-reproducible), raw key as the total-order tie-break.

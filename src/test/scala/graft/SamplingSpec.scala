@@ -8,6 +8,10 @@ class SamplingSpec extends SparkSpec {
 
   private def ids = (1L to 5000L).toDF("id")
 
+  private def allMessages(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+
   test("assignSplit is disjoint, exhaustive, and deterministic") {
     val a = Sampling.assignSplit(ids, "id", 80, 10)
     val counts = a.groupBy($"split").count().as[(String, Long)].collect().toMap
@@ -57,6 +61,53 @@ class SamplingSpec extends SparkSpec {
       .digest("42".getBytes("UTF-8")).map("%02x".format(_)).mkString
     val expected = java.lang.Long.parseLong(md.take(15), 16) % 100
     assert(h == expected)
+  }
+
+  test("sampleByScore: survival rate tracks the score; deterministic; clamped") {
+    val df = ids.withColumn("q",
+      when($"id" % 3 === 0, 0.9).when($"id" % 3 === 1, 0.2).otherwise(5.0)) // 5.0 clamps to 1
+    val out = Sampling.sampleByScore(df, "id", "q").cache()
+    try {
+      val hi = out.where($"q" === 0.9).count().toDouble / (5000 / 3)
+      val lo = out.where($"q" === 0.2).count().toDouble / (5000 / 3)
+      assert(math.abs(hi - 0.9) < 0.07, s"hi rate $hi")
+      assert(math.abs(lo - 0.2) < 0.07, s"lo rate $lo")
+      assert(out.where($"q" === 5.0).count() == ids.where($"id" % 3 === 2).count(),
+        "score above 1 must clamp to keep-always")
+      val again = Sampling.sampleByScore(df, "id", "q")
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("sampleByScore: zero and negative scores keep nothing") {
+    val df = ids.withColumn("q", when($"id" % 2 === 0, 0.0).otherwise(-3.0))
+    assert(Sampling.sampleByScore(df, "id", "q").isEmpty)
+  }
+
+  test("repeatByWeight: floor copies always, fractional extra at the documented rate") {
+    val df = ids.withColumn("w", lit(2.25))
+    val out = Sampling.repeatByWeight(df, "id", "w").cache()
+    try {
+      val perDoc = out.groupBy($"id").count().as[(Long, Long)].collect()
+      assert(perDoc.length == 5000, "every row emits at least floor(w)=2 copies")
+      assert(perDoc.forall(p => p._2 == 2L || p._2 == 3L))
+      val extraRate = perDoc.count(_._2 == 3L).toDouble / 5000
+      assert(math.abs(extraRate - 0.25) < 0.05, s"extra rate $extraRate")
+      // copy_idx dense from 0
+      val idxs = out.where($"id" === perDoc.head._1).select($"copy_idx").as[Int].collect().sorted
+      assert(idxs.toSeq == (0 until idxs.length))
+    } finally out.unpersist()
+  }
+
+  test("repeatByWeight: weights below 1 subsample; above maxRepeat fail loudly") {
+    val df = ids.withColumn("w", lit(0.5))
+    val n = Sampling.repeatByWeight(df, "id", "w").count()
+    assert(math.abs(n - 2500.0) < 150, s"0.5 weight should emit ~half: $n")
+    val bad = ids.withColumn("w", lit(100.0))
+    val e = intercept[Throwable] {
+      Sampling.repeatByWeight(bad, "id", "w").collect()
+    }
+    assert(allMessages(e).contains("exceeds maxRepeat"), allMessages(e))
   }
 
   private def grouped = ids.withColumn("g",
