@@ -136,14 +136,24 @@ object Sampling {
       raise_error(concat(lit(s"repeatByWeight: weight exceeds maxRepeat=$maxRepeat: "),
         w.cast("string"))).cast("double"))
       .otherwise(w)
-    val whole = floor(guarded).cast("int")
+    // stage the (possibly expensive — a quality regex, say) weight as
+    // its own projection; Catalyst keeps multi-referenced non-cheap
+    // aliases un-inlined, so it evaluates once per row
+    val staged = df.withColumn("__w", guarded)
+    val wOnce = col("__w")
+    val whole = floor(wOnce).cast("int")
     val extra = (hashBucket(concat_ws(":", lit(salt), col(key).cast("string")), b)
-      < floor((guarded - floor(guarded)) * b).cast("long")).cast("int")
+      < floor((wOnce - floor(wOnce)) * b).cast("long")).cast("int")
     val copies = greatest(whole + extra, lit(0))
-    df.withColumn("__n", copies)
-      .where(col("__n") > 0)
+    // posexplode(array_repeat) emits __n rows and NATURALLY drops
+    // __n <= 0 rows — a `where(__n > 0)` here would be predicate-
+    // pushed below the staging projections with the weight expression
+    // inlined wholesale (measured ~6 evaluations per row on a
+    // regex-scored corpus); the generator form needs no filter at all
+    staged.withColumn("__n", copies)
       .select(df.columns.map(col) :+
-        explode(sequence(lit(0), col("__n") - 1)).as("copy_idx"): _*)
+        posexplode(array_repeat(lit(0), col("__n"))).as(Seq("copy_idx", "__z")): _*)
+      .drop("__z")
   }
 
   /** The pseudo-random-but-deterministic per-group selection order
