@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: the training side collapses to its DISTINCT shingle
   * hashes (one explode + distinct — shuffles longs, never text; at
   * 100 TB this is the same cardinality the near-dup index already
-  * carries), the eval side explodes its shingles and LEFT SEMI-joins
-  * the training set per shingle, then re-aggregates per eval doc.
-  * Both joins are hash-partitioned equi-joins on a long key; eval
-  * corpora are small, so the per-shingle join is usually
+  * carries); the eval side is shingled ONCE, exploded, LEFT-joined
+  * against the training set per shingle (hit = found), and
+  * re-aggregated per eval doc — one join end to end, with empty
+  * docs carried through on a NULL sentinel shingle instead of a
+  * second spine branch. The join is a hash-partitioned equi-join on
+  * a long key; eval corpora are small, so it is usually
   * broadcast-able from the eval side — but the plan also works when
   * the eval set is large (skew on stopword-heavy shingles is bounded
   * because shingle sets are DISTINCT per doc).
@@ -33,17 +35,19 @@ object Contamination {
                         n: Int, threshold: Double): DataFrame = {
     val trainShingles = NearDup.shingled(train, textCol, n)
       .select(explode(col("hs")).as("h")).distinct()
-    // ONE shingling pass over the eval corpus, reused for both the
-    // exploded semi-join side and the per-doc spine
-    val evalSh = NearDup.shingled(eval, textCol, n)
-    val evalShingles = evalSh
-      .select(col("doc_id"), col("n_shingles"), explode(col("hs")).as("h"))
-    val hits = evalShingles.join(trainShingles, Seq("h"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    evalSh
-      .select(col("doc_id"), col("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+    // ONE pass over the eval corpus, ONE join: docs with no shingles
+    // explode a single NULL sentinel (null joins nothing, counts
+    // nothing) so every doc survives to the re-aggregation — no
+    // second shingling branch, no spine join
+    val evalShingles = NearDup.shingled(eval, textCol, n)
+      .select(col("doc_id"), col("n_shingles"),
+        explode(when(size(col("hs")) > 0, col("hs"))
+          .otherwise(array(lit(null).cast("long")))).as("h"))
+    evalShingles
+      .join(trainShingles.withColumn("__hit", lit(1)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_contaminated"))
       .withColumn("containment",
         when(col("n_shingles") > 0,
           col("n_contaminated").cast("double") / col("n_shingles").cast("double"))

@@ -90,10 +90,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), plan)
   }
 
-  test("q_contamination: containment probes are semi joins, never nested loops") {
+  test("q_contamination: ONE equi-join probe end to end, never a nested loop") {
     val plan = planOf("q_contamination")
-    assert(plan.contains("LeftSemi"), plan)
+    // the hit probe is a single left outer hash/merge equi-join on the
+    // shingle key — one eval pass, no second spine branch
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+    // one-pass claim: exactly one join in the tree (formatted plans
+    // repeat each operator in the details section — count the tree
+    // line, which carries the join type)
+    assert("Join LeftOuter".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join Inner") && !plan.contains("Join LeftSemi"),
+      s"unexpected extra join:\n$plan")
   }
 
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
