@@ -785,6 +785,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- contamination ATTRIBUTION: top-3 training sources per
+    // eval doc with >= 3 shared shingles (the decontamination list) ----
+    "q_contam_sources" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Contamination.contaminationSources(
+          docs.where(pmod(col("doc_id"), lit(50L)) =!= 0),
+          docs.where(pmod(col("doc_id"), lit(50L)) === 0),
+          "text", 3, minCommon = 3L, k = 3)
+        .orderBy(col("eval_id"), col("rnk"))
+    }),
+
     // ---- intra-document n-gram repetition ratio (boilerplate signal) ----
     "q_repetition" -> ((s, dir) => {
       import graft.functions.{TextFunctions => TF}
@@ -1550,6 +1561,38 @@ object SparkEntry {
           |  CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END AS containment,
           |  (CASE WHEN ev.n_sh > 0 THEN coalesce(h.n_cont, 0) * 1.0 / ev.n_sh ELSE 0.0 END) >= 0.8 AS is_contaminated
           |FROM ev LEFT JOIN hits h ON ev.doc_id = h.doc_id""".stripMargin,
+
+      // Same shingling and 1-in-50 split; train-side df cap mirrored
+      // (a no-op at this scale, but the formula must match), then
+      // per-pair counts, min-common filter, top-3 window.
+      "q_contam_sources" ->
+        """WITH tok AS (
+          |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+          |), sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+          |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+          |  FROM tok
+          |), tr AS (
+          |  SELECT doc_id AS train_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0
+          |), trc AS (
+          |  SELECT train_id, s FROM (
+          |    SELECT train_id, s, count(*) OVER (PARTITION BY s) AS df FROM tr
+          |  ) WHERE df <= 1000000
+          |), ev AS (
+          |  SELECT doc_id AS eval_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0
+          |), pairs AS (
+          |  SELECT ev.eval_id, trc.train_id, count(*) AS n_common
+          |  FROM ev JOIN trc ON ev.s = trc.s
+          |  GROUP BY 1, 2
+          |  HAVING count(*) >= 3
+          |)
+          |SELECT eval_id, train_id, CAST(n_common AS BIGINT) AS n_common, CAST(rnk AS INT) AS rnk
+          |FROM (
+          |  SELECT eval_id, train_id, n_common,
+          |    row_number() OVER (PARTITION BY eval_id ORDER BY n_common DESC, train_id) AS rnk
+          |  FROM pairs
+          |)
+          |WHERE rnk <= 3""".stripMargin,
 
       "q_profile" ->
         """SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -54,4 +54,43 @@ object Contamination {
           .otherwise(lit(0.0)))
       .withColumn("is_contaminated", col("containment") >= threshold)
   }
+
+  /** Contamination ATTRIBUTION: for each eval doc, the top-k training
+    * documents sharing at least `minCommon` shingles — the action
+    * list a decontamination pass needs (drop or audit those TRAIN
+    * docs), where `evalContamination` only says how bad it is.
+    *
+    * Scale shape: both sides explode to (doc, shingle) longs and meet
+    * in one equi-join on the shingle; the per-shingle fan-out is
+    * df_train · df_eval, so ubiquitous shingles (stopword runs,
+    * boilerplate) would dominate the join while carrying no
+    * attribution signal. `maxTrainDf` drops shingles above a training
+    * document frequency cap BEFORE the join — the standard inverted-
+    * index stop-list, applied identically in the oracle. Pair counts
+    * then aggregate with map-side partials and the top-k is one
+    * window per eval doc. */
+  def contaminationSources(train: DataFrame, eval: DataFrame, textCol: String,
+                           n: Int, minCommon: Long, k: Int,
+                           maxTrainDf: Long = 1000000L): DataFrame = {
+    require(minCommon >= 1, "minCommon must be at least 1")
+    require(k > 0, "k must be positive")
+    require(maxTrainDf >= 1, "maxTrainDf must be at least 1")
+    val tr = NearDup.shingled(train, textCol, n)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    val trCapped = tr.withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+      .where(col("__df") <= maxTrainDf)
+      .drop("__df")
+    val ev = NearDup.shingled(eval, textCol, n)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("eval_id"))
+      .orderBy(col("n_common").desc, col("train_id").asc)
+    ev.join(trCapped, Seq("h"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
 }

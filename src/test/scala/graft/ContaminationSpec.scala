@@ -50,4 +50,37 @@ class ContaminationSpec extends SparkSpec {
     assert(out(2L) == 0.0)
     assert(out(3L) == 0.0) // shorter than n → no n-grams, reports 0
   }
+
+  test("contaminationSources attributes the right training docs, ranked by overlap") {
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog every day"), // = train 1
+      (101L, "spark catalyst plans declarative queries into something else entirely"),
+      (102L, "eleven genuinely novel benchmark tokens appearing nowhere in training")
+    ).toDF("doc_id", "text")
+    val out = Contamination.contaminationSources(train, eval, "text", 3,
+        minCommon = 2L, k = 2)
+      .collect().map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("n_common"), r.getAs[Int]("rnk")))
+    // eval 100 fully matches train 1 (9 shingles), nothing from train 2
+    assert(out.count(_._1 == 100L) == 1)
+    assert(out.find(_._1 == 100L).get._2 == 1L)
+    assert(out.find(_._1 == 100L).get._3 == 9L)
+    // eval 101 shares its 4-token prefix (2 shingles of wiggle) with train 2
+    assert(out.find(_._1 == 101L).map(_._2) == Some(2L))
+    // the clean doc attributes nothing
+    assert(!out.exists(_._1 == 102L))
+  }
+
+  test("contaminationSources: the train-df cap drops ubiquitous shingles before the join") {
+    // 'a b c' appears in EVERY training doc; with the cap below that
+    // df it stops contributing to any pair count
+    val tr = (1L to 5L).map(i => (i, s"a b c unique$i tail$i more$i")).toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c something else entirely here")).toDF("doc_id", "text")
+    val capped = Contamination.contaminationSources(tr, ev, "text", 3,
+        minCommon = 1L, k = 5, maxTrainDf = 4L)
+    assert(capped.isEmpty, "the df-5 shingle must be stop-listed at cap 4")
+    val uncapped = Contamination.contaminationSources(tr, ev, "text", 3,
+        minCommon = 1L, k = 5, maxTrainDf = 5L)
+    assert(uncapped.count() == 5L, "at cap 5 all five train docs attribute via the shared shingle")
+  }
 }
