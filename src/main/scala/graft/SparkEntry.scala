@@ -900,6 +900,14 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // ---- per-doc OOV rate vs the corpus' own top-20 vocabulary ----
+    "q_oov_rate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.ops.Vocab.coverage(docs, "text", 20).select(col("token"))
+      graft.ops.Vocab.oovRate(docs, "text", vocab)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- boilerplate removal: drop tokens present in >40% of all
     // docs (df-based chrome stripping), reassemble in order ----
     "q_boilerplate" -> ((s, dir) => {
@@ -1505,6 +1513,33 @@ object SparkEntry {
            |FROM documents
            |ORDER BY shuffle_key, doc_id
            |LIMIT 100""".stripMargin,
+
+      // Same top-20 vocabulary derivation, then per-doc unnest + left
+      // join; empty/whitespace docs report 0 tokens, rate 0.
+      "q_oov_rate" ->
+        """WITH tok AS (
+          |  SELECT unnest(string_split_regex(text, ' +')) AS token FROM documents
+          |), c AS (
+          |  SELECT token, count(*) AS cnt FROM tok WHERE len(token) > 0 GROUP BY 1
+          |), vocab AS (
+          |  SELECT token FROM (
+          |    SELECT token, row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c
+          |  ) WHERE rank <= 20
+          |), u AS (
+          |  SELECT d.doc_id, t.tk FROM documents d
+          |  LEFT JOIN LATERAL (
+          |    SELECT unnest(list_filter(string_split_regex(d.text, ' +'), x -> len(x) > 0)) AS tk
+          |  ) t ON true
+          |)
+          |SELECT u.doc_id,
+          |  CAST(count(u.tk) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN u.tk IS NOT NULL AND v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |  CASE WHEN count(u.tk) > 0
+          |       THEN CAST(sum(CASE WHEN u.tk IS NOT NULL AND v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          |            / CAST(count(u.tk) AS DOUBLE)
+          |       ELSE 0.0 END AS oov_rate
+          |FROM u LEFT JOIN vocab v ON u.tk = v.token
+          |GROUP BY 1""".stripMargin,
 
       // cum_share divides two exactly-aggregated BIGINTs — the double
       // is bit-identical across engines.

@@ -44,4 +44,31 @@ object Vocab {
           .cast("double") / col("total").cast("double"))
       .select(col("token"), col("cnt"), col("rank"), col("cum_share"))
   }
+
+  /** Per-document out-of-vocabulary rate against a vocabulary table
+    * (one `token` column — the output of `coverage`, a tokenizer's
+    * vocab dump, whatever): (doc_id, n_tokens, n_oov, oov_rate).
+    * The tokenizer-eval question — "how much of each document does
+    * this vocabulary NOT cover?"
+    *
+    * One explode + one broadcast left join + one aggregate; empty
+    * documents ride `explode_outer`'s null row through the join
+    * (counted as neither token nor OOV — rate 0) so no second spine
+    * branch is needed. Vocabulary tables are vocabulary-sized:
+    * always broadcastable. */
+  def oovRate(docs: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode_outer(filter(graft.functions.TextFunctions.tokens(col(textCol)),
+        t => length(t) > 0)).as("token"))
+    toks
+      .join(broadcast(vocab.select(col("token")).distinct()
+        .withColumn("__v", lit(1))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("token")).as("n_tokens"),
+        sum(when(col("token").isNotNull && col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -107,8 +107,10 @@ class PlanSpec extends SparkSpec {
     // intentional cross joins: cosine scorer (corpus × broadcast query
     // set) and the 1-row broadcast scalars carrying tf-idf's corpus
     // size N and vocab coverage's total token mass
-    // (q_boilerplate's scalar is the corpus doc count)
-    val allowCross = Set("q_cosine_topk", "q_tfidf_terms", "q_vocab_coverage", "q_boilerplate")
+    // (q_boilerplate's scalar is the corpus doc count; q_oov_rate
+    // inherits vocab coverage's 1-row total through its vocab input)
+    val allowCross = Set("q_cosine_topk", "q_tfidf_terms", "q_vocab_coverage",
+      "q_boilerplate", "q_oov_rate")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

@@ -37,4 +37,24 @@ class VocabSpec extends SparkSpec {
   test("rejects a non-positive k") {
     intercept[IllegalArgumentException] { Vocab.coverage(docs, "text", 0) }
   }
+
+  test("oovRate: exact rates, empty and NULL docs report 0 tokens / rate 0") {
+    val vocab = Seq("a", "b").toDF("token")
+    val out = Vocab.oovRate(docs, "text", vocab)
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    // doc 1: "a a a b b c" → 6 tokens, 1 oov (c)
+    assert(out(0) == ((1L, 6L, 1L, 1.0 / 6.0)))
+    // doc 2: "a b d" → 3 tokens, 1 oov (d)
+    assert(out(1) == ((2L, 3L, 1L, 1.0 / 3.0)))
+    // doc 3: whitespace only → 1 real token 'a', 0 oov
+    assert(out(2) == ((3L, 1L, 0L, 0.0)))
+    // doc 4: NULL text → 0 tokens, rate 0 (row present)
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
+  }
+
+  test("oovRate against the corpus' own full vocabulary is all zero") {
+    val vocab = Vocab.coverage(docs, "text", 100).select($"token")
+    val out = Vocab.oovRate(docs, "text", vocab)
+    assert(out.where($"n_oov" =!= 0L).isEmpty)
+  }
 }
