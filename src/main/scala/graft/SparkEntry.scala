@@ -305,6 +305,22 @@ object SparkEntry {
         .select(col("query_id"), col("corpus_id"), col("cosine"), col("rnk").cast("int").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // ---- trained k-means (exact-integer centroid sums, fixed seed
+    // and tie-breaks ⇒ DuckDB unrolls the same two update steps) ----
+    "q_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.KMeans.assign(emb, graft.operators.KMeans.train(emb, 8, 2))
+        .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
+        .orderBy(col("vec_id"))
+    }),
+    // ---- SemDeDup: within-cluster near-dup pairs under the trained
+    // k-means model (cluster-scoped quadratic search — the published
+    // alternative to global LSH bucketing) ----
+    "q_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.SemDedup.pairs(emb, 0.4, k = 8, iters = 2)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     // ---- multimodal decode-stub features, flattened to scalars (the
     // md5-seeded stub is engine-reproducible, so this gets a full
     // DuckDB oracle; raw array<double> columns would also break the
@@ -1302,6 +1318,65 @@ object SparkEntry {
       |                   / greatest(CAST(length(text) AS DOUBLE), 1.0) * 4.0, 1.0))*0.3""".stripMargin
 
   private def trainingOracles: Map[String, String] = {
+    // Mirrors KMeans.train(k=8, iters=2) + assign: the two update
+    // steps are UNROLLED as CTE stages (c0 seed → assign a0 → integer
+    // per-dim sums s1 → centroids c1 → a1 → s2 → c2 → final a2).
+    // Centroids are exact-integer SUM vectors (never floating means:
+    // cosine against the sum equals cosine against the mean), the
+    // seed is vec_id < k, argmax ties go to the smallest cid, and an
+    // empty cluster keeps its previous centroid (the LEFT JOIN +
+    // coalesce) — term-for-term the Scala training loop, so the
+    // assignment is an exact replication, not a statistical one.
+    def kmeansAssignCte(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT n.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY CAST(CAST(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)/(n.nv*c.cn) DESC, c.cid ASC) AS rn
+         |    FROM nrm n, $cents c)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    def kmeansUpdateCte(assign: String, prev: String, out: String) =
+      s"""s_$out AS (
+         |  SELECT a.cid, d.i, CAST(SUM(n.v[d.i]) AS BIGINT) AS s
+         |  FROM $assign a JOIN nrm n USING (vec_id), (SELECT unnest(generate_series(1, 64)) AS i) d
+         |  GROUP BY 1, 2
+         |), u_$out AS (
+         |  SELECT cid, list(s ORDER BY i) AS cv,
+         |    sqrt(CAST(CAST(SUM(s*s) AS BIGINT) AS DOUBLE)) AS cn
+         |  FROM s_$out GROUP BY cid
+         |), $out AS (
+         |  SELECT $prev.cid, coalesce(u_$out.cv, $prev.cv) AS cv, coalesce(u_$out.cn, $prev.cn) AS cn
+         |  FROM $prev LEFT JOIN u_$out USING (cid)
+         |)""".stripMargin
+    val kmeansCtes =
+      s"""WITH qz AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+         |  FROM embeddings
+         |), nrm AS (
+         |  SELECT vec_id, v,
+         |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+         |  FROM qz
+         |), c0 AS (
+         |  SELECT vec_id AS cid, v AS cv, nv AS cn FROM nrm WHERE vec_id < 8
+         |), ${kmeansAssignCte("c0", "a0")},
+         |${kmeansUpdateCte("a0", "c0", "c1")},
+         |${kmeansAssignCte("c1", "a1")},
+         |${kmeansUpdateCte("a1", "c1", "c2")},
+         |${kmeansAssignCte("c2", "a2")}""".stripMargin
+    val kmeansSql =
+      s"""$kmeansCtes
+         |SELECT vec_id, CAST(cid AS INT) AS list_id FROM a2 ORDER BY vec_id""".stripMargin
+    // SemDeDup: the same trained assignment, then all within-cluster
+    // pairs verified with the exact quantized cosine at threshold 0.4
+    val semdedupSql =
+      s"""$kmeansCtes
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(CAST(list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i]*y.v[i])) AS BIGINT) AS DOUBLE)/(x.nv*y.nv) AS cosine
+         |FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |JOIN nrm x ON x.vec_id = a.vec_id
+         |JOIN nrm y ON y.vec_id = b.vec_id
+         |WHERE CAST(CAST(list_sum(list_transform(generate_series(1, len(x.v)), i -> x.v[i]*y.v[i])) AS BIGINT) AS DOUBLE)/(x.nv*y.nv) >= 0.4""".stripMargin
     // cross-batch exact Jaccard (new = doc_id ≡ 0 mod 20 vs the rest):
     // the q_incr_neardup contract, same shingle/threshold conventions
     // as exactJaccardSql below
@@ -1871,6 +1946,10 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
           |      FROM scored)
           |WHERE rnk <= 3""".stripMargin,
+
+      "q_kmeans" -> kmeansSql,
+
+      "q_semdedup" -> semdedupSql,
 
       "q_simhash" ->
         s"""WITH tok AS (
