@@ -924,6 +924,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- unigram surprisal: corpus-frequency quality signal in
+    // exact floor-log2 bits (no IEEE log ⇒ full oracle) ----
+    "q_surprisal" -> ((s, dir) => {
+      graft.ops.Vocab.surprisal(Tables.documents(s, dir), "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- boilerplate removal: drop tokens present in >40% of all
     // docs (df-based chrome stripping), reassemble in order ----
     "q_boilerplate" -> ((s, dir) => {
@@ -1615,6 +1622,33 @@ object SparkEntry {
           |       ELSE 0.0 END AS oov_rate
           |FROM u LEFT JOIN vocab v ON u.tk = v.token
           |GROUP BY 1""".stripMargin,
+
+      // Mirrors Vocab.surprisal: floor-log2 via binary-string length
+      // (length(bin(x)) − 1 in both engines — exact integers, no IEEE
+      // log), integer bit sums, ONE double division per doc. The
+      // documents spine (LEFT JOIN) keeps token-less docs at 0.
+      "q_surprisal" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS token
+          |  FROM documents
+          |), c AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1
+          |), tot AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS total FROM tok
+          |), per AS (
+          |  SELECT t.doc_id,
+          |    CAST(count(*) AS BIGINT) AS n_tokens,
+          |    CAST(sum(length(bin(tot.total)) - length(bin(c.cnt))) AS BIGINT) AS surprisal_bits
+          |  FROM tok t JOIN c USING (token), tot
+          |  GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |  coalesce(p.n_tokens, 0) AS n_tokens,
+          |  coalesce(p.surprisal_bits, 0) AS surprisal_bits,
+          |  CASE WHEN coalesce(p.n_tokens, 0) > 0
+          |       THEN CAST(p.surprisal_bits AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+          |       ELSE 0.0 END AS avg_surprisal
+          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
       // cum_share divides two exactly-aggregated BIGINTs — the double
       // is bit-identical across engines.

@@ -57,4 +57,37 @@ class VocabSpec extends SparkSpec {
     val out = Vocab.oovRate(docs, "text", vocab)
     assert(out.where($"n_oov" =!= 0L).isEmpty)
   }
+
+  test("surprisal: exact floor-log2 bits on a skewed fixture; rare beats common") {
+    // counts: a=5, b=1, rare=1 → total=7; floor-log2 lengths:
+    // bin(7)=111 (3), bin(5)=101 (3), bin(1)=1 (1)
+    // ⇒ bits: a = 3−3 = 0, b = rare = 3−1 = 2
+    val fx = Seq(
+      (1L, "a a a a"),      // 4·0 bits, avg 0.0 — pure boilerplate
+      (2L, "a b"),          // 0+2 bits, avg 1.0
+      (3L, "rare"),         // 2 bits,  avg 2.0 — rare content scores highest
+      (4L, ""),             // no tokens
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Vocab.surprisal(fx, "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) == ((1L, 4L, 0L, 0.0)))
+    assert(out(1) == ((2L, 2L, 2L, 1.0)))
+    assert(out(2) == ((3L, 1L, 2L, 2.0)))
+    assert(out(3) == ((4L, 0L, 0L, 0.0)))
+    assert(out(4) == ((5L, 0L, 0L, 0.0)))
+  }
+
+  test("surprisal bounds hold on the real corpus") {
+    val docs01 = Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = Vocab.surprisal(docs01, "text")
+    // every doc present; bits within [0, floor_log2(total)] per token
+    assert(out.count() == docs01.count())
+    assert(out.where($"avg_surprisal" < 0).isEmpty)
+    val totalTokens = docs01
+      .select(explode(graft.functions.TextFunctions.tokens($"text")).as("t"))
+      .where(length($"t") > 0).count()
+    val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(totalTokens)
+    assert(out.where($"avg_surprisal" > maxBits).isEmpty)
+  }
 }
