@@ -931,6 +931,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- exact repeated-substring removal (Lee et al. 2021): every
+    // duplicated 3-gram keeps its first occurrence, all other
+    // occurrences' tokens are masked out ----
+    "q_substring_dedup" -> ((s, dir) => {
+      graft.operators.SubstringDedup.removeRepeatedNgrams(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- boilerplate removal: drop tokens present in >40% of all
     // docs (df-based chrome stripping), reassemble in order ----
     "q_boilerplate" -> ((s, dir) => {
@@ -1649,6 +1658,44 @@ object SparkEntry {
           |       THEN CAST(p.surprisal_bits AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
           |       ELSE 0.0 END AS avg_surprisal
           |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+      // Mirrors SubstringDedup.removeRepeatedNgrams(n=3): same hash60
+      // gram identity, same (doc_id, pos) first-occurrence rule
+      // (row_number rn=1 ⇔ Spark's min(struct)), same mask union and
+      // single-space reassembly. Token-less docs ride the tok spine.
+      "q_substring_dedup" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id,
+           |    coalesce(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0),
+           |             CAST([] AS VARCHAR[])) AS toks
+           |  FROM documents
+           |), occ AS (
+           |  SELECT doc_id, i - 1 AS pos,
+           |    ${duckHash60.format("toks[i] || '_' || toks[i+1] || '_' || toks[i+2]")} AS h
+           |  FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i)
+           |), ranked AS (
+           |  SELECT doc_id, pos,
+           |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+           |  FROM occ
+           |), cov AS (
+           |  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 2)) AS idx
+           |  FROM ranked WHERE rn >= 2
+           |), pos AS (
+           |  SELECT doc_id, i - 1 AS idx, toks[i] AS token
+           |  FROM tok, unnest(generate_series(1, len(toks))) AS u(i)
+           |), kept AS (
+           |  SELECT p.doc_id,
+           |    string_agg(p.token, ' ' ORDER BY p.idx) AS text_clean,
+           |    count(*) AS n_kept
+           |  FROM pos p LEFT JOIN cov c ON c.doc_id = p.doc_id AND c.idx = p.idx
+           |  WHERE c.idx IS NULL
+           |  GROUP BY 1
+           |)
+           |SELECT t.doc_id,
+           |  coalesce(k.text_clean, '') AS text_clean,
+           |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM tok t LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
       // cum_share divides two exactly-aggregated BIGINTs — the double
       // is bit-identical across engines.
