@@ -20,7 +20,11 @@ val picks = Seq(
   "q_mix" -> "Weighted corpus mixture: per-source counts collapse to a broadcast cutoff table (one row per source); membership is a narrow graft_hash60 threshold filter -- the corpus is never repartitioned.",
   "q_boilerplate" -> "Boilerplate removal: posexplode units map-side, distinct-doc df via two hash aggregates, unit->df equi-join (AQE broadcasts the distinct-unit side), one order-preserving reassembly aggregate keyed by doc.",
   "q_curation_funnel" -> "Curation funnel: ONE conditional-aggregation scan -- every stage is a sum(CASE) over the cumulative predicate prefix; two HashAggregate levels around a single exchange, no per-stage passes.",
-  "q_leak_split" -> "Leakage-safe split: the near-dup cluster machinery (native graft_* projections, banded candidates, rep-space components) feeds one narrow md5-cut-point projection on coalesce(cluster, doc_id) -- the split itself adds no shuffle beyond the cluster join."
+  "q_leak_split" -> "Leakage-safe split: the near-dup cluster machinery (native graft_* projections, banded candidates, rep-space components) feeds one narrow md5-cut-point projection on coalesce(cluster, doc_id) -- the split itself adds no shuffle beyond the cluster join.",
+  "q_kmeans" -> "Trained k-means assignment: argmax cosine over LITERAL centroid-sum arrays (native graft_qdot inside WholeStageCodegen) -- a pure no-shuffle projection; the training loop's per-iteration jobs (assign + posexplode partial-agg sums) are driver-looped constant-size plans, not part of this final plan.",
+  "q_semdedup" -> "SemDeDup: the trained-centroid assignment twice (narrow literal projections), a list_id self-equi-join scoped to each cluster, exact quantized-cosine verify -- the only exchanges are the two assignment sides of the cluster join; no cartesian.",
+  "q_surprisal" -> "Unigram surprisal: one token-count hash aggregate (map-side partials), a token equi-join that reuses the count side's partitioning, the 1-row total as broadcast cross join, one doc_id aggregate; floor-log2 is integer bin()-length arithmetic, no IEEE log.",
+  "q_substring_dedup" -> "Repeated-substring removal: gram HASHES only (graft_hash60) through posexplode -> groupBy(h) stats with partial aggregation (no hot-gram window sort) -> equi-join back -> bounded mask explode -> anti-join -> one ordered reassembly aggregate."
 )
 val sb = new StringBuilder
 sb.append("# EXPLAINS -- formatted plans of headline queries (sf0.01)\n\n")
