@@ -988,12 +988,170 @@ object SparkEntry {
           "doc_id", "w")
         .select(col("doc_id"), col("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // ---- Gopher repetition signals (Rae et al. 2021 A1): duplicate
+    // line/paragraph fractions, row-local. The synthetic corpus is
+    // single-line, so line structure is DERIVED deterministically
+    // (a break every 2 tokens, a paragraph break every 4 lines) by a
+    // regex both engines apply identically ----
+    "q_gopher_repetition" -> ((s, dir) => {
+      val lined = Tables.documents(s, dir).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n"),
+          "(([^\n]*\n){3}[^\n]*)\n", "$1\n\n").as("text2"))
+      graft.ops.Gopher.repetitionSignals(lined, "text2").orderBy(col("doc_id"))
+    }),
+    // ---- most frequent word bigram's share of token characters ----
+    "q_gopher_topgram" -> ((s, dir) => {
+      graft.ops.Gopher.topNgramCharFrac(Tables.documents(s, dir), "text", 2)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- token chars covered by any duplicated trigram (position-
+    // unioned, the overlap-safe form) ----
+    "q_gopher_dupgram" -> ((s, dir) => {
+      graft.ops.Gopher.dupNgramCharFrac(Tables.documents(s, dir), "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- the Gopher rule battery; thresholds and stop words tuned
+    // to the short-doc synthetic corpus so both outcomes occur ----
+    "q_gopher_rules" -> ((s, dir) => {
+      graft.ops.Gopher.qualityRules(Tables.documents(s, dir), "text",
+          minWords = 20, stops = Seq("the", "a", "data", "value", "table"))
+        .orderBy(col("doc_id"))
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles
+
+  private def gopherOracles: Map[String, String] = Map(
+    // Same derived line structure (regexes are Java/RE2-common), then
+    // dup fractions as 1 − distinct/total and char-weighted twins.
+    "q_gopher_repetition" ->
+      """WITH lined AS (
+        |  SELECT doc_id, regexp_replace(
+        |    regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g'),
+        |    '(([^' || chr(10) || ']*' || chr(10) || '){3}[^' || chr(10) || ']*)' || chr(10),
+        |    '\1' || chr(10) || chr(10), 'g') AS t2
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(t2, chr(10)), x -> len(x) > 0) AS ls,
+        |    list_filter(string_split(t2, chr(10) || chr(10)), x -> len(x) > 0) AS ps
+        |  FROM lined
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(ls) > 0 THEN 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN coalesce(list_sum(list_transform(ls, x -> len(x))), 0) > 0 THEN
+        |    CAST(list_sum(list_transform(ls, x -> len(x))) - list_sum(list_transform(list_distinct(ls), x -> len(x))) AS DOUBLE)
+        |      / CAST(list_sum(list_transform(ls, x -> len(x))) AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+        |  CASE WHEN len(ps) > 0 THEN 1.0 - CAST(len(list_distinct(ps)) AS DOUBLE) / CAST(len(ps) AS DOUBLE) ELSE 0.0 END AS dup_para_frac,
+        |  CASE WHEN coalesce(list_sum(list_transform(ps, x -> len(x))), 0) > 0 THEN
+        |    CAST(list_sum(list_transform(ps, x -> len(x))) - list_sum(list_transform(list_distinct(ps), x -> len(x))) AS DOUBLE)
+        |      / CAST(list_sum(list_transform(ps, x -> len(x))) AS DOUBLE) ELSE 0.0 END AS dup_para_char_frac
+        |FROM u ORDER BY doc_id""".stripMargin,
+    // Top bigram by (count, token chars, lexicographic) — the same
+    // deterministic argmax ranking as the Spark window.
+    "q_gopher_topgram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS ts FROM documents
+        |), g AS (
+        |  SELECT doc_id, ts[i.i] || ' ' || ts[i.i+1] AS gram
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) i
+        |  WHERE len(ts) >= 2
+        |), c AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+        |), r AS (
+        |  SELECT doc_id, gram, cnt,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, len(gram) - 1 DESC, gram ASC) AS rn
+        |  FROM c
+        |), tot AS (
+        |  SELECT doc_id, list_sum(list_transform(ts, x -> len(x))) AS tc FROM tok
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(t.gram, '') AS top_gram,
+        |  CASE WHEN tot.tc > 0 AND t.cnt IS NOT NULL
+        |    THEN CAST(t.cnt * (len(t.gram) - 1) AS DOUBLE) / CAST(tot.tc AS DOUBLE) ELSE 0.0 END AS top_gram_char_frac
+        |FROM documents d
+        |JOIN tot USING (doc_id)
+        |LEFT JOIN (SELECT * FROM r WHERE rn = 1) t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Duplicated trigrams back to their start positions, exploded to
+    // covered token positions, UNIONED (DISTINCT), then char-summed.
+    "q_gopher_dupgram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS ts FROM documents
+        |), tr AS (
+        |  SELECT doc_id, i.i - 1 AS pos, ts[i.i] AS t
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) i
+        |  WHERE len(ts[i.i]) > 0
+        |), g AS (
+        |  SELECT doc_id, i.i - 1 AS gpos, ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS gram
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) i
+        |  WHERE len(ts) >= 3
+        |), dup AS (
+        |  SELECT doc_id, gram FROM g GROUP BY 1, 2 HAVING count(*) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT g.doc_id, g.gpos + o.o AS pos
+        |  FROM g JOIN dup USING (doc_id, gram),
+        |       LATERAL (SELECT unnest(generate_series(0, 2)) AS o) o
+        |), cc AS (
+        |  SELECT cov.doc_id, sum(len(tr.t)) AS dc
+        |  FROM cov JOIN tr USING (doc_id, pos) GROUP BY 1
+        |), tot AS (
+        |  SELECT doc_id, sum(len(t)) AS tc FROM tr GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN tot.tc > 0 THEN CAST(coalesce(cc.dc, 0) AS DOUBLE) / CAST(tot.tc AS DOUBLE) ELSE 0.0 END AS dup_ngram_char_frac
+        |FROM documents d
+        |LEFT JOIN tot USING (doc_id)
+        |LEFT JOIN cc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Rule battery: metrics in exact integers, one IEEE division per
+    // fraction, thresholds compared on identical doubles.
+    "q_gopher_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, text, string_split_regex(text, ' +') AS ts,
+        |    string_split_regex(lower(text), ' +') AS lts,
+        |    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(ts) AS nw,
+        |    coalesce(list_sum(list_transform(ts, x -> len(x))), 0) AS tc,
+        |    len(text) - len(replace(text, '#', '')) AS nhash,
+        |    len(text) - len(replace(text, '…', '')) AS nuell,
+        |    (len(replace(text, '…', '')) - len(replace(replace(text, '…', ''), '...', ''))) // 3 AS naell,
+        |    len(ls) AS nl,
+        |    len(list_filter(ls, x -> starts_with(trim(x), '-') OR starts_with(trim(x), '*') OR starts_with(trim(x), '•'))) AS nbul,
+        |    len(list_filter(ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…'))) AS nell,
+        |    len(list_filter(ts, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+        |    len(list_filter(['the', 'a', 'data', 'value', 'table'], s -> list_contains(lts, s))) AS nstop
+        |  FROM tok
+        |), v AS (
+        |  SELECT doc_id, nw, nstop,
+        |    CASE WHEN nw > 0 THEN CAST(tc AS DOUBLE) / CAST(nw AS DOUBLE) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN nw > 0 THEN CAST(nhash + nuell + naell AS DOUBLE) / CAST(nw AS DOUBLE) ELSE 0.0 END AS symbol_ratio,
+        |    CASE WHEN nl > 0 THEN CAST(nbul AS DOUBLE) / CAST(nl AS DOUBLE) ELSE 0.0 END AS bullet_frac,
+        |    CASE WHEN nl > 0 THEN CAST(nell AS DOUBLE) / CAST(nl AS DOUBLE) ELSE 0.0 END AS ellipsis_frac,
+        |    CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / CAST(nw AS DOUBLE) ELSE 0.0 END AS alpha_frac
+        |  FROM m
+        |)
+        |SELECT doc_id, CAST(nw AS INT) AS n_words, mean_word_len, symbol_ratio,
+        |  bullet_frac, ellipsis_frac, alpha_frac, CAST(nstop AS INT) AS n_stop,
+        |  (nw >= 20 AND nw <= 100000) AS r_word_count,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
+        |  (symbol_ratio <= 0.1) AS r_symbol,
+        |  (bullet_frac <= 0.9) AS r_bullet,
+        |  (ellipsis_frac <= 0.3) AS r_ellipsis,
+        |  (alpha_frac >= 0.8) AS r_alpha,
+        |  (nstop >= 2) AS r_stop,
+        |  (nw >= 20 AND nw <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND alpha_frac >= 0.8 AND nstop >= 2) AS pass
+        |FROM v ORDER BY doc_id""".stripMargin)
 
   private def temporalOracles: Map[String, String] = Map(
     // The as-of semantics restated as a correlated LATERAL top-1:
