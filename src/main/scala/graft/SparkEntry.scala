@@ -1019,6 +1019,20 @@ object SparkEntry {
       graft.ops.Gopher.qualityRules(Tables.documents(s, dir), "text",
           minWords = 20, stops = Seq("the", "a", "data", "value", "table"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- bloom-pre-filtered anti join: lineitems of orders that are
+    // NOT finalized — the bloom prunes the big side before the
+    // shuffle, the exact anti join settles false positives, so the
+    // oracle is the plain NOT EXISTS ----
+    "q_bloom_anti" -> ((s, dir) => {
+      graft.ops.BloomJoin.antiJoin(
+          Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir).where(col("o_orderstatus") === "F"), "o_orderkey",
+          expectedItems = 100000)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -1151,7 +1165,16 @@ object SparkEntry {
         |  (nw >= 20 AND nw <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND nstop >= 2) AS pass
-        |FROM v ORDER BY doc_id""".stripMargin)
+        |FROM v ORDER BY doc_id""".stripMargin,
+    // The bloom is a pure pre-filter (no false negatives, false
+    // positives re-checked) — plain anti-join semantics.
+    "q_bloom_anti" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem l
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   private def temporalOracles: Map[String, String] = Map(
     // The as-of semantics restated as a correlated LATERAL top-1:
