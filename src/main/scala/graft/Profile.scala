@@ -123,6 +123,48 @@ object Profile {
           time(s"$hotPct% salted 32, AQE tuned")(saltedAgg())
           skewed.unpersist()
         }
+      case "bloom" =>
+        // bloom-pre-filtered anti join vs plain SMJ anti: events ×20
+        // (wide props payload — shuffle volume is the point), small
+        // side ~1% of the key space, broadcast DISABLED to emulate a
+        // past-broadcast-size small side (the regime BloomJoin is
+        // for; under broadcast both forms are shuffle-free).
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+        val base0 = Tables.events(spark, sfDir)
+          .select(col("event_id"), col("props"))
+        val bigE = (0 until 20).map(i => base0
+            .withColumn("event_id", col("event_id") + lit(i.toLong * 10000000L)))
+          .reduce(_ unionByName _).persist()
+        println(s"big rows=${bigE.count()}")
+        val smallE = bigE.select(col("event_id").as("k"))
+          .where(pmod(xxhash64(col("event_id")), lit(100L)) < 1).distinct().persist()
+        println(s"small rows=${smallE.count()} (~1% of keys)")
+        def consume(df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)), sum(length(col("props")))).collect()
+        def measured(label: String)(f: => Unit): Unit = {
+          Thread.sleep(2000); shuffleBytes.set(0L)
+          time(label)(f)
+          Thread.sleep(2000)
+          println(f"PROF $label%-28s shuffle ${shuffleBytes.get / 1e6}%10.1f MB")
+        }
+        consume(bigE.join(smallE, col("event_id") === col("k"), "left_anti")) // warm
+        measured("plain anti SMJ")(
+          consume(bigE.join(smallE, col("event_id") === col("k"), "left_anti")))
+        measured("bloom anti")(
+          consume(graft.ops.BloomJoin.antiJoin(bigE, "event_id", smallE, "k",
+            expectedItems = 500000)))
+        measured("plain semi SMJ")(
+          consume(bigE.join(smallE, col("event_id") === col("k"), "left_semi")))
+        measured("bloom semi")(
+          consume(graft.ops.BloomJoin.semiJoin(bigE, "event_id", smallE, "k",
+            expectedItems = 500000)))
       case "embed" =>
         import graft.operators.Similarity
         val emb = Tables.embeddings(spark, sfDir)
