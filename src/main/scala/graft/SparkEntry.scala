@@ -1021,6 +1021,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BPE training statistics: frequency-weighted adjacent
+    // symbol-pair counts over the corpus word dictionary (the
+    // distributed half of tokenizer training; the merge loop is
+    // driver-side over the vocab-sized dict — ops.Bpe.train) ----
+    "q_bpe_pairs" -> ((s, dir) => {
+      graft.ops.Bpe.pairCounts(graft.ops.Bpe.wordFreqs(Tables.documents(s, dir), "text"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(100)
+    }),
+
     // ---- bloom-pre-filtered anti join: lineitems of orders that are
     // NOT finalized — the bloom prunes the big side before the
     // shuffle, the exact anti join settles false positives, so the
@@ -1166,6 +1176,26 @@ object SparkEntry {
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND nstop >= 2) AS pass
         |FROM v ORDER BY doc_id""".stripMargin,
+    // BPE pair counts rebuilt from the same word-frequency dict and
+    // 1-char-symbols + </w> model; total order (cnt, a, b) makes the
+    // top-100 cutoff deterministic in both engines.
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(text, ' +')) AS word FROM documents
+        |), f AS (
+        |  SELECT word, count(*) AS freq FROM w WHERE len(word) > 0 GROUP BY 1
+        |), s AS (
+        |  SELECT word, freq,
+        |    list_append(list_transform(generate_series(1, len(word)), i -> word[i:i]), '</w>') AS sym
+        |  FROM f
+        |), p AS (
+        |  SELECT sym[i.i] AS a, sym[i.i+1] AS b, freq
+        |  FROM s, LATERAL (SELECT unnest(generate_series(1, len(sym)-1)) AS i) i
+        |)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1, 2
+        |ORDER BY cnt DESC, a ASC, b ASC
+        |LIMIT 100""".stripMargin,
     // The bloom is a pure pre-filter (no false negatives, false
     // positives re-checked) — plain anti-join semantics.
     "q_bloom_anti" ->

@@ -36,6 +36,29 @@ object StreamJoins {
       .drop(r(key))
   }
 
+  /** LEFT OUTER form of `withinTolerance`: left rows with no right
+    * match within the tolerance window still emit, with the right
+    * side NULL — but only once the WATERMARK has passed the point
+    * where a match could still arrive (left ts + tolerance). That
+    * delay is inherent to outer stream-stream joins: "no match" is
+    * only decidable when the right stream is provably complete for
+    * the window, so unmatched results trail the watermark rather
+    * than the data. Matched rows emit immediately, like the inner
+    * join. State bounds are identical to the inner form.
+    */
+  def withinToleranceOuter(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String,
+                           tolerance: String, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $tolerance") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $tolerance"),
+      "left_outer")
+      .drop(r(key))
+  }
+
   /** Stream-static dimension enrichment: a broadcast-style join of a
     * stream against a batch dim table. Stateless — each micro-batch
     * joins against the CURRENT dim snapshot (re-read per batch for

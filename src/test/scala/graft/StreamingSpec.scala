@@ -136,6 +136,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit; no-match rows emit with NULLs once the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val buys = MemoryStream[Buy]
+    val joined = graft.streaming.StreamJoins.withinToleranceOuter(
+      buys.toDF(), clicks.toDF(), "user_id", "buy_ts", "click_ts", "30 MINUTES")
+    val query = joined.select($"user_id", $"page", $"amount")
+      .writeStream.format("memory").queryName("ssoj_out").outputMode("append").start()
+    try {
+      clicks.addData(Click(1, ts("2024-01-01 05:00:00"), "home"))
+      buys.addData(
+        Buy(1, ts("2024-01-01 05:20:00"), 9.99), // match -> emits now
+        Buy(3, ts("2024-01-01 05:20:00"), 1.0)) // no click: decidable only later
+      query.processAllAvailable()
+      val early = spark.table("ssoj_out").select($"user_id").as[Long].collect().toSet
+      assert(early.contains(1L))
+      assert(!early.contains(3L),
+        "unmatched left row must NOT emit before the watermark proves no match can arrive")
+      // advance both watermarks far past 05:50 (buy_ts + tolerance)
+      clicks.addData(Click(9, ts("2024-01-01 12:00:00"), "wm"))
+      buys.addData(Buy(9, ts("2024-01-01 12:00:00"), 0.0))
+      query.processAllAvailable()
+      clicks.addData(Click(8, ts("2024-01-01 13:00:00"), "wm2"))
+      buys.addData(Buy(8, ts("2024-01-01 13:00:00"), 0.0))
+      query.processAllAvailable()
+      val out = spark.table("ssoj_out")
+        .select($"user_id", $"page", $"amount").as[(Long, Option[String], Double)]
+        .collect().toSet
+      assert(out.contains((1L, Some("home"), 9.99)))
+      assert(out.contains((3L, None, 1.0)),
+        s"watermark-closed unmatched row must emit with NULL right side: $out")
+    } finally query.stop()
+  }
+
   test("stream-static dim enrichment joins each micro-batch against the dim") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
