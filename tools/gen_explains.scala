@@ -24,7 +24,11 @@ val picks = Seq(
   "q_kmeans" -> "Trained k-means assignment: argmax cosine over LITERAL centroid-sum arrays (native graft_qdot inside WholeStageCodegen) -- a pure no-shuffle projection; the training loop's per-iteration jobs (assign + posexplode partial-agg sums) are driver-looped constant-size plans, not part of this final plan.",
   "q_semdedup" -> "SemDeDup: the trained-centroid assignment twice (narrow literal projections), a list_id self-equi-join scoped to each cluster, exact quantized-cosine verify -- the only exchanges are the two assignment sides of the cluster join; no cartesian.",
   "q_surprisal" -> "Unigram surprisal: one token-count hash aggregate (map-side partials), a token equi-join that reuses the count side's partitioning, the 1-row total as broadcast cross join, one doc_id aggregate; floor-log2 is integer bin()-length arithmetic, no IEEE log.",
-  "q_substring_dedup" -> "Repeated-substring removal: gram HASHES only (graft_hash60) through posexplode -> groupBy(h) stats with partial aggregation (no hot-gram window sort) -> equi-join back -> bounded mask explode -> anti-join -> one ordered reassembly aggregate."
+  "q_substring_dedup" -> "Repeated-substring removal: gram HASHES only (graft_hash60) through posexplode -> groupBy(h) stats with partial aggregation (no hot-gram window sort) -> equi-join back -> bounded mask explode -> anti-join -> one ordered reassembly aggregate.",
+  "q_bloom_anti" -> "Bloom-pre-filtered anti join: the definite-miss branch is a pure scan-side graft_bloom_might_contain filter (no exchange at all); only the maybe fraction reaches the exact anti join -- the big side's shuffle shrinks to join selectivity + fpp.",
+  "q_bpe_pairs" -> "BPE pair counts: corpus collapses to the word-frequency dict in ONE hash aggregate; symbol explode and pair projection run over the VOCAB-sized dict, not the corpus; top-100 is TakeOrderedAndProject, no total sort.",
+  "q_gopher_dupgram" -> "Duplicate-ngram char fraction: gram list built row-locally (map-side Generate), dup detection one (doc,gram) hash aggregate, covered positions exploded and DISTINCT-unioned, char sums re-keyed by doc -- every exchange is keyed by doc or (doc,gram), corpus-linear.",
+  "q_gopher_rules" -> "Gopher rule battery: a single row-local projection -- every metric and rule flag is higher-order-function arithmetic inside one WholeStageCodegen span over the scan; no exchange before the output order."
 )
 val sb = new StringBuilder
 sb.append("# EXPLAINS -- formatted plans of headline queries (sf0.01)\n\n")
