@@ -1021,6 +1021,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- SCD Type-2 dimension maintenance: snapshot of each user's
+    // state before the cutoff becomes the dim; the latest post-cutoff
+    // event is the update batch — changed keys close + reopen, new
+    // keys insert, unchanged keys are no-ops ----
+    "q_scd2" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val snap = ev.where(col("ts") < cut)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("ts"), col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("u"))
+        .select(col("user_id"), col("u.event_type").as("tier"), col("u.ts").as("since"))
+      val upd = ev.where(col("ts") >= cut)
+        .select(col("user_id"), col("event_type").as("tier"), col("ts"), col("event_id"))
+      graft.ops.Scd2.apply(
+          graft.ops.Scd2.init(snap, "user_id", Seq("tier"), "since"),
+          upd, "user_id", Seq("tier"), "ts", "event_id")
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // ---- BPE training statistics: frequency-weighted adjacent
     // symbol-pair counts over the corpus word dictionary (the
     // distributed half of tokenizer training; the merge loop is
@@ -1176,6 +1196,35 @@ object SparkEntry {
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND nstop >= 2) AS pass
         |FROM v ORDER BY doc_id""".stripMargin,
+    // SCD2 restated: latest-per-user windows on both sides of the
+    // cutoff; changed keys emit (closed old, open new), unchanged emit
+    // the open row, new keys emit one open row.
+    "q_scd2" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events WHERE user_id IS NOT NULL
+        |), snap AS (
+        |  SELECT user_id, event_type AS tier, ts AS valid_from
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1
+        |), upd AS (
+        |  SELECT user_id, event_type AS tier, ts
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1
+        |), existing AS (
+        |  SELECT s.user_id, s.tier, s.valid_from,
+        |    CASE WHEN u.user_id IS NOT NULL AND u.tier IS DISTINCT FROM s.tier THEN u.ts END AS valid_to,
+        |    NOT (u.user_id IS NOT NULL AND u.tier IS DISTINCT FROM s.tier) AS is_current
+        |  FROM snap s LEFT JOIN upd u USING (user_id)
+        |), reopened AS (
+        |  SELECT u.user_id, u.tier, u.ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to,
+        |    true AS is_current
+        |  FROM upd u LEFT JOIN snap s USING (user_id)
+        |  WHERE s.user_id IS NULL OR u.tier IS DISTINCT FROM s.tier
+        |)
+        |SELECT * FROM existing UNION ALL SELECT * FROM reopened
+        |ORDER BY user_id, valid_from""".stripMargin,
     // BPE pair counts rebuilt from the same word-frequency dict and
     // 1-char-symbols + </w> model; total order (cnt, a, b) makes the
     // top-100 cutoff deterministic in both engines.

@@ -27,6 +27,31 @@ object Sinks {
   def append(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("append").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Small-file compaction: rewrite a parquet dataset into
+    * ~`targetBytes`-sized files. Streaming micro-batch sinks and
+    * per-partition appends accrete thousands of KB-sized files; at
+    * 100 TB that is an open()-dominated scan and a NameNode/listing
+    * tax, and the fix is this periodic rewrite. File count =
+    * ceil(current on-disk bytes / targetBytes) (parquet encoding is
+    * preserved, so on-disk size predicts output size well);
+    * `repartition(n)` round-robins rows for evenly sized output.
+    * Content is preserved exactly (spec-checked); row order is not
+    * (parquet readers must not assume one). Returns the output file
+    * count. */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, srcPath: String,
+                dstPath: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(srcPath != dstPath,
+      "compact to a NEW path, then swap — overwriting the source you are reading is undefined")
+    val fs = new org.apache.hadoop.fs.Path(srcPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(dstPath)
+    nFiles
+  }
+
   /** S7 — keyed upsert via dynamic partition overwrite: replaces only
     * the partitions present in `df`, leaving the rest of the table
     * untouched. Combined with S8 dedup this gives idempotent,

@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.Scd2
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def dim0 = Scd2.init(
+    Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00")),
+      (2L, "silver", ts("2024-01-01 00:00:00")),
+      (3L, "gold", ts("2024-01-02 00:00:00"))
+    ).toDF("user_id", "tier", "since"),
+    "user_id", Seq("tier"), "since")
+
+  test("init opens one current version per key") {
+    val rows = dim0.as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r._4.isEmpty && r._5))
+  }
+
+  test("changed keys close and reopen; unchanged and untouched keys stay open; new keys insert") {
+    val updates = Seq(
+      (1L, "silver", ts("2024-02-01 00:00:00"), 1L), // change
+      (2L, "silver", ts("2024-02-01 00:00:00"), 2L), // same attrs -> no-op
+      (9L, "bronze", ts("2024-02-02 00:00:00"), 3L)  // new key
+    ).toDF("user_id", "tier", "ts", "update_id")
+    val out = Scd2.apply(dim0, updates, "user_id", Seq("tier"), "ts", "update_id")
+      .orderBy($"user_id", $"valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-02-01 00:00:00")), false),
+      (1L, "silver", ts("2024-02-01 00:00:00"), None, true),
+      (2L, "silver", ts("2024-01-01 00:00:00"), None, true),
+      (3L, "gold", ts("2024-01-02 00:00:00"), None, true),
+      (9L, "bronze", ts("2024-02-02 00:00:00"), None, true)))
+  }
+
+  test("two sequential batches build a 3-version history; closed rows pass through") {
+    val b1 = Seq((1L, "silver", ts("2024-02-01 00:00:00"), 1L))
+      .toDF("user_id", "tier", "ts", "update_id")
+    val b2 = Seq((1L, "gold", ts("2024-03-01 00:00:00"), 1L))
+      .toDF("user_id", "tier", "ts", "update_id")
+    val out = Scd2.apply(Scd2.apply(dim0, b1, "user_id", Seq("tier"), "ts", "update_id"),
+        b2, "user_id", Seq("tier"), "ts", "update_id")
+      .where($"user_id" === 1L).orderBy($"valid_from")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSeq
+    assert(out.map(_._2) == Seq("bronze", "silver", "gold"))
+    assert(out.map(_._4) == Seq(
+      Some(ts("2024-02-01 00:00:00")), Some(ts("2024-03-01 00:00:00")), None))
+    assert(out.map(_._5) == Seq(false, false, true))
+    // intervals tile: each valid_to equals the next valid_from
+    assert(out(0)._4.contains(out(1)._3) && out(1)._4.contains(out(2)._3))
+  }
+
+  test("multiple updates for a key in one batch collapse to the latest by (ts, tieBreak)") {
+    val updates = Seq(
+      (1L, "silver", ts("2024-02-01 00:00:00"), 1L),
+      (1L, "gold", ts("2024-02-05 00:00:00"), 1L), // latest ts wins
+      (2L, "gold", ts("2024-02-01 00:00:00"), 1L),
+      (2L, "platinum", ts("2024-02-01 00:00:00"), 2L) // ts tie -> larger tieBreak
+    ).toDF("user_id", "tier", "ts", "update_id")
+    val out = Scd2.apply(dim0, updates, "user_id", Seq("tier"), "ts", "update_id")
+      .where($"is_current" && $"user_id".isin(1L, 2L))
+      .orderBy($"user_id").as[(Long, String, Timestamp, Option[Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out.map(_._2) == Seq("gold", "platinum"))
+  }
+
+  test("an out-of-order update fails loudly instead of corrupting intervals") {
+    val updates = Seq((3L, "silver", ts("2024-01-01 00:00:00"), 1L)) // before 3's valid_from
+      .toDF("user_id", "tier", "ts", "update_id")
+    val err = intercept[Exception] {
+      Scd2.apply(dim0, updates, "user_id", Seq("tier"), "ts", "update_id").collect()
+    }
+    assert(err.getMessage.contains("Scd2") || err.getMessage.contains("precedes"),
+      err.getMessage)
+  }
+
+  test("NULL attrs compare with null-safe equality (no phantom versions)") {
+    val d = Scd2.init(Seq((1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "tier", "since"), "user_id", Seq("tier"), "since")
+    val updates = Seq((1L, null.asInstanceOf[String], ts("2024-02-01 00:00:00"), 1L))
+      .toDF("user_id", "tier", "ts", "update_id")
+    val out = Scd2.apply(d, updates, "user_id", Seq("tier"), "ts", "update_id").collect()
+    assert(out.length == 1, "NULL == NULL attrs must be a no-op") // still one open row
+  }
+}

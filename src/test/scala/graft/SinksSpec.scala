@@ -135,6 +135,34 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(zpath).count() == 20000)
   }
 
+  test("compactTo: many small files collapse to the byte-targeted count with identical content") {
+    val src = tmp() + "/frag"
+    val dst = tmp() + "/compact"
+    // 64 tiny files
+    spark.range(0, 20000).selectExpr("id", "id % 7 as k", "repeat('x', 20) as pad")
+      .repartition(64).write.parquet(src)
+    val srcFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(srcFiles == 64)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(src)).getLength
+    val n = graft.sources.Sinks.compactTo(spark, src, dst, targetBytes = bytes / 4)
+    val dstFiles = new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n == 5 || n == 4, s"expected ~4-5 target files, got $n") // ceil on rounded bytes
+    assert(dstFiles == n)
+    // content identical (as multisets)
+    val a = spark.read.parquet(src).collect().map(_.toString).sorted
+    val b = spark.read.parquet(dst).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("compactTo refuses in-place compaction") {
+    val src = tmp()
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compactTo(spark, src, src, 1000)
+    }
+  }
+
   test("writeZOrdered rejects degenerate configs") {
     val df = spark.range(10).select($"id", ($"id" % 3).as("x"), ($"id" % 7).as("y"))
     intercept[IllegalArgumentException](

@@ -54,6 +54,34 @@ class StreamCurationSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("gopher repetitionSignals and qualityRules run unchanged on a stream (row-local)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[InDoc]
+    val combined = input.toDF().select(col("doc_id"), col("text"))
+    val streamedDf = graft.ops.Gopher.repetitionSignals(combined, "text", lineSep = " ")
+    val query = streamedDf.writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("gopher_stream").collect().toSet
+      val batch = graft.ops.Gopher.repetitionSignals(
+        docs.toDF().select(col("doc_id"), col("text")), "text", lineSep = " ")
+        .collect().toSet
+      assert(streamed == batch, "stream and batch gopher signals must agree row-for-row")
+    } finally query.stop()
+    val query2 = graft.ops.Gopher.qualityRules(input.toDF(), "text", minWords = 3)
+      .writeStream.format("memory").queryName("gopher_rules_stream")
+      .outputMode("append").start()
+    try {
+      query2.processAllAvailable()
+      val streamed2 = spark.table("gopher_rules_stream").collect().toSet
+      val batch2 = graft.ops.Gopher.qualityRules(docs.toDF(), "text", minWords = 3)
+        .collect().toSet
+      assert(streamed2 == batch2, "stream and batch gopher rules must agree row-for-row")
+    } finally query2.stop()
+  }
+
   test("repeatByWeight is streaming-legal too (generator, no state)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[InDoc]
