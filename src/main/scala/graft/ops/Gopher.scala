@@ -113,18 +113,20 @@ object Gopher {
     val counts = gramRows(docs, textCol, n)
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    // deterministic argmax needs "count desc, len desc, gram ASC" —
-    // a mixed-direction order max_by's struct compare can't express;
-    // rank explicitly (window over the (doc, gram) aggregate — the
-    // partition is each doc's distinct grams, bounded by doc length)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("cnt").desc, (length(col("gram")) - (n - 1)).desc, col("gram").asc)
-    val top1 = counts
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("gram").as("top_gram"),
-        (col("cnt") * gramTokChars).as("top_chars"))
+    // deterministic argmax "count desc, len desc, gram ASC" — the
+    // mixed direction rules out one max_by, and a row_number window
+    // would SORT corpus-token-scale rows; two hash aggregates + one
+    // self-join (all keyed by doc, all with map-side partials) get
+    // the same answer sort-free: max (cnt, len) per doc, then the
+    // lexicographically smallest gram among the ties
+    val withLen = counts.withColumn("tc", gramTokChars)
+    val best = withLen.groupBy(col("doc_id"))
+      .agg(max(struct(col("cnt"), col("tc"))).as("mx"))
+    val top1 = withLen.join(best, Seq("doc_id"))
+      .where(col("cnt") === col("mx.cnt") && col("tc") === col("mx.tc"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("gram")).as("top_gram"),
+        max(col("cnt") * col("tc")).as("top_chars"))
     val totals = docs.select(col("doc_id"),
       aggregate(graft.functions.TextFunctions.tokens(col(textCol)),
         lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
