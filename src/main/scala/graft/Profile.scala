@@ -123,6 +123,30 @@ object Profile {
           time(s"$hotPct% salted 32, AQE tuned")(saltedAgg())
           skewed.unpersist()
         }
+      case "gopher" =>
+        // n-gram repetition signals at 1x and 10x corpus (doc_ids
+        // shifted so the key space grows too): both operators are
+        // explode + hash-aggregate keyed by doc / (doc, gram), so
+        // runtime should track corpus size ~linearly
+        def corpusN(n: Int) = {
+          val base = Tables.documents(spark, sfDir)
+          (0 until n).map(i => base
+              .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+            .reduce(_ unionByName _)
+        }
+        for (n <- Seq(1, 10, 50)) {
+          val docs = corpusN(n).persist()
+          println(s"docs=${docs.count()}")
+          time(s"topgram ${n}x")(
+            graft.ops.Gopher.topNgramCharFrac(docs, "text", 2).count())
+          time(s"topgram ${n}x warm")(
+            graft.ops.Gopher.topNgramCharFrac(docs, "text", 2).count())
+          time(s"dupgram ${n}x")(
+            graft.ops.Gopher.dupNgramCharFrac(docs, "text", 3).count())
+          time(s"dupgram ${n}x warm")(
+            graft.ops.Gopher.dupNgramCharFrac(docs, "text", 3).count())
+          docs.unpersist()
+        }
       case "bloom" =>
         // bloom-pre-filtered anti join vs plain SMJ anti: events ×20
         // (wide props payload — shuffle volume is the point), small

@@ -81,6 +81,33 @@ class Scd2Spec extends SparkSpec {
       err.getMessage)
   }
 
+  test("asOfJoin against the version table recovers each fact's in-effect version") {
+    // the integration the Scaladoc promises: because versions TILE
+    // (each valid_to == next valid_from, one open row per key), the
+    // most-recent-valid_from-at-or-before lookup IS the interval
+    // lookup — no between-join needed
+    val b1 = Seq((1L, "silver", ts("2024-02-01 00:00:00"), 1L))
+      .toDF("user_id", "tier", "ts", "update_id")
+    val b2 = Seq((1L, "gold", ts("2024-03-01 00:00:00"), 1L))
+      .toDF("user_id", "tier", "ts", "update_id")
+    val versions = graft.ops.Scd2.apply(
+      graft.ops.Scd2.apply(dim0, b1, "user_id", Seq("tier"), "ts", "update_id"),
+      b2, "user_id", Seq("tier"), "ts", "update_id")
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-15 00:00:00")), // bronze era
+      (101L, 1L, ts("2024-02-01 00:00:00")), // boundary: silver opens AT this ts
+      (102L, 1L, ts("2024-02-15 00:00:00")), // silver era
+      (103L, 1L, ts("2024-06-01 00:00:00")) // open gold version
+    ).toDF("order_id", "user_id", "order_ts")
+    val joined = graft.ops.Joins.asOfJoin(
+        facts, versions.select($"user_id", $"tier", $"valid_from", $"is_current"),
+        Seq("user_id"), "order_ts", "valid_from", "tier", Seq("tier"))
+      .orderBy($"order_id")
+      .select($"order_id", $"tier").as[(Long, String)].collect().toSeq
+    assert(joined == Seq(
+      (100L, "bronze"), (101L, "silver"), (102L, "silver"), (103L, "gold")))
+  }
+
   test("NULL attrs compare with null-safe equality (no phantom versions)") {
     val d = Scd2.init(Seq((1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00")))
       .toDF("user_id", "tier", "since"), "user_id", Seq("tier"), "since")
