@@ -1021,6 +1021,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- data-quality expectations: a named check battery in ONE
+    // conditional-aggregation scan + per-keyset uniqueness; the
+    // type_known check deliberately excludes 'signup' so the report
+    // carries real violation counts ----
+    "q_expectations" -> ((s, dir) => {
+      graft.ops.Expectations.report(Tables.events(s, dir),
+          Seq(
+            "event_id_nonnull" -> col("event_id").isNotNull,
+            "type_known" -> col("event_type").isin("click", "view", "purchase", "error"),
+            "value_in_range" -> (col("value") >= 0.0 && col("value") < 50.0)),
+          Seq("event_id_unique" -> Seq("event_id"),
+            "user_type_unique" -> Seq("user_id", "event_type")))
+        .orderBy(col("check"))
+    }),
+
     // ---- SCD Type-2 dimension maintenance: snapshot of each user's
     // state before the cutoff becomes the dim; the latest post-cutoff
     // event is the update batch — changed keys close + reopen, new
@@ -1196,6 +1211,32 @@ object SparkEntry {
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_frac >= 0.8 AND nstop >= 2) AS pass
         |FROM v ORDER BY doc_id""".stripMargin,
+    // Expectations restated: one violation count per row check (NULL
+    // predicate = violation), sum(n-1) per uniqueness keyset.
+    "q_expectations" ->
+      """WITH rows_out AS (
+        |  SELECT 'event_id_nonnull' AS "check",
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(event_id IS NOT NULL, false)) AS BIGINT) AS violations,
+        |    CAST(count(*) AS BIGINT) AS total FROM events
+        |  UNION ALL
+        |  SELECT 'type_known',
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(event_type IN ('click', 'view', 'purchase', 'error'), false)) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'value_in_range',
+        |    CAST(count(*) FILTER (WHERE NOT coalesce(value >= 0.0 AND value < 50.0, false)) AS BIGINT),
+        |    CAST(count(*) AS BIGINT) FROM events
+        |  UNION ALL
+        |  SELECT 'event_id_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM events GROUP BY event_id)
+        |  UNION ALL
+        |  SELECT 'user_type_unique', CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT)
+        |  FROM (SELECT count(*) AS n FROM events GROUP BY user_id, event_type)
+        |)
+        |SELECT "check", violations, total, violations = 0 AS passed
+        |FROM rows_out ORDER BY "check"""".stripMargin,
     // SCD2 restated: latest-per-user windows on both sides of the
     // cutoff; changed keys emit (closed old, open new), unchanged emit
     // the open row, new keys emit one open row.
