@@ -80,4 +80,47 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(back.count() == train.count())
     assert(back.select($"doc_id").exceptAll(train.select($"doc_id")).isEmpty)
   }
+
+  test("round-4 additions compose: expectations gate -> gopher filter -> exact dedup -> BPE token budget") {
+    val n0 = corpus.count()
+
+    // 0. input audit: the expectations battery gates the run
+    val audit = graft.ops.Expectations.report(corpus,
+      Seq("doc_nonnull" -> $"doc_id".isNotNull, "text_nonempty" -> (length($"text") > 0)),
+      Seq("doc_unique" -> Seq("doc_id")))
+    assert(audit.where(!$"passed").isEmpty, "input corpus fails its expectations")
+
+    // 1. quality gate: the Gopher battery with fixture-tuned knobs —
+    // every doc carries the banner stop words; only the 10 shorts
+    // fail the word-count rule
+    val rules = graft.ops.Gopher.qualityRules(corpus, "text",
+      minWords = 5, stops = Seq("accept", "all"))
+    val quality = corpus.join(rules.where($"pass").select($"doc_id"), Seq("doc_id"))
+    assert(quality.count() == n0 - 10, "exactly the shorts fail the battery")
+
+    // 2. exact dedup: both near-dup families are byte-identical here,
+    // so hash dedup collapses each to one canonical survivor
+    val deduped = graft.operators.ExactDedup.keepCanonical(quality, "text", "doc_id")
+    assert(deduped.count() == quality.count() - 3 - 2,
+      "4-dup and 3-dup families collapse to one doc each")
+
+    // 3. tokenizer-aware budget: train BPE on the surviving corpus's
+    // dict, count exact tokens with the native expression, pack
+    val dict = graft.ops.Bpe.wordFreqs(deduped, "text")
+      .as[(String, Long)].collect().toSeq
+    val merges = graft.ops.Bpe.train(dict, 20)
+    val weighted = deduped.select($"doc_id",
+      graft.ops.Bpe.bpeTokenCount($"text", merges).as("w"),
+      pmod($"doc_id", lit(2)).as("shard"))
+    assert(weighted.where($"w" <= 0L).isEmpty, "every surviving doc has tokens")
+    // merges compress: token count under 20 merges is strictly below
+    // the zero-merge symbol count for the repeated-vocab fixture
+    val w0 = deduped.select(graft.ops.Bpe.bpeTokenCount($"text", Seq.empty).as("w"))
+      .agg(sum($"w")).as[Long].head()
+    val wM = weighted.agg(sum($"w")).as[Long].head()
+    assert(wM < w0, s"trained merges must compress: $wM vs $w0")
+    val packed = graft.ops.Packing.packByBudget(
+      weighted, "doc_id", "w", 64L, Seq("shard"))
+    assert(packed.count() == weighted.count(), "packing assigns every doc")
+  }
 }
