@@ -1172,8 +1172,9 @@ object SparkEntry {
     // fraction, thresholds compared on identical doubles.
     "q_gopher_rules" ->
       """WITH tok AS (
-        |  SELECT doc_id, text, string_split_regex(text, ' +') AS ts,
-        |    string_split_regex(lower(text), ' +') AS lts,
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS ts,
+        |    list_filter(string_split_regex(lower(text), ' +'), x -> len(x) > 0) AS lts,
         |    list_filter(string_split(text, chr(10)), x -> len(x) > 0) AS ls
         |  FROM documents
         |), m AS (
@@ -1274,6 +1275,7 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(text, ' +')) AS word FROM documents
         |), f AS (
         |  SELECT word, count(*) AS freq FROM w WHERE len(word) > 0 GROUP BY 1
+        |  ORDER BY freq DESC, word ASC LIMIT 1000000
         |), s AS (
         |  SELECT word, freq,
         |    list_append(list_transform(generate_series(1, len(word)), i -> word[i:i]), '</w>') AS sym

@@ -54,9 +54,13 @@ object BloomJoin {
     * semi join settles the false positives. */
   def semiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(bigKey != "__bloom_k", "__bloom_k is reserved internally")
     val bytes = buildFilter(small, smallKey, expectedItems, fpp)
+    // alias the small side's key: with unresolved col() refs, a
+    // same-named key on both sides would be AMBIGUOUS_REFERENCE
     big.where(mightContain(col(bigKey), bytes))
-      .join(small.select(col(smallKey)), col(bigKey) === col(smallKey), "left_semi")
+      .join(small.select(col(smallKey).as("__bloom_k")),
+        col(bigKey) === col("__bloom_k"), "left_semi")
   }
 
   /** Exact left-anti join, bloom-pre-filtered. Two branches over
@@ -69,11 +73,13 @@ object BloomJoin {
     * first if it is already a computed intermediate. */
   def antiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(bigKey != "__bloom_k", "__bloom_k is reserved internally")
     val bytes = buildFilter(small, smallKey, expectedItems, fpp)
     val probe = mightContain(col(bigKey), bytes)
     val definiteMiss = big.where(!probe)
     val maybe = big.where(probe)
-      .join(small.select(col(smallKey)), col(bigKey) === col(smallKey), "left_anti")
+      .join(small.select(col(smallKey).as("__bloom_k")),
+        col(bigKey) === col("__bloom_k"), "left_anti")
     definiteMiss.unionByName(maybe)
   }
 }

@@ -26,6 +26,7 @@ object Expectations {
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check")
     require(checks.map(_._1).distinct.size == checks.size, "check names must be unique")
+    require(checks.forall(!_._1.contains("`")), "check names must not contain backticks")
     val aggs = checks.flatMap { case (name, pred) =>
       // coalesce(…, 0): an EMPTY frame passes vacuously instead of
       // reporting NULL counts
@@ -34,7 +35,9 @@ object Expectations {
     } :+ count(lit(1)).as("__total")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stacked = checks.map { case (name, _) =>
-      struct(lit(name).as("check"), col(s"__v_$name").as("violations"),
+      // backtick-quote on re-resolution: a dotted check name (e.g.
+      // "value.range") would otherwise parse as struct-field access
+      struct(lit(name).as("check"), col(s"`__v_$name`").as("violations"),
         col("__total").as("total"))
     }
     row.select(explode(array(stacked: _*)).as("r"))

@@ -157,12 +157,18 @@ object Gopher {
         .as(Seq("pos", "tok")))
       .where(length(col("tok")) > 0)
     val grams = gramRows(docs, textCol, n)
+    // duplicated gram KEYS only — no collect_list of positions: a
+    // pathological spam doc can put millions of occurrences in one
+    // (doc, gram) group, and a per-group array is exactly the buffer
+    // blow-up this filter's targets would trigger. Joining the gram
+    // occurrences back (the DuckDB oracle's shape) keeps every row
+    // narrow.
     val dupGrams = grams
       .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"), collect_list(col("gpos")).as("gposs"))
+      .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2)
-    val covered = dupGrams
-      .select(col("doc_id"), explode(col("gposs")).as("gpos"))
+      .select(col("doc_id"), col("gram"))
+    val covered = grams.join(dupGrams, Seq("doc_id", "gram"))
       .select(col("doc_id"), explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("pos"))
       .distinct()
     val coveredChars = covered.join(toks, Seq("doc_id", "pos"))
@@ -199,7 +205,11 @@ object Gopher {
                    lineSep: String = "\n",
                    stops: Seq[String] = stopWords): DataFrame = {
     require(stops.nonEmpty, "stop-word list must be non-empty")
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // drop empty tokens: split(" +") yields "" for leading/trailing
+    // whitespace, and phantom words would inflate n_words and dilute
+    // every per-word ratio the rules gate on
+    val toks = filter(graft.functions.TextFunctions.tokens(col(textCol)),
+      t => length(t) > 0)
     // NULL text must yield n_words 0 (and pass=false), not a NULL
     // that poisons every downstream boolean
     val nWords = coalesce(size(toks), lit(0))
@@ -231,7 +241,8 @@ object Gopher {
     val alphaFrac = when(nWords > 0,
       size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / nWords.cast("double"))
       .otherwise(lit(0.0))
-    val lowered = graft.functions.TextFunctions.tokens(lower(col(textCol)))
+    val lowered = filter(graft.functions.TextFunctions.tokens(lower(col(textCol))),
+      t => length(t) > 0)
     val nStop = size(filter(
       typedLit(stops),
       s => array_contains(lowered, s)))

@@ -26,15 +26,8 @@ object StreamJoins {
     */
   def withinTolerance(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String,
-                      tolerance: String, watermark: String = "1 hour"): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
-    l.join(r,
-      l(key) === r(key) &&
-        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $tolerance") &&
-        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $tolerance"))
-      .drop(r(key))
-  }
+                      tolerance: String, watermark: String = "1 hour"): DataFrame =
+    toleranceJoin(left, right, key, leftTs, rightTs, tolerance, watermark, "inner")
 
   /** LEFT OUTER form of `withinTolerance`: left rows with no right
     * match within the tolerance window still emit, with the right
@@ -48,14 +41,21 @@ object StreamJoins {
     */
   def withinToleranceOuter(left: DataFrame, right: DataFrame, key: String,
                            leftTs: String, rightTs: String,
-                           tolerance: String, watermark: String = "1 hour"): DataFrame = {
+                           tolerance: String, watermark: String = "1 hour"): DataFrame =
+    toleranceJoin(left, right, key, leftTs, rightTs, tolerance, watermark, "left_outer")
+
+  /** One definition of the watermark + key + interval condition, so
+    * the inner and outer forms cannot drift apart. */
+  private def toleranceJoin(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String, tolerance: String,
+                            watermark: String, joinType: String): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $tolerance") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $tolerance"),
-      "left_outer")
+      joinType)
       .drop(r(key))
   }
 

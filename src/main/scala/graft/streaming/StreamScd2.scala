@@ -11,19 +11,23 @@ import org.apache.spark.sql.Row
   * `StreamingRecap.hourlyToGold` (ST6), for state that is VERSIONED
   * rather than re-emitted.
   *
-  * State layout: `statePath/gen=N` parquet generations. Each
-  * micro-batch reads the newest generation, applies `Scd2.apply`,
-  * and writes generation `batchId + 1` — a fresh directory, never an
-  * in-place overwrite of what it just read (the same no-read-your-
-  * own-overwrite rule `Sinks.compactTo` enforces). Readers always
-  * see a complete generation (parquet commit is atomic per
-  * directory); `current` resolves the newest one.
+  * State layout: `statePath/gen=N` parquet generations. Micro-batch
+  * B reads the newest generation AT OR BELOW B, applies
+  * `Scd2.apply`, and writes generation `B + 1` — a fresh directory,
+  * never an in-place overwrite of anything it could have read (the
+  * same no-read-your-own-overwrite rule `Sinks.compactTo` enforces).
+  * Readers always see a complete generation (parquet commit is
+  * atomic per directory); `current` resolves the newest one.
   *
-  * Exactly-once: generation number is a pure function of the batch
-  * id, so a replayed micro-batch rewrites ITS OWN generation
-  * idempotently instead of double-applying. Old generations are
-  * retention, not garbage — `prune` drops all but the newest k
-  * (time-travel for free until then).
+  * Exactly-once: both the generation read and the generation written
+  * are pure functions of the batch id, so a replayed micro-batch
+  * re-reads the same pre-batch state and rewrites ITS OWN generation
+  * idempotently — even when its failed first attempt already wrote
+  * it. The stream's checkpoint must be kept (a fresh checkpoint
+  * restarts batch ids at 0, below the existing state). Old
+  * generations are retention, not garbage — `prune` drops all but
+  * the newest k (time-travel for free until then; keep at least the
+  * replay horizon).
   *
   * At 100 TB the per-batch full-dimension rewrite is the honest
   * cost of parquet-only storage (dimensions are orders of magnitude
@@ -56,6 +60,21 @@ object StreamScd2 {
     spark.read.parquet(gens.last._2)
   }
 
+  /** The newest generation at or below `maxGen` — what a micro-batch
+    * reads. Batch B reads gen ≤ B and writes gen B+1, so a REPLAYED
+    * batch reads the same pre-B state it read the first time (never
+    * the half-written generation its failed attempt left behind, and
+    * never a directory it is about to overwrite — the self-overwrite
+    * would otherwise fail Spark's cannot-read-and-overwrite check on
+    * every retry, wedging the stream). */
+  private def currentBefore(spark: SparkSession, statePath: String, maxGen: Long): DataFrame = {
+    val gens = genDirs(spark, statePath).filter(_._1 <= maxGen)
+    require(gens.nonEmpty,
+      s"no dimension generation ≤ $maxGen under $statePath — bootstrap first, " +
+        "and keep the stream's checkpoint (a fresh checkpoint restarts batch ids at 0)")
+    spark.read.parquet(gens.last._2)
+  }
+
   /** Attach the maintenance loop to a stream of updates. Start the
     * returned writer (`.start()`) to run it; choose the trigger at
     * the call site (`AvailableNow` for run-once incremental refresh,
@@ -68,7 +87,7 @@ object StreamScd2 {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val next = Scd2.apply(current(spark, statePath), batch,
+          val next = Scd2.apply(currentBefore(spark, statePath, batchId), batch,
             key, attrCols, tsCol, tieBreak)
           // fresh generation: never overwrites the directory it read
           next.write.mode("overwrite").parquet(s"$statePath/gen=${batchId + 1}")

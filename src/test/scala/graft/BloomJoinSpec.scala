@@ -61,6 +61,14 @@ class BloomJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("same key name on both sides resolves (no ambiguous reference)") {
+    val b = spark.range(0, 100).select($"id".as("k"))
+    val s = spark.range(0, 100, 10).select($"id".as("k"))
+    val anti = BloomJoin.antiJoin(b, "k", s, "k", expectedItems = 20).count()
+    val semi = BloomJoin.semiJoin(b, "k", s, "k", expectedItems = 20).count()
+    assert(anti == 90 && semi == 10)
+  }
+
   test("probe rejects unsupported key types loudly") {
     val bytes = BloomJoin.buildFilter(small, "s", expectedItems = 200)
     val err = intercept[Exception] {

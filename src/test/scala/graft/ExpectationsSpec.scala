@@ -41,6 +41,12 @@ class ExpectationsSpec extends SparkSpec {
     assert(ok._4, "id+cat is unique in the fixture")
   }
 
+  test("dotted check names work (no struct-field mis-parse)") {
+    val out = Expectations.rowChecks(df, Seq("v.non-null" -> $"v".isNotNull))
+      .as[(String, Long, Long, Boolean)].collect().head
+    assert(out == (("v.non-null", 1L, 4L, false)))
+  }
+
   test("report unions row and uniqueness checks; empty frame passes row checks") {
     val rep = Expectations.report(df,
         Seq("v_nonnull" -> $"v".isNotNull),
