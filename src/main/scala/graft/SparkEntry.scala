@@ -1115,7 +1115,8 @@ object SparkEntry {
     // deterministic argmax ranking as the Spark window.
     "q_gopher_topgram" ->
       """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(text, ' +') AS ts FROM documents
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS ts
+        |  FROM documents
         |), g AS (
         |  SELECT doc_id, ts[i.i] || ' ' || ts[i.i+1] AS gram
         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-1)) AS i) i
@@ -1141,11 +1142,11 @@ object SparkEntry {
     // covered token positions, UNIONED (DISTINCT), then char-summed.
     "q_gopher_dupgram" ->
       """WITH tok AS (
-        |  SELECT doc_id, string_split_regex(text, ' +') AS ts FROM documents
+        |  SELECT doc_id, list_filter(string_split_regex(text, ' +'), x -> len(x) > 0) AS ts
+        |  FROM documents
         |), tr AS (
         |  SELECT doc_id, i.i - 1 AS pos, ts[i.i] AS t
         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) i
-        |  WHERE len(ts[i.i]) > 0
         |), g AS (
         |  SELECT doc_id, i.i - 1 AS gpos, ts[i.i] || ' ' || ts[i.i+1] || ' ' || ts[i.i+2] AS gram
         |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-2)) AS i) i
@@ -2111,7 +2112,7 @@ object SparkEntry {
         """WITH tok AS (
           |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS term FROM documents
           |), tf AS (
-          |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+          |  SELECT doc_id, term, count(*) AS tf FROM tok WHERE len(term) > 0 GROUP BY 1, 2
           |), dft AS (
           |  SELECT term, count(*) AS df FROM tf GROUP BY 1
           |), n AS (

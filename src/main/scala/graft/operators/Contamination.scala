@@ -77,10 +77,15 @@ object Contamination {
     require(maxTrainDf >= 1, "maxTrainDf must be at least 1")
     val tr = NearDup.shingled(train, textCol, n)
       .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
-    val trCapped = tr.withColumn("__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    // df via groupBy + key join, NOT a count window partitioned by h:
+    // the window form funnels every occurrence of a hot shingle
+    // through one task BEFORE the cap can drop it — the exact
+    // hot-gram serialization SubstringDedup documents avoiding. The
+    // aggregate has map-side partials; the join is narrow longs.
+    val trAllowed = tr.groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .where(col("__df") <= maxTrainDf)
-      .drop("__df")
+      .select(col("h"))
+    val trCapped = tr.join(trAllowed, Seq("h"))
     val ev = NearDup.shingled(eval, textCol, n)
       .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
     val w = org.apache.spark.sql.expressions.Window

@@ -72,7 +72,6 @@ object KMeans {
   def train(corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Long], Double)] = {
     require(k > 0, "k must be positive")
     require(iters >= 0, "iters must be non-negative")
-    val spark = corpus.sparkSession
     // quantize + norm ONCE; every round plans over the materialized blocks
     val base = corpus
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))

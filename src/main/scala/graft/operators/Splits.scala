@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Leakage-safe train/valid/test splitting: near-duplicate documents
   * must land in the SAME split, or the eval set silently contains
   * paraphrases of training rows and measured loss is contaminated
-  * (the held-out half of `Contamination.shingleContamination`'s
+  * (the held-out half of `Contamination.evalContamination`'s
   * problem — that operator detects cross-set overlap after the fact;
   * this one makes it structurally impossible for the overlap to be
   * created by the splitter).

@@ -30,6 +30,7 @@ object TfIdf {
     val tf = docs
       .select(col("doc_id"),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0) // split(" +") yields "" at edges
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -54,7 +54,7 @@ object BloomJoin {
     * semi join settles the false positives. */
   def semiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    require(bigKey != "__bloom_k", "__bloom_k is reserved internally")
+    require(!big.columns.contains("__bloom_k"), "__bloom_k is reserved internally")
     val bytes = buildFilter(small, smallKey, expectedItems, fpp)
     // alias the small side's key: with unresolved col() refs, a
     // same-named key on both sides would be AMBIGUOUS_REFERENCE
@@ -73,7 +73,7 @@ object BloomJoin {
     * first if it is already a computed intermediate. */
   def antiJoin(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    require(bigKey != "__bloom_k", "__bloom_k is reserved internally")
+    require(!big.columns.contains("__bloom_k"), "__bloom_k is reserved internally")
     val bytes = buildFilter(small, smallKey, expectedItems, fpp)
     val probe = mightContain(col(bigKey), bytes)
     val definiteMiss = big.where(!probe)

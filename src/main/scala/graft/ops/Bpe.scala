@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * the corpus builds the dict, training never touches the corpus
   * again.
   *
-  * Word model: whitespace tokens, each word a sequence of 1-char
-  * symbols plus a terminal `</w>` marker (the Sennrich et al. 2016
-  * formulation), so merges never cross word boundaries and
-  * end-of-word variants ("low" vs "lower") stay distinguishable.
+  * Word model: whitespace tokens, each word a sequence of
+  * code-point symbols plus a terminal `</w>` marker (the Sennrich
+  * et al. 2016 formulation), so merges never cross word boundaries
+  * and end-of-word variants ("low" vs "lower") stay distinguishable.
   *
   * Determinism: every ranking ties-breaks lexicographically, so the
   * same corpus always trains the same merge table in any engine, and
@@ -25,6 +25,24 @@ import org.apache.spark.sql.functions._
 object Bpe {
 
   val EndOfWord = "</w>"
+
+  /** A word's initial symbols: one per Unicode CODE POINT, plus the
+    * terminal marker. Code points, not UTF-16 code units — Spark's
+    * `substr`/`length` and DuckDB's `word[i:i]`/`len` both count
+    * code points, and splitting surrogate pairs would diverge the
+    * driver-side trainer from the distributed pair counts on any
+    * corpus with astral characters (emoji, CJK extensions). */
+  private[graft] def symbols(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out += EndOfWord
+    out.toArray
+  }
 
   /** Corpus word-frequency dictionary: (word, freq), the one
     * corpus-sized aggregate. `maxWords` caps the dict
@@ -69,7 +87,7 @@ object Bpe {
   def train(dict: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be non-negative")
     var words: Seq[(Array[String], Long)] =
-      dict.map { case (w, f) => (w.map(_.toString).toArray :+ EndOfWord, f) }
+      dict.map { case (w, f) => (symbols(w), f) }
     val merges = Seq.newBuilder[(String, String)]
     var k = 0
     while (k < numMerges) {
@@ -104,7 +122,7 @@ object Bpe {
     * implementation — the native column form is
     * `graft.plans.BpeEncode`. */
   def encodeWord(word: String, merges: Seq[(String, String)]): Seq[String] = {
-    var sym = word.map(_.toString).toArray :+ EndOfWord
+    var sym = symbols(word)
     for (m <- merges) sym = mergeOnce(sym, m)
     sym.toSeq
   }

@@ -85,7 +85,13 @@ object Gopher {
     * gram LIST is built row-locally (no shuffle); the caller decides
     * whether to explode. */
   private def gramRows(docs: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // empty tokens from edge whitespace are dropped BEFORE gram
+    // positions are assigned (with n=1 the phantom "" gram would
+    // otherwise out-count every real token); dupNgramCharFrac's
+    // token-position frame enumerates the same filtered array, so
+    // positions stay aligned
+    val toks = filter(graft.functions.TextFunctions.tokens(col(textCol)),
+      t => length(t) > 0)
     // starts 1..m-n+1 (slice is 1-based). The short-doc case MUST be
     // an explicit empty array: sequence(1, 0) in Spark steps DOWN to
     // [1, 0], which would fabricate grams from truncated slices.
@@ -153,9 +159,9 @@ object Gopher {
   def dupNgramCharFrac(docs: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val toks = docs.select(col("doc_id"),
-      posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+      posexplode(filter(graft.functions.TextFunctions.tokens(col(textCol)),
+        t => length(t) > 0))
         .as(Seq("pos", "tok")))
-      .where(length(col("tok")) > 0)
     val grams = gramRows(docs, textCol, n)
     // duplicated gram KEYS only — no collect_list of positions: a
     // pathological spam doc can put millions of occurrences in one

@@ -39,21 +39,35 @@ object Scd2 {
     require(attrCols.nonEmpty, "attrCols must be non-empty")
     val attrs = attrCols.map(col)
 
+    // NULL timestamps cannot be existence sentinels (a NULL-ts
+    // update or NULL-valid_from open row would silently vanish) —
+    // reject them loudly and mark side membership explicitly
+    val guardedUpdates = updates.withColumn(tsCol,
+      when(col(tsCol).isNull,
+        raise_error(concat(lit(s"Scd2: NULL $tsCol in update for key "),
+          col(key).cast("string"))).cast(updates.schema(tsCol).dataType))
+        .otherwise(col(tsCol)))
     // latest update per key, deterministic: max (ts, tieBreak)
-    val latest = updates
+    val latest = guardedUpdates
       .groupBy(col(key))
       .agg(max_by(struct((col(tsCol) +: col(tieBreak) +: attrs): _*),
         struct(col(tsCol), col(tieBreak))).as("u"))
-      .select((col(key) +: col(s"u.$tsCol").as("__u_ts") +:
+      .select((col(key) +: col(s"u.$tsCol").as("__u_ts") +: lit(true).as("__upd") +:
         attrCols.map(a => col(s"u.$a").as(s"__u_$a"))): _*)
 
     val history = dim.where(col("valid_to").isNotNull)
     val open = dim.where(col("valid_to").isNull)
+      .withColumn("valid_from",
+        when(col("valid_from").isNull,
+          raise_error(concat(lit("Scd2: open dim row with NULL valid_from for key "),
+            col(key).cast("string"))).cast(dim.schema("valid_from").dataType))
+          .otherwise(col("valid_from")))
+      .withColumn("__open", lit(true))
 
     val joined = open.join(latest, Seq(key), "full_outer")
 
-    val hasUpdate = col("__u_ts").isNotNull
-    val hasOpen = col("valid_from").isNotNull
+    val hasUpdate = col("__upd").isNotNull
+    val hasOpen = col("__open").isNotNull
     val changed = hasOpen && hasUpdate &&
       attrCols.map(a => !(col(a) <=> col(s"__u_$a"))).reduce(_ || _)
     // loud out-of-order guard (evaluated only on matched pairs)

@@ -47,13 +47,9 @@ case class BpeEncodeCount(child: Expression, merges: Seq[(String, String)])
     while (w < words.length) {
       val word = words(w)
       if (word.nonEmpty) {
-        var sym: Array[String] = {
-          val a = new Array[String](word.length + 1)
-          var i = 0
-          while (i < word.length) { a(i) = String.valueOf(word.charAt(i)); i += 1 }
-          a(word.length) = graft.ops.Bpe.EndOfWord
-          a
-        }
+        // code-point symbols (shared with the driver-side trainer —
+        // UTF-16 code units would split surrogate pairs and diverge)
+        var sym: Array[String] = graft.ops.Bpe.symbols(word)
         var m = 0
         while (m < mergeArr.length && sym.length > 1) {
           sym = graft.ops.Bpe.mergeOnce(sym, mergeArr(m))

@@ -79,6 +79,21 @@ class BpeSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 8L), (2L, 4L), (3L, 0L), (4L, 0L)))
   }
 
+  test("symbols split by code point: astral chars stay whole and distributed counts match the trainer") {
+    val emoji = new String(Character.toChars(0x1F389)) // one astral code point
+    val word = emoji + "x"
+    // driver-side: [emoji, x, </w>] — no lone surrogates
+    val m = Bpe.train(Seq((word, 1L)), 1)
+    assert(m.head._1 == emoji || m.head._1 == "x" || m.head._2 == "x",
+      s"merge symbols must be whole code points: $m")
+    assert(Bpe.encodeWord(word, Seq.empty).head == emoji)
+    // distributed pair counts agree with the trainer's symbol model
+    val docs = Seq((1L, word)).toDF("doc_id", "text")
+    val pairs = Bpe.pairCounts(Bpe.wordFreqs(docs, "text"))
+      .as[(String, String, Long)].collect().toSet
+    assert(pairs == Set((emoji, "x", 1L), ("x", Bpe.EndOfWord, 1L)))
+  }
+
   test("bpeTokenCount stays row-local and codegen-compatible") {
     val merges = Bpe.train(toyDict, 3)
     val docs = Seq((1L, "low newest")).toDF("doc_id", "text")

@@ -108,6 +108,15 @@ class Scd2Spec extends SparkSpec {
       (100L, "bronze"), (101L, "silver"), (102L, "silver"), (103L, "gold")))
   }
 
+  test("a NULL update timestamp fails loudly instead of being silently ignored") {
+    val updates = Seq((1L, "silver", null.asInstanceOf[Timestamp], 1L))
+      .toDF("user_id", "tier", "ts", "update_id")
+    val err = intercept[Exception] {
+      Scd2.apply(dim0, updates, "user_id", Seq("tier"), "ts", "update_id").collect()
+    }
+    assert(err.getMessage.contains("NULL ts"), err.getMessage)
+  }
+
   test("NULL attrs compare with null-safe equality (no phantom versions)") {
     val d = Scd2.init(Seq((1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00")))
       .toDF("user_id", "tier", "since"), "user_id", Seq("tier"), "since")
