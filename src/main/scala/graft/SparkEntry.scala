@@ -44,7 +44,56 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries ++ temporalQueries
+    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries ++ temporalQueries ++ journeyQueries
+
+  // ==== batch 7: global sequence numbers, journey analytics, and
+  // snapshot CDC — the remaining whole-corpus bookkeeping ops ====
+  private def journeyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- contiguous global row ids + ntile(10) with NO global
+    // window: literal quantile cuts -> per-bucket counts -> offset +
+    // per-bucket row_number (ops.Ids — the zipWithIndex two-pass at
+    // the DataFrame layer) ----
+    "q_global_ids" -> ((s, dir) => {
+      graft.ops.Ids.globalNtile(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "n_chars", Seq("doc_id"), n = 10, buckets = 32)
+        .select(col("doc_id"), col("row_id"), col("tile"))
+        .orderBy(col("row_id"))
+    }),
+
+    // ---- cohort retention: first-event-day cohorts x days-since,
+    // distinct active users (two keyed aggregates, no window) ----
+    "q_cohort_retention" -> ((s, dir) => {
+      graft.ops.Journeys.cohortRetention(
+          Tables.events(s, dir).where(col("user_id").isNotNull), "user_id", "ts")
+        .orderBy(col("cohort_day"), col("period"))
+    }),
+
+    // ---- event-type transition matrix: per-user lead() in
+    // (ts, event_id) order, counted corpus-wide ----
+    "q_transitions" -> ((s, dir) => {
+      graft.ops.Journeys.transitions(
+          Tables.events(s, dir).where(col("user_id").isNotNull),
+          "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // ---- snapshot CDC: keyed diff of two full dumps into
+    // added/removed/changed via one full-outer join (the delta the
+    // reference's truncate-and-reload sink cannot compute) ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val oldSnap = orders.where(col("o_orderkey") % 97 =!= 0)
+      val newSnap = orders.where(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 5 === 0,
+            concat(lit("ESC-"), col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")))
+      graft.operators.SnapshotDiff.diff(oldSnap, newSnap, "o_orderkey",
+          Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
 
   // ==== batch 5: temporal joins, deterministic sampling, exact
   // quantiles — training-pipeline staples beyond plain equi-joins ====
@@ -1083,7 +1132,74 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles
+
+  private def journeyOracles: Map[String, String] = Map(
+    // The cuts/buckets are internal; the output is the plain global
+    // window the operator avoids executing.
+    "q_global_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS row_id,
+        |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INT) AS tile
+        |FROM documents
+        |ORDER BY row_id""".stripMargin,
+
+    // CAST(ts AS TIMESTAMP) truncates parquet-ns to the same micros
+    // Spark reads (verify skill gotcha).
+    "q_cohort_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), f AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |)
+        |SELECT f.cohort_day,
+        |  CAST(datediff('day', f.cohort_day, e.day) AS INT) AS period,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ) AS next_type
+        |  FROM events WHERE user_id IS NOT NULL
+        |)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH olds AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 <> 0
+        |), news AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN 'ESC-' || o_orderpriority
+        |         ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 89 <> 0
+        |), d AS (
+        |  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    o.o_orderstatus AS o_orderstatus_old,
+        |    n.o_orderstatus AS o_orderstatus_new,
+        |    o.o_orderpriority AS o_orderpriority_old,
+        |    n.o_orderpriority AS o_orderpriority_new
+        |  FROM olds o FULL OUTER JOIN news n ON o.o_orderkey = n.o_orderkey
+        |)
+        |SELECT * FROM d WHERE status <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin
+  )
 
   private def gopherOracles: Map[String, String] = Map(
     // Same derived line structure (regexes are Java/RE2-common), then
