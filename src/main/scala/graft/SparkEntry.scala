@@ -78,6 +78,30 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- blocked fuzzy match: dirty (vowel-dropped) names linked
+    // back to the catalog within 2 edits; first-char blocking keeps
+    // the join sub-quadratic, levenshtein verifies candidates ----
+    "q_fuzzy_match" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val dirty = parts.where(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          regexp_replace(col("p_name"), "e", "").as("dirty_name"))
+      graft.ops.FuzzyJoin.pairs(dirty, parts, "dirty_id", "p_partkey",
+          "dirty_name", "p_name", maxDist = 2,
+          blockKey = t => lower(t.substr(lit(1), lit(1))))
+        .orderBy(col("dirty_id"), col("p_partkey"))
+    }),
+
+    // ---- overlapping-interval merge (islands): per-user event
+    // intervals of 60..359 s coalesced into maximal covered spans ----
+    "q_intervals" -> ((s, dir) => {
+      val iv = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .select(col("user_id"), col("ts").as("s_ts"),
+          expr("timestampadd(SECOND, CAST(event_id % 300 + 60 AS INT), ts)").as("e_ts"))
+      graft.ops.Intervals.mergeOverlapping(iv, "user_id", "s_ts", "e_ts")
+        .orderBy(col("user_id"), col("start"))
+    }),
+
     // ---- snapshot CDC: keyed diff of two full dumps into
     // added/removed/changed via one full-outer join (the delta the
     // reference's truncate-and-reload sink cannot compute) ----
@@ -1173,6 +1197,47 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // replace() (DuckDB) ≡ literal-pattern regexp_replace (Spark);
+    // string[1:1] ≡ substr(1,1); levenshtein identical unit-edit
+    // semantics in both engines.
+    "q_fuzzy_match" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS dirty_id, replace(p_name, 'e', '') AS dirty_name
+        |  FROM part WHERE p_partkey % 7 = 0
+        |)
+        |SELECT d.dirty_id, c.p_partkey, d.dirty_name, c.p_name,
+        |  CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS dist
+        |FROM dirty d JOIN part c
+        |  ON lower(d.dirty_name[1:1]) = lower(c.p_name[1:1])
+        |WHERE abs(len(d.dirty_name) - len(c.p_name)) <= 2
+        |  AND levenshtein(d.dirty_name, c.p_name) <= 2
+        |ORDER BY d.dirty_id, c.p_partkey""".stripMargin,
+
+    // island detection: a row opens an island iff its start exceeds
+    // the running max end; "end" is reserved in DuckDB -> quoted.
+    "q_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts,
+        |    CAST(ts AS TIMESTAMP) + to_seconds(event_id % 300 + 60) AS e_ts
+        |  FROM events WHERE user_id IS NOT NULL
+        |), g AS (
+        |  SELECT user_id, s_ts, e_ts,
+        |    CASE WHEN max(e_ts) OVER w IS NULL OR s_ts > max(e_ts) OVER w
+        |         THEN 1 ELSE 0 END AS opens
+        |  FROM iv
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY s_ts, e_ts
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |), i AS (
+        |  SELECT user_id, s_ts, e_ts,
+        |    sum(opens) OVER (PARTITION BY user_id ORDER BY s_ts, e_ts
+        |                     ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM g
+        |)
+        |SELECT user_id, min(s_ts) AS start, max(e_ts) AS "end",
+        |  CAST(count(*) AS BIGINT) AS n_merged
+        |FROM i GROUP BY user_id, island
+        |ORDER BY user_id, start""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH olds AS (

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.FuzzyJoin
+import org.apache.spark.sql.functions._
+
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def catalog = Seq(
+    (1L, "red widget"),
+    (2L, "red widgett"),  // 1 edit from widget
+    (3L, "red wodget"),   // 1 edit
+    (4L, "blue widget"),  // same noun, different block
+    (5L, "red bolt"),     // 4+ edits
+    (6L, null.asInstanceOf[String])
+  ).toDF("id", "name")
+
+  test("selfPairs finds within-block pairs inside the edit budget") {
+    val got = FuzzyJoin.selfPairs(catalog, "id", "name", maxDist = 2)
+      .select($"id_l", $"id_r", $"dist").as[(Long, Long, Int)].collect().toSet
+    // (1,2)=1, (1,3)=1, (2,3)=2; 4 is in block "blue"; 5 too far; 6 null
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (2L, 3L, 2)))
+  }
+
+  test("blocking is the documented recall boundary: cross-block pair missed") {
+    // "blue widget" vs "red widget" is 4 edits anyway, but even an
+    // identical-suffix pair across blocks must not appear
+    val got = FuzzyJoin.selfPairs(catalog, "id", "name", maxDist = 10)
+      .where($"id_l" === 1L && $"id_r" === 4L)
+    assert(got.count() == 0)
+  }
+
+  test("pairs links a dirty side back to the catalog") {
+    val dirty = Seq((100L, "rd widgt")).toDF("did", "dname") // 'e'-dropped
+    val got = FuzzyJoin.pairs(dirty, catalog, "did", "id", "dname", "name",
+        maxDist = 2, blockKey = t => lower(t.substr(lit(1), lit(1))))
+      .select($"id", $"dist").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 2)) // widget@2; widgett/wodget are 3 edits
+  }
+
+  test("length pre-filter never changes the result, only prunes") {
+    // a pair differing by >maxDist in length cannot pass levenshtein
+    val df = Seq((1L, "ab"), (2L, "abcdefgh")).toDF("id", "name")
+    assert(FuzzyJoin.selfPairs(df, "id", "name", maxDist = 3).count() == 0)
+  }
+
+  test("rejects negative maxDist") {
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.selfPairs(catalog, "id", "name", maxDist = -1)
+    }
+  }
+}
