@@ -78,6 +78,16 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- temperature-flattened (α=1/2) language mixture: smallest
+    // lang kept whole, larger langs downsampled at sqrt(n_min/n) —
+    // IEEE-exact cutoffs, so the oracle replicates them bit-for-bit ----
+    "q_temp_mix" -> ((s, dir) => {
+      graft.ops.Mixture.byTemperatureSqrt(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- blocked fuzzy match: dirty (vowel-dropped) names linked
     // back to the catalog within 2 edits; first-char blocking keeps
     // the join sub-quadratic, levenshtein verifies candidates ----
@@ -1197,6 +1207,26 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // division, sqrt, ×2^20, floor — each correctly rounded or exact
+    // under IEEE-754, so both engines compute identical cutoffs.
+    "q_temp_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1
+        |), cut AS (
+        |  SELECT lang,
+        |    CASE WHEN n = min(n) OVER () THEN 1048576
+        |         ELSE CAST(floor(1048576.0 *
+        |           sqrt(CAST(min(n) OVER () AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |    END AS cutoff
+        |  FROM c
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cut USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % 1048576 < cutoff
+        |ORDER BY d.doc_id""".stripMargin,
 
     // replace() (DuckDB) ≡ literal-pattern regexp_replace (Spark);
     // string[1:1] ≡ substr(1,1); levenshtein identical unit-edit

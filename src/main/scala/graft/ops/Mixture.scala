@@ -76,4 +76,40 @@ object Mixture {
       .drop("__cutoff")
       .select(df.columns.map(col): _*)
   }
+
+  /** Temperature-flattened mixture at α = 1/2 (the mC4/XLM-R style
+    * "sample language ℓ with p ∝ n_ℓ^α" rebalancing): the smallest
+    * group is kept whole and every larger group is downsampled at
+    * rate sqrt(n_min/n_g), so realized sizes are ∝ sqrt(n_g) — big
+    * groups flattened toward the small ones, never upsampled.
+    *
+    * α is fixed at 1/2 deliberately: the per-group keep rate is then
+    * one division, one `sqrt`, one multiply by 2^20 and a floor —
+    * every step correctly rounded (or exact) under IEEE-754, so the
+    * cutoff is BIT-IDENTICAL in any engine and membership stays a
+    * pure function of (key, group sizes), re-run- and cross-engine-
+    * reproducible like `byWeights`. A general `pow(x, α)` has no such
+    * guarantee (libm-dependent last-ulp), which would silently break
+    * the oracle contract at cutoff boundaries.
+    *
+    * Same plan shape as `byWeights`: one tiny count aggregate, a
+    * broadcast cutoff row per group, one narrow hash filter.
+    */
+  def byTemperatureSqrt(df: DataFrame, key: String, groupCol: String): DataFrame = {
+    Sampling.requirePortableKey(df, key)
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cutoffs = counts
+      .withColumn("__nmin", min(col("__n")).over(wAll))
+      .withColumn("__cutoff",
+        when(col("__n") === col("__nmin"), lit(Buckets))
+          .otherwise(floor(lit(Buckets.toDouble) *
+            sqrt(col("__nmin").cast("double") / col("__n").cast("double")))))
+      .select(col(groupCol), col("__cutoff"))
+    df.join(broadcast(cutoffs), Seq(groupCol))
+      .where(Sampling.hashBucket(col(key), Buckets.toInt) < col("__cutoff"))
+      .drop("__cutoff")
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -63,4 +63,28 @@ class MixtureSpec extends SparkSpec {
     val y = Mixture.byWeights(corpus, "id", "src", Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
     assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty)
   }
+
+  test("byTemperatureSqrt keeps the smallest group whole, flattens the rest") {
+    val got = Mixture.byTemperatureSqrt(corpus, "id", "src")
+    val counts = got.groupBy($"src").count().as[(String, Long)].collect().toMap
+    // c (500) kept whole; a kept ~ 8000*sqrt(500/8000)=2000; b ~ 2000*sqrt(0.25)=1000
+    assert(counts("c") == 500L)
+    assert(math.abs(counts("a") - 2000L) < 150, counts.toString)
+    assert(math.abs(counts("b") - 1000L) < 100, counts.toString)
+    // flattening, not inversion: bigger groups still >= smaller ones
+    assert(counts("a") >= counts("b") && counts("b") >= counts("c"))
+  }
+
+  test("byTemperatureSqrt is deterministic and a subset per group") {
+    val a = Mixture.byTemperatureSqrt(corpus, "id", "src")
+    val b = Mixture.byTemperatureSqrt(corpus, "id", "src")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.join(corpus, Seq("id", "src"), "left_anti").count() == 0)
+  }
+
+  test("equal-size groups pass through whole under temperature sampling") {
+    val eq = ((1L to 100L).map(i => (i, "x")) ++ (101L to 200L).map(i => (i, "y")))
+      .toDF("id", "src")
+    assert(Mixture.byTemperatureSqrt(eq, "id", "src").count() == 200L)
+  }
 }
