@@ -78,6 +78,15 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- deterministic contrastive negatives: 3 corpus-uniform
+    // partners per doc via dense ids + hash60 mod N (no rand(), no
+    // global window; self-draws dropped, not re-drawn) ----
+    "q_negatives" -> ((s, dir) => {
+      graft.ops.Negatives.sample(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", k = 3)
+        .orderBy(col("anchor_id"), col("j"))
+    }),
+
     // ---- temperature-flattened (α=1/2) language mixture: smallest
     // lang kept whole, larger langs downsampled at sqrt(n_min/n) —
     // IEEE-exact cutoffs, so the oracle replicates them bit-for-bit ----
@@ -1207,6 +1216,25 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // dense ids are the plain row_number the operator avoids; the
+    // draw is hash60('0:rid:j') mod N, replicated literally.
+    "q_negatives" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rid
+         |  FROM documents
+         |), n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+         |drawn AS (
+         |  SELECT i.doc_id AS anchor_id, t.j, i.rid,
+         |    1 + (${duckHash60.format(
+                  "concat('0:', CAST(i.rid AS VARCHAR), ':', CAST(t.j AS VARCHAR))")}
+         |         % n.total) AS neg_rid
+         |  FROM ids i CROSS JOIN n CROSS JOIN generate_series(1, 3) AS t(j)
+         |)
+         |SELECT d.anchor_id, CAST(d.j AS INT) AS j, i2.doc_id AS neg_id
+         |FROM drawn d JOIN ids i2 ON i2.rid = d.neg_rid
+         |WHERE d.neg_rid <> d.rid
+         |ORDER BY anchor_id, j""".stripMargin,
 
     // division, sqrt, ×2^20, floor — each correctly rounded or exact
     // under IEEE-754, so both engines compute identical cutoffs.

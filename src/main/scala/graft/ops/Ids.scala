@@ -66,6 +66,13 @@ object Ids {
                       buckets: Int = 64, out: String = "row_id"): DataFrame =
     numberedWithTotal(df, orderCol, tieBreaks, buckets, out)._1
 
+  /** As `globalRowNumber`, also returning the total row count (free —
+    * pass 2 already computed it). For consumers that need N as a
+    * literal (e.g. `Negatives` sampling modulo N). */
+  def globalRowNumberWithTotal(df: DataFrame, orderCol: String, tieBreaks: Seq[String],
+                               buckets: Int = 64, out: String = "row_id"): (DataFrame, Long) =
+    numberedWithTotal(df, orderCol, tieBreaks, buckets, out)
+
   /** The two-pass core; also returns the total row count (already
     * paid for by pass 2) so `globalNtile` needs no third scan. */
   private def numberedWithTotal(df: DataFrame, orderCol: String,
