@@ -28,7 +28,10 @@ import org.apache.spark.sql.functions._
   *
   * Keys must be unique per snapshot (it is a snapshot, not a log);
   * duplicate keys would multiply rows through the join, so the
-  * operator fails fast if either side repeats a key.
+  * operator fails fast if either side repeats a key. A null-keyed
+  * row never joins: it surfaces as its own 'removed' (old side) or
+  * 'added' (new side) row — a null key has no cross-snapshot
+  * identity to compare under.
   */
 object SnapshotDiff {
 
@@ -39,12 +42,18 @@ object SnapshotDiff {
            compareCols: Seq[String], keepUnchanged: Boolean = false): DataFrame = {
     require(compareCols.nonEmpty, "compareCols must name at least one column")
 
-    val o = oldSnap.select((key +: compareCols).map(col): _*).alias("o")
-    val n = newSnap.select((key +: compareCols).map(col): _*).alias("n")
+    // existence is a per-side literal flag, NOT key-null-ness: a
+    // null-keyed row never joins, and testing the key after the
+    // outer join would misreport its own side as absent (an old
+    // null-key row must read 'removed', not 'added')
+    val o = oldSnap.select((key +: compareCols).map(col): _*)
+      .withColumn("__o_exists", lit(true)).alias("o")
+    val n = newSnap.select((key +: compareCols).map(col): _*)
+      .withColumn("__n_exists", lit(true)).alias("n")
 
     val joined = o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
-    val inOld = col(s"o.$key").isNotNull
-    val inNew = col(s"n.$key").isNotNull
+    val inOld = col("__o_exists").isNotNull
+    val inNew = col("__n_exists").isNotNull
     val anyDiff = compareCols
       .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
       .reduce(_ || _)
@@ -64,7 +73,7 @@ object SnapshotDiff {
 
   /** Fail-fast unique-key guard (an action — call it from ingest
     * validation, not from inside the diff hot path; `diff` itself
-    * stays lazy). Mirrors `Sinks.requireUniqueKey`. */
+    * stays lazy). Mirrors `Sinks.enforceUnique`. */
   def requireUniqueKeys(snap: DataFrame, key: String, side: String): Unit = {
     val dup = snap.groupBy(col(key)).count().where(col("count") > 1).limit(1).count()
     require(dup == 0L, s"$side snapshot repeats key '$key' — a snapshot must be keyed")

@@ -35,45 +35,51 @@ object FuzzyJoin {
   def firstTokenBlock(text: Column): Column =
     lower(split(trim(text), " +").getItem(0))
 
+  /** The shared candidate→verify step over internally-renamed sides
+    * (__id_l/__text_l vs __id_r/__text_r on __blk) — renaming before
+    * the join is what keeps same-named input columns unambiguous. */
+  private def verify(l: DataFrame, r: DataFrame, maxDist: Int): DataFrame =
+    l.join(r, "__blk")
+      // cheap length pre-filter: |len diff| > maxDist can't pass
+      .where(abs(length(col("__text_l")) - length(col("__text_r"))) <= maxDist)
+      .withColumn("__dist", levenshtein(col("__text_l"), col("__text_r")))
+      .where(col("__dist") <= maxDist)
+
+  private def side(df: DataFrame, idCol: String, textCol: String,
+                   blockKey: Column => Column, suffix: String): DataFrame =
+    df.select(col(idCol).as(s"__id$suffix"), col(textCol).as(s"__text$suffix"))
+      .where(col(s"__text$suffix").isNotNull)
+      .withColumn("__blk", blockKey(col(s"__text$suffix")))
+
   /** Self-match: pairs (id_l < id_r) from one frame whose `textCol`
     * values share a block and are within `maxDist` edits. Output:
     * id_l, id_r, text_l, text_r, dist (INT). */
   def selfPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
                 blockKey: Column => Column = firstTokenBlock): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    val keyed = df
-      .select(col(idCol), col(textCol))
-      .where(col(textCol).isNotNull)
-      .withColumn("__blk", blockKey(col(textCol)))
-    val l = keyed.select(col("__blk"), col(idCol).as("id_l"), col(textCol).as("text_l"))
-    val r = keyed.select(col("__blk"), col(idCol).as("id_r"), col(textCol).as("text_r"))
-    l.join(r, "__blk")
-      .where(col("id_l") < col("id_r"))
-      // cheap length pre-filter: |len diff| > maxDist can't pass
-      .where(abs(length(col("text_l")) - length(col("text_r"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("text_l"), col("text_r")))
-      .where(col("dist") <= maxDist)
-      .select(col("id_l"), col("id_r"), col("text_l"), col("text_r"),
-        col("dist").cast("int").as("dist"))
+    verify(side(df, idCol, textCol, blockKey, "_l"),
+           side(df, idCol, textCol, blockKey, "_r"), maxDist)
+      .where(col("__id_l") < col("__id_r"))
+      .select(col("__id_l").as("id_l"), col("__id_r").as("id_r"),
+        col("__text_l").as("text_l"), col("__text_r").as("text_r"),
+        col("__dist").cast("int").as("dist"))
   }
 
-  /** Two-frame variant (link records of `left` to `right`). */
+  /** Two-frame variant (link records of `left` to `right`). Output
+    * columns keep the callers' names; when the right-side name
+    * collides with the left's (linking two versions of one catalog),
+    * the right column gets an `_r` suffix. */
   def pairs(left: DataFrame, right: DataFrame,
             leftId: String, rightId: String,
             leftText: String, rightText: String, maxDist: Int,
             blockKey: Column => Column = firstTokenBlock): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    val l = left.select(col(leftId), col(leftText))
-      .where(col(leftText).isNotNull)
-      .withColumn("__blk", blockKey(col(leftText)))
-    val r = right.select(col(rightId), col(rightText))
-      .where(col(rightText).isNotNull)
-      .withColumn("__blk", blockKey(col(rightText)))
-    l.join(r, "__blk")
-      .where(abs(length(col(leftText)) - length(col(rightText))) <= maxDist)
-      .withColumn("dist", levenshtein(col(leftText), col(rightText)))
-      .where(col("dist") <= maxDist)
-      .select(col(leftId), col(rightId), col(leftText), col(rightText),
-        col("dist").cast("int").as("dist"))
+    val outRid = if (rightId == leftId) s"${rightId}_r" else rightId
+    val outRtext = if (rightText == leftText) s"${rightText}_r" else rightText
+    verify(side(left, leftId, leftText, blockKey, "_l"),
+           side(right, rightId, rightText, blockKey, "_r"), maxDist)
+      .select(col("__id_l").as(leftId), col("__id_r").as(outRid),
+        col("__text_l").as(leftText), col("__text_r").as(outRtext),
+        col("__dist").cast("int").as("dist"))
   }
 }

@@ -94,6 +94,9 @@ object Mixture {
     *
     * Same plan shape as `byWeights`: one tiny count aggregate, a
     * broadcast cutoff row per group, one narrow hash filter.
+    * Rows with a NULL group are dropped (like `byWeights` drops
+    * unweighted sources): a null group has no size to flatten
+    * against — coalesce to a sentinel group first to keep them.
     */
   def byTemperatureSqrt(df: DataFrame, key: String, groupCol: String): DataFrame = {
     Sampling.requirePortableKey(df, key)

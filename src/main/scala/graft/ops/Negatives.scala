@@ -35,9 +35,15 @@ object Negatives {
     * values. `seed` re-deals every draw. */
   def sample(df: DataFrame, idCol: String, k: Int, seed: Long = 0L): DataFrame = {
     require(k > 0, "k must be positive")
-    val (ids, total) = Ids.globalRowNumberWithTotal(
+    val (numbered, total) = Ids.globalRowNumberWithTotal(
       df.select(col(idCol)), idCol, Seq(idCol), out = "__rid")
     require(total > 1, "need at least 2 rows to draw negatives")
+    // the (rid, id) frame feeds BOTH sides of the translate-back
+    // join; without truncation the bucket-sort-window id pass would
+    // execute twice per action (ReuseExchange dedups exchanges, not
+    // the sort+window on top). localCheckpoint materializes the
+    // two-long-per-row frame once — same pattern as Components.
+    val ids = numbered.localCheckpoint()
 
     val drawn = ids
       .withColumn("j", explode(array((1 to k).map(lit): _*)))

@@ -44,6 +44,14 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(FuzzyJoin.selfPairs(df, "id", "name", maxDist = 3).count() == 0)
   }
 
+  test("pairs tolerates identical column names on both sides (two catalog versions)") {
+    val v2 = Seq((10L, "red widgett")).toDF("id", "name")
+    val got = FuzzyJoin.pairs(catalog, v2, "id", "id", "name", "name", maxDist = 2)
+    assert(got.columns.toSeq == Seq("id", "id_r", "name", "name_r", "dist"))
+    val hits = got.select($"id", $"id_r", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(hits == Set((1L, 10L, 1), (2L, 10L, 0), (3L, 10L, 2)))
+  }
+
   test("rejects negative maxDist") {
     intercept[IllegalArgumentException] {
       FuzzyJoin.selfPairs(catalog, "id", "name", maxDist = -1)

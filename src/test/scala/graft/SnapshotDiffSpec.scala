@@ -50,6 +50,19 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(row == (("B", "B2", 20, 20)))
   }
 
+  test("null-keyed rows classify by their own side, not as each other") {
+    val o = Seq((Some(1L), "A", 1), (None, "B", 2)).toDF("k", "s", "v")
+    val n = Seq((Some(1L), "A", 1), (None, "C", 3)).toDF("k", "s", "v")
+    val got = SnapshotDiff.diff(o, n, "k", Seq("s", "v"))
+      .select($"k", $"status", $"s_old", $"s_new")
+      .collect().map(r => (Option(r.get(0)), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet
+    // the old null-key row is REMOVED (payload in _old), the new one ADDED
+    assert(got == Set(
+      (None, "removed", "B", null),
+      (None, "added", null, "C")))
+  }
+
   test("requireUniqueKeys rejects a key-repeating snapshot") {
     val dup = Seq((1L, "A", 1), (1L, "B", 2)).toDF("k", "s", "v")
     intercept[IllegalArgumentException] {
