@@ -78,6 +78,20 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- equi-DEPTH histogram (contrast q_histogram's equi-width):
+    // 20 tiles of equal population via the no-global-window ntile;
+    // min/max per tile are exact double endpoints ----
+    "q_histogram_eqdepth" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_id"), col("value"))
+      graft.ops.Ids.globalNtile(ev, "value", Seq("event_id"), n = 20, buckets = 32)
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("tile"))
+    }),
+
     // ---- deterministic contrastive negatives: 3 corpus-uniform
     // partners per doc via dense ids + hash60 mod N (no rand(), no
     // global window; self-draws dropped, not re-drawn) ----
@@ -1216,6 +1230,20 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // ntile over the full order is the semantic; the operator
+    // computes it without the single-task window. min/max of double
+    // are comparisons, not arithmetic — bit-exact both engines.
+    "q_histogram_eqdepth" ->
+      """SELECT tile, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM (
+        |  SELECT value,
+        |    CAST(ntile(20) OVER (ORDER BY value, event_id) AS INT) AS tile
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |GROUP BY tile
+        |ORDER BY tile""".stripMargin,
 
     // dense ids are the plain row_number the operator avoids; the
     // draw is hash60('0:rid:j') mod N, replicated literally.
