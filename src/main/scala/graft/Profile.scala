@@ -53,6 +53,49 @@ object Profile {
         time("jaccardFrom warm")(NearDup.jaccardPairsFrom(cl, 0.8).count())
         time("minhashFrom")(NearDup.minhashNearDupPairsFrom(cl, 0.8).count())
         time("minhashFrom warm")(NearDup.minhashNearDupPairsFrom(cl, 0.8).count())
+      case "ids" =>
+        // global row numbering: the single-partition window vs the
+        // bucketed two-pass, at 1x and 10x lineitem (shifted keys)
+        import org.apache.spark.sql.expressions.Window
+        def liN(n: Int) = {
+          val base = Tables.lineitem(spark, sfDir)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          (0 until n).map(i => base
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+            .reduce(_ unionByName _)
+        }
+        for (n <- Seq(1, 10, 50)) {
+          val li = liN(n).persist()
+          val rows = li.count()
+          time(s"naive global window ${n}x ($rows rows)")(
+            li.withColumn("rn", row_number().over(
+                Window.orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))))
+              .agg(sum(col("rn"))).collect())
+          time(s"bucketed two-pass   ${n}x ($rows rows)")(
+            graft.ops.Ids.globalRowNumber(li, "l_extendedprice",
+                Seq("l_orderkey", "l_linenumber"), buckets = 64)
+              .agg(sum(col("row_id"))).collect())
+          li.unpersist()
+        }
+
+      case "fuzzyvol" =>
+        // blocking selectivity: candidate volume vs the all-pairs
+        // cross product, and verified-output size
+        val parts = Tables.part(spark, sfDir)
+        val n = parts.count()
+        val dirty = parts.where(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey").as("dirty_id"),
+            regexp_replace(col("p_name"), "e", "").as("dirty_name"))
+        val nd = dirty.count()
+        val blk = (t: org.apache.spark.sql.Column) => lower(t.substr(lit(1), lit(1)))
+        val l = dirty.withColumn("__blk", blk(col("dirty_name")))
+        val r = parts.withColumn("__blk", blk(col("p_name")))
+        val cand = time("candidate count")(l.join(r, "__blk").count())
+        val out = time("verified output")(
+          graft.ops.FuzzyJoin.pairs(dirty, parts, "dirty_id", "p_partkey",
+            "dirty_name", "p_name", 2, blk).count())
+        println(s"PROF all-pairs=${nd * n} candidates=$cand (${"%.1f".format(nd * n * 1.0 / cand)}x cut) verified=$out")
+
       case "asofscale" =>
         // as-of join scaling: events at 1x and a 10x synthetic union
         // (ids and users shifted so the key space also grows 10x)
