@@ -28,6 +28,8 @@ val picks = Seq(
   "q_bloom_anti" -> "Bloom-pre-filtered anti join: the definite-miss branch is a pure scan-side graft_bloom_might_contain filter (no exchange at all); only the maybe fraction reaches the exact anti join -- the big side's shuffle shrinks to join selectivity + fpp.",
   "q_bpe_pairs" -> "BPE pair counts: corpus collapses to the word-frequency dict in ONE hash aggregate; symbol explode and pair projection run over the VOCAB-sized dict, not the corpus; top-100 is TakeOrderedAndProject, no total sort.",
   "q_gopher_dupgram" -> "Duplicate-ngram char fraction: gram list built row-locally (map-side Generate), dup detection one (doc,gram) hash aggregate, covered positions exploded and DISTINCT-unioned, char sums re-keyed by doc -- every exchange is keyed by doc or (doc,gram), corpus-linear.",
+  "q_histogram_eqdepth" -> "Equi-depth histogram: globalNtile's quantile cuts pre-bucket the rows, so the tile window is PARTITIONED by bucket (no empty-partitionSpec single-task sort anywhere); broadcast per-bucket offsets turn local ranks into global tiles, then one tile aggregate.",
+  "q_negatives" -> "Contrastive negatives: dense ids from the bucketed two-pass (no global window), then k partner ids are pure hash60-mod-N projections joined back to the id table on the DENSE id -- an equi-join the optimizer can shuffle-partition; no rand(), so the plan is deterministic and oracle-replicable.",
   "q_gopher_rules" -> "Gopher rule battery: a single row-local projection -- every metric and rule flag is higher-order-function arithmetic inside one WholeStageCodegen span over the scan; no exchange before the output order.",
   "q_global_ids" -> "Global row ids with NO global window: literal quantile cuts make the bucket a narrow projection, counts collapse to a broadcast offset map, and the only window is PARTITIONED by bucket -- each bucket sorts independently (contrast: row_number() OVER (ORDER BY ...) is one task).",
   "q_fuzzy_match" -> "Blocked fuzzy match: ONE equi-join on the block key generates candidates, the length band + levenshtein verify run as codegen'd filters on joined rows -- candidate volume is sum of per-block products, never the full cross product.",
