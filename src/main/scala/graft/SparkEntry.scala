@@ -1037,6 +1037,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- bigram perplexity, stupid backoff α=1/2 (CCNet-style
+    // perplexity filter): model trained on the even-doc_id half,
+    // every document scored; exact integer bits ⇒ full oracle ----
+    "q_bigram_ppl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.ops.Vocab.bigramPerplexity(docs, docs.where(col("doc_id") % 2 === 0), "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact repeated-substring removal (Lee et al. 2021): every
     // duplicated 3-gram keeps its first occurrence, all other
     // occurrences' tokens are masked out ----
@@ -2228,6 +2237,61 @@ object SparkEntry {
           |  CASE WHEN coalesce(p.n_tokens, 0) > 0
           |       THEN CAST(p.surprisal_bits AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
           |       ELSE 0.0 END AS avg_surprisal
+          |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+      // Mirrors Vocab.bigramPerplexity: same row-local bigram build
+      // (range(1, len) is end-exclusive ⇔ Spark's guarded sequence),
+      // same md5-prefix hash60 on w1||0x1F||w2, same min(w1h) context
+      // pick under collisions, same stupid-backoff α=1/2 integer-bit
+      // arithmetic (length(bin(x)) both engines), same spine join.
+      "q_bigram_ppl" ->
+        """WITH tokarr AS (
+          |  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), ' +'), x -> len(x) > 0) AS t
+          |  FROM documents
+          |), bg AS (
+          |  SELECT doc_id,
+          |    CAST(concat('0x', substr(md5(concat(t[i], chr(31), t[i+1])), 1, 15)) AS BIGINT) AS bh,
+          |    CAST(concat('0x', substr(md5(t[i]), 1, 15)) AS BIGINT) AS w1h,
+          |    CAST(concat('0x', substr(md5(t[i+1]), 1, 15)) AS BIGINT) AS w2h
+          |  FROM tokarr, unnest(range(1, len(t))) AS u(i)
+          |), uni AS (
+          |  SELECT CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS wh,
+          |         CAST(count(*) AS BIGINT) AS u_cnt
+          |  FROM (SELECT unnest(t) AS tok FROM tokarr WHERE doc_id % 2 = 0)
+          |  GROUP BY 1
+          |), tot AS (
+          |  SELECT greatest(CAST(coalesce(sum(u_cnt), 0) AS BIGINT), 1) AS n_total FROM uni
+          |), stats AS (
+          |  SELECT b.bh, b.b_cnt, u.u_cnt AS ctx_cnt
+          |  FROM (SELECT bh, CAST(count(*) AS BIGINT) AS b_cnt, min(w1h) AS ctx_h
+          |        FROM bg WHERE doc_id % 2 = 0 GROUP BY 1) b
+          |  JOIN uni u ON u.wh = b.ctx_h
+          |), scored AS (
+          |  SELECT g.doc_id,
+          |    CASE WHEN s.b_cnt IS NOT NULL THEN length(bin(s.ctx_cnt)) - length(bin(s.b_cnt))
+          |         WHEN u2.u_cnt IS NOT NULL THEN 1 + length(bin(t.n_total)) - length(bin(u2.u_cnt))
+          |         ELSE length(bin(t.n_total)) END AS bits,
+          |    CASE WHEN s.b_cnt IS NULL AND u2.u_cnt IS NOT NULL THEN 1 ELSE 0 END AS is_backoff,
+          |    CASE WHEN u2.u_cnt IS NULL THEN 1 ELSE 0 END AS is_oov
+          |  FROM bg g
+          |  LEFT JOIN stats s ON s.bh = g.bh
+          |  LEFT JOIN uni u2 ON u2.wh = g.w2h, tot t
+          |), per AS (
+          |  SELECT doc_id,
+          |    CAST(count(*) AS BIGINT) AS n_bigrams,
+          |    CAST(sum(bits) AS BIGINT) AS ppl_bits,
+          |    CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+          |    CAST(sum(is_oov) AS BIGINT) AS n_oov
+          |  FROM scored GROUP BY 1
+          |)
+          |SELECT d.doc_id,
+          |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+          |  coalesce(p.ppl_bits, 0) AS ppl_bits,
+          |  coalesce(p.n_backoff, 0) AS n_backoff,
+          |  coalesce(p.n_oov, 0) AS n_oov,
+          |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+          |       THEN CAST(p.ppl_bits AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+          |       ELSE 0.0 END AS avg_bits
           |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin,
 
       // Mirrors SubstringDedup.removeRepeatedNgrams(n=3): same hash60

@@ -106,6 +106,99 @@ object Vocab {
           .otherwise(lit(0.0)))
   }
 
+  /** Per-document bigram perplexity under a stupid-backoff bigram
+    * model trained on `statsDocs` — the CCNet/Gopher-style
+    * "perplexity filter" one rung up from [[surprisal]]'s unigram
+    * model: it also penalizes documents whose tokens are individually
+    * common but locally incoherent (shuffled text, keyword stuffing,
+    * template soup), the failure mode a unigram model can't see.
+    *
+    * Model: S(w2|w1) = B(w1,w2)/U(w1) when the bigram was seen in
+    * `statsDocs`; else backoff α·U(w2)/N; else (OOV) α/N — stupid
+    * backoff (Brants et al. 2007) with α fixed at 1/2, because
+    * −log2(1/2) is EXACTLY one bit: with floor-log2 as
+    * `length(bin(x))−1` (surprisal's trick) every per-bigram score is
+    * exact integer arithmetic in both engines, so the oracle
+    * replicates the output bit-for-bit — no IEEE log anywhere.
+    * Quantization is ≤1 bit per bigram and monotone in each count, so
+    * ranking fidelity (what a filter threshold consumes) survives.
+    *
+    * Plan shape: bigrams are built ROW-LOCALLY from the token array
+    * (a guarded sequence/transform — map-side Generate, no window, no
+    * self-join); what shuffles is 60-bit hashes, never token text.
+    * Stats side: one unigram and one bigram hash aggregate (map-side
+    * partials) plus a vocabulary-sized join attaching each bigram's
+    * context count. Scoring side: two hash equi-joins (bigram key,
+    * backoff-unigram key) — both shuffle-partitionable and
+    * AQE-skew-splittable for stop-word bigrams — the 1-row total as a
+    * broadcast cross join, one doc_id aggregate, and the docs spine
+    * LEFT join so sub-2-token documents emit zeros. Stats frames are
+    * distinct-bigram-sized (sub-linear in corpus growth once the
+    * n-gram space saturates), never corpus-row-sized.
+    *
+    * Hash collisions (60-bit) merge counts IDENTICALLY in both
+    * engines (same md5 prefix), so exactness of the comparison is
+    * unaffected; the model itself treats a collision as count noise,
+    * the standard hashed-LM trade. */
+  def bigramPerplexity(docs: DataFrame, statsDocs: DataFrame, textCol: String): DataFrame = {
+    import graft.plans.Hash60.hash60
+    def toksOf(df: DataFrame) = df.select(col("doc_id"),
+      filter(graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        t => length(t) > 0).as("__t"))
+    // (doc_id, bh, w1h, w2h) per consecutive token pair; docs with
+    // <2 tokens yield a NULL array, which explode drops (the output
+    // spine join restores them). sequence() would step DOWNWARD for
+    // size-1 docs, hence the guard (TextFunctions.wordShingles' rule).
+    def bigramsOf(df: DataFrame) = toksOf(df)
+      .select(col("doc_id"), explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2"))))).as("__bg"))
+      .select(col("doc_id"),
+        hash60(concat(col("__bg.w1"), lit("\u001f"), col("__bg.w2"))).as("bh"),
+        hash60(col("__bg.w1")).as("w1h"),
+        hash60(col("__bg.w2")).as("w2h"))
+
+    val uni = toksOf(statsDocs).select(explode(col("__t")).as("__w"))
+      .groupBy(hash60(col("__w")).as("wh")).agg(count(lit(1)).as("u_cnt"))
+    // greatest(·,1) keeps bin() defined under an EMPTY stats corpus
+    // (every bigram then scores as OOV at 1 bit)
+    val total = uni.agg(greatest(coalesce(sum(col("u_cnt")), lit(0L)), lit(1L)).as("n_total"))
+    // one row per bh even under collisions: min(w1h) picks the
+    // context key deterministically (and identically in the oracle)
+    val stats = bigramsOf(statsDocs)
+      .groupBy(col("bh")).agg(count(lit(1)).as("b_cnt"), min(col("w1h")).as("__ctx"))
+      .join(uni.select(col("wh").as("__ctx"), col("u_cnt").as("ctx_cnt")), Seq("__ctx"))
+      .select(col("bh"), col("b_cnt"), col("ctx_cnt"))
+
+    val flogN = length(bin(col("n_total"))) // = floor(log2 N) + 1
+    val bits =
+      when(col("b_cnt").isNotNull,
+        (length(bin(col("ctx_cnt"))) - length(bin(col("b_cnt")))).cast("long"))
+      .when(col("u2_cnt").isNotNull,
+        (lit(1) + flogN - length(bin(col("u2_cnt")))).cast("long"))
+      .otherwise(flogN.cast("long")) // 1 + floor(log2 N): α/N floor
+    val per = bigramsOf(docs)
+      .join(stats, Seq("bh"), "left")
+      .join(uni.select(col("wh").as("w2h"), col("u_cnt").as("u2_cnt")), Seq("w2h"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(bits).as("ppl_bits"),
+        sum(when(col("b_cnt").isNull && col("u2_cnt").isNotNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum(when(col("u2_cnt").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ppl_bits"), lit(0L)).as("ppl_bits"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("avg_bits",
+        when(col("n_bigrams") > 0,
+          col("ppl_bits").cast("double") / col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   def oovRate(docs: DataFrame, textCol: String, vocab: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode_outer(filter(graft.functions.TextFunctions.tokens(col(textCol)),

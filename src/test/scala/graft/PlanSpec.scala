@@ -109,10 +109,10 @@ class PlanSpec extends SparkSpec {
     // size N and vocab coverage's total token mass
     // (q_boilerplate's scalar is the corpus doc count; q_oov_rate
     // inherits vocab coverage's 1-row total through its vocab input)
-    // (q_surprisal carries its 1-row total-token-count scalar the same
-    // way vocab coverage does)
+    // (q_surprisal and q_bigram_ppl carry their 1-row total-token-count
+    // scalar the same way vocab coverage does)
     val allowCross = Set("q_cosine_topk", "q_tfidf_terms", "q_vocab_coverage",
-      "q_boilerplate", "q_oov_rate", "q_surprisal")
+      "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

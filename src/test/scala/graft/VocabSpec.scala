@@ -90,4 +90,59 @@ class VocabSpec extends SparkSpec {
     val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(totalTokens)
     assert(out.where($"avg_surprisal" > maxBits).isEmpty)
   }
+
+  // ---- bigramPerplexity ----
+  // Fixture model (stats = even doc_ids d0/d2/d4):
+  //   U: a=3 b=3 c=2; N=8; B: (a,b)=2 (b,a)=1 (b,c)=2
+  //   flog2 images: len(bin(8))=4, len(bin(3))=2, len(bin(2))=2
+  private def pplDocs = Seq(
+    (0L, "a b a b c"), // in stats
+    (1L, "a b z q"),   // (b,z),(z,q) are OOV (z,q never in stats)
+    (2L, "a"),         // <2 tokens → zero row
+    (3L, null.asInstanceOf[String]),
+    (4L, "b c"),       // in stats
+    (5L, "c a")        // (c,a) unseen bigram, 'a' seen → backoff
+  ).toDF("doc_id", "text")
+
+  test("bigramPerplexity: exact bits on all three branches (seen / backoff / OOV)") {
+    val out = Vocab.bigramPerplexity(pplDocs, pplDocs.where($"doc_id" % 2 === 0), "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, Long, Double)].collect()
+    // d0: (a,b)=0, (b,a)=2-1=1, (a,b)=0, (b,c)=0 bits
+    assert(out(0) == ((0L, 4L, 1L, 0L, 0L, 0.25)))
+    // d1: (a,b)=0; (b,z) OOV=4; (z,q) OOV=4
+    assert(out(1) == ((1L, 3L, 8L, 0L, 2L, 8.0 / 3.0)))
+    assert(out(2) == ((2L, 0L, 0L, 0L, 0L, 0.0)))
+    assert(out(3) == ((3L, 0L, 0L, 0L, 0L, 0.0)))
+    // d4: (b,c): len(bin U(b)=3) - len(bin B=2) = 0 bits
+    assert(out(4) == ((4L, 1L, 0L, 0L, 0L, 0.0)))
+    // d5: (c,a) backoff: 1 + len(bin 8) - len(bin U(a)=3) = 3 bits
+    assert(out(5) == ((5L, 1L, 3L, 1L, 0L, 3.0)))
+  }
+
+  test("bigramPerplexity: empty stats corpus scores every bigram as a 1-bit OOV") {
+    val score = Seq((7L, "x y z")).toDF("doc_id", "text")
+    val out = Vocab.bigramPerplexity(score, score.where(lit(false)), "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    // N clamps to 1 → len(bin(1)) = 1 bit per OOV bigram
+    assert(out.toSeq == Seq((7L, 2L, 2L, 0L, 2L, 1.0)))
+  }
+
+  test("bigramPerplexity: incoherent docs outscore coherent ones over the same vocabulary") {
+    // stats: strongly ordered text; probe: same tokens shuffled
+    val stats = (0L until 40L).map(i => (i, "the cat sat on the mat")).toDF("doc_id", "text")
+    val probe = Seq((100L, "the cat sat on the mat"), (101L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val out = Vocab.bigramPerplexity(probe, stats, "text")
+      .orderBy($"doc_id").select($"avg_bits").as[Double].collect()
+    assert(out(0) < out(1), s"coherent ${out(0)} should beat shuffled ${out(1)}")
+  }
+
+  test("bigramPerplexity plan: bigrams build map-side (Generate, no window), joins are hash joins") {
+    val plan = Vocab.bigramPerplexity(pplDocs, pplDocs.where($"doc_id" % 2 === 0), "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the only nested-loop is the 1-row broadcast total (surprisal's
+    // scalar cross join); a corpus-sized cartesian would be a bug
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
