@@ -28,6 +28,7 @@ val picks = Seq(
   "q_bloom_anti" -> "Bloom-pre-filtered anti join: the definite-miss branch is a pure scan-side graft_bloom_might_contain filter (no exchange at all); only the maybe fraction reaches the exact anti join -- the big side's shuffle shrinks to join selectivity + fpp.",
   "q_bpe_pairs" -> "BPE pair counts: corpus collapses to the word-frequency dict in ONE hash aggregate; symbol explode and pair projection run over the VOCAB-sized dict, not the corpus; top-100 is TakeOrderedAndProject, no total sort.",
   "q_gopher_dupgram" -> "Duplicate-ngram char fraction: gram list built row-locally (map-side Generate), dup detection one (doc,gram) hash aggregate, covered positions exploded and DISTINCT-unioned, char sums re-keyed by doc -- every exchange is keyed by doc or (doc,gram), corpus-linear.",
+  "q_bigram_ppl" -> "Bigram perplexity (stupid backoff): bigrams generate map-side from the token array (no window, no self-join); the two scoring joins and both stats aggregates key on graft_hash60 longs -- token text never shuffles; the 1-row total rides a broadcast scalar like q_surprisal.",
   "q_histogram_eqdepth" -> "Equi-depth histogram: globalNtile's quantile cuts pre-bucket the rows, so the tile window is PARTITIONED by bucket (no empty-partitionSpec single-task sort anywhere); broadcast per-bucket offsets turn local ranks into global tiles, then one tile aggregate.",
   "q_negatives" -> "Contrastive negatives: dense ids from the bucketed two-pass (no global window), then k partner ids are pure hash60-mod-N projections joined back to the id table on the DENSE id -- an equi-join the optimizer can shuffle-partition; no rand(), so the plan is deterministic and oracle-replicable.",
   "q_gopher_rules" -> "Gopher rule battery: a single row-local projection -- every metric and rule flag is higher-order-function arithmetic inside one WholeStageCodegen span over the scan; no exchange before the output order.",
