@@ -136,6 +136,18 @@ class VocabSpec extends SparkSpec {
     assert(out(0) < out(1), s"coherent ${out(0)} should beat shuffled ${out(1)}")
   }
 
+  test("bigramPerplexity: scoring the stats corpus itself never backs off (self-consistency)") {
+    // every bigram of a stats document is by construction in the
+    // model, so the backoff and OOV branches must be unreachable
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val out = Vocab.bigramPerplexity(docs, docs, "text")
+    assert(out.where($"n_backoff" =!= 0L || $"n_oov" =!= 0L).isEmpty)
+    // and the seen-branch score is bounded: ctx>=cnt means >=0 bits,
+    // and no bigram can cost more than flog2 of the total token count
+    assert(out.where($"ppl_bits" < 0L).isEmpty)
+  }
+
   test("bigramPerplexity plan: bigrams build map-side (Generate, no window), joins are hash joins") {
     val plan = Vocab.bigramPerplexity(pplDocs, pplDocs.where($"doc_id" % 2 === 0), "text")
       .queryExecution.executedPlan.toString
