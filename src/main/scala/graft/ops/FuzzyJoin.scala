@@ -42,8 +42,11 @@ object FuzzyJoin {
     l.join(r, "__blk")
       // cheap length pre-filter: |len diff| > maxDist can't pass
       .where(abs(length(col("__text_l")) - length(col("__text_r"))) <= maxDist)
-      .withColumn("__dist", levenshtein(col("__text_l"), col("__text_r")))
-      .where(col("__dist") <= maxDist)
+      // thresholded levenshtein: banded O(maxDist·len) with early
+      // exit, returning −1 above the threshold — for surviving rows
+      // the value is the exact distance, so output is unchanged
+      .withColumn("__dist", levenshtein(col("__text_l"), col("__text_r"), maxDist))
+      .where(col("__dist") >= 0)
 
   private def side(df: DataFrame, idCol: String, textCol: String,
                    blockKey: Column => Column, suffix: String): DataFrame =
