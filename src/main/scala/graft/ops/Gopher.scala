@@ -225,12 +225,16 @@ object Gopher {
     // symbols: '#' occurrences + ellipsis occurrences ('…' or '...';
     // count '…' then '...' on a copy with '…' removed so neither
     // form double-counts)
-    val nHash = length(col(textCol)) - length(regexp_replace(col(textCol), lit("#"), lit("")))
+    // literal patterns use translate/replace, not regexp_replace: the
+    // same non-overlapping left-to-right semantics without a regex
+    // matcher allocation per row (a per-document cost that matters at
+    // corpus scale, and the DuckDB mirror is unchanged either way)
+    val nHash = length(col(textCol)) - length(translate(col(textCol), "#", ""))
     val nUniEll = (length(col(textCol)) -
-      length(regexp_replace(col(textCol), lit("…"), lit("")))).cast("long")
-    val noUni = regexp_replace(col(textCol), lit("…"), lit(""))
+      length(translate(col(textCol), "…", ""))).cast("long")
+    val noUni = translate(col(textCol), "…", "")
     val nAsciiEll = ((length(noUni) -
-      length(regexp_replace(noUni, lit("\\.\\.\\."), lit("")))) / 3).cast("long")
+      length(replace(noUni, lit("..."), lit("")))) / 3).cast("long")
     val symbolRatio = when(nWords > 0,
       (nHash + nUniEll + nAsciiEll).cast("double") / nWords.cast("double"))
       .otherwise(lit(0.0))
