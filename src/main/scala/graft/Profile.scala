@@ -96,6 +96,30 @@ object Profile {
             "dirty_name", "p_name", 2, blk).count())
         println(s"PROF all-pairs=${nd * n} candidates=$cand (${"%.1f".format(nd * n * 1.0 / cand)}x cut) verified=$out")
 
+      case "ppl" =>
+        // bigram-perplexity scaling: documents replicated with
+        // shifted ids. Replication keeps the DISTINCT bigram space
+        // constant, so the stats frames stay fixed-size while the
+        // scoring stream grows n× — the design claim ("stats tables
+        // track distinct content, not corpus rows") made visible.
+        def docsN(n: Int) = {
+          val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+          (0 until n).map(i => base
+            .withColumn("doc_id", col("doc_id") + lit(i.toLong * 100000000L)))
+            .reduce(_ unionByName _)
+        }
+        for (n <- Seq(1, 10)) {
+          val d = docsN(n).persist()
+          val rows = d.count()
+          // twice per size: the first run carries codegen/IO warm-up
+          // (first-touch), the second is the comparable number
+          for (tag <- Seq("cold", "warm"))
+            time(s"bigramPerplexity ${n}x $tag ($rows docs)")(
+              graft.ops.Vocab.bigramPerplexity(d, d.where(col("doc_id") % 2 === 0), "text")
+                .agg(sum(col("ppl_bits")), sum(col("n_backoff"))).collect())
+          d.unpersist()
+        }
+
       case "asofscale" =>
         // as-of join scaling: events at 1x and a 10x synthetic union
         // (ids and users shifted so the key space also grows 10x)
