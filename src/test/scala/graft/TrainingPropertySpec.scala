@@ -168,4 +168,26 @@ class TrainingPropertySpec extends SparkSpec {
       assert(out._1 == n.toLong)
     }
   }
+
+  test("bigram perplexity: n_bigrams = max(tokens-1, 0), branch counts partition, bits bounded") {
+    val word = Gen.oneOf("a", "b", "c", "dd", "eee", "zq")
+    val doc = Gen.listOf(word).map(_.mkString(" "))
+    val gen = Gen.listOfN(6, doc)
+    forAllSamples(gen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.ops.Vocab
+        .bigramPerplexity(docs, docs.where($"doc_id" % 2 === 0), "text")
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Long, Long, Double)].collect()
+      assert(out.length == texts.length)
+      out.zip(texts).foreach { case ((id, nBg, bits, nBk, nOov, avg), text) =>
+        val nTok = text.split(" +").count(_.nonEmpty)
+        assert(nBg == math.max(nTok - 1, 0), s"doc $id: '$text'")
+        // backoff and OOV are disjoint subsets of the bigrams
+        assert(nBk + nOov <= nBg, s"doc $id")
+        assert(bits >= 0L, s"doc $id")
+        if (nBg == 0) assert(avg == 0.0) else assert(avg == bits.toDouble / nBg)
+      }
+    }
+  }
 }
