@@ -27,8 +27,10 @@ import org.apache.spark.sql.functions._
   * the same mechanism BucketedJoinSpec proves for equi-joins.
   *
   * Keys must be unique per snapshot (it is a snapshot, not a log);
-  * duplicate keys would multiply rows through the join, so the
-  * operator fails fast if either side repeats a key. A null-keyed
+  * duplicate keys silently multiply rows through the full-outer
+  * join. `diff` itself stays lazy and does NOT validate — run the
+  * separate `requireUniqueKeys` guard (an action) from ingest
+  * validation when the upstream is untrusted. A null-keyed
   * row never joins: it surfaces as its own 'removed' (old side) or
   * 'added' (new side) row — a null key has no cross-snapshot
   * identity to compare under.

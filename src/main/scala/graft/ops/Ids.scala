@@ -47,12 +47,16 @@ object Ids {
 
   /** Bucket index for a value given ascending cut literals: the
     * number of cuts strictly below the value — a pure, engine-free
-    * function of the value, so every pass agrees. */
+    * function of the value, so every pass agrees. NULL in, NULL out:
+    * a null order value gets a null bucket, which the count pass
+    * turns into a descriptive contract error instead of silently
+    * numbering the row under engine-specific null ordering. */
   private def bucketExpr(orderCol: Column, cuts: Seq[Double]): Column =
-    aggregate(
-      array(cuts.map(lit): _*),
-      lit(0),
-      (acc, c) => acc + when(orderCol.cast("double") > c, 1).otherwise(0))
+    when(orderCol.isNotNull,
+      aggregate(
+        array(cuts.map(lit): _*),
+        lit(0),
+        (acc, c) => acc + when(orderCol.cast("double") > c, 1).otherwise(0)))
 
   /** Append `out` = the 1-based global row number of each row under
     * ORDER BY (orderCol, tieBreaks...). The combined order must be
@@ -91,7 +95,12 @@ object Ids {
     // holds O(buckets) rows; the literal map keeps pass 3 consistent
     // with pass 2 whatever the cluster does in between).
     val counts = withB.groupBy(col("__gb")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"globalRowNumber: orderCol '$orderCol' contains NULL (${r.getLong(1)} " +
+            "row(s)) — the order must be total over non-null values; coalesce first")
+        (r.getInt(0), r.getLong(1))
+      }.sortBy(_._1)
     val offsets = counts.map(_._1).zip(
       counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
     val offMap =

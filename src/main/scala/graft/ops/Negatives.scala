@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   * The hash makes the draw a pure function of (corpus order, j,
   * seed), uniform over the corpus to within hash60's 2^-60 bias.
   *
-  * Self-collisions (a row drawing itself, probability k/N) are
-  * dropped, not re-drawn: re-drawing needs data-dependent iteration;
-  * dropping keeps membership a pure projection. Callers get k
-  * partners per anchor in expectation, k−1 in the worst case —
-  * documented, and exactly replicated by the oracle.
+  * Self-collisions (a draw landing on its own row, probability 1/N
+  * per draw, independently for each of the k draws) are dropped, not
+  * re-drawn: re-drawing needs data-dependent iteration; dropping
+  * keeps membership a pure projection. So callers get UP TO k
+  * partners per anchor (k−1/N ≈ k expected); and because draws are
+  * independent, two draws for one anchor can land on the SAME
+  * partner — neg_id may repeat across j for an anchor. Both edges
+  * are exactly replicated by the oracle; dedup on (anchor_id,
+  * neg_id) downstream if distinct partners are required.
   *
   * Plan shape: the id pass (see `Ids`), one narrow ×k explode of a
   * two-column frame, one equi-join on the dense id. Anchor text /

@@ -62,4 +62,13 @@ class IdsSpec extends SparkSpec {
       Ids.globalRowNumber(df, "v", Seq.empty)
     }
   }
+
+  test("NULL order value fails with a descriptive contract error") {
+    val withNull = df.withColumn("v",
+      when($"id" === 7L, lit(null).cast("long")).otherwise($"v"))
+    val e = intercept[IllegalArgumentException] {
+      Ids.globalRowNumber(withNull, "v", Seq("id"), buckets = 8)
+    }
+    assert(e.getMessage.contains("contains NULL") && e.getMessage.contains("'v'"))
+  }
 }
