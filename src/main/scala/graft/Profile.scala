@@ -90,11 +90,39 @@ object Profile {
         val blk = (t: org.apache.spark.sql.Column) => lower(t.substr(lit(1), lit(1)))
         val l = dirty.withColumn("__blk", blk(col("dirty_name")))
         val r = parts.withColumn("__blk", blk(col("p_name")))
-        val cand = time("candidate count")(l.join(r, "__blk").count())
+        val cand = time("block-only candidate count")(l.join(r, "__blk").count())
+        // the banded key FuzzyJoin.verify actually joins on (w = maxDist+1 = 3)
+        val lBand = floor(length(col("dirty_name")) / lit(3)).cast("int")
+        val lb = l.withColumn("__band", explode(array(lBand - 1, lBand, lBand + 1)))
+        val rb = r.withColumn("__band", floor(length(col("p_name")) / lit(3)).cast("int"))
+        val candB = time("banded candidate count")(lb.join(rb, Seq("__blk", "__band")).count())
         val out = time("verified output")(
           graft.ops.FuzzyJoin.pairs(dirty, parts, "dirty_id", "p_partkey",
             "dirty_name", "p_name", 2, blk).count())
-        println(s"PROF all-pairs=${nd * n} candidates=$cand (${"%.1f".format(nd * n * 1.0 / cand)}x cut) verified=$out")
+        println(s"PROF all-pairs=${nd * n} candidates=$cand (${"%.1f".format(nd * n * 1.0 / cand)}x cut) " +
+          s"banded=$candB (${"%.1f".format(nd * n * 1.0 / candB)}x cut) verified=$out")
+
+        // wide-length variant: same corpus with deterministic padding
+        // spreading lengths over ~60 chars (URL/title-shaped data) —
+        // where the length band carries real selectivity
+        val pad = repeat(lit("x"), (col("p_partkey") % 60).cast("int"))
+        val partsW = parts.withColumn("p_name", concat(col("p_name"), pad))
+        val dirtyW = dirty.join(parts.select("p_partkey"),
+            col("dirty_id") === col("p_partkey"))
+          .withColumn("dirty_name", concat(col("dirty_name"), pad))
+          .select("dirty_id", "dirty_name")
+        val lw = dirtyW.withColumn("__blk", blk(col("dirty_name")))
+        val rw = partsW.withColumn("__blk", blk(col("p_name")))
+        val candW = time("wide block-only candidates")(lw.join(rw, "__blk").count())
+        val lBandW = floor(length(col("dirty_name")) / lit(3)).cast("int")
+        val lbw = lw.withColumn("__band", explode(array(lBandW - 1, lBandW, lBandW + 1)))
+        val rbw = rw.withColumn("__band", floor(length(col("p_name")) / lit(3)).cast("int"))
+        val candBW = time("wide banded candidates")(lbw.join(rbw, Seq("__blk", "__band")).count())
+        val outW = time("wide verified output")(
+          graft.ops.FuzzyJoin.pairs(dirtyW, partsW, "dirty_id", "p_partkey",
+            "dirty_name", "p_name", 2, blk).count())
+        println(s"PROF wide: candidates=$candW banded=$candBW " +
+          s"(${"%.1f".format(candW * 1.0 / candBW)}x band cut) verified=$outW")
 
       case "ppl" =>
         // bigram-perplexity scaling: documents replicated with

@@ -20,11 +20,13 @@ import org.apache.spark.sql.functions._
   * block definition so the semantics stay exact.
   *
   * Scale: with B blocks of size n_i, candidate volume is
-  * Σ n_i²/2 — sub-quadratic whenever blocking is selective, the
-  * same candidate-volume argument as `NearDup`'s PPJoin filter.
-  * A hot block (skewed first token) degrades toward n² within that
-  * block only; pick a finer `blockKey` (token + length band) when a
-  * block outgrows one task's comfort.
+  * Σ n_i²/2 further cut by the built-in length banding (the join
+  * key is (block, len div (k+1)) with the probe side exploded to
+  * adjacent bands — see `verify`) — sub-quadratic whenever blocking
+  * is selective, the same candidate-volume argument as `NearDup`'s
+  * PPJoin filter. A hot block (skewed first token) degrades toward
+  * n² within that block AND length band only; pick a finer
+  * `blockKey` when a block still outgrows one task's comfort.
   */
 object FuzzyJoin {
 
@@ -37,16 +39,34 @@ object FuzzyJoin {
 
   /** The shared candidate→verify step over internally-renamed sides
     * (__id_l/__text_l vs __id_r/__text_r on __blk) — renaming before
-    * the join is what keeps same-named input columns unambiguous. */
-  private def verify(l: DataFrame, r: DataFrame, maxDist: Int): DataFrame =
-    l.join(r, "__blk")
-      // cheap length pre-filter: |len diff| > maxDist can't pass
+    * the join is what keeps same-named input columns unambiguous.
+    *
+    * The join key is (__blk, length band): edit distance ≤ k implies
+    * |len(l) − len(r)| ≤ k, so with bands of width k+1 a true pair's
+    * bands differ by at most 1 — the left side explodes to its three
+    * neighboring bands (3× a two-long-and-a-string frame) and every
+    * within-block qualifying pair still meets EXACTLY once, while
+    * same-block rows of far-apart lengths no longer shuffle into the
+    * same candidate row at all. This moves the length constraint from
+    * a post-join filter into the join key: recall is untouched (the
+    * post-join |len diff| filter it replaces was already exact), only
+    * candidate volume drops. */
+  private def verify(l: DataFrame, r: DataFrame, maxDist: Int): DataFrame = {
+    val w = maxDist + 1
+    val lBand = floor(length(col("__text_l")) / lit(w)).cast("int")
+    val lb = l.withColumn("__band", explode(array(lBand - 1, lBand, lBand + 1)))
+    val rb = r.withColumn("__band", floor(length(col("__text_r")) / lit(w)).cast("int"))
+    lb.join(rb, Seq("__blk", "__band"))
+      // exact length filter: bands are width-(k+1) coarse, so a
+      // neighbor-band candidate can still differ by up to 2k+1
       .where(abs(length(col("__text_l")) - length(col("__text_r"))) <= maxDist)
       // thresholded levenshtein: banded O(maxDist·len) with early
       // exit, returning −1 above the threshold — for surviving rows
       // the value is the exact distance, so output is unchanged
       .withColumn("__dist", levenshtein(col("__text_l"), col("__text_r"), maxDist))
       .where(col("__dist") >= 0)
+      .drop("__band")
+  }
 
   private def side(df: DataFrame, idCol: String, textCol: String,
                    blockKey: Column => Column, suffix: String): DataFrame =

@@ -57,4 +57,42 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.selfPairs(catalog, "id", "name", maxDist = -1)
     }
   }
+
+  test("length banding equals the unbanded baseline across band boundaries") {
+    // lengths 2..12 with a shared block: every adjacent-band straddle
+    // for w = maxDist+1 = 3 occurs (2|3, 5|6, 8|9, 11|12), so a
+    // band-local (non-neighbor-probing) join would lose pairs here
+    val rows = Seq(
+      (1L, "aa"), (2L, "aab"), (3L, "aabb"), (4L, "aabbc"),
+      (5L, "aabbcc"), (6L, "aabbccd"), (7L, "aabbccdd"),
+      (8L, "aabbccdde"), (9L, "aabbccddee"), (10L, "aabbccddeef"),
+      (11L, "aabbccddeeff")
+    ).toDF("id", "name")
+    val firstChar = (t: org.apache.spark.sql.Column) => lower(t.substr(lit(1), lit(1)))
+    val banded = FuzzyJoin.selfPairs(rows, "id", "name", maxDist = 2, blockKey = firstChar)
+      .select($"id_l", $"id_r", $"dist").as[(Long, Long, Int)].collect().toSet
+    // unbanded baseline: block join + length filter + levenshtein
+    val l = rows.select($"id".as("il"), $"name".as("nl"))
+      .withColumn("b", lower($"nl".substr(lit(1), lit(1))))
+    val r = rows.select($"id".as("ir"), $"name".as("nr"))
+      .withColumn("b", lower($"nr".substr(lit(1), lit(1))))
+    val want = l.join(r, "b")
+      .where($"il" < $"ir" && abs(length($"nl") - length($"nr")) <= 2)
+      .withColumn("d", levenshtein($"nl", $"nr"))
+      .where($"d" <= 2)
+      .select($"il", $"ir", $"d".cast("int")).as[(Long, Long, Int)].collect().toSet
+    assert(banded == want && want.nonEmpty)
+    // each pair exactly once (the explode must not duplicate)
+    val ids = FuzzyJoin.selfPairs(rows, "id", "name", maxDist = 2, blockKey = firstChar)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect()
+    assert(ids.length == ids.distinct.length)
+  }
+
+  test("maxDist = 0 degenerates to exact within-block equality") {
+    val df = Seq((1L, "same name"), (2L, "same name"), (3L, "same namez"))
+      .toDF("id", "name")
+    val got = FuzzyJoin.selfPairs(df, "id", "name", maxDist = 0)
+      .select($"id_l", $"id_r", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
 }
