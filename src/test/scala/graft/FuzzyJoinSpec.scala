@@ -88,6 +88,17 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(ids.length == ids.distinct.length)
   }
 
+  test("bag prefilter never drops anagram-ish pairs (bound 0 < true distance)") {
+    // "abcde" vs "edcba": identical char bags (bound 0) but edit
+    // distance 4 — the prefilter must pass them through to
+    // levenshtein, which decides. At maxDist 4 the pair is real; at
+    // maxDist 2 levenshtein (not the bag bound) rejects it.
+    val df = Seq((1L, "abcde"), (2L, "edcba")).toDF("id", "name")
+    val oneBlock = (_: org.apache.spark.sql.Column) => lit("x")
+    assert(FuzzyJoin.selfPairs(df, "id", "name", maxDist = 4, blockKey = oneBlock).count() == 1)
+    assert(FuzzyJoin.selfPairs(df, "id", "name", maxDist = 2, blockKey = oneBlock).count() == 0)
+  }
+
   test("maxDist = 0 degenerates to exact within-block equality") {
     val df = Seq((1L, "same name"), (2L, "same name"), (3L, "same namez"))
       .toDF("id", "name")
