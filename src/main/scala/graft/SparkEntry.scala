@@ -1046,6 +1046,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- hashing-trick linear classifier inference (fasttext-style
+    // quality scoring as a row-local map): fixed-point integer
+    // weights in the task binary, score exact in both engines ----
+    "q_hashed_score" -> ((s, dir) => {
+      graft.ops.HashedFeatures.linearScore(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "text", hashedWeights, bias = 3L)
+        .withColumn("kept", col("score") > 0)
+        .select(col("doc_id"), col("score"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact repeated-substring removal (Lee et al. 2021): every
     // duplicated 3-gram keeps its first occurrence, all other
     // occurrences' tokens are masked out ----
@@ -1903,6 +1915,13 @@ object SparkEntry {
 
   private val duckHash60 = "CAST(concat('0x', substr(md5(%s), 1, 15)) AS BIGINT)"
 
+  /** Fixed-point "model weights" for q_hashed_score — deterministic
+    * from the bucket index so the DuckDB oracle can rebuild the
+    * identical vector with a list comprehension (Fibonacci-hash
+    * spread over [-10, 10]). */
+  private[graft] val hashedWeights: Seq[Long] =
+    (0 until 64).map(i => (i * 2654435761L) % 21L - 10L)
+
   /** DuckDB mirror of TextFunctions.qualityScore — shared by every
     * oracle that filters or weights on quality. */
   private val qualitySql =
@@ -2216,6 +2235,23 @@ object SparkEntry {
       // (length(bin(x)) − 1 in both engines — exact integers, no IEEE
       // log), integer bit sums, ONE double division per doc. The
       // documents spine (LEFT JOIN) keeps token-less docs at 0.
+      // Mirrors HashedFeatures.linearScore: same md5-prefix hash60
+      // mod 64 bucket, same Fibonacci-spread integer weight vector
+      // rebuilt by a list comprehension, bias 3; empty/NULL token
+      // lists coalesce to the bare bias in both engines.
+      "q_hashed_score" ->
+        """WITH w AS (
+          |  SELECT list_transform(range(0, 64), i -> (i * 2654435761) % 21 - 10) AS wv
+          |), s AS (
+          |  SELECT d.doc_id,
+          |    CAST(3 + coalesce(list_sum(list_transform(
+          |      list_filter(string_split_regex(d.text, ' +'), x -> len(x) > 0),
+          |      t -> wv[CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % 64 AS INT) + 1])), 0) AS BIGINT) AS score
+          |  FROM documents d, w
+          |)
+          |SELECT doc_id, score, score > 0 AS kept
+          |FROM s ORDER BY doc_id""".stripMargin,
+
       "q_surprisal" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS token
