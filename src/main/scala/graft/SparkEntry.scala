@@ -397,6 +397,21 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
         .orderBy(col("event_type"))
     }),
+
+    // ---- count-min sketch: mergeable frequency grid over lineitem
+    // supplier keys, estimated at every supplier probe. Deterministic
+    // md5-hash cells ⇒ the approximate estimates themselves are
+    // exact-oracle-reproducible ----
+    "q_countmin" -> ((s, dir) => {
+      val cells = graft.operators.CountMin.build(
+        Tables.lineitem(s, dir).select(col("l_suppkey")), "l_suppkey",
+        depth = 4, width = 512)
+      graft.operators.CountMin.estimate(cells,
+          Tables.supplier(s, dir).select(col("s_suppkey").as("l_suppkey")),
+          "l_suppkey", depth = 4, width = 512)
+        .select(col("l_suppkey").as("s_suppkey"), col("est"))
+        .orderBy(col("s_suppkey"))
+    }),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 50), 3, nPlanes = 6)
@@ -2235,6 +2250,29 @@ object SparkEntry {
       // (length(bin(x)) − 1 in both engines — exact integers, no IEEE
       // log), integer bit sums, ONE double division per doc. The
       // documents spine (LEFT JOIN) keeps token-less docs at 0.
+      // Mirrors CountMin.build/estimate: same md5-prefix hash60 of
+      // "r:key" mod 512 cell addressing, count cells, min over the 4
+      // rows with absent cells as 0. The estimates are deterministic,
+      // so the approximate sketch hash-matches exactly.
+      "q_countmin" ->
+        """WITH rows4 AS (
+          |  SELECT unnest(range(0, 4)) AS r
+          |), cells AS (
+          |  SELECT r,
+          |    CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), ':', CAST(l_suppkey AS VARCHAR))), 1, 15)) AS BIGINT) % 512 AS c,
+          |    CAST(count(*) AS BIGINT) AS cnt
+          |  FROM lineitem, rows4
+          |  WHERE l_suppkey IS NOT NULL
+          |  GROUP BY 1, 2
+          |), pc AS (
+          |  SELECT p.s_suppkey, rows4.r,
+          |    CAST(concat('0x', substr(md5(concat(CAST(rows4.r AS VARCHAR), ':', CAST(p.s_suppkey AS VARCHAR))), 1, 15)) AS BIGINT) % 512 AS c
+          |  FROM (SELECT DISTINCT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL) p, rows4
+          |)
+          |SELECT pc.s_suppkey, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+          |FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.c = cells.c
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
       // Mirrors HashedFeatures.linearScore: same md5-prefix hash60
       // mod 64 bucket, same Fibonacci-spread integer weight vector
       // rebuilt by a list comprehension, bias 3; empty/NULL token

@@ -68,8 +68,10 @@ object Hash60 {
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `GraftExtensions.register(spark)` at runtime. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => ThresholdLevenshteinRule)
+  }
 }
 
 object GraftExtensions {
@@ -111,8 +113,12 @@ object GraftExtensions {
   )
 
   /** Runtime registration on an existing session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     descriptors.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(ThresholdLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ThresholdLevenshteinRule
+  }
 }
