@@ -128,6 +128,22 @@ object FuzzyJoin {
         col("__dist").cast("int").as("dist"))
   }
 
+  /** Multi-pass blocking: union `selfPairs` over several block keys
+    * and keep each pair once. Each extra pass buys the recall of its
+    * key at the cost of one more sub-quadratic candidate join — the
+    * standard answer to "first-token blocking misses pairs whose
+    * first tokens differ" (e.g. add a last-token and a
+    * sorted-token-prefix key). A pair found by several passes has the
+    * same exact distance in each, so the dedup is a plain DISTINCT —
+    * no arbitrary pick. */
+  def selfPairsMultiPass(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+                         blockKeys: Seq[Column => Column]): DataFrame = {
+    require(blockKeys.nonEmpty, "need at least one block key")
+    blockKeys.map(bk => selfPairs(df, idCol, textCol, maxDist, bk))
+      .reduce(_ unionByName _)
+      .distinct()
+  }
+
   /** Two-frame variant (link records of `left` to `right`). Output
     * columns keep the callers' names; when the right-side name
     * collides with the left's (linking two versions of one catalog),

@@ -52,6 +52,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(hits == Set((1L, 10L, 1), (2L, 10L, 0), (3L, 10L, 2)))
   }
 
+  test("multi-pass blocking unions recall across keys without duplicate pairs") {
+    // "red widgett" / "rad widgett": first TOKENS differ (1 edit in
+    // the token), so the default single pass misses the pair; a
+    // last-token second pass recovers it
+    val df = Seq((1L, "red widgett"), (2L, "rad widgett"), (3L, "red widget"))
+      .toDF("id", "name")
+    val lastToken = (t: org.apache.spark.sql.Column) =>
+      lower(element_at(split(trim(t), " +"), -1))
+    val onePass = FuzzyJoin.selfPairs(df, "id", "name", maxDist = 2)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect().toSet
+    assert(!onePass.contains((1L, 2L)))
+    val multi = FuzzyJoin.selfPairsMultiPass(df, "id", "name", maxDist = 2,
+      Seq(FuzzyJoin.firstTokenBlock, lastToken))
+    val pairs = multi.select($"id_l", $"id_r").as[(Long, Long)].collect()
+    // (1,2) recovered by the last-token pass; (1,3) found by BOTH
+    // passes but emitted once
+    assert(pairs.toSet.contains((1L, 2L)) && pairs.toSet.contains((1L, 3L)))
+    assert(pairs.length == pairs.distinct.length)
+  }
+
   test("rejects negative maxDist") {
     intercept[IllegalArgumentException] {
       FuzzyJoin.selfPairs(catalog, "id", "name", maxDist = -1)

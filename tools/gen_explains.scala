@@ -33,7 +33,9 @@ val picks = Seq(
   "q_negatives" -> "Contrastive negatives: dense ids from the bucketed two-pass (no global window), then k partner ids are pure hash60-mod-N projections joined back to the id table on the DENSE id -- an equi-join the optimizer can shuffle-partition; no rand(), so the plan is deterministic and oracle-replicable.",
   "q_gopher_rules" -> "Gopher rule battery: a single row-local projection -- every metric and rule flag is higher-order-function arithmetic inside one WholeStageCodegen span over the scan; no exchange before the output order.",
   "q_global_ids" -> "Global row ids with NO global window: literal quantile cuts make the bucket a narrow projection, counts collapse to a broadcast offset map, and the only window is PARTITIONED by bucket -- each bucket sorts independently (contrast: row_number() OVER (ORDER BY ...) is one task).",
-  "q_fuzzy_match" -> "Blocked fuzzy match: ONE equi-join on the block key generates candidates, the length band + levenshtein verify run as codegen'd filters on joined rows -- candidate volume is sum of per-block products, never the full cross product.",
+  "q_fuzzy_match" -> "Blocked fuzzy match: ONE equi-join on (block key, length band) generates candidates -- the length constraint lives IN the join key, with the small probe side exploded to adjacent bands; the packed-long bag-distance bound and the banded levenshtein verify run as codegen'd filters on joined rows. Candidate volume is sum of per-(block,band) products, never the full cross product.",
+  "q_hashed_score" -> "Hashing-trick classifier inference: ZERO exchanges before the output sort -- the fixed-point weight vector is a literal array in the task binary and the whole score is one row-local aggregate over the token array inside WholeStageCodegen (model inference as a map).",
+  "q_countmin" -> "Count-min sketch: the build shuffle carries at most depth*width counter rows per map partition (two HashAggregate levels -- the grid, not the data); probe cells are a narrow projection and the estimate is a LEFT join + min aggregate, all keyed on (r, c) ints.",
   "q_intervals" -> "Interval islands: one exchange keyed by user feeds the running-max window; island ids and the merged extents are a projection + one hash aggregate on top -- per-key sorts, nothing global.",
   "q_temp_mix" -> "Temperature mixture: group counts collapse to a broadcast cutoff row per group; membership is a narrow graft_hash60 threshold filter against the broadcast -- the corpus is never repartitioned.",
   "q_snapshot_diff" -> "Snapshot CDC: ONE full-outer sort-merge join on the key; status and old/new payloads are projections over the joined row; the unchanged majority is filtered before anything else sees it."
