@@ -81,10 +81,15 @@ object Bench {
         val p2 = onePass().toMap
         pass1.map { case (k, v) => k -> math.min(v, p2(k)) }
       } else pass1
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal formatting (Locale.ROOT: no grouping/comma surprises):
+    // at ~100 queries a full-precision line is ~3.6 KB and overflows the
+    // harness's tail capture, which then fails to parse the JSON at all.
+    // Millisecond resolution is far below run-to-run noise anyway.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_shared_sec":$warmShared,"passes":$passes,"pass1_total_sec":$p1total,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_shared_sec":${f3(warmShared)},"passes":$passes,"pass1_total_sec":${f3(p1total)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
