@@ -412,6 +412,21 @@ object SparkEntry {
         .select(col("l_suppkey").as("s_suppkey"), col("est"))
         .orderBy(col("s_suppkey"))
     }),
+    // ---- portable HLL: engine-independent register ROWS built at a
+    // fine (event_type, day) grain, max-merged to event_type, then
+    // estimated as whole counts. The DuckDB oracle builds the
+    // event_type registers DIRECTLY from raw data — the hash match
+    // proves rollup ≡ direct build ACROSS ENGINES, the portable-
+    // sketch contract the native Datasketches binaries behind
+    // q_approx_distinct cannot offer ----
+    "q_hll_portable" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+      val daily = graft.operators.PortableHll.registers(ev, Seq("event_type", "day"), "user_id")
+      val merged = graft.operators.PortableHll.rollup(daily, Seq("event_type"))
+      graft.operators.PortableHll.estimate(merged, Seq("event_type"), out = "est_users")
+        .orderBy(col("event_type"))
+    }),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 50), 3, nPlanes = 6)
@@ -2272,6 +2287,45 @@ object SparkEntry {
           |SELECT pc.s_suppkey, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
           |FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.c = cells.c
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Mirrors PortableHll: same hash60, low-10-bit register index,
+      // trailing-zero rho via bit_count((w & -w) - 1) + 1 — all exact
+      // integers — then the classic HLL estimate with linear-counting
+      // correction. Built DIRECTLY at event_type grain: matching the
+      // Spark side's (event_type, day) -> rollup path is the cross-
+      // engine merge-invariance assertion. Constants are ::DOUBLE
+      // (DuckDB parses bare decimals as DECIMAL, which would divide
+      // under different rounding); the estimate rounds to a whole
+      // count, so a last-ulp libm ln() difference cannot surface.
+      "q_hll_portable" ->
+        """WITH h AS (
+          |  SELECT event_type,
+          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events WHERE user_id IS NOT NULL
+          |), b AS (
+          |  SELECT event_type, CAST(hv % 1024 AS INT) AS reg, hv // 1024 AS w FROM h
+          |), r AS (
+          |  SELECT event_type, reg,
+          |    max(CASE WHEN w = 0 THEN 51
+          |             ELSE CAST(bit_count((w & (-w)) - 1) AS INT) + 1 END) AS r
+          |  FROM b GROUP BY 1, 2
+          |), s AS (
+          |  SELECT event_type,
+          |    sum(CAST((1::BIGINT << (60 - r)) AS HUGEINT)) AS sp,
+          |    CAST(count(*) AS BIGINT) AS np
+          |  FROM r GROUP BY 1
+          |), e AS (
+          |  SELECT event_type, 1024 - np AS zeros,
+          |    ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE))
+          |      * 1048576.0::DOUBLE * 1152921504606846976.0::DOUBLE)
+          |      / CAST(sp + CAST(1024 - np AS HUGEINT) * (1::BIGINT << 60) AS DOUBLE) AS rawE
+          |  FROM s
+          |)
+          |SELECT event_type,
+          |  CAST(round(CASE WHEN zeros > 0 AND rawE <= 2560.0::DOUBLE
+          |                  THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / CAST(zeros AS DOUBLE))
+          |                  ELSE rawE END) AS BIGINT) AS est_users
+          |FROM e ORDER BY event_type""".stripMargin,
 
       // Mirrors HashedFeatures.linearScore: same md5-prefix hash60
       // mod 64 bucket, same Fibonacci-spread integer weight vector
