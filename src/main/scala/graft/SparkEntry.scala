@@ -412,6 +412,22 @@ object SparkEntry {
         .select(col("l_suppkey").as("s_suppkey"), col("est"))
         .orderBy(col("s_suppkey"))
     }),
+    // ---- mergeable quantile sketch: HDR-style integer log bins
+    // (exact floor-log2, no IEEE log) built at a fine (returnflag,
+    // linestatus) grain, sum-merged to returnflag, quantiles read
+    // off the merged counts. The oracle bins DIRECTLY at returnflag
+    // grain — hash equality proves rollup ≡ direct build across
+    // engines, same contract as q_hll_portable ----
+    "q_quantile_sketch" -> ((s, dir) => {
+      val cents = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val fine = graft.operators.QuantileSketch.build(
+        cents, Seq("l_returnflag", "l_linestatus"), "cents")
+      val merged = graft.operators.QuantileSketch.rollup(fine, Seq("l_returnflag"))
+      graft.operators.QuantileSketch.estimate(merged, Seq("l_returnflag"), Seq(0.5, 0.9, 0.99))
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
     // ---- portable HLL: engine-independent register ROWS built at a
     // fine (event_type, day) grain, max-merged to event_type, then
     // estimated as whole counts. The DuckDB oracle builds the
@@ -2287,6 +2303,42 @@ object SparkEntry {
           |SELECT pc.s_suppkey, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
           |FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.c = cells.c
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Mirrors QuantileSketch at subBits=5: small values (< 32) are
+      // their own bin; otherwise (b-4)*32 + (v >> (b-5)) - 32 with
+      // b = length(bin(v)) - 1 (exact floor-log2, both engines).
+      // Direct build at l_returnflag grain vs Spark's fine-grain
+      // rollup: the hash match is the merge-invariance assertion.
+      // ceil(q*N) nearest-rank targets; estimates are exact bin
+      // lower bounds (pure integers). ::DOUBLE on q literals keeps
+      // DuckDB out of DECIMAL arithmetic.
+      "q_quantile_sketch" ->
+        """WITH v AS (
+          |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+          |  FROM lineitem
+          |), bb AS (
+          |  SELECT l_returnflag, CASE WHEN v < 32 THEN v
+          |    ELSE (length(bin(v)) - 1 - 4) * 32 + ((v >> (length(bin(v)) - 1 - 5)) - 32)
+          |    END AS bin
+          |  FROM v
+          |), sk AS (
+          |  SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM bb GROUP BY 1, 2
+          |), c AS (
+          |  SELECT l_returnflag, bin, cnt,
+          |    sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+          |    sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+          |  FROM sk
+          |), qq AS (
+          |  SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q
+          |)
+          |SELECT c.l_returnflag, qq.q,
+          |  CAST(CASE WHEN bin < 32 THEN bin
+          |       ELSE ((bin % 32) + 32) << (CAST(bin // 32 AS INT) - 1) END AS BIGINT) AS est
+          |FROM c, qq
+          |WHERE cum >= greatest(CAST(ceil(qq.q * n) AS BIGINT), 1)
+          |  AND cum - cnt < greatest(CAST(ceil(qq.q * n) AS BIGINT), 1)
+          |ORDER BY 1, 2""".stripMargin,
 
       // Mirrors PortableHll: same hash60, low-10-bit register index,
       // trailing-zero rho via bit_count((w & -w) - 1) + 1 — all exact
