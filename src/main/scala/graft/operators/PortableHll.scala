@@ -52,18 +52,25 @@ object PortableHll {
     * `valueCol`'s distinct values. NULL values are skipped (no
     * distinct identity). This is the stored artifact — write it at
     * the finest rollup grain. */
+  /** Register index (low lgK bits of hash60) — shared with the
+    * streaming build (StreamSketch). */
+  private[graft] def regCol(value: Column, lgK: Int): Column =
+    (graft.plans.Hash60.hash60(value.cast("string")) % (1L << lgK)).cast("int")
+
+  /** rho = 1 + trailing zeros of the top 60−lgK hash bits; w == 0
+    * caps at the max observable, (60 − lgK) + 1. */
+  private[graft] def rhoCol(value: Column, lgK: Int): Column = {
+    val w = shiftrightunsigned(graft.plans.Hash60.hash60(value.cast("string")), lgK)
+    when(w === 0L, lit(61 - lgK))
+      .otherwise(bit_count((w.bitwiseAND(-w)) - lit(1L)).cast("int") + lit(1))
+  }
+
   def registers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 lgK: Int = 10): DataFrame = {
     require(lgK >= 4 && lgK <= 16, s"lgK must be in [4,16], got $lgK")
-    val m = 1L << lgK
-    val h = graft.plans.Hash60.hash60(col(valueCol).cast("string"))
-    val w = shiftrightunsigned(h, lgK) // top 60-lgK bits; h >= 0
-    // rho = 1 + trailing zeros of w; w == 0 (all 60-lgK bits zero)
-    // caps at the max observable, (60 - lgK) + 1
-    val rho = when(w === 0L, lit(61 - lgK))
-      .otherwise(bit_count((w.bitwiseAND(-w)) - lit(1L)).cast("int") + lit(1))
     df.where(col(valueCol).isNotNull)
-      .select((groupCols.map(col) :+ (h % m).cast("int").as("reg") :+ rho.as("rho")): _*)
+      .select((groupCols.map(col) :+ regCol(col(valueCol), lgK).as("reg") :+
+        rhoCol(col(valueCol), lgK).as("rho")): _*)
       .groupBy((groupCols.map(col) :+ col("reg")): _*)
       .agg(max(col("rho")).as("r"))
   }
