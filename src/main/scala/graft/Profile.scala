@@ -124,6 +124,55 @@ object Profile {
         println(s"PROF wide: candidates=$candW banded=$candBW " +
           s"(${"%.1f".format(candW * 1.0 / candBW)}x band cut) verified=$outW")
 
+      case "sketch" =>
+        // sketch builds at 1x / 10x lineitem: native floor-log2 vs
+        // the string bin() form, and the stored-sketch payoff —
+        // rollup over fine-grain sketch rows vs recomputing from raw
+        import graft.operators.{PortableHll, QuantileSketch}
+        def liN(n: Int) = {
+          val base = Tables.lineitem(spark, sfDir)
+            .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+              round(col("l_extendedprice") * 100).cast("long").as("cents"))
+          (0 until n).map(i => base
+            .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+            .reduce(_ unionByName _)
+        }
+        for (n <- Seq(1, 10, 80)) {
+          val li = liN(n).persist()
+          val rows = li.count()
+          time(s"qsk build native ${n}x ($rows rows)")(
+            QuantileSketch.build(li, Seq("l_returnflag"), "cents").count())
+          time(s"qsk build native ${n}x warm")(
+            QuantileSketch.build(li, Seq("l_returnflag"), "cents").count())
+          // identical plan with the allocating string form of floor-log2
+          def binstrBuild() = {
+            val s = 5; val small = 1L << s
+            li.select(col("l_returnflag"), col("cents").as("__v"))
+              .withColumn("__b", (length(bin(col("__v"))) - lit(1)).cast("long"))
+              .withColumn("bin", when(col("__v") < small, col("__v"))
+                .otherwise((col("__b") - lit(s - 1)) * small +
+                  (expr(s"shiftright(__v, cast(__b as int) - $s)") - small)))
+              .groupBy(col("l_returnflag"), col("bin"))
+              .agg(count(lit(1)).as("cnt"))
+          }
+          time(s"qsk build bin-str ${n}x")(binstrBuild().count())
+          time(s"qsk build bin-str ${n}x warm")(binstrBuild().count())
+          // stored-sketch rollup vs raw recompute (the artifact's point)
+          val fine = QuantileSketch.build(li, Seq("l_returnflag", "l_linestatus"), "cents")
+            .persist()
+          fine.count()
+          time(s"qsk rollup from stored ${n}x")(
+            QuantileSketch.rollup(fine, Seq("l_returnflag")).count())
+          time(s"hll registers ${n}x")(
+            PortableHll.registers(li, Seq("l_returnflag"), "l_orderkey").count())
+          val fineHll = PortableHll.registers(li, Seq("l_returnflag", "l_linestatus"), "l_orderkey")
+            .persist()
+          fineHll.count()
+          time(s"hll rollup from stored ${n}x")(
+            PortableHll.rollup(fineHll, Seq("l_returnflag")).count())
+          fine.unpersist(); fineHll.unpersist(); li.unpersist()
+        }
+
       case "ppl" =>
         // bigram-perplexity scaling: documents replicated with
         // shifted ids. Replication keeps the DISTINCT bigram space

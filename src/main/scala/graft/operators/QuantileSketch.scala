@@ -21,10 +21,10 @@ import org.apache.spark.sql.functions._
   *
   * Binning is the HdrHistogram / DDSketch idea (log-spaced bins →
   * relative-error guarantee; Tene's HdrHistogram, Masson et al.
-  * VLDB'19) built from EXACT INTEGER arithmetic only: floor-log2 via
-  * binary-string length (no IEEE log — the q_surprisal trick, exact
-  * in any engine), then the top `subBits` mantissa bits below the
-  * leading 1:
+  * VLDB'19) built from EXACT INTEGER arithmetic only: floor-log2
+  * (no IEEE log — natively via `plans.FloorLog2`; any other engine
+  * reproduces it as `length(bin(v)) - 1`, the q_surprisal trick),
+  * then the top `subBits` mantissa bits below the leading 1:
   *
   *   v < 2^s          → bin = v                      (small values exact)
   *   v ≥ 2^s, b=⌊lg v⌋ → bin = (b−s+1)·2^s + (v≫(b−s) − 2^s)
@@ -61,8 +61,10 @@ object QuantileSketch {
       raise_error(concat(lit(s"QuantileSketch: negative value in $valueCol: "),
         v0.cast("string"))).cast("long"))
       .otherwise(v0)
-    // floor-log2 as exact integers: length(bin(v)) - 1
-    val b = (length(bin(col("__v"))) - lit(1)).cast("long")
+    // floor-log2 as exact integers — native LZCNT expression; the
+    // DuckDB oracle uses the equivalent length(bin(v)) - 1 string
+    // form (identical values, q_surprisal's cross-engine trick)
+    val b = graft.plans.FloorLog2.floorLog2(col("__v"))
     val binId = when(col("__v") < small, col("__v"))
       .otherwise((col("__b") - lit(s - 1)) * small +
         (expr(s"shiftright(__v, cast(__b as int) - $s)") - small))

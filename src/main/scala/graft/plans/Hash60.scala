@@ -102,6 +102,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BandBuckets].getName, "graft_band_buckets"),
       (children: Seq[Expression]) => BandBuckets(children.head,
         intArg(children(1), "graft_band_buckets"), intArg(children(2), "graft_band_buckets"))),
+    (FunctionIdentifier("graft_floor_log2"),
+      new ExpressionInfo(classOf[FloorLog2].getName, "graft_floor_log2"),
+      (children: Seq[Expression]) => FloorLog2(children.head)),
     (FunctionIdentifier("graft_simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash60"),
       (children: Seq[Expression]) => SimHash60(children.head)),

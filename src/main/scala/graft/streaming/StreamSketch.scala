@@ -59,7 +59,7 @@ object StreamSketch {
       raise_error(concat(lit(s"StreamSketch: negative value in $valueCol: "),
         v0.cast("string"))).cast("long"))
       .otherwise(v0)
-    val b = (length(bin(col("__v"))) - lit(1)).cast("long")
+    val b = graft.plans.FloorLog2.floorLog2(col("__v"))
     val binId = when(col("__v") < small, col("__v"))
       .otherwise((col("__b") - lit(s - 1)) * small +
         (expr(s"shiftright(__v, cast(__b as int) - $s)") - small))
