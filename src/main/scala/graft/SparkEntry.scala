@@ -412,6 +412,18 @@ object SparkEntry {
         .select(col("l_suppkey").as("s_suppkey"), col("est"))
         .orderBy(col("s_suppkey"))
     }),
+    // ---- sketch-gated exact heavy hitters: the count-min gate
+    // passes a superset (no false negatives), the exact re-count
+    // removes false positives — so the ORACLE is the plain
+    // GROUP BY + HAVING the operator avoids running over every
+    // distinct key ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " +")).as("token"))
+        .where(length(col("token")) > 0)
+      graft.operators.HeavyHitters.exactAtLeast(toks, "token", 0.0337)
+        .orderBy(col("cnt").desc, col("token"))
+    }),
     // ---- mergeable quantile sketch: HDR-style integer log bins
     // (exact floor-log2, no IEEE log) built at a fine (returnflag,
     // linestatus) grain, sum-merged to returnflag, quantiles read
@@ -2303,6 +2315,20 @@ object SparkEntry {
           |SELECT pc.s_suppkey, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
           |FROM pc LEFT JOIN cells ON pc.r = cells.r AND pc.c = cells.c
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // The heavy-hitters CONTRACT, not its machinery: the count-min
+      // gate is a no-false-negative superset and the re-count is
+      // exact, so the result equals the plain GROUP BY + HAVING.
+      "q_heavy_hitters" ->
+        """WITH t AS (
+          |  SELECT unnest(list_filter(string_split_regex(text, ' +'), x -> len(x) > 0)) AS token
+          |  FROM documents
+          |), n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+          |SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          |FROM t, n
+          |GROUP BY token, n.total
+          |HAVING count(*) >= greatest(CAST(ceil(0.0337::DOUBLE * n.total) AS BIGINT), 1)
+          |ORDER BY cnt DESC, token""".stripMargin,
 
       // Mirrors QuantileSketch at subBits=5: small values (< 32) are
       // their own bin; otherwise (b-4)*32 + (v >> (b-5)) - 32 with

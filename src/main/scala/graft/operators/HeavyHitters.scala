@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact heavy hitters, sketch-gated — "which keys make up ≥ θ of
+  * the corpus" (stopword discovery, hot-entity detection, skew-key
+  * discovery for `ops.Skew`) WITHOUT shuffling every distinct key.
+  *
+  * The naive plan is a full `groupBy(key)` + HAVING: one shuffle
+  * whose width is the DISTINCT KEY set — for tokens over 100 TB,
+  * that is the biggest shuffle in the pipeline, almost all of it
+  * spent counting keys that could never qualify. This operator
+  * gates first: a count-min grid is built (bounded shuffle: ≤
+  * depth×width counter rows per map partition — `CountMin.build`),
+  * collected to the driver (depth×width longs — model-parameter
+  * sized, the `KMeans`/IVF literal-centroid precedent), and every
+  * row then probes it as a LITERAL MAP in one narrow projection —
+  * `least()` over `depth` map lookups, no explosion, no shuffle,
+  * inside whole-stage codegen. Only rows whose estimate clears the
+  * threshold reach the exact `groupBy`, which now counts the few
+  * genuinely-hot keys plus the sketch's bounded false positives.
+  *
+  * Correctness: count-min NEVER underestimates, so the gate passes
+  * a SUPERSET of the true heavy hitters (no false negatives); the
+  * exact re-count then removes false positives. Output is therefore
+  * EXACTLY the keys with freq ≥ ⌈θ·N⌉ and their exact counts — the
+  * oracle is a plain GROUP BY + HAVING, the approximation is
+  * internal machinery only. Overestimates come from hash
+  * collisions, bounded by ε·N with ε = e/width (Cormode &
+  * Muthukrishnan 2005) — size width ≥ e/θ and the false-positive
+  * row volume stays a θ-fraction of the data.
+  *
+  * Determinism: grid cells are exact integer counts on `Hash60`
+  * addressing; the gate is a pure function of (key, grid); the
+  * final counts are exact — partition-count independent end to end.
+  */
+object HeavyHitters {
+
+  /** Keys with exact frequency ≥ ceil(minShare · N) and their exact
+    * counts. NULL keys are skipped (no frequency identity). Collects
+    * the depth×width grid to the driver at call time (an action on
+    * `df`, bounded by the grid size). */
+  def exactAtLeast(df: DataFrame, keyCol: String, minShare: Double,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, s"minShare must be in (0,1], got $minShare")
+    val rows = df.where(col(keyCol).isNotNull)
+    val grid = CountMin.build(rows, keyCol, depth, width)
+      .collect().map(r => (r.getAs[Int]("r").toLong * width + r.getAs[Long]("c"),
+        r.getAs[Long]("cnt")))
+    // N from the grid itself (row 0 sums every occurrence once) —
+    // no second pass over the data
+    val n = grid.filter(_._1 < width).map(_._2).sum
+    val threshold = math.max(1L, math.ceil(minShare * n).toLong)
+    val cells: Column = typedLit(grid.toMap)
+    val est = (0 until depth).map { r =>
+      coalesce(element_at(cells,
+        lit(r.toLong * width) + CountMin.cell(lit(r), col(keyCol), width)), lit(0L))
+    }.reduce(least(_, _))
+    rows.where(est >= threshold)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
+}
