@@ -291,6 +291,40 @@ object Profile {
             graft.ops.Gopher.dupNgramCharFrac(docs, "text", 3).count())
           docs.unpersist()
         }
+      case "hh" =>
+        // sketch-gated heavy hitters vs the plain full groupBy on a
+        // Zipf corpus: the gate should cut the aggregate's shuffle to
+        // the hot fraction. Zipf over 200k distinct keys, ~8.8M rows,
+        // a wide payload-free key column (the shuffle is keys+counts).
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = t.taskMetrics
+            if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+        // key k (1-based) repeated ceil(C/k) times: total ~ C·ln(K)
+        val zipf = spark.range(1, 200001)
+          .select(explode(expr("sequence(1, cast(ceil(720000 / id) as int))")).as("rep"),
+            concat(lit("entity_"), col("id").cast("string")).as("k"))
+          .select("k").persist()
+        println(s"zipf rows=${zipf.count()}")
+        val n = zipf.count()
+        val share = 0.001 // threshold ~ top dozen keys
+        def measured(label: String)(f: => Unit): Unit = {
+          Thread.sleep(2000); shuffleBytes.set(0L)
+          time(label)(f)
+          Thread.sleep(2000)
+          println(f"PROF $label%-28s shuffle ${shuffleBytes.get / 1e6}%10.1f MB")
+        }
+        def plain() = zipf.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .where(col("cnt") >= math.ceil(share * n).toLong).collect()
+        def gated() = graft.operators.HeavyHitters.exactAtLeast(zipf, "k", share).collect()
+        plain(); gated() // warm both paths (codegen + grid build)
+        measured("plain groupBy+HAVING")(plain())
+        measured("sketch-gated exact")(gated())
+        zipf.unpersist()
+
       case "bloom" =>
         // bloom-pre-filtered anti join vs plain SMJ anti: events ×20
         // (wide props payload — shuffle volume is the point), small

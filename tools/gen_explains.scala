@@ -38,7 +38,10 @@ val picks = Seq(
   "q_countmin" -> "Count-min sketch: the build shuffle carries at most depth*width counter rows per map partition (two HashAggregate levels -- the grid, not the data); probe cells are a narrow projection and the estimate is a LEFT join + min aggregate, all keyed on (r, c) ints.",
   "q_intervals" -> "Interval islands: one exchange keyed by user feeds the running-max window; island ids and the merged extents are a projection + one hash aggregate on top -- per-key sorts, nothing global.",
   "q_temp_mix" -> "Temperature mixture: group counts collapse to a broadcast cutoff row per group; membership is a narrow graft_hash60 threshold filter against the broadcast -- the corpus is never repartitioned.",
-  "q_snapshot_diff" -> "Snapshot CDC: ONE full-outer sort-merge join on the key; status and old/new payloads are projections over the joined row; the unchanged majority is filtered before anything else sees it."
+  "q_snapshot_diff" -> "Snapshot CDC: ONE full-outer sort-merge join on the key; status and old/new payloads are projections over the joined row; the unchanged majority is filtered before anything else sees it.",
+  "q_heavy_hitters" -> "Sketch-gated heavy hitters: the count-min grid rides the task binary as a LITERAL map, so the gate is a narrow least-of-lookups filter inside WholeStageCodegen -- the exact groupBy's exchange carries only gated rows, never the full distinct-key set.",
+  "q_quantile_sketch" -> "Mergeable quantile sketch: binning is one narrow projection (native graft_floor_log2 -- no string bin(), no IEEE log); the (group, bin) aggregate partial-combines map-side so the exchange carries bounded sketch rows; quantile read-off windows over the BOUNDED bin set.",
+  "q_hll_portable" -> "Portable HLL: hash60/reg/rho are one narrow codegen'd projection; two hash aggregates (fine grain, then max-merge rollup) with map-side partials -- every exchange carries register rows, not data; the estimate is per-group arithmetic over <= 1024 registers."
 )
 val sb = new StringBuilder
 sb.append("# EXPLAINS -- formatted plans of headline queries (sf0.01)\n\n")
