@@ -293,9 +293,11 @@ object Profile {
         }
       case "hh" =>
         // sketch-gated heavy hitters vs the plain full groupBy on a
-        // Zipf corpus: the gate should cut the aggregate's shuffle to
-        // the hot fraction. Zipf over 200k distinct keys, ~8.8M rows,
-        // a wide payload-free key column (the shuffle is keys+counts).
+        // Zipf corpus. The gate's win is the aggregate's shuffle
+        // width: it must be a universe big enough that map-side
+        // partial aggregation cannot collapse it (4M distinct keys —
+        // token-vocabulary scale), or the plain shuffle is already
+        // tiny. ~23M rows, key k (1-based) repeated ceil(C/k) times.
         val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
         spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
           override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -303,14 +305,15 @@ object Profile {
             if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
           }
         })
-        // key k (1-based) repeated ceil(C/k) times: total ~ C·ln(K)
-        val zipf = spark.range(1, 200001)
-          .select(explode(expr("sequence(1, cast(ceil(720000 / id) as int))")).as("rep"),
+        val zipf = spark.range(1, 4000001)
+          .select(explode(expr("sequence(1, cast(ceil(1500000 / id) as int))")).as("rep"),
             concat(lit("entity_"), col("id").cast("string")).as("k"))
           .select("k").persist()
         println(s"zipf rows=${zipf.count()}")
         val n = zipf.count()
         val share = 0.001 // threshold ~ top dozen keys
+        // width >> 1/share so the mean cell load stays far under the
+        // threshold and the gate is selective (e/theta sizing rule)
         def measured(label: String)(f: => Unit): Unit = {
           Thread.sleep(2000); shuffleBytes.set(0L)
           time(label)(f)
@@ -319,7 +322,8 @@ object Profile {
         }
         def plain() = zipf.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
           .where(col("cnt") >= math.ceil(share * n).toLong).collect()
-        def gated() = graft.operators.HeavyHitters.exactAtLeast(zipf, "k", share).collect()
+        def gated() = graft.operators.HeavyHitters
+          .exactAtLeast(zipf, "k", share, depth = 4, width = 8192).collect()
         plain(); gated() // warm both paths (codegen + grid build)
         measured("plain groupBy+HAVING")(plain())
         measured("sketch-gated exact")(gated())

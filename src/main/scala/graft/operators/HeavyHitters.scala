@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * depth×width counter rows per map partition — `CountMin.build`),
   * collected to the driver (depth×width longs — model-parameter
   * sized, the `KMeans`/IVF literal-centroid precedent), and every
-  * row then probes it as a LITERAL MAP in one narrow projection —
-  * `least()` over `depth` map lookups, no explosion, no shuffle,
-  * inside whole-stage codegen. Only rows whose estimate clears the
+  * row then probes it as DENSE LITERAL ARRAYS (one per grid row) in
+  * one narrow projection — `least()` over `depth` O(1) array
+  * lookups, no explosion, no shuffle, inside whole-stage codegen.
+  * (Not a literal MAP: `element_at` on a map literal linear-scans
+  * the entries per probe — measured 46× slower at width 1024.) Only rows whose estimate clears the
   * threshold reach the exact `groupBy`, which now counts the few
   * genuinely-hot keys plus the sketch's bounded false positives.
   *
@@ -45,17 +47,22 @@ object HeavyHitters {
                    depth: Int = 4, width: Int = 1024): DataFrame = {
     require(minShare > 0.0 && minShare <= 1.0, s"minShare must be in (0,1], got $minShare")
     val rows = df.where(col(keyCol).isNotNull)
-    val grid = CountMin.build(rows, keyCol, depth, width)
-      .collect().map(r => (r.getAs[Int]("r").toLong * width + r.getAs[Long]("c"),
-        r.getAs[Long]("cnt")))
+    val gridRows = CountMin.build(rows, keyCol, depth, width).collect()
     // N from the grid itself (row 0 sums every occurrence once) —
     // no second pass over the data
-    val n = grid.filter(_._1 < width).map(_._2).sum
+    val n = gridRows.filter(_.getAs[Int]("r") == 0).map(_.getAs[Long]("cnt")).sum
     val threshold = math.max(1L, math.ceil(minShare * n).toLong)
-    val cells: Column = typedLit(grid.toMap)
+    // one DENSE literal array per grid row: element_at on an array
+    // literal is O(1), where a map literal (ArrayBasedMapData) would
+    // LINEAR-SCAN its entries on every probe — measured 46 s vs 1 s
+    // on a 9.3M-row corpus (Profile hh)
+    val dense = Array.fill(depth)(new Array[Long](width))
+    gridRows.foreach { g =>
+      dense(g.getAs[Int]("r"))(g.getAs[Long]("c").toInt) = g.getAs[Long]("cnt")
+    }
     val est = (0 until depth).map { r =>
-      coalesce(element_at(cells,
-        lit(r.toLong * width) + CountMin.cell(lit(r), col(keyCol), width)), lit(0L))
+      element_at(typedLit(dense(r)),
+        (CountMin.cell(lit(r), col(keyCol), width) + lit(1L)).cast("int"))
     }.reduce(least(_, _))
     rows.where(est >= threshold)
       .groupBy(col(keyCol))
