@@ -455,6 +455,31 @@ object SparkEntry {
       graft.operators.PortableHll.estimate(merged, Seq("event_type"), out = "est_users")
         .orderBy(col("event_type"))
     }),
+    // ---- KMV bottom-k sketch: fine (event_type, day) grain build,
+    // bottom-k rollup to event_type, KMV distinct estimate. The
+    // DuckDB oracle builds the bottom-k DIRECTLY at event_type grain
+    // (row_number over distinct hash60 values) — the hash match is
+    // the cross-engine merge-invariance assertion, same contract as
+    // q_hll_portable / q_quantile_sketch ----
+    "q_kmv_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .withColumn("day", to_date(col("ts")))
+      val daily = graft.operators.KmvSketch.sketch(ev, Seq("event_type", "day"), "user_id")
+      val merged = graft.operators.KmvSketch.rollup(daily, Seq("event_type"))
+      graft.operators.KmvSketch.estimate(merged, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+    // ---- KMV pairwise overlap: the thing HLL registers cannot do —
+    // intersections. Jaccard / union / intersection estimates for
+    // every event-type pair, computed ENTIRELY in sketch space
+    // (G²·k rows). Deterministic md5 bottom-k ⇒ the approximate
+    // estimates themselves replay exactly in SQL ----
+    "q_kmv_jaccard" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val sk = graft.operators.KmvSketch.sketch(ev, Seq("event_type"), "user_id")
+      graft.operators.KmvSketch.pairwiseOverlap(sk, "event_type")
+        .orderBy(col("g1"), col("g2"))
+    }),
     "q_lsh_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.operators.Similarity.lshTopK(emb, emb.where(col("vec_id") < 50), 3, nPlanes = 6)
@@ -2404,6 +2429,78 @@ object SparkEntry {
           |                  THEN 1024.0::DOUBLE * ln(1024.0::DOUBLE / CAST(zeros AS DOUBLE))
           |                  ELSE rawE END) AS BIGINT) AS est_users
           |FROM e ORDER BY event_type""".stripMargin,
+
+      // Mirrors KmvSketch: bottom-k (k=256) of distinct hash60 values
+      // built DIRECTLY at event_type grain via row_number — vs the
+      // Spark side's fine (event_type, day) build + rollup. Hash match
+      // = cross-engine merge-invariance, same contract as
+      // q_hll_portable. Estimate: exact count when n < k, else the
+      // KMV estimator (k−1)·2⁶⁰ / kth-min; pure integer inputs, one
+      // double division, rounded to a whole count.
+      "q_kmv_distinct" ->
+        """WITH h AS (
+          |  SELECT DISTINCT event_type,
+          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events WHERE user_id IS NOT NULL
+          |), sk AS (
+          |  SELECT event_type, hv,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+          |  FROM h
+          |), b AS (
+          |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(hv) AS kth
+          |  FROM sk WHERE rn <= 256 GROUP BY 1
+          |)
+          |SELECT event_type,
+          |  CAST(round(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+          |    ELSE 255.0::DOUBLE * 1152921504606846976.0::DOUBLE
+          |         / CAST(greatest(kth, 1) AS DOUBLE) END) AS BIGINT) AS distinct_est
+          |FROM b ORDER BY event_type""".stripMargin,
+
+      // Mirrors KmvSketch.pairwiseOverlap: per event-type bottom-k
+      // sketches, then for each pair g1 < g2 the bottom-k of the
+      // union with membership flags — matches = |both|, J = matches/k,
+      // union from the KMV estimator, intersection = J · union. All
+      // deterministic (md5 bottom-k), so the approximate estimates
+      // replay exactly.
+      "q_kmv_jaccard" ->
+        """WITH h AS (
+          |  SELECT DISTINCT event_type AS g,
+          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM events WHERE user_id IS NOT NULL
+          |), sk AS (
+          |  SELECT g, hv FROM (
+          |    SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv) AS rn FROM h
+          |  ) WHERE rn <= 256
+          |), gs AS (SELECT DISTINCT g FROM sk),
+          |pairs AS (
+          |  SELECT a.g AS g1, b.g AS g2 FROM gs a, gs b WHERE a.g < b.g
+          |), m AS (
+          |  SELECT p.g1, p.g2, s.hv,
+          |    max(CASE WHEN s.g = p.g1 THEN 1 ELSE 0 END) AS in_a,
+          |    max(CASE WHEN s.g = p.g2 THEN 1 ELSE 0 END) AS in_b
+          |  FROM pairs p JOIN sk s ON s.g = p.g1 OR s.g = p.g2
+          |  GROUP BY 1, 2, 3
+          |), uk AS (
+          |  SELECT * FROM (
+          |    SELECT g1, g2, hv, in_a, in_b,
+          |      row_number() OVER (PARTITION BY g1, g2 ORDER BY hv) AS rn
+          |    FROM m
+          |  ) WHERE rn <= 256
+          |), agg AS (
+          |  SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_union, max(hv) AS kth,
+          |    CAST(sum(in_a * in_b) AS BIGINT) AS matches
+          |  FROM uk GROUP BY 1, 2
+          |), est AS (
+          |  SELECT g1, g2, matches,
+          |    CAST(matches AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+          |    CAST(round(CASE WHEN n_union < 256 THEN CAST(n_union AS DOUBLE)
+          |      ELSE 255.0::DOUBLE * 1152921504606846976.0::DOUBLE
+          |           / CAST(greatest(kth, 1) AS DOUBLE) END) AS BIGINT) AS union_est
+          |  FROM agg
+          |)
+          |SELECT g1, g2, matches, jaccard, union_est,
+          |  CAST(round(jaccard * CAST(union_est AS DOUBLE)) AS BIGINT) AS inter_est
+          |FROM est ORDER BY g1, g2""".stripMargin,
 
       // Mirrors HashedFeatures.linearScore: same md5-prefix hash60
       // mod 64 bucket, same Fibonacci-spread integer weight vector

@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
   * idempotent — re-delivered frames cannot corrupt a sketch, so
   * at-least-once sinks are safe, and `rollup(sketch(fine))` is
   * bit-identical to building at the coarse grain directly (the
-  * merge-invariance oracle `q_kmv_distinct` proves it cross-engine).
+  * merge-invariance oracle `q_kmv_distinct` proves it cross-engine;
+  * `q_kmv_jaccard` replays `pairwiseOverlap`'s estimates in SQL).
   *
   * Scale shape: the build is one narrow hash projection into a
   * bounded custom `Aggregator` (SURVEY §7.3: built-ins have no
