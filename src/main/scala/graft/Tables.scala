@@ -21,21 +21,32 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Read nanos as long and truncate to micros
-    * (floor division — matches DuckDB's nanos→micros cast for the
-    * oracle). The legacy conf is restored after schema resolution so
-    * the loader doesn't permanently change how OTHER nanos parquet
-    * reads behave in the session (scan execution uses the schema
-    * resolved here, not the live conf). */
+  /** `events.ts` has shipped in two parquet encodings across driver
+    * testdata generations: TIMESTAMP(NANOS) (which Spark 4 refuses
+    * to read as a timestamp — read nanos as long, floor-truncate to
+    * micros, matching DuckDB's nanos→micros cast) and plain
+    * TIMESTAMP(MICROS) (read natively as NTZ). Both normalize to a
+    * session-TZ TIMESTAMP column (session TZ is pinned UTC, so the
+    * NTZ→LTZ cast is value-identity) — downstream operators and the
+    * correctness oracle see one stable type either way. The legacy
+    * conf is restored after schema resolution so the loader doesn't
+    * permanently change how OTHER nanos parquet reads behave in the
+    * session (scan execution uses the schema resolved here, not the
+    * live conf). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try
-      table(spark, sfDir, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    finally prev match {
+    try {
+      val df = table(spark, sfDir, "events")
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
     }
