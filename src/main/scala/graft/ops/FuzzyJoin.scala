@@ -37,6 +37,51 @@ object FuzzyJoin {
   def firstTokenBlock(text: Column): Column =
     lower(split(trim(text), " +").getItem(0))
 
+  /** Consonant-skeleton block: the lower-cased text with vowels and
+    * spaces removed — the normalized-key construction phonetic codes
+    * (Soundex, NYSIIS) are built on, where the key deliberately
+    * erases the characters most likely to be corrupted. Pairs
+    * differing only in vowels/spacing (OCR noise, vowel-dropping
+    * abbreviations, most typo classes concentrated on vowels) land
+    * in the same block; pairs whose consonants differ are the recall
+    * boundary. Cardinality grows with the number of distinct
+    * underlying names (not a fixed alphabet the way a first-char or
+    * first-token key can), so block sizes track true duplicate-group
+    * sizes: candidate volume stays proportional to the verified
+    * output instead of to corpus². Deterministic, null-safe,
+    * replicable in any engine with a global regexp_replace. */
+  def skeletonBlock(text: Column): Column =
+    regexp_replace(lower(trim(text)), "[aeiou ]", "")
+
+  /** Loud guard for the blocking trade-off's other failure mode: a
+    * hot block (shared boilerplate name, empty-string skeleton, a
+    * null-ish placeholder) silently degrades the candidate join
+    * toward n² inside that block. This action counts block sizes and
+    * throws with the offending keys instead of letting one task
+    * quietly absorb a quadratic blow-up. Like
+    * `SnapshotDiff.requireUniqueKeys`, it is a separate opt-in
+    * validation step (one count aggregation — cheap next to the
+    * candidate join it protects) so the operators themselves stay
+    * lazy. */
+  def requireBlockCap(df: DataFrame, textCol: String,
+                      blockKey: Column => Column, maxBlockSize: Long): Unit = {
+    require(maxBlockSize > 0, "maxBlockSize must be positive")
+    val offenders = df.where(col(textCol).isNotNull)
+      .groupBy(blockKey(col(textCol)).as("__blk")).count()
+      .where(col("count") > maxBlockSize)
+      .orderBy(col("count").desc)
+      .limit(5)
+      .collect()
+    if (offenders.nonEmpty) {
+      val top = offenders.map(r => s"'${r.get(0)}'=${r.getLong(1)}").mkString(", ")
+      throw new IllegalStateException(
+        s"fuzzy-join block cap exceeded on '$textCol': block(s) over " +
+          s"$maxBlockSize rows: $top. A block of size n costs O(n^2) " +
+          "candidates - pick a finer blockKey (e.g. skeletonBlock, or " +
+          "multi-pass with selfPairsMultiPass) or raise the cap knowingly.")
+    }
+  }
+
   /** The shared candidate→verify step over internally-renamed sides
     * (__id_l/__text_l vs __id_r/__text_r on __blk) — renaming before
     * the join is what keeps same-named input columns unambiguous.

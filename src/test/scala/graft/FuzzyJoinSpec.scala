@@ -72,6 +72,36 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(pairs.length == pairs.distinct.length)
   }
 
+  test("skeletonBlock keys vowel-dropped corruptions into their source's block") {
+    // leading-vowel loss ("emerald" -> "mrald") changes the first
+    // char AND the first token, so both classic keys miss the pair;
+    // the consonant skeleton is invariant under any vowel/space loss
+    val df = Seq((1L, "emerald bolt"), (2L, "mrald bolt"), (3L, "cobalt bolt"))
+      .toDF("id", "name")
+    val firstChar = (t: org.apache.spark.sql.Column) => lower(t.substr(lit(1), lit(1)))
+    val viaChar = FuzzyJoin.selfPairs(df, "id", "name", maxDist = 3, blockKey = firstChar)
+      .select($"id_l", $"id_r").as[(Long, Long)].collect().toSet
+    assert(!viaChar.contains((1L, 2L)))
+    val viaSkel = FuzzyJoin.selfPairs(df, "id", "name", maxDist = 3,
+        blockKey = FuzzyJoin.skeletonBlock)
+      .select($"id_l", $"id_r", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(viaSkel == Set((1L, 2L, 2))) // drop 'e','e'; cobalt's skeleton differs
+  }
+
+  test("requireBlockCap throws loudly on a hot block and names it") {
+    val df = (1L to 20L).map(i => (i, "same name")).toDF("id", "name")
+      .union(Seq((21L, "rare name")).toDF("id", "name"))
+    val ex = intercept[IllegalStateException] {
+      FuzzyJoin.requireBlockCap(df, "name", FuzzyJoin.firstTokenBlock, maxBlockSize = 10)
+    }
+    assert(ex.getMessage.contains("'same'=20"))
+    // under the cap: silent pass (and null texts never count)
+    FuzzyJoin.requireBlockCap(df, "name", FuzzyJoin.firstTokenBlock, maxBlockSize = 20)
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.requireBlockCap(df, "name", FuzzyJoin.firstTokenBlock, maxBlockSize = 0)
+    }
+  }
+
   test("rejects negative maxDist") {
     intercept[IllegalArgumentException] {
       FuzzyJoin.selfPairs(catalog, "id", "name", maxDist = -1)
