@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * structs; decode / feature-extract / resize / frame-sample run as
   * partition-batched functions over the binary column.
   *
-  * THE DECODERS ARE STUBS: this container has no image/audio codecs,
-  * so `decodeStub` derives a deterministic fake "decode" from the
-  * payload bytes (md5-seeded dimensions + features). The Spark-side
-  * contract — schema, batching, partition balancing, output shape —
-  * is real and tested; swapping in a real codec changes only the
-  * body of `decodeStub`.
+  * Decoding is layered: image payloads in the two formats a bare JVM
+  * can parse exactly — uncompressed 24-bpp BMP and binary PPM — go
+  * through the REAL decoder (`ImageCodec`: bytes → pixels → exact
+  * integer-derived features); everything else (audio/video codecs
+  * absent from this container, unrecognized image bytes) falls back
+  * to `decodeStub`, a deterministic md5-seeded fake that preserves
+  * the schema/batching contract. Swapping in a full codec library
+  * widens the real branch only — the Spark-side shape (mapPartitions
+  * over executor-side iterators, one codec init per partition,
+  * size-balanced tasks) is identical for both branches.
   *
   * Scale notes:
   *  - payloads never hit the driver; decode is mapPartitions over the
@@ -57,7 +61,8 @@ object Multimodal {
     )
 
   /** Deterministic fake decode of one payload: md5-seeded dims and an
-    * 8-dim feature vector. ??? -> replace with a real codec call. */
+    * 8-dim feature vector — the fallback for media `ImageCodec`
+    * cannot parse (audio/video, non-BMP/PPM images). */
   private[multimodal] def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Double]) = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
     def u(i: Int): Int = d(i) & 0xff
@@ -81,12 +86,21 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-          val (w, h, sr, feats) = decodeStub(kind, payload)
-          Row(id, kind, payload.length.toLong,
-            if (kind == "audio") null else Integer.valueOf(w),
-            if (kind == "audio") null else Integer.valueOf(h),
-            if (kind == "audio") Integer.valueOf(sr) else null,
-            feats.toSeq)
+          // real decode first (BMP/PPM images), stub fallback
+          val real = if (kind == "image") ImageCodec.decode(payload) else None
+          real match {
+            case Some(d) =>
+              Row(id, kind, payload.length.toLong,
+                Integer.valueOf(d.width), Integer.valueOf(d.height),
+                null, d.features.toSeq)
+            case None =>
+              val (w, h, sr, feats) = decodeStub(kind, payload)
+              Row(id, kind, payload.length.toLong,
+                if (kind == "audio") null else Integer.valueOf(w),
+                if (kind == "audio") null else Integer.valueOf(h),
+                if (kind == "audio") Integer.valueOf(sr) else null,
+                feats.toSeq)
+          }
         }
       }(enc)
   }

@@ -1,10 +1,95 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageCodec, Multimodal}
 import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Build a real uncompressed 24-bpp BMP: pixels in row-major
+    * top-down (r,g,b) order; written bottom-up with 4-byte row
+    * padding, as the format requires. */
+  private def bmpBytes(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(px.length == w * h)
+    val rowBytes = (w * 3 + 3) & ~3
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int): Unit = (0 until 2).foreach(i => out.write((v >> (8 * i)) & 0xff))
+    out.write('B'); out.write('M'); le32(54 + rowBytes * h); le32(0); le32(54)
+    le32(40); le32(w); le32(h); le16(1); le16(24); le32(0); le32(rowBytes * h)
+    le32(0); le32(0); le32(0); le32(0)
+    for (y <- (h - 1) to 0 by -1) { // bottom-up
+      for (x <- 0 until w) {
+        val (r, g, b) = px(y * w + x)
+        out.write(b); out.write(g); out.write(r) // BGR on disk
+      }
+      (w * 3 until rowBytes).foreach(_ => out.write(0))
+    }
+    out.toByteArray
+  }
+
+  private def ppmBytes(w: Int, h: Int, px: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(px.length == w * h)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"P6\n# comment\n$w $h\n255\n".getBytes("US-ASCII"))
+    px.foreach { case (r, g, b) => out.write(r); out.write(g); out.write(b) }
+    out.toByteArray
+  }
+
+  // 3x2 fixture with distinct channel structure: one white, one
+  // black, one mid-grey, one pure red/green/blue pixel
+  private val px6 = Seq(
+    (255, 255, 255), (0, 0, 0), (128, 128, 128),
+    (255, 0, 0), (0, 255, 0), (0, 0, 255))
+
+  private def expectedF6: Seq[Double] = {
+    val n = 6L
+    val sr = 255L + 0 + 128 + 255 + 0 + 0
+    val sg = 255L + 0 + 128 + 0 + 255 + 0
+    val sb = 255L + 0 + 128 + 0 + 0 + 255
+    val lumas = px6.map { case (r, g, b) => r + g + b }
+    Seq(sr / (n * 255.0), sg / (n * 255.0), sb / (n * 255.0),
+      (sr + sg + sb) / (n * 765.0),
+      lumas.min / 765.0, lumas.max / 765.0,
+      lumas.count(_ >= 383).toDouble / n, 3.0 / 2.0)
+  }
+
+  test("ImageCodec decodes a real padded bottom-up BMP to exact pixels and features") {
+    val d = ImageCodec.decode(bmpBytes(3, 2, px6)).get
+    assert(d.width == 3 && d.height == 2)
+    assert(d.features.toSeq == expectedF6)
+  }
+
+  test("ImageCodec decodes a real PPM (comments, ascii header) to the same features") {
+    val d = ImageCodec.decode(ppmBytes(3, 2, px6)).get
+    assert(d.width == 3 && d.height == 2)
+    assert(d.features.toSeq == expectedF6) // format-independent pixel truth
+  }
+
+  test("malformed/unknown bytes are rejected, never thrown on") {
+    assert(ImageCodec.decode(Array[Byte]()).isEmpty)
+    assert(ImageCodec.decode("BMnot really a bitmap".getBytes).isEmpty)
+    assert(ImageCodec.decode("P6 garbage".getBytes).isEmpty)
+    val truncated = bmpBytes(3, 2, px6).take(40)
+    assert(ImageCodec.decode(truncated).isEmpty)
+    // 8-bpp BMPs (unsupported depth) are declined, not mis-parsed
+    val bad = bmpBytes(3, 2, px6); bad(28) = 8
+    assert(ImageCodec.decode(bad).isEmpty)
+  }
+
+  test("decodeFeatures routes real images through ImageCodec and the rest to the stub") {
+    val rows = Seq(
+      (10L, "image", bmpBytes(3, 2, px6)),            // real decode
+      (11L, "image", "not an image".getBytes),        // image kind, stub fallback
+      (12L, "audio", bmpBytes(3, 2, px6))             // audio kind: stub even for BMP bytes
+    ).toDF("media_id", "kind", "payload")
+    val got = Multimodal.decodeFeatures(rows).orderBy($"media_id").collect()
+    assert(got(0).getAs[Int]("width") == 3 && got(0).getAs[Int]("height") == 2)
+    assert(got(0).getAs[collection.Seq[Double]]("features") == expectedF6)
+    assert(got(1).getAs[Int]("width") >= 64) // stub dims, schema intact
+    assert(got(2).isNullAt(got(2).fieldIndex("width")) &&
+      !got(2).isNullAt(got(2).fieldIndex("sample_rate")))
+  }
 
   private lazy val docs = Seq(
     (0L, "a tiny image payload", "srcA", 20L),
