@@ -31,8 +31,8 @@ import org.apache.spark.sql.functions._
   */
 object CountMin {
 
-  private[operators] def cell(r: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
-                              width: Int): org.apache.spark.sql.Column =
+  private[graft] def cell(r: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+                          width: Int): org.apache.spark.sql.Column =
     pmod(graft.plans.Hash60.hash60(
       concat_ws(":", r.cast("string"), key.cast("string"))), lit(width.toLong))
 

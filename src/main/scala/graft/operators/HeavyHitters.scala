@@ -46,6 +46,19 @@ object HeavyHitters {
   def exactAtLeast(df: DataFrame, keyCol: String, minShare: Double,
                    depth: Int = 4, width: Int = 1024): DataFrame = {
     require(minShare > 0.0 && minShare <= 1.0, s"minShare must be in (0,1], got $minShare")
+    // Enforce the ε = e/width ≤ minShare sizing the correctness
+    // argument depends on: a width below e/minShare still returns
+    // exact results, but the collision overestimate ε·N can exceed
+    // the threshold for ARBITRARILY many cold keys, so the "few
+    // false positives" contract silently becomes a near-full exact
+    // re-count. Fail loud with the minimum compliant width instead.
+    val minWidth = math.ceil(math.E / minShare).toInt
+    require(width >= minWidth,
+      s"width=$width is below e/minShare=$minWidth: the count-min " +
+        s"overestimate bound (e/width)*N would exceed the minShare=$minShare " +
+        "threshold, letting unboundedly many cold keys through the gate. " +
+        s"Use width >= $minWidth (rounding up to a power of two keeps " +
+        "the grid cache-friendly).")
     val rows = df.where(col(keyCol).isNotNull)
     val gridRows = CountMin.build(rows, keyCol, depth, width).collect()
     // N from the grid itself (row 0 sums every occurrence once) —

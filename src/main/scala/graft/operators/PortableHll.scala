@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.DecimalType
   * per-(day, group) register rows once, anything downstream merges
   * them without re-reading raw data — and without a Spark runtime.
   * q_hll_portable is therefore a FULL exact-hash oracle (like
-  * q_countmin), not the rows-only bound q_approx_distinct carries
+  * q_countmin), not the rows-only bound the native fast path carries
   * for the native path.
   *
   * Algorithm (Flajolet et al. 2007, the classic HLL): register index

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Mergeable distinct-count sketches — the re-aggregatable rollup
   * artifact a 100 TB pipeline stores INSTEAD of raw keys.
   *
-  * `approx_count_distinct` (q_approx_distinct) answers one query;
+  * `approx_count_distinct` (the engine-private fast path) answers one query;
   * what it cannot do is answer NEXT month's query without re-reading
   * this month's raw data. A stored sketch can: HLL sketches union
   * associatively and commutatively, so kilobyte-sized per-(day,

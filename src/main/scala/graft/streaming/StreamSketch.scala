@@ -44,6 +44,37 @@ object StreamSketch {
       .agg(max(graft.operators.PortableHll.rhoCol(col(valueCol), lgK)).as("r"))
   }
 
+  /** Tumbling-window count-min cell grids: the streaming form of
+    * `CountMin.build`, one (window, group, r, c, cnt) row per
+    * touched cell. Downstream `CountMin.merge` (element-wise SUM)
+    * consumes streamed frames exactly like batch-built ones.
+    *
+    * Delivery contract — stricter than the register sketches: grid
+    * cells merge by SUM, which is associative/commutative but NOT
+    * idempotent, so a re-delivered frame double-counts where a
+    * re-delivered max-merged register row is harmless. Safe modes:
+    * append (emit-on-close) into an exactly-once sink, or update
+    * mode into a KEYED upsert on (window, groupCols, r, c) —
+    * refinements are cumulative per key, so the upsert overwrite is
+    * correct and re-deliveries of a closed window rewrite identical
+    * values (`Sinks.upsertPartitions` keyed on the window, the
+    * StreamingRecap gold-sink pattern). A blind sum-merging sink in
+    * update mode, or at-least-once append without dedup, corrupts
+    * counts — generation-version the frames if the sink cannot key. */
+  def windowedGrid(events: DataFrame, tsCol: String, windowDur: String,
+                   watermarkDelay: String, groupCols: Seq[String],
+                   keyCol: String, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2; got $depth x $width")
+    events.where(col(keyCol).isNotNull)
+      .select((col(tsCol) +: groupCols.map(col) :+ col(keyCol).as("__k")): _*)
+      .withColumn("r", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("c", graft.operators.CountMin.cell(col("r"), col("__k"), width))
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDur) +: groupCols.map(col) :+
+        col("r") :+ col("c")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Tumbling-window quantile-sketch bin counts: the streaming form
     * of `QuantileSketch.build`. Use APPEND mode (emit-on-close) when
     * the sink sum-merges blindly; update mode only with a keyed

@@ -48,6 +48,18 @@ class HeavyHittersSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("undersized width is rejected loudly with the minimum compliant width") {
+    // minShare 0.001 needs width >= ceil(e/0.001) = 2719; the 1024
+    // default silently admitted ~unbounded false positives before
+    val ex = intercept[IllegalArgumentException] {
+      HeavyHitters.exactAtLeast(skewed, "k", minShare = 0.001)
+    }
+    assert(ex.getMessage.contains("2719"))
+    // a compliant explicit width works
+    val ok = HeavyHitters.exactAtLeast(skewed, "k", minShare = 0.001, width = 4096)
+    assert(ok.count() > 0)
+  }
+
   test("a key exactly at the ceil(share*N) threshold is kept") {
     // 10 rows total: a x4, b x4, c x2 -> share 0.4 -> threshold 4
     val df = (Seq.fill(4)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")).toDF("k")

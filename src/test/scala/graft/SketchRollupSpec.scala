@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * roll them up later without raw data — plus the two properties that
   * make the pattern safe at cluster scale: merge-order independence
   * and a bounded estimate error (sketch bytes are engine-private, so
-  * like q_approx_distinct this is spec-bounded, not oracle-hashed). */
+  * like the approx-distinct fast path this is spec-bounded, not oracle-hashed). */
 class SketchRollupSpec extends SparkSpec {
   import spark.implicits._
 

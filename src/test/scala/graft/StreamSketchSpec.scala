@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{PortableHll, QuantileSketch}
+import graft.operators.{CountMin, PortableHll, QuantileSketch}
 import graft.streaming.StreamSketch
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -49,6 +49,47 @@ class StreamSketchSpec extends SparkSpec {
         .orderBy($"ws", $"grp", $"reg")
         .as[(Timestamp, String, Int, Int)].collect()
       assert(streamed.nonEmpty && streamed.sameElements(batch))
+    } finally query.stop()
+  }
+
+  test("windowedGrid in append mode emits closed-window grids equal to batch CountMin.build") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamSketch.windowedGrid(
+        input.toDF(), "ts", "10 minutes", "5 minutes", Seq("grp"), "uid",
+        depth = 3, width = 16)
+      .select(col("window.start").as("ws"), col("grp"), col("r"), col("c"), col("cnt"))
+      .writeStream.format("memory").queryName("sk_grid").outputMode("append").start()
+    try {
+      input.addData(
+        Ev(ts("2024-01-01 05:03:00"), "a", 7), Ev(ts("2024-01-01 05:04:00"), "a", 7),
+        Ev(ts("2024-01-01 05:06:00"), "a", 9), Ev(ts("2024-01-01 05:07:00"), "b", 7))
+      query.processAllAvailable()
+      // advance the watermark far enough to close the 05:00 window
+      input.addData(Ev(ts("2024-01-01 05:31:00"), "a", 12))
+      query.processAllAvailable()
+      val streamed = spark.table("sk_grid")
+        .orderBy($"ws", $"grp", $"r", $"c")
+        .as[(Timestamp, String, Int, Long, Long)].collect()
+      // batch build per (window, grp) slice on the same rows
+      def batchFor(grp: String, uids: Seq[Long]) =
+        CountMin.build(uids.toDF("uid"), "uid", depth = 3, width = 16)
+          .select(lit(ts("2024-01-01 05:00:00")).as("ws"), lit(grp).as("grp"),
+            $"r", $"c", $"cnt")
+      val batch = batchFor("a", Seq(7L, 7L, 9L)).unionByName(batchFor("b", Seq(7L)))
+        .orderBy($"ws", $"grp", $"r", $"c")
+        .as[(Timestamp, String, Int, Long, Long)].collect()
+      assert(streamed.nonEmpty && streamed.sameElements(batch))
+      // the still-open 05:30 window must not have emitted in append mode
+      assert(!streamed.exists(_._1 == ts("2024-01-01 05:30:00")))
+      // downstream contract: the streamed frames sum-merge into a grid
+      // whose estimates never undershoot the true window frequencies
+      val cells = spark.table("sk_grid").where($"grp" === "a")
+        .groupBy($"r", $"c").agg(sum($"cnt").as("cnt"))
+      val est = CountMin.estimate(cells, Seq(7L, 9L).toDF("uid"), "uid",
+          depth = 3, width = 16)
+        .as[(Long, Long)].collect().toMap
+      assert(est(7L) >= 2L && est(9L) >= 1L)
     } finally query.stop()
   }
 
