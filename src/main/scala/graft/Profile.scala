@@ -440,6 +440,24 @@ object Profile {
             s"candidates=$nc verified=$nv " +
             s"candcut=${"%.1f".format(n * (n - 1) / 2.0 / nc)}x " +
             s"precision=${"%.3f".format(nv * 1.0 / nc)}")
+          // tuned near-dup config (threshold 0.9, r=12, bands=28 =
+          // lshParams(0.9, 0.01, 12)): the replicas are exact dups
+          // (cosine 1), so recall is certain and the 2^12 bucket
+          // space kills the random-collision background the (16,4)
+          // config drowns in
+          val sigsT = qm.select(col("vec_id"),
+              posexplode(graft.plans.SignBands.signBands(col("v"), 28, 12)))
+            .toDF("vec_id", "band", "bucket")
+          val candT = sigsT.as("x").join(sigsT.as("y"),
+              col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+                col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id")).distinct()
+          val ncT = time(s"embdup x$mult tuned candidates")(candT.count())
+          val nvT = time(s"embdup x$mult tuned verified")(
+            Similarity.cosineNearDupPairsLsh(embM, 0.9, bands = 28, planesPerBand = 12).count())
+          println(s"PROF embdup-tuned x$mult: candidates=$ncT verified=$nvT " +
+            s"candcut=${"%.1f".format(n * (n - 1) / 2.0 / ncT)}x " +
+            s"precision=${"%.3f".format(nvT * 1.0 / math.max(ncT, 1))}")
           embM.unpersist()
         }
 

@@ -388,6 +388,28 @@ object SparkEntry {
       graft.operators.Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.5)
         .orderBy(col("a_id"), col("b_id"))
     }),
+    // ---- tuned high-threshold near-dup: the config banding theory
+    // actually prescribes for dup DETECTION (threshold 0.9, r=12,
+    // bands=lshParams(0.9, 0.01, 12)=28 → ~0.7% of all pairs as
+    // candidates, vs the degenerate selectivity any config has at
+    // 0.5 — see Similarity.lshParams). The corpus is seeded with a
+    // deterministic near-dup twin per vector (per-dim factors
+    // 1 + k/128, exactly representable doubles, so the oracle
+    // rebuilds the same twins bit-for-bit) ----
+    "q_embed_neardup_hi" -> ((s, dir) => {
+      val src = Tables.embeddings(s, dir)
+      val base = src.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val twin = src.select(col("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) +
+              (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3)).cast("double") / lit(128.0)))
+            .as("embedding"))
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      graft.operators.Similarity.cosineNearDupPairsLsh(
+          base.unionByName(twin), 0.9, bands = 28, planesPerBand = 12)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
 
     // ---- sketches & stubs. The native-Datasketches approximate
     // distinct path (operators.Sketches / approx_count_distinct) is
@@ -503,6 +525,24 @@ object SparkEntry {
       graft.operators.KMeans.assign(emb, graft.operators.KMeans.train(emb, 8, 2))
         .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
         .orderBy(col("vec_id"))
+    }),
+    // ---- product quantization: 64 floats -> 4 codebook codes
+    // (Jégou et al. 2011). Integer-quantized subspace distances make
+    // encode (argmin, ties to smallest centroid) and ADC scores
+    // exact — both carry full cross-engine oracles ----
+    "q_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mdl = graft.operators.ProductQuantizer.model(emb, m = 4, k = 16)
+      graft.operators.ProductQuantizer.encode(emb, mdl)
+        .orderBy(col("vec_id"))
+    }),
+    "q_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mdl = graft.operators.ProductQuantizer.model(emb, m = 4, k = 16)
+      val codes = graft.operators.ProductQuantizer.encode(emb, mdl)
+      graft.operators.ProductQuantizer.adcTopK(
+          codes, emb.where(col("vec_id") < 50), mdl, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
     }),
     // ---- SemDeDup: within-cluster near-dup pairs under the trained
     // k-means model (cluster-scoped quadratic search — the published
@@ -649,6 +689,18 @@ object SparkEntry {
         .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp") && col("l_discount") > 0.08)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- Z-order layout key: the Morton interleave behind
+    // OPTIMIZE ZORDER BY — pure shift/mask column arithmetic, so the
+    // physical-layout sort key itself is exact-oracle-checkable (the
+    // write path and its measured two-dimensional file pruning live
+    // in ops.Layout + LayoutSpec) ----
+    "q_zorder" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zKey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
     // ---- O2/O3/O4/O6/O7: the predicate kit on one frame ----
@@ -1987,6 +2039,49 @@ object SparkEntry {
         |)
         |SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.5""".stripMargin,
 
+    // Same plane family and verify shape as q_embed_neardup, but
+    // 28 bands × 12 planes (336 planes) at threshold 0.9 over the
+    // twin-seeded corpus; the twin factors (1 + k/128) are exact
+    // doubles, so quantization agrees bit-for-bit across engines.
+    "q_embed_neardup_hi" ->
+      """WITH twin AS (
+        |  SELECT vec_id + 1000000 AS tid,
+        |    list_transform(generate_series(1, len(embedding)), i ->
+        |      CAST(embedding[i] AS DOUBLE) * (1.0 + ((vec_id * 31 + (i - 1)) % 7 - 3) / 128.0)) AS e
+        |  FROM embeddings
+        |), corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT tid AS vec_id, list_transform(e, x -> CAST(round(x*10000) AS BIGINT)) AS v
+        |  FROM twin
+        |), nrm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+        |  FROM corpus
+        |), planes AS (
+        |  SELECT p.p // 12 AS band, p.p % 12 AS j, i.i,
+        |    CASE WHEN CAST('0x' || substr(md5(p.p || ':' || i.i), 1, 15) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(generate_series(0, 335)) AS p) p,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) i
+        |), proj AS (
+        |  SELECT n.vec_id, pl.band, pl.j, CAST(SUM(n.v[pl.i + 1] * pl.s) AS BIGINT) AS dot
+        |  FROM nrm n JOIN planes pl ON pl.i < len(n.v)
+        |  GROUP BY 1, 2, 3
+        |), bkt AS (
+        |  SELECT vec_id, band, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), s AS (
+        |  SELECT c.a_id, c.b_id,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(an.v)), k -> an.v[k]*bn.v[k])) AS BIGINT) AS DOUBLE)/(an.nv*bn.nv) AS cosine
+        |  FROM cand c JOIN nrm an ON an.vec_id = c.a_id JOIN nrm bn ON bn.vec_id = c.b_id
+        |)
+        |SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
         |  CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
@@ -3061,6 +3156,61 @@ object SparkEntry {
           |      FROM scored)
           |WHERE rnk <= 3""".stripMargin,
 
+      // PQ: centroids = corpus rows vec_id < 16 subspace-sliced;
+      // encode = per-subspace argmin of exact integer squared L2
+      // (lexicographic list min → ties to smallest centroid id);
+      // ADC = sum of per-subspace distances to the CODED centroids.
+      "q_pq_codes" ->
+        """WITH qz AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+          |  FROM embeddings
+          |), cent AS (
+          |  SELECT vec_id AS cid, v FROM qz WHERE vec_id < 16
+          |), sub AS (
+          |  SELECT q.vec_id, s.s, c.cid,
+          |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+          |      (q.v[s.s*16 + i] - c.v[s.s*16 + i]) * (q.v[s.s*16 + i] - c.v[s.s*16 + i]))) AS BIGINT) AS d
+          |  FROM qz q, (SELECT unnest(generate_series(0, 3)) AS s) s, cent c
+          |), best AS (
+          |  SELECT vec_id, s, min([d, cid])[2] AS code FROM sub GROUP BY 1, 2
+          |)
+          |SELECT vec_id,
+          |  CAST(max(CASE WHEN s = 0 THEN code END) AS INT) AS code0,
+          |  CAST(max(CASE WHEN s = 1 THEN code END) AS INT) AS code1,
+          |  CAST(max(CASE WHEN s = 2 THEN code END) AS INT) AS code2,
+          |  CAST(max(CASE WHEN s = 3 THEN code END) AS INT) AS code3
+          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "q_pq_adc" ->
+        """WITH qz AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+          |  FROM embeddings
+          |), cent AS (
+          |  SELECT vec_id AS cid, v FROM qz WHERE vec_id < 16
+          |), sub AS (
+          |  SELECT q.vec_id, s.s, c.cid,
+          |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+          |      (q.v[s.s*16 + i] - c.v[s.s*16 + i]) * (q.v[s.s*16 + i] - c.v[s.s*16 + i]))) AS BIGINT) AS d
+          |  FROM qz q, (SELECT unnest(generate_series(0, 3)) AS s) s, cent c
+          |), best AS (
+          |  SELECT vec_id, s, min([d, cid])[2] AS code FROM sub GROUP BY 1, 2
+          |), adcsub AS (
+          |  SELECT qq.vec_id AS query_id, b.vec_id AS corpus_id, b.s,
+          |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+          |      (qq.v[b.s*16 + i] - c.v[b.s*16 + i]) * (qq.v[b.s*16 + i] - c.v[b.s*16 + i]))) AS BIGINT) AS d
+          |  FROM best b JOIN cent c ON c.cid = b.code
+          |       JOIN qz qq ON qq.vec_id < 50
+          |  WHERE qq.vec_id != b.vec_id
+          |), adc AS (
+          |  SELECT query_id, corpus_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+          |  FROM adcsub GROUP BY 1, 2
+          |)
+          |SELECT query_id, corpus_id, adc_dist, CAST(rnk AS INT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS rnk
+          |      FROM adc)
+          |WHERE rnk <= 3
+          |ORDER BY query_id, rnk""".stripMargin,
+
       "q_text_stats" ->
         """SELECT doc_id,
           |  CAST(len(string_split_regex(text, ' +')) AS INT) AS n_tokens,
@@ -3188,6 +3338,28 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.08""".stripMargin,
+
+    // Morton spread as four shift-or-mask steps per key, identical
+    // bitwise semantics in both engines (BIGINT <<, &, |).
+    "q_zorder" ->
+      """WITH t0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey AS xa, l_suppkey AS xb FROM lineitem
+        |), t1 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (xa | (xa << 8)) & 16711935 AS xa, (xb | (xb << 8)) & 16711935 AS xb FROM t0
+        |), t2 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (xa | (xa << 4)) & 252645135 AS xa, (xb | (xb << 4)) & 252645135 AS xb FROM t1
+        |), t3 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (xa | (xa << 2)) & 858993459 AS xa, (xb | (xb << 2)) & 858993459 AS xb FROM t2
+        |), t4 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (xa | (xa << 1)) & 1431655765 AS xa, (xb | (xb << 1)) & 1431655765 AS xb FROM t3
+        |)
+        |SELECT l_orderkey, l_linenumber, xa | (xb << 1) AS zkey
+        |FROM t4
+        |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_filter_kit" ->
       """SELECT event_id, user_id, event_type, value

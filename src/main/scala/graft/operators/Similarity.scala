@@ -79,6 +79,32 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Banding parameters from first principles: a pair at cosine c
+    * agrees with one sign-plane with p = 1 − acos(c)/π, survives an
+    * r-plane band with p^r, and is missed by all `bands` bands with
+    * (1 − p^r)^bands — so the bands needed for a target miss rate at
+    * the decision threshold is ⌈ln(miss)/ln(1 − p^r)⌉.
+    *
+    * This makes the selectivity/recall trade explicit instead of
+    * folklore: candidate volume on isotropic data is ~bands/2^r of
+    * all pairs, so banding prunes hard only when the threshold is
+    * high (c = 0.9, r = 12 → 28 bands, ~0.7% of pairs) and
+    * DEGENERATES at moderate thresholds (c = 0.5 → p = 2/3; any
+    * (bands, r) meeting a few-percent miss target admits a constant
+    * fraction of all pairs — the shipped default (16, 4) is exactly
+    * this formula at c = 0.5, miss 3%, and its measured 1.6×
+    * candidate cut on isotropic data is the theory holding, not a
+    * tuning bug; see SCALE_NOTES round 6). Use a high threshold for
+    * near-dup detection, or accept ~all-pairs verification cost. */
+  def lshParams(threshold: Double, targetMiss: Double, planesPerBand: Int): Int = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1), got $threshold")
+    require(targetMiss > 0.0 && targetMiss < 1.0, s"targetMiss in (0,1), got $targetMiss")
+    require(planesPerBand >= 1 && planesPerBand <= 62, s"planesPerBand in [1,62]")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val bandHit = math.pow(p, planesPerBand)
+    math.ceil(math.log(targetMiss) / math.log1p(-bandHit)).toInt
+  }
+
   /** Deterministic ±1 hyperplane weight for (plane p, dimension i):
     * sign of bit 0 of hash60("p:i"). The planes depend only on (p, i),
     * so they are computed ONCE driver-side (same Hash60 identity the

@@ -104,14 +104,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("plan sweep: no accidental cartesian products or RDD scans in any query") {
-    // intentional cross joins: cosine scorer (corpus × broadcast query
-    // set) and the 1-row broadcast scalars carrying tf-idf's corpus
-    // size N and vocab coverage's total token mass
+    // intentional cross joins: the cosine and PQ-ADC scorers
+    // (corpus × broadcast query set — a BroadcastNestedLoopJoin over
+    // a model-sized side, never a shuffled cartesian) and the 1-row
+    // broadcast scalars carrying tf-idf's corpus size N and vocab
+    // coverage's total token mass
     // (q_boilerplate's scalar is the corpus doc count; q_oov_rate
     // inherits vocab coverage's 1-row total through its vocab input)
     // (q_surprisal and q_bigram_ppl carry their 1-row total-token-count
     // scalar the same way vocab coverage does)
-    val allowCross = Set("q_cosine_topk", "q_tfidf_terms", "q_vocab_coverage",
+    val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
       "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString

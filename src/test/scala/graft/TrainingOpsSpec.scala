@@ -193,6 +193,42 @@ class TrainingOpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("wider than")), e.toString)
   }
 
+  test("lshParams reproduces the shipped configs from the banding formula") {
+    // the default (16, 4) config IS lshParams at c=0.5, miss 3%
+    assert(Similarity.lshParams(0.5, 0.03, 4) == 16)
+    // the tuned near-dup config at c=0.9, miss 1%, r=12
+    assert(Similarity.lshParams(0.9, 0.01, 12) == 28)
+    // monotonicity: higher threshold -> fewer bands needed at fixed r
+    assert(Similarity.lshParams(0.95, 0.01, 12) < Similarity.lshParams(0.9, 0.01, 12))
+    intercept[IllegalArgumentException](Similarity.lshParams(1.5, 0.01, 12))
+  }
+
+  test("tuned high-threshold LSH equals the exhaustive baseline on a twin-seeded corpus") {
+    // the q_embed_neardup_hi shape: every vector gets a deterministic
+    // near-dup twin (exact-double 1 + k/128 factors); banded LSH at
+    // 0.9 with the lshParams-tuned (28, 12) config must find exactly
+    // the pairs the all-pairs crossJoin finds
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = src.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val twin = src.select($"vec_id",
+        transform($"embedding", (x, i) =>
+          x.cast("double") * (lit(1.0) +
+            (pmod($"vec_id" * 31 + i, lit(7)) - lit(3)).cast("double") / lit(128.0)))
+          .as("embedding"))
+      .select(($"vec_id" + lit(1000000L)).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(twin)
+    val exact = Similarity.cosineNearDupPairs(corpus, 0.9)
+      .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(corpus, 0.9, bands = 28, planesPerBand = 12)
+      .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+    // every vector found its twin (cosine ~0.9997 >= 0.9), nothing else
+    val n = src.count()
+    assert(exact.size == n)
+    assert(exact.forall { case (a, b, c) => b == a + 1000000L && c >= 0.99 })
+  }
+
   test("cosineNearDupPairsLsh plan has no cartesian product") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val plan = Similarity.cosineNearDupPairsLsh(emb, 0.5)
