@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   * ~√files vs its dedicated linear sort, in exchange for the second
   * dimension going from no pruning to √-scale pruning.
   *
-  * Everything here is engine-replicable column arithmetic — the
-  * Morton spread is four shift-or-mask steps (the classic
-  * magic-bits construction), no UDF, fully inside whole-stage
-  * codegen, so the z-key itself carries an exact cross-engine
-  * oracle (q_zorder).
+  * Division of labor with `sources.Sinks.writeZOrdered` (the GENERAL
+  * sink): that path spends a GK-quantile pass to rank-bucket
+  * arbitrary numeric/date columns before interleaving — right when
+  * value distributions are unknown. This module is the EXACT-KEY
+  * layer underneath: `zKey2` interleaves keys already in [0, 2^bits)
+  * (ids, enum codes, day numbers, `rankBits` output) with no stats
+  * pass, as pure shift/mask column arithmetic — the classic
+  * magic-bits construction, no UDF, fully inside whole-stage
+  * codegen, and therefore carrying an exact cross-engine oracle
+  * (q_zorder) the quantile-ranked form cannot (approxQuantile cuts
+  * are engine-private). `fileEnvelopes` is the shared measurement
+  * surface: the per-file min/max rectangles either write path
+  * produces, surfaced as data so layout quality is testable.
   */
 object Layout {
 
@@ -66,12 +74,13 @@ object Layout {
       floor((col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets).cast("long"))
   }
 
-  /** Write `df` Z-ordered on (a, b): range-partition by the z-key
-    * into `numFiles` output files, sort within each partition, and
-    * write parquet. Each file then covers one contiguous z-range =
-    * one tight (a, b) rectangle, which is exactly what min/max
-    * file skipping needs. The z-key is dropped from the files —
-    * layout is physical, the schema stays clean. */
+  /** Write `df` Z-ordered on exact keys (a, b) — the no-stats-pass
+    * twin of `Sinks.writeZOrdered` (see class doc): range-partition
+    * by the z-key into `numFiles` output files, sort within each
+    * partition, write parquet. Each file then covers one contiguous
+    * z-range = one tight (a, b) rectangle, which is exactly what
+    * min/max file skipping needs. The z-key is dropped from the
+    * files — layout is physical, the schema stays clean. */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
                     bits: Int = 16, numFiles: Int = 32): Unit = {
     require(numFiles >= 1, "numFiles must be positive")

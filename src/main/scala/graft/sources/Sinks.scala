@@ -133,7 +133,13 @@ object Sinks {
     * parquet min/max stats do the skipping. At 100 TB: nFiles =
     * volume / target file size; the quantile pass amortizes over
     * every later pruned read, the same trade as writeBucketed's
-    * one-time shuffle. */
+    * one-time shuffle.
+    *
+    * Keys already in a small integer range (ids, enum codes, day
+    * numbers) don't need the quantile pass — use `ops.Layout`'s
+    * exact-key twin (`zKey2`/`writeZOrdered`), whose magic-bits
+    * interleave also carries the exact cross-engine oracle
+    * (q_zorder) this rank-bucketed form cannot. */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     nFiles: Int, bits: Int = 8): Unit = {
     require(zCols.size >= 2, "z-ordering needs at least 2 columns (use writeRangeClustered for 1)")
