@@ -526,6 +526,34 @@ object SparkEntry {
         .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
         .orderBy(col("vec_id"))
     }),
+    // ---- inverted-index retrieval: positional posting lists once,
+    // then AND-search (one filtered aggregate over just the query
+    // terms' postings) and exact-phrase search (positional merge) —
+    // the keyword-search primitive a contamination probe or corpus
+    // query console runs without ever rescanning text ----
+    "q_search_and" -> ((s, dir) => {
+      val post = graft.ops.InvertedIndex.postings(Tables.documents(s, dir), "doc_id", "text")
+      graft.ops.InvertedIndex.conjunctive(post, Seq("batch", "scan", "merge"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_search_phrase" -> ((s, dir) => {
+      val post = graft.ops.InvertedIndex.postings(Tables.documents(s, dir), "doc_id", "text")
+      graft.ops.InvertedIndex.phrase(post, Seq("hash", "join"))
+        .orderBy(col("doc_id"))
+    }),
+    // ---- PageRank over the part<->supplier bipartite graph
+    // (node id = 2*partkey for parts, 2*suppkey+1 for suppliers;
+    // symmetric edges). Exact fixed-point arithmetic — floor-divided
+    // contributions and integer damping — makes 5 iterations
+    // bit-reproducible, so the oracle is a 5x-unrolled SQL replica ----
+    "q_pagerank" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.PageRank.ranks(edges, iters = 5)
+        .orderBy(col("id"))
+    }),
     // ---- product quantization: 64 floats -> 4 codebook codes
     // (Jégou et al. 2011). Integer-quantized subspace distances make
     // encode (argmin, ties to smallest centroid) and ADC scores
@@ -3155,6 +3183,74 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
           |      FROM scored)
           |WHERE rnk <= 3""".stripMargin,
+
+      // Inverted-index search: tokens with raw 0-based offsets
+      // (empties dropped AFTER position assignment, matching the
+      // Spark side); AND = HAVING count over distinct (doc, token),
+      // phrase = positional self-join at offset + 1.
+      "q_search_and" ->
+        """WITH t AS (
+          |  SELECT DISTINCT doc_id, u['token'] AS token FROM (
+          |    SELECT doc_id, unnest(list_transform(generate_series(1, len(sp)), i -> {'token': sp[i], 'pos': i - 1})) AS u
+          |    FROM (SELECT doc_id, string_split_regex(text, ' +') AS sp FROM documents)
+          |  ) WHERE len(u['token']) > 0
+          |)
+          |SELECT doc_id FROM t
+          |WHERE token IN ('batch', 'scan', 'merge')
+          |GROUP BY doc_id HAVING count(*) = 3
+          |ORDER BY doc_id""".stripMargin,
+
+      "q_search_phrase" ->
+        """WITH t AS (
+          |  SELECT doc_id, u['token'] AS token, u['pos'] AS pos FROM (
+          |    SELECT doc_id, unnest(list_transform(generate_series(1, len(sp)), i -> {'token': sp[i], 'pos': i - 1})) AS u
+          |    FROM (SELECT doc_id, string_split_regex(text, ' +') AS sp FROM documents)
+          |  ) WHERE len(u['token']) > 0
+          |)
+          |SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+          |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.token = 'join' AND b.pos = a.pos + 1
+          |WHERE a.token = 'hash'
+          |GROUP BY 1
+          |ORDER BY a.doc_id""".stripMargin,
+
+      // PageRank: 5 unrolled iterations of the same integer
+      // recurrence (r' = base + (17·Σ(r // deg)) // 20); DuckDB's //
+      // and Spark's `div` both floor on non-negative operands.
+      "q_pagerank" ->
+        """WITH ed AS (
+          |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+          |), e AS (
+          |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+          |), n AS (
+          |  SELECT DISTINCT src AS id FROM e
+          |), d AS (
+          |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+          |), ewd AS (
+          |  SELECT e.src, e.dst, d.deg FROM e JOIN d ON d.src = e.src
+          |), i0 AS (
+          |  SELECT id, CAST(1000000000 AS BIGINT) AS r FROM n
+          |), i1 AS (
+          |  SELECT n.id, 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i0 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i2 AS (
+          |  SELECT n.id, 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i1 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i3 AS (
+          |  SELECT n.id, 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i2 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i4 AS (
+          |  SELECT n.id, 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i3 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i5 AS (
+          |  SELECT n.id, 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i4 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |)
+          |SELECT id, CAST(r AS BIGINT) AS rank FROM i5 ORDER BY id""".stripMargin,
 
       // PQ: centroids = corpus rows vec_id < 16 subspace-sliced;
       // encode = per-subspace argmin of exact integer squared L2
