@@ -541,6 +541,17 @@ object SparkEntry {
       graft.ops.InvertedIndex.phrase(post, Seq("hash", "join"))
         .orderBy(col("doc_id"))
     }),
+    // BM25 exposes the score in integer nano-units: ln() differs by
+    // one ulp between the JVM and libm on some inputs (measured —
+    // the TfIdf scaladoc's warning in the flesh), so the raw double
+    // cannot hash-match; at 1e-9 resolution a 2e-16 ulp sits nine
+    // orders below the rounding boundary and both engines agree.
+    "q_bm25" -> ((s, dir) => {
+      val post = graft.ops.InvertedIndex.postings(Tables.documents(s, dir), "doc_id", "text")
+      graft.ops.InvertedIndex.bm25(post, Seq("hash", "join", "data"), k = 20)
+        .select(col("doc_id"),
+          round(col("score") * lit(1.0e9)).cast("long").as("score_e9"))
+    }),
     // ---- PageRank over the part<->supplier bipartite graph
     // (node id = 2*partkey for parts, 2*suppkey+1 for suppliers;
     // symmetric edges). Exact fixed-point arithmetic — floor-divided
@@ -3212,6 +3223,49 @@ object SparkEntry {
           |WHERE a.token = 'hash'
           |GROUP BY 1
           |ORDER BY a.doc_id""".stripMargin,
+
+      // BM25: identical arithmetic shape and parenthesization as the
+      // Scala side (every literal CAST to DOUBLE — DuckDB parses bare
+      // decimals as DECIMAL, whose division semantics differ); the
+      // per-doc score is the same fixed-order chain of single-row
+      // conditional sums, so double addition order matches too.
+      "q_bm25" ->
+        """WITH t AS (
+          |  SELECT doc_id, u['token'] AS token FROM (
+          |    SELECT doc_id, unnest(list_transform(generate_series(1, len(sp)), i -> {'token': sp[i], 'pos': i - 1})) AS u
+          |    FROM (SELECT doc_id, string_split_regex(text, ' +') AS sp FROM documents)
+          |  ) WHERE len(u['token']) > 0
+          |), post AS (
+          |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2
+          |), dl AS (
+          |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM post GROUP BY 1
+          |), scal AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS toktotal FROM dl
+          |), dft AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS df
+          |  FROM post WHERE token IN ('hash', 'join', 'data') GROUP BY 1
+          |), s AS (
+          |  SELECT p.doc_id, p.token,
+          |    ln(CAST(1.0 AS DOUBLE) + (CAST(sc.n AS DOUBLE) - f.df + CAST(0.5 AS DOUBLE)) / (f.df + CAST(0.5 AS DOUBLE)))
+          |      * (CAST(p.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+          |      / (CAST(p.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+          |         (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(d.dl AS DOUBLE)
+          |          / (CAST(sc.toktotal AS DOUBLE) / CAST(sc.n AS DOUBLE)))) AS s
+          |  FROM post p JOIN dft f USING (token) JOIN dl d USING (doc_id), scal sc
+          |  WHERE p.token IN ('hash', 'join', 'data')
+          |)
+          |, sc2 AS (
+          |  SELECT doc_id,
+          |    COALESCE(sum(CASE WHEN token = 'hash' THEN s END), CAST(0.0 AS DOUBLE))
+          |    + COALESCE(sum(CASE WHEN token = 'join' THEN s END), CAST(0.0 AS DOUBLE))
+          |    + COALESCE(sum(CASE WHEN token = 'data' THEN s END), CAST(0.0 AS DOUBLE)) AS score
+          |  FROM s GROUP BY 1
+          |  ORDER BY score DESC, doc_id
+          |  LIMIT 20
+          |)
+          |SELECT doc_id,
+          |  CAST(round(score * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS score_e9
+          |FROM sc2""".stripMargin,
 
       // PageRank: 5 unrolled iterations of the same integer
       // recurrence (r' = base + (17·Σ(r // deg)) // 20); DuckDB's //

@@ -50,6 +50,53 @@ object InvertedIndex {
       .select(col("doc_id"))
   }
 
+  /** BM25 ranking (Robertson/Okapi, the Lucene-default scoring) of
+    * documents against a bag of query terms, computed entirely from
+    * the posting lists — document lengths are Σtf per doc, so the
+    * corpus text is never rescanned.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Determinism: a float `sum` over shuffled per-term scores would
+    * be addition-order-dependent, so the per-doc score is assembled
+    * as a FIXED-ORDER chain of conditional aggregates (one per query
+    * term, each over at most one posting row) — bit-stable across
+    * partitionings and replicable in SQL. ln() itself follows the
+    * q_surprisal precedent (empirically identical across engines on
+    * these values; contrast TfIdf's rational-idf policy where the
+    * monotone transform can be avoided entirely — under a SUM it
+    * cannot). Corpus scalars (N, total tokens) ride a 1-row
+    * broadcast, the `TfIdf` pattern. Output: top `k` docs by score
+    * (ties to smallest doc_id). */
+  def bm25(post: DataFrame, terms: Seq[String], k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ts = terms.distinct
+    require(ts.nonEmpty, "need at least one term")
+    require(k > 0, "k must be positive")
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val scal = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("toktotal"))
+    val dft = post.where(col("token").isin(ts: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val perTerm = post.where(col("token").isin(ts: _*))
+      .join(dft, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"), col("token"),
+        (log(lit(1.0) + (col("n").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") /
+              (col("toktotal").cast("double") / col("n").cast("double"))))).as("s"))
+    val scoreCols = ts.map(t =>
+      coalesce(sum(when(col("token") === t, col("s"))), lit(0.0)))
+    perTerm.groupBy(col("doc_id"))
+      .agg(scoreCols.reduce(_ + _).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Exact phrase search: docs containing `phrase` as consecutive
     * tokens, with the match count. Classic positional merge: start
     * offsets of term 0, each later term joined at offset + i. */

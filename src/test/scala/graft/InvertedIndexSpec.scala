@@ -56,6 +56,28 @@ class InvertedIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](InvertedIndex.phrase(post, Seq("dog")))
   }
 
+  test("bm25 ranks higher-tf and rarer-term docs first, deterministically") {
+    val corpus = Seq(
+      (1L, "spark spark spark engine"),   // high tf for 'spark'
+      (2L, "spark engine engine engine"), // low tf for 'spark', high 'engine'
+      (3L, "spark"),                      // short doc: length norm boosts it
+      (4L, "nothing relevant here at all whatsoever in this one")
+    ).toDF("doc_id", "text")
+    val p = InvertedIndex.postings(corpus, "doc_id", "text")
+    val top = InvertedIndex.bm25(p, Seq("spark"), k = 3)
+      .as[(Long, Double)].collect()
+    // only docs containing the term score; short doc 3 beats doc 2
+    assert(top.map(_._1).toSet == Set(1L, 2L, 3L))
+    val m = top.toMap
+    assert(m(3L) > m(2L) && m(1L) > m(2L))
+    // stable under repartitioning (fixed-order conditional sums)
+    val again = InvertedIndex.bm25(
+      InvertedIndex.postings(corpus.repartition(7), "doc_id", "text"),
+      Seq("spark"), k = 3).as[(Long, Double)].collect()
+    assert(top.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    intercept[IllegalArgumentException](InvertedIndex.bm25(p, Seq.empty, 3))
+  }
+
   test("double spaces shift raw offsets, breaking false adjacency consistently") {
     // doc 3 "the  dog": split on ' +' yields positions 0 and 1 —
     // adjacency HOLDS under the engine's whitespace convention (runs

@@ -114,7 +114,7 @@ class PlanSpec extends SparkSpec {
     // (q_surprisal and q_bigram_ppl carry their 1-row total-token-count
     // scalar the same way vocab coverage does)
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
-      "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl")
+      "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
