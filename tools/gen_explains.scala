@@ -41,7 +41,13 @@ val picks = Seq(
   "q_snapshot_diff" -> "Snapshot CDC: ONE full-outer sort-merge join on the key; status and old/new payloads are projections over the joined row; the unchanged majority is filtered before anything else sees it.",
   "q_heavy_hitters" -> "Sketch-gated heavy hitters: the count-min grid rides the task binary as a LITERAL map, so the gate is a narrow least-of-lookups filter inside WholeStageCodegen -- the exact groupBy's exchange carries only gated rows, never the full distinct-key set.",
   "q_quantile_sketch" -> "Mergeable quantile sketch: binning is one narrow projection (native graft_floor_log2 -- no string bin(), no IEEE log); the (group, bin) aggregate partial-combines map-side so the exchange carries bounded sketch rows; quantile read-off windows over the BOUNDED bin set.",
-  "q_hll_portable" -> "Portable HLL: hash60/reg/rho are one narrow codegen'd projection; two hash aggregates (fine grain, then max-merge rollup) with map-side partials -- every exchange carries register rows, not data; the estimate is per-group arithmetic over <= 1024 registers."
+  "q_hll_portable" -> "Portable HLL: hash60/reg/rho are one narrow codegen'd projection; two hash aggregates (fine grain, then max-merge rollup) with map-side partials -- every exchange carries register rows, not data; the estimate is per-group arithmetic over <= 1024 registers.",
+  "q_zorder" -> "Z-order key: the Morton interleave is 8 shift-or-mask steps per key inside ONE WholeStageCodegen projection over the scan -- no UDF, no shuffle before the output order; at write time this key feeds repartitionByRange so each file covers a tight (a,b) rectangle.",
+  "q_embed_neardup_hi" -> "Tuned high-threshold near-dup: the twin-seeded corpus is a union of two narrow projections; ONE fused graft_sign_bands projection emits all 28 band buckets (336 planes); candidates stay 16-byte rows through the band self-join + distinct; exact quantized verify joins. ~0.7% of all-pairs reach the verify.",
+  "q_pq_adc" -> "PQ ADC search: encode is a no-shuffle projection (argmin over LITERAL codebook arrays, native graft_qdot per subspace); scoring is corpus x broadcast-query rows with per-subspace literal table lookups; top-k finishes as a windowed rank over the bounded scored set.",
+  "q_search_phrase" -> "Phrase search: per-term posting filters reuse ONE (token,doc) aggregate; the positional merge is an equi-join on doc_id with the offset predicate as a join filter -- only the two query terms' postings ever shuffle, never the corpus text.",
+  "q_bm25" -> "BM25: doc lengths and corpus scalars derive from the SAME posting aggregate (text scanned once); the query-term slice joins df and dl on bounded sides; the 1-row scalar rides a broadcast; top-20 is TakeOrderedAndProject over per-doc fixed-order conditional sums.",
+  "q_pagerank" -> "PageRank (final iteration shown): each round is one edges-join-ranks equi-join + one dst hash aggregate over localCheckpoint'd constant-size inputs (LogicalRDD scans) -- lineage never grows; ranks are exact scaled BIGINTs so the plan is free of IEEE accumulation order."
 )
 val sb = new StringBuilder
 sb.append("# EXPLAINS -- formatted plans of headline queries (sf0.01)\n\n")
