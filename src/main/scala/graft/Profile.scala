@@ -473,6 +473,65 @@ object Profile {
           println(s"PROF semdedup x$mult: pairs=$np")
           embM.unpersist()
         }
+      case "pq" =>
+        // PQ quality + cost: ADC recall@k against exact brute-force
+        // cosine top-k, and the storage ratio codes buy. Recall is
+        // the honest number — PQ is lossy by design; the question is
+        // whether 4 bytes of codes preserve the neighborhoods 256
+        // bytes of floats define.
+        import graft.operators.{ProductQuantizer, Similarity}
+        val emb = Tables.embeddings(spark, sfDir).persist()
+        val n = emb.count()
+        val queries = emb.where(col("vec_id") < 100)
+        val topK = 10
+        val exact = Similarity.bruteForceTopK(emb, queries, topK)
+          .select(col("query_id"), col("corpus_id")).collect()
+        val exactSet = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+        for ((m, k) <- Seq((4, 16), (8, 16), (8, 64));
+             trained <- Seq(false, true)) {
+          val mdl = if (trained)
+            time(s"pq m=$m k=$k train")(ProductQuantizer.trainedModel(emb, m, k, iters = 5))
+          else ProductQuantizer.model(emb, m, k)
+          val codes = ProductQuantizer.encode(emb, mdl).persist()
+          codes.count()
+          val adc = time(s"pq m=$m k=$k trained=$trained adc top$topK")(
+            ProductQuantizer.adcTopK(codes, queries, mdl, topK)
+              .select(col("query_id"), col("corpus_id")).collect())
+          val adcSet = adc.map(r => (r.getLong(0), r.getLong(1))).toSet
+          val recall = (adcSet & exactSet).size.toDouble / exactSet.size
+          val bytesPerVec = m * (if (k <= 256) 1 else 2)
+          println(s"PROF pq m=$m k=$k trained=$trained: " +
+            s"recall@$topK=${"%.3f".format(recall)} " +
+            s"codes=${bytesPerVec}B vs floats=${64 * 4}B " +
+            s"(${256 / bytesPerVec}x) rows=$n")
+          codes.unpersist()
+        }
+        // structured corpus: every vector plus a near-identical twin
+        // (the q_embed_neardup_hi seeding) — the retrieval task that
+        // matters for dedup: does 8 bytes of codes still put the
+        // twin first? Isotropic neighbors above are the worst case;
+        // this is the realistic one.
+        val twin = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x.cast("double") * (lit(1.0) +
+              (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3)).cast("double") / lit(128.0)))
+            .as("embedding"))
+        val corpus2 = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+          .unionByName(twin).persist()
+        corpus2.count()
+        val mdlT = ProductQuantizer.trainedModel(corpus2, m = 8, k = 64, iters = 5)
+        val codesT = ProductQuantizer.encode(corpus2, mdlT).persist()
+        codesT.count()
+        val top1 = time("pq twin top1")(
+          ProductQuantizer.adcTopK(codesT, corpus2.where(col("vec_id") < 1000000L), mdlT, 1)
+            .select(col("query_id"), col("corpus_id")).collect())
+        val twinHits = top1.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+        println(s"PROF pq twin: recall@1=${"%.3f".format(twinHits.toDouble / top1.length)} " +
+          s"(${twinHits}/${top1.length} twins ranked first from 8B codes)")
+        codesT.unpersist(); corpus2.unpersist()
+        emb.unpersist()
+
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

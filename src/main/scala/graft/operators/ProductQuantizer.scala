@@ -67,6 +67,61 @@ object ProductQuantizer {
   private def sub(v: Column, s: Int, subDim: Int): Column =
     slice(v, s * subDim + 1, subDim)
 
+  /** Trained codebooks: exact-integer Lloyd's per subspace —
+    * assignment is argmin L2 over literal centroids (ties to the
+    * smallest centroid id), the update is one (code, dim) SUM
+    * aggregate plus per-code counts (both exact, order-free), and
+    * the new centroid is the ROUNDED INTEGER MEAN computed
+    * driver-side (floorDiv(2·sum + n, 2·n) — deterministic for
+    * negative sums too). Clusters that lose every member keep their
+    * previous centroid. Each of the m·iters rounds is one narrow
+    * assignment projection + one bounded aggregate (≤ k·subDim sum
+    * rows reach the driver — model-parameter sized, the `KMeans`
+    * contract). Same `Model` shape as the stand-in, so `encode` /
+    * `adcTopK` are unchanged; the stand-in stays the oracle path
+    * (its codebook is SQL-replicable; a trained one would need the
+    * whole Lloyd's loop in SQL), trained is the production path —
+    * Profile `pq` measures the recall it buys. */
+  def trainedModel(corpus: DataFrame, m: Int, k: Int, iters: Int): Model = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    val init = model(corpus, m, k)
+    val base = corpus.where(col("embedding").isNotNull)
+      .select(Similarity.quantize(col("embedding")).as("v"))
+      .localCheckpoint(true)
+    val cents = init.cents.map(_.map { case (cid, cv, n2) => (cid, cv.clone(), n2) })
+    for (_ <- 0 until iters; s <- 0 until m) {
+      val scored = array(cents(s).map { case (cid, cv, cn2) =>
+        struct(
+          (lit(cn2) - lit(2L) * Similarity.qdot(sub(col("v"), s, init.subDim), typedLit(cv.toSeq))).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      val assigned = base.select(array_min(scored).getField("cid").as("code"),
+        sub(col("v"), s, init.subDim).as("sv"))
+      val stats = assigned
+        .select(col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("code"), col("dim"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getAs[Int]("code"))
+      cents(s) = cents(s).map { case (cid, oldV, oldN2) =>
+        stats.get(cid) match {
+          case Some(rows) =>
+            val nv = oldV.clone()
+            rows.foreach { r =>
+              val d = r.getAs[Int]("dim")
+              val n = r.getAs[Long]("n")
+              nv(d) = Math.floorDiv(2L * r.getAs[Long]("sx") + n, 2L * n)
+            }
+            var n2 = 0L; var i = 0
+            while (i < nv.length) { n2 += nv(i) * nv(i); i += 1 }
+            (cid, nv, n2)
+          case None => (cid, oldV, oldN2) // empty cluster: keep
+        }
+      }
+    }
+    Model(m, init.subDim, k, cents)
+  }
+
   /** Argmin centroid id for subspace s of quantized vector `v`:
     * smallest squared L2 = ||c||² − 2·⟨v_s, c⟩ (the ||v_s||² term is
     * constant per row), ties to the smallest centroid id via
@@ -86,9 +141,10 @@ object ProductQuantizer {
     * vector. A narrow projection over literal centroids. */
   def encode(corpus: DataFrame, mdl: Model): DataFrame = {
     val v = Similarity.quantize(col("embedding"))
-    corpus.select(
-      col("vec_id") +:
-        (0 until mdl.m).map(s => codeFor(v, s, mdl).as(s"code$s")): _*)
+    corpus.where(col("embedding").isNotNull) // a NULL vector has no code
+      .select(
+        col("vec_id") +:
+          (0 until mdl.m).map(s => codeFor(v, s, mdl).as(s"code$s")): _*)
   }
 
   /** ADC scores: for each (query, encoded corpus row) pair, the
@@ -99,7 +155,7 @@ object ProductQuantizer {
   def adcTopK(codes: DataFrame, queries: DataFrame, mdl: Model, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val qv = Similarity.quantize(col("embedding"))
-    val q = queries.select(
+    val q = queries.where(col("embedding").isNotNull).select(
       col("vec_id").as("query_id") +:
         (0 until mdl.m).flatMap(s => Seq(
           sub(qv, s, mdl.subDim).as(s"q$s"),

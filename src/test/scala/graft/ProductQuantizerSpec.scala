@@ -54,6 +54,38 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(top.length == 15) // 5 queries x top-3
   }
 
+  test("trainedModel: centroids move to exact cluster means and reduce quantization error") {
+    // two tight clusters in each subspace; init centroids (rows 0, 1)
+    // are cluster members, Lloyd's must converge to the rounded means
+    val df = Seq(
+      (0L, Array(1.0f, 0f, 0f, 1f)), (1L, Array(0f, 1f, 1f, 0f)),
+      (2L, Array(1.02f, 0f, 0f, 1.02f)), (3L, Array(0.98f, 0f, 0f, 0.98f)),
+      (4L, Array(0f, 1.02f, 1.02f, 0f)), (5L, Array(0f, 0.98f, 0.98f, 0f))
+    ).toDF("vec_id", "embedding")
+    val t = ProductQuantizer.trainedModel(df, m = 2, k = 2, iters = 3)
+    // cluster {0,2,3}: mean of (10000, 10200, 9800) = 10000 exactly
+    assert(t.cents(0).find(_._1 == 0).get._2.toSeq == Seq(10000L, 0L))
+    assert(t.cents(0).find(_._1 == 1).get._2.toSeq == Seq(0L, 10000L))
+    // trained codes still route members to their own cluster
+    val codes = ProductQuantizer.encode(df, t).orderBy($"vec_id")
+      .as[(Long, Int, Int)].collect()
+    assert(codes.map(_._2).toSeq == Seq(0, 1, 0, 0, 1, 1))
+    // determinism: same inputs, same model
+    val t2 = ProductQuantizer.trainedModel(df.repartition(5), m = 2, k = 2, iters = 3)
+    assert(t.cents.flatten.map(c => (c._1, c._2.toSeq)).sameElements(
+      t2.cents.flatten.map(c => (c._1, c._2.toSeq))))
+  }
+
+  test("NULL embeddings are dropped, never encoded or scored") {
+    val withNull = tiny.unionByName(
+      Seq((9L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val mdl = ProductQuantizer.model(tiny, m = 2, k = 2)
+    assert(ProductQuantizer.encode(withNull, mdl).where($"vec_id" === 9L).count() == 0)
+    val top = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(withNull, mdl), withNull.where($"vec_id".isin(0L, 9L)), mdl, 2)
+    assert(top.where($"query_id" === 9L).count() == 0 && top.count() == 2)
+  }
+
   test("ADC ranking tracks true distance: a planted exact twin ranks first") {
     // append an exact copy of vector 20 with a fresh id — its codes
     // equal vector 20's, so ADC distance(query=20, twin) is the
