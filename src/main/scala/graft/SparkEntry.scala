@@ -526,6 +526,28 @@ object SparkEntry {
         .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
         .orderBy(col("vec_id"))
     }),
+    // ---- Jaro-Winkler entity scoring: the skeleton-blocked
+    // candidate join of q_fuzzy_match, verified by the native
+    // graft_jaro_winkler expression instead of levenshtein — the
+    // transposition-tolerant, prefix-boosted scorer name-matching
+    // pipelines pair with edit distance. Scores at nano resolution
+    // (the q_bm25 precedent: cross-engine ulp-order differences) ----
+    "q_jaro_rank" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val dirty = parts.where(col("p_partkey") % 11 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          regexp_replace(col("p_name"), "e", "").as("dirty_name"))
+        .withColumn("__blk", graft.ops.FuzzyJoin.skeletonBlock(col("dirty_name")))
+      val cat = parts
+        .select(col("p_partkey"), col("p_name"))
+        .withColumn("__blk", graft.ops.FuzzyJoin.skeletonBlock(col("p_name")))
+      dirty.join(cat, "__blk")
+        .select(col("dirty_id"), col("p_partkey"),
+          round(graft.plans.JaroWinkler.jaroWinkler(
+            col("dirty_name"), col("p_name")) * lit(1.0e9)).cast("long").as("jw_e9"))
+        .where(col("jw_e9") >= 900000000L)
+        .orderBy(col("dirty_id"), col("p_partkey"))
+    }),
     // ---- inverted-index retrieval: positional posting lists once,
     // then AND-search (one filtered aggregate over just the query
     // terms' postings) and exact-phrase search (positional merge) —
@@ -3194,6 +3216,26 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
           |      FROM scored)
           |WHERE rnk <= 3""".stripMargin,
+
+      // Jaro-Winkler: DuckDB's jaro_winkler_similarity implements
+      // the same Winkler-1990 definition (0.7 boost threshold,
+      // p=0.1, prefix cap 4 — verified on the textbook pairs);
+      // nano-unit rounding absorbs ulp-order differences.
+      "q_jaro_rank" ->
+        """WITH dirty AS (
+          |  SELECT p_partkey AS dirty_id, replace(p_name, 'e', '') AS dirty_name,
+          |    regexp_replace(lower(trim(replace(p_name, 'e', ''))), '[aeiou ]', '', 'g') AS blk
+          |  FROM part WHERE p_partkey % 11 = 0
+          |), cat AS (
+          |  SELECT p_partkey, p_name,
+          |    regexp_replace(lower(trim(p_name)), '[aeiou ]', '', 'g') AS blk
+          |  FROM part
+          |)
+          |SELECT d.dirty_id, c.p_partkey,
+          |  CAST(round(jaro_winkler_similarity(d.dirty_name, c.p_name) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) AS jw_e9
+          |FROM dirty d JOIN cat c ON d.blk = c.blk
+          |WHERE CAST(round(jaro_winkler_similarity(d.dirty_name, c.p_name) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) >= 900000000
+          |ORDER BY d.dirty_id, c.p_partkey""".stripMargin,
 
       // Inverted-index search: tokens with raw 0-based offsets
       // (empties dropped AFTER position assignment, matching the
