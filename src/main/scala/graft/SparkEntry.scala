@@ -526,6 +526,16 @@ object SparkEntry {
         .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
         .orderBy(col("vec_id"))
     }),
+    // ---- A-ES weighted sampling without replacement: exactly k
+    // docs drawn with probability tracking n_chars; the selection
+    // key ln(u)/w is deterministic hash arithmetic, so both engines
+    // draw the same sample ----
+    "q_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedSampleK(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 32)
+        .orderBy(col("doc_id"))
+    }),
     // ---- Jaro-Winkler entity scoring: the skeleton-blocked
     // candidate join of q_fuzzy_match, verified by the native
     // graft_jaro_winkler expression instead of levenshtein — the
@@ -3216,6 +3226,22 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
           |      FROM scored)
           |WHERE rnk <= 3""".stripMargin,
+
+      // A-ES: u = (hash60('aes:'||key)+1)/2^60 (both bounds exact in
+      // doubles), selection key ln(u)/w; ln's potential 1-ulp
+      // divergence cannot flip the top-k here because distinct u's
+      // differ at random magnitudes (verified empirically both SFs).
+      "q_weighted_sample" ->
+        """WITH d AS (
+          |  SELECT doc_id, n_chars,
+          |    ln((CAST(concat('0x', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+          |       / CAST(1152921504606846976 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS aes
+          |  FROM documents
+          |  WHERE n_chars IS NOT NULL AND n_chars > 0
+          |)
+          |SELECT doc_id, n_chars
+          |FROM (SELECT * FROM d ORDER BY aes DESC, doc_id LIMIT 32)
+          |ORDER BY doc_id""".stripMargin,
 
       // Jaro-Winkler: DuckDB's jaro_winkler_similarity implements
       // the same Winkler-1990 definition (0.7 boost threshold,

@@ -114,6 +114,42 @@ object Sampling {
       < floor(clamped * b).cast("long"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, 2006): draw u = uniform(hash(salt:key)) per row and keep
+    * the top `k` rows by u^(1/w) — inclusion probability tracks the
+    * weight, exactly k rows come back, and (unlike `sampleByScore`'s
+    * Bernoulli keep) the sample size is fixed, the property training
+    * mixtures and eval-set draws usually need.
+    *
+    * Deterministic: u derives from hash60 (engine-reproducible md5
+    * arithmetic, the `hashBucket` family), and the selection key is
+    * ln(u)/w — the same ORDER as u^(1/w) (ln is monotone, u ∈ (0,1]
+    * so ln(u) ≤ 0, w > 0) without the pow() call. Rows with NULL or
+    * non-positive weight are never sampled (a weight of zero means
+    * "never draw me"; raising instead would make one bad row kill
+    * the job — the `repeatByWeight` negative-weight convention).
+    *
+    * Scale shape: a narrow projection plus ONE global top-k
+    * (TakeOrderedAndProject — no total sort, no shuffle of losers);
+    * at any corpus size the driver sees k rows. */
+  def weightedSampleK(df: DataFrame, key: String, weightCol: String, k: Int,
+                      salt: String = "aes"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requirePortableKey(df, key)
+    val h = graft.plans.Hash60.hash60(
+      concat_ws(":", lit(salt), col(key).cast("string")))
+    // u in (0, 1]: (h + 1) / 2^60 — both bounds exact in doubles
+    val u = (h + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    val w = col(weightCol).cast("double")
+    // NaN guard is load-bearing: Spark orders NaN ABOVE every number,
+    // so `NaN > 0` passes and a NaN selection key would win the draw
+    df.where(col(weightCol).isNotNull && !isnan(w) && w > 0)
+      .withColumn("__aes", log(u) / w)
+      .orderBy(col("__aes").desc, col(key))
+      .limit(k)
+      .drop("__aes")
+  }
+
   /** Weight-proportional repetition: emit each row `floor(w)` times
     * plus one more with probability `frac(w)` — the deterministic
     * form of quality-weighted upsampling ("see high-quality docs ~w

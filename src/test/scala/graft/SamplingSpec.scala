@@ -113,6 +113,26 @@ class SamplingSpec extends SparkSpec {
   private def grouped = ids.withColumn("g",
     when($"id" % 10 === 0, "small").otherwise("big")) // 500 vs 4500 rows
 
+  test("weightedSampleK: exactly k rows, partition-stable, weight-biased, bad weights excluded") {
+    import graft.ops.Sampling
+    val rows = (1L to 1000L).map(i => (i, if (i <= 100) 50.0 else 1.0)) ++
+      Seq((2001L, 0.0), (2002L, -3.0), (2003L, Double.NaN))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSampleK(df, "id", "w", k = 100)
+      .as[(Long, Double)].collect()
+    assert(got.length == 100)
+    // zero/negative weights never sampled (NaN never compares > 0 either)
+    assert(!got.exists(r => r._1 >= 2001L))
+    // the 100 heavy rows (50x weight, 10% of the corpus) dominate the draw
+    val heavy = got.count(_._1 <= 100L)
+    assert(heavy > 50, s"heavy rows in sample: $heavy of 100")
+    // deterministic under any partitioning
+    val again = Sampling.weightedSampleK(df.repartition(13), "id", "w", k = 100)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).sorted.sameElements(again.map(_._1).sorted))
+    intercept[IllegalArgumentException](Sampling.weightedSampleK(df, "id", "w", 0))
+  }
+
   test("capPerGroup keeps exactly the quota per group, ranked 1..cap, deterministically") {
     val out = Sampling.capPerGroup(grouped, "id", "g", 50)
     val byGroup = out.groupBy($"g").count().as[(String, Long)].collect().toMap
