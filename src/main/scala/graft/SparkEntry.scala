@@ -526,6 +526,27 @@ object SparkEntry {
         .select(col("vec_id"), col("list_id").cast("int").as("list_id"))
         .orderBy(col("vec_id"))
     }),
+    // ---- CDC apply: a Debezium-style (op, seq, key, payload) log
+    // replayed onto the orders snapshot — latest entry per key wins,
+    // D drops the key, I/U upsert. One keyed aggregate + one
+    // full-outer join; the oracle replays the same MERGE in SQL ----
+    "q_cdc_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val up = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("U").as("op"), lit(2L).as("seq"),
+          (col("o_totalprice") + 1).as("o_totalprice"), col("o_orderstatus"))
+      val del = o.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), lit("D").as("op"), lit(3L).as("seq"),
+          lit(0.0).as("o_totalprice"), lit("X").as("o_orderstatus"))
+      val ins = o.where(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+          lit("I").as("op"), lit(1L).as("seq"),
+          lit(1.5).as("o_totalprice"), lit("N").as("o_orderstatus"))
+      graft.ops.Cdc.applyLog(o, up.unionByName(del).unionByName(ins),
+          "o_orderkey", Seq("o_totalprice", "o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
     // ---- A-ES weighted sampling without replacement: exactly k
     // docs drawn with probability tracking n_chars; the selection
     // key ln(u)/w is deterministic hash arithmetic, so both engines
@@ -3226,6 +3247,35 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id ASC) AS rnk
           |      FROM scored)
           |WHERE rnk <= 3""".stripMargin,
+
+      // CDC apply: arg_max (DuckDB) ≡ max_by (Spark) picks the
+      // latest entry per key (sequences are unique per key by
+      // construction); the full-outer + delete filter replays the
+      // MERGE. Sentinel payloads on D rows avoid arg_max NULL rules.
+      "q_cdc_apply" ->
+        """WITH s AS (
+          |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          |), log AS (
+          |  SELECT o_orderkey, 'U' AS op, 2 AS seq,
+          |         o_totalprice + 1 AS o_totalprice, o_orderstatus
+          |  FROM orders WHERE o_orderkey % 5 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, 'D', 3, CAST(0.0 AS DOUBLE), 'X'
+          |  FROM orders WHERE o_orderkey % 7 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 100000000, 'I', 1, CAST(1.5 AS DOUBLE), 'N'
+          |  FROM orders WHERE o_orderkey % 11 = 0
+          |), win AS (
+          |  SELECT o_orderkey, arg_max(op, seq) AS op,
+          |         arg_max(o_totalprice, seq) AS p, arg_max(o_orderstatus, seq) AS st
+          |  FROM log GROUP BY 1
+          |)
+          |SELECT COALESCE(w.o_orderkey, s.o_orderkey) AS o_orderkey,
+          |  CASE WHEN w.o_orderkey IS NOT NULL THEN w.p ELSE s.o_totalprice END AS o_totalprice,
+          |  CASE WHEN w.o_orderkey IS NOT NULL THEN w.st ELSE s.o_orderstatus END AS o_orderstatus
+          |FROM s FULL OUTER JOIN win w ON s.o_orderkey = w.o_orderkey
+          |WHERE w.o_orderkey IS NULL OR w.op != 'D'
+          |ORDER BY o_orderkey""".stripMargin,
 
       // A-ES: u = (hash60('aes:'||key)+1)/2^60 (both bounds exact in
       // doubles), selection key ln(u)/w; ln's potential 1-ulp
