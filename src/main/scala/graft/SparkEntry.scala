@@ -369,7 +369,9 @@ object SparkEntry {
       both.unionByName(clickOnly).orderBy(col("set_op"), col("user_id"))
     }),
 
-    // ---- distinct counting (exact; approx variant is rows-only q_approx) ----
+    // ---- distinct counting (exact; the approx fast path is the
+    // deliberately-unregistered engine-private HLL — see the sketch
+    // section comment) ----
     "q_distinct_stats" -> ((s, dir) => {
       Tables.events(s, dir).where(col("user_id").isNotNull)
         .groupBy(col("event_type"))

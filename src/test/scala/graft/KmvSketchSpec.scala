@@ -11,7 +11,7 @@ import graft.operators.KmvSketch
   * idempotent under re-delivery; (4) partition-independence;
   * (5) pairwise overlap: exact when both sides fit in k, and within
   * the binomial error band on larger sets with known overlap.
-  * Cross-ENGINE equality is q_kmv_distinct / q_kmv_overlap's exact
+  * Cross-ENGINE equality is q_kmv_distinct / q_kmv_jaccard's exact
   * DuckDB oracles, not re-tested here. */
 class KmvSketchSpec extends SparkSpec {
   import spark.implicits._
