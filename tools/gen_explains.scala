@@ -47,7 +47,10 @@ val picks = Seq(
   "q_pq_adc" -> "PQ ADC search: encode is a no-shuffle projection (argmin over LITERAL codebook arrays, native graft_qdot per subspace); scoring is corpus x broadcast-query rows with per-subspace literal table lookups; top-k finishes as a windowed rank over the bounded scored set.",
   "q_search_phrase" -> "Phrase search: per-term posting filters reuse ONE (token,doc) aggregate; the positional merge is an equi-join on doc_id with the offset predicate as a join filter -- only the two query terms' postings ever shuffle, never the corpus text.",
   "q_bm25" -> "BM25: doc lengths and corpus scalars derive from the SAME posting aggregate (text scanned once); the query-term slice joins df and dl on bounded sides; the 1-row scalar rides a broadcast; top-20 is TakeOrderedAndProject over per-doc fixed-order conditional sums.",
-  "q_pagerank" -> "PageRank (final iteration shown): each round is one edges-join-ranks equi-join + one dst hash aggregate over localCheckpoint'd constant-size inputs (LogicalRDD scans) -- lineage never grows; ranks are exact scaled BIGINTs so the plan is free of IEEE accumulation order."
+  "q_pagerank" -> "PageRank (final iteration shown): each round is one edges-join-ranks equi-join + one dst hash aggregate over localCheckpoint'd constant-size inputs (LogicalRDD scans) -- lineage never grows; ranks are exact scaled BIGINTs so the plan is free of IEEE accumulation order.",
+  "q_cdc_apply" -> "CDC apply: the changelog collapses to one latest-per-key aggregate (window + max_by share ONE exchange on the key), then a single full-outer join against the snapshot -- cost |log|+|snapshot| regardless of history; bucketing the snapshot by key removes its exchange too.",
+  "q_weighted_sample" -> "A-ES weighted sampling: the selection key ln(u)/w is a narrow hash-arithmetic projection; exactly-k selection plans as TakeOrderedAndProject -- no total sort, no shuffle of losers, the driver sees k rows at any corpus size.",
+  "q_jaro_rank" -> "Jaro-Winkler ranking: skeleton-block equi-join generates candidates; the native graft_jaro_winkler scorer runs as a codegen'd projection on joined rows -- the same blocked-candidates-then-verify shape as q_fuzzy_match with a similarity scorer in place of edit distance."
 )
 val sb = new StringBuilder
 sb.append("# EXPLAINS -- formatted plans of headline queries (sf0.01)\n\n")
