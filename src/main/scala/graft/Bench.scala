@@ -90,13 +90,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_shared_sec":${f3(warmShared)},"passes":$passes,"pass1_total_sec":${f3(p1total)},"queries":$qs,"sf":"$sfDir"}""")
-    // LAST line is a short (~150 B) self-contained summary: the
+    // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
     // per-query line above has been truncated mid-line two rounds
     // running (BENCH_r04/r05 "parsed": null). A parser reading the
     // tail always finds this complete line; the detailed line stays
-    // for humans and for tails wide enough to hold it.
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
+    // for humans and for tails wide enough to hold it. Deliberately
+    // NOT keyed "metric":"total" — one line per metric name, so a
+    // grep for the detailed line never double-counts.
+    println(s"""{"total_sec":${f3(total)},"n_queries":${results.size},"passes":$passes,"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -426,14 +426,19 @@ object Profile {
             .reduce(_ unionByName _).persist()
           val n = embM.count()
           val qm = embM.select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
-          val sigsM = qm.select(col("vec_id"),
-              posexplode(graft.plans.SignBands.signBands(col("v"), 16, 4)))
-            .toDF("vec_id", "band", "bucket")
-          val candM = sigsM.as("x").join(sigsM.as("y"),
-              col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-                col("x.vec_id") < col("y.vec_id"))
-            .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id")).distinct()
-          val nc = time(s"embdup x$mult candidates")(candM.count())
+          // ONE definition of the banded candidate stage (mirrors
+          // cosineNearDupPairsLsh's internals) for both configs —
+          // keeps the profiler measuring the shipped pipeline shape
+          def cands(bands: Int, r: Int) = {
+            val sigs = qm.select(col("vec_id"),
+                posexplode(graft.plans.SignBands.signBands(col("v"), bands, r)))
+              .toDF("vec_id", "band", "bucket")
+            sigs.as("x").join(sigs.as("y"),
+                col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+                  col("x.vec_id") < col("y.vec_id"))
+              .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id")).distinct()
+          }
+          val nc = time(s"embdup x$mult candidates")(cands(16, 4).count())
           val nv = time(s"embdup x$mult verified (full path)")(
             Similarity.cosineNearDupPairsLsh(embM, 0.5).count())
           println(s"PROF embdup x$mult: rows=$n allpairs=${n * (n - 1) / 2} " +
@@ -445,14 +450,7 @@ object Profile {
           // (cosine 1), so recall is certain and the 2^12 bucket
           // space kills the random-collision background the (16,4)
           // config drowns in
-          val sigsT = qm.select(col("vec_id"),
-              posexplode(graft.plans.SignBands.signBands(col("v"), 28, 12)))
-            .toDF("vec_id", "band", "bucket")
-          val candT = sigsT.as("x").join(sigsT.as("y"),
-              col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-                col("x.vec_id") < col("y.vec_id"))
-            .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id")).distinct()
-          val ncT = time(s"embdup x$mult tuned candidates")(candT.count())
+          val ncT = time(s"embdup x$mult tuned candidates")(cands(28, 12).count())
           val nvT = time(s"embdup x$mult tuned verified")(
             Similarity.cosineNearDupPairsLsh(embM, 0.9, bands = 28, planesPerBand = 12).count())
           println(s"PROF embdup-tuned x$mult: candidates=$ncT verified=$nvT " +
@@ -511,14 +509,8 @@ object Profile {
         // matters for dedup: does 8 bytes of codes still put the
         // twin first? Isotropic neighbors above are the worst case;
         // this is the realistic one.
-        val twin = emb.select((col("vec_id") + lit(1000000L)).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") * (lit(1.0) +
-              (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3)).cast("double") / lit(128.0)))
-            .as("embedding"))
-        val corpus2 = emb.select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("embedding"))
-          .unionByName(twin).persist()
+        val corpus2 = Similarity.twinSeeded(emb.select(col("vec_id"), col("embedding")))
+          .persist()
         corpus2.count()
         val mdlT = ProductQuantizer.trainedModel(corpus2, m = 8, k = 64, iters = 5)
         val codesT = ProductQuantizer.encode(corpus2, mdlT).persist()

@@ -399,17 +399,9 @@ object SparkEntry {
     // 1 + k/128, exactly representable doubles, so the oracle
     // rebuilds the same twins bit-for-bit) ----
     "q_embed_neardup_hi" -> ((s, dir) => {
-      val src = Tables.embeddings(s, dir)
-      val base = src.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val twin = src.select(col("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            x.cast("double") * (lit(1.0) +
-              (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3)).cast("double") / lit(128.0)))
-            .as("embedding"))
-        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
       graft.operators.Similarity.cosineNearDupPairsLsh(
-          base.unionByName(twin), 0.9, bands = 28, planesPerBand = 12)
+          graft.operators.Similarity.twinSeeded(Tables.embeddings(s, dir)),
+          0.9, bands = 28, planesPerBand = 12)
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -791,9 +783,16 @@ object SparkEntry {
     // write path and its measured two-dimensional file pruning live
     // in ops.Layout + LayoutSpec) ----
     "q_zorder" -> ((s, dir) => {
+      // keys are pmod-reduced into zKey2's 16-bit domain so the
+      // query runs at ANY scale factor (raw partkeys outgrow 65535
+      // past sf~0.3 and zKey2 fails loud by design); production
+      // range-reduction is Layout.rankBits — modulo keeps the oracle
+      // a pure bitwise replica here
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          graft.ops.Layout.zKey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
+          graft.ops.Layout.zKey2(
+            pmod(col("l_partkey"), lit(65536L)),
+            pmod(col("l_suppkey"), lit(65536L))).as("zkey"))
         .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
@@ -3613,7 +3612,8 @@ object SparkEntry {
     // bitwise semantics in both engines (BIGINT <<, &, |).
     "q_zorder" ->
       """WITH t0 AS (
-        |  SELECT l_orderkey, l_linenumber, l_partkey AS xa, l_suppkey AS xb FROM lineitem
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_partkey % 65536 AS xa, l_suppkey % 65536 AS xb FROM lineitem
         |), t1 AS (
         |  SELECT l_orderkey, l_linenumber,
         |    (xa | (xa << 8)) & 16711935 AS xa, (xb | (xb << 8)) & 16711935 AS xb FROM t0

@@ -112,7 +112,11 @@ object ImageCodec {
 
   /** Binary PPM (P6): ASCII header "P6 <w> <h> <maxval>" with
     * whitespace/comment handling, then raw RGB bytes. Only
-    * maxval ≤ 255 (1-byte samples) is supported. */
+    * maxval = 255 is accepted: a smaller maxval is legal PPM but its
+    * samples would need 255/maxval rescaling to keep the feature
+    * formula's /255 normalization format-independent — declining it
+    * (stub fallback) is honest; silently treating 15-scale samples
+    * as 255-scale would yield wrong intensity features. */
   private def decodePpm(b: Array[Byte]): Option[Decoded] = {
     var pos = 2
     def skipWs(): Unit = {
@@ -133,7 +137,7 @@ object ImageCodec {
       if (!any) -1 else v
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
-    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    if (w <= 0 || h <= 0 || maxval != 255) return None
     pos += 1 // single whitespace byte after maxval, per spec
     if (pos.toLong + 3L * w * h > b.length) return None
     val rgb = new Array[Int](w * h * 3)

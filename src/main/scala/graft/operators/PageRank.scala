@@ -52,6 +52,19 @@ object PageRank {
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
+    // Overflow guard: total mass never exceeds N·scale (the damping
+    // step contracts it), so a single node's incoming sum is bounded
+    // by N·scale and the damping multiply by dampNum·N·scale — which
+    // must fit a Long, or a mega-hub would silently wrap negative
+    // under non-ANSI arithmetic. N is already materialized
+    // (checkpointed), so the count is a cheap metadata-ish job.
+    val n = nodes.count()
+    require(java.math.BigInteger.valueOf(dampNum)
+      .multiply(java.math.BigInteger.valueOf(n))
+      .multiply(java.math.BigInteger.valueOf(scale))
+      .bitLength() < 63,
+      s"PageRank: dampNum*N*scale = $dampNum*$n*$scale can overflow Long - " +
+        "lower `scale` (rank resolution) for graphs this large")
     val withDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
       .localCheckpoint(true)

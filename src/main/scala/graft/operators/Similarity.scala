@@ -105,6 +105,30 @@ object Similarity {
     math.ceil(math.log(targetMiss) / math.log1p(-bandHit)).toInt
   }
 
+  /** Deterministic near-dup twin seeding — the ONE definition behind
+    * q_embed_neardup_hi, its DuckDB oracle, the equality spec, and
+    * the PQ/LSH profile measurements (previously three hand-copied
+    * expressions that had to stay bit-identical). Each vector gains
+    * a twin at vec_id + 1000000 whose dims are scaled by exactly
+    * representable factors 1 + k/128, k = (vec_id·31 + i) mod 7 − 3
+    * ∈ [−3, 3] — cosine(original, twin) ≈ 0.9997, and every
+    * arithmetic step (integer mod, /128 with a power-of-two
+    * denominator, one multiply) is IEEE-identical in any engine, so
+    * oracles can rebuild the same corpus bit-for-bit. Output
+    * embeddings are DOUBLE arrays (originals cast too, keeping the
+    * union's type uniform). */
+  def twinSeeded(corpus: DataFrame): DataFrame = {
+    val base = corpus.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val twin = corpus.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * (lit(1.0) +
+            (pmod(col("vec_id") * 31 + i, lit(7)) - lit(3)).cast("double") / lit(128.0)))
+          .as("embedding"))
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    base.unionByName(twin)
+  }
+
   /** Deterministic ±1 hyperplane weight for (plane p, dimension i):
     * sign of bit 0 of hash60("p:i"). The planes depend only on (p, i),
     * so they are computed ONCE driver-side (same Hash60 identity the

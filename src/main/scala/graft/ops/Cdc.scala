@@ -37,9 +37,16 @@ object Cdc {
     require(payloadCols.nonEmpty, "payloadCols must name at least one column")
     val payload = struct(payloadCols.map(col): _*)
     val opOk = col(opCol).isin("I", "U", "D")
-    val guarded = log.withColumn(opCol,
-      when(opOk, col(opCol)).otherwise(raise_error(
-        concat(lit(s"Cdc.applyLog: unknown op in '$opCol': "), col(opCol)))))
+    val guarded = log
+      .withColumn(opCol,
+        when(opOk, col(opCol)).otherwise(raise_error(
+          concat(lit(s"Cdc.applyLog: unknown op in '$opCol': "), col(opCol)))))
+      // a NULL sequence would be SKIPPED by max_by and by the
+      // ambiguity count (NULL comparisons are null), silently
+      // dropping the entry — surface the malformed feed instead
+      .withColumn(seqCol,
+        when(col(seqCol).isNotNull, col(seqCol)).otherwise(raise_error(
+          concat(lit(s"Cdc.applyLog: NULL $seqCol for key "), col(key).cast("string")))))
     // per-key max sequence via a window on the SAME key the
     // aggregate below groups by — one exchange, reused
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))

@@ -67,6 +67,9 @@ object Layout {
   def rankBits(df: DataFrame, c: String, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     val r = df.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+    require(!r.isNullAt(0) && !r.isNullAt(1),
+      s"rankBits: column '$c' has no non-NULL values (empty frame or all-NULL) - " +
+        "there is no range to bucket")
     val (lo, hi) = (r.getDouble(0), r.getDouble(1))
     val buckets = 1L << bits
     if (hi == lo) lit(0L)

@@ -46,8 +46,13 @@ object StreamSketch {
 
   /** Tumbling-window count-min cell grids: the streaming form of
     * `CountMin.build`, one (window, group, r, c, cnt) row per
-    * touched cell. Downstream `CountMin.merge` (element-wise SUM)
-    * consumes streamed frames exactly like batch-built ones.
+    * touched cell. Each (window, group) SLICE of the output is a
+    * batch-shaped (r, c, cnt) grid: select one slice (or sum cnt by
+    * (r, c) over the window range you want) and `CountMin.merge` /
+    * `CountMin.estimate` apply unchanged — `merge` itself keys on
+    * (r, c) only, so hand it per-slice frames, not the raw
+    * multi-window output (StreamSketchSpec's grid leg shows the
+    * slice-then-merge shape).
     *
     * Delivery contract — stricter than the register sketches: grid
     * cells merge by SUM, which is associative/commutative but NOT

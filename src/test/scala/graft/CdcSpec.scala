@@ -55,6 +55,15 @@ class CdcSpec extends SparkSpec {
     assert(e2.getMessage.contains("ambiguous") ||
       Option(e2.getCause).exists(_.getMessage.contains("ambiguous")), e2.toString)
     intercept[IllegalArgumentException](Cdc.applyLog(snap, bad, "k", Seq.empty))
+    // a NULL sequence would be silently SKIPPED by max_by (dropping
+    // the entry, e.g. an ignored delete) — it must raise instead
+    val nullSeq = Seq((3L, "D", Option.empty[Long], "x", 0.0))
+      .toDF("k", "op", "seq", "name", "price")
+    val e3 = intercept[Exception] {
+      Cdc.applyLog(snap, nullSeq, "k", Seq("name", "price")).collect()
+    }
+    assert(e3.getMessage.contains("NULL seq") ||
+      Option(e3.getCause).exists(_.getMessage.contains("NULL seq")), e3.toString)
   }
 
   test("result is independent of log partitioning") {

@@ -75,6 +75,11 @@ class MultimodalSpec extends SparkSpec {
     // 8-bpp BMPs (unsupported depth) are declined, not mis-parsed
     val bad = bmpBytes(3, 2, px6); bad(28) = 8
     assert(ImageCodec.decode(bad).isEmpty)
+    // PPM with maxval != 255 (legal format, different sample scale)
+    // is declined rather than mis-normalized by /255
+    val lowMax = ("P6\n3 2\n15\n".getBytes("US-ASCII") ++
+      px6.flatMap { case (r, g, b) => Seq((r / 17).toByte, (g / 17).toByte, (b / 17).toByte) })
+    assert(ImageCodec.decode(lowMax.toArray).isEmpty)
   }
 
   test("decodeFeatures routes real images through ImageCodec and the rest to the stub") {

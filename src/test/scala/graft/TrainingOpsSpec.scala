@@ -209,15 +209,7 @@ class TrainingOpsSpec extends SparkSpec {
     // 0.9 with the lshParams-tuned (28, 12) config must find exactly
     // the pairs the all-pairs crossJoin finds
     val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val base = src.select($"vec_id",
-      transform($"embedding", x => x.cast("double")).as("embedding"))
-    val twin = src.select($"vec_id",
-        transform($"embedding", (x, i) =>
-          x.cast("double") * (lit(1.0) +
-            (pmod($"vec_id" * 31 + i, lit(7)) - lit(3)).cast("double") / lit(128.0)))
-          .as("embedding"))
-      .select(($"vec_id" + lit(1000000L)).as("vec_id"), $"embedding")
-    val corpus = base.unionByName(twin)
+    val corpus = Similarity.twinSeeded(src)
     val exact = Similarity.cosineNearDupPairs(corpus, 0.9)
       .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
     val lsh = Similarity.cosineNearDupPairsLsh(corpus, 0.9, bands = 28, planesPerBand = 12)
