@@ -524,6 +524,32 @@ object Profile {
         codesT.unpersist(); corpus2.unpersist()
         emb.unpersist()
 
+      case "pagerank" =>
+        // Iterative-join layout cost: the q_pagerank graph at 1x and
+        // 10x edges (10 disjoint shifted copies — same degree
+        // structure, 10x nodes and edges), ad-hoc edges (shuffled
+        // into the join every iteration) vs write-once bucketed
+        // edges (only the rank frame moves per iteration).
+        import graft.operators.PageRank
+        def edgesN(n: Int) = {
+          val ps = Tables.lineitem(spark, sfDir)
+            .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val e1 = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+          val off = 100000000L
+          (0 until n).map(i => e1.select((col("src") + lit(i * off)).as("src"),
+            (col("dst") + lit(i * off)).as("dst"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10)) {
+          val e = edgesN(n).localCheckpoint(true)
+          val cnt = e.count()
+          time(s"pr adhoc x$n ($cnt edges)")(PageRank.ranks(e, iters = 5).count())
+          time(s"pr writeEdges x$n")(PageRank.writeEdges(e, s"prof_pr_$n", buckets = 32))
+          time(s"pr bucketed x$n")(
+            PageRank.ranksBucketed(spark, s"prof_pr_$n", iters = 5).count())
+          spark.sql(s"DROP TABLE IF EXISTS prof_pr_$n")
+        }
+
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

@@ -3285,8 +3285,8 @@ object SparkEntry {
       "q_weighted_sample" ->
         """WITH d AS (
           |  SELECT doc_id, n_chars,
-          |    ln((CAST(concat('0x', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
-          |       / CAST(1152921504606846976 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS aes
+          |    ln(((CAST(concat('0x', substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) >> 7) + 1)
+          |       / CAST(9007199254740992 AS DOUBLE)) / CAST(n_chars AS DOUBLE) AS aes
           |  FROM documents
           |  WHERE n_chars IS NOT NULL AND n_chars > 0
           |)

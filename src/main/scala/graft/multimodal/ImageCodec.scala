@@ -88,8 +88,13 @@ object ImageCodec {
     val bpp = leShort(b, 28)
     val compression = leInt(b, 30)
     if (w <= 0 || h <= 0 || bpp != 24 || compression != 0) return None
-    val rowBytes = (w * 3 + 3) & ~3
-    if (pixOff < 0 || pixOff.toLong + rowBytes.toLong * h > b.length) return None
+    // bounds in Long arithmetic: for w > ~715M, `w * 3 + 3` wraps
+    // negative in Int and a negative rowBytes would slip past the
+    // payload-length check — safety must not depend on catching
+    // runtime array exceptions downstream
+    val rowBytesL = (3L * w + 3) & ~3L
+    if (pixOff < 0 || pixOff.toLong + rowBytesL * h > b.length) return None
+    val rowBytes = rowBytesL.toInt // <= b.length, so Int-safe
     val rgb = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {

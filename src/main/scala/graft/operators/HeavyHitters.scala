@@ -42,7 +42,15 @@ object HeavyHitters {
   /** Keys with exact frequency ≥ ceil(minShare · N) and their exact
     * counts. NULL keys are skipped (no frequency identity). Collects
     * the depth×width grid to the driver at call time (an action on
-    * `df`, bounded by the grid size). */
+    * `df`, bounded by the grid size).
+    *
+    * Contract change (round 6): `width` must now satisfy
+    * width ≥ ceil(e/minShare) or the call throws — previously-accepted
+    * permissive calls (e.g. minShare=0.001 with the default width=1024,
+    * which needs width ≥ 2719) fail loudly instead of silently
+    * degrading into a near-full exact re-count. Callers migrating from
+    * the old behavior should size width up (a power of two keeps the
+    * grid cache-friendly) rather than lower minShare. */
   def exactAtLeast(df: DataFrame, keyCol: String, minShare: Double,
                    depth: Int = 4, width: Int = 1024): DataFrame = {
     require(minShare > 0.0 && minShare <= 1.0, s"minShare must be in (0,1], got $minShare")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PageRank in exact fixed-point arithmetic — the iterative graph
@@ -25,15 +25,79 @@ import org.apache.spark.sql.functions._
   * for ranking use, where only relative order matters, and the
   * variant an unrolled SQL oracle can replicate cheaply.
   *
-  * Scale shape: one equi-join (edges ⋈ ranks on src, both sides
-  * shuffle-partitioned by src — co-partitionable by pre-bucketing
-  * edges) plus one hash aggregate by dst per iteration; the rank
-  * frame is one long per node. `localCheckpoint` every iteration
-  * truncates the plan to constant size (the `Components` loop
-  * lesson), so 20 iterations cost 20 bounded shuffles, not an
-  * exponentially deep lineage.
+  * Scale shape: one equi-join (edges ⋈ ranks on src) plus one hash
+  * aggregate by dst per iteration; the rank frame is one long per
+  * node. Two edge layouts:
+  *
+  *  - `ranks(edges, …)` — ad-hoc: edges are shuffled into the join
+  *    EVERY iteration. Fine locally; at 100 TB the edge table is the
+  *    big side and 20 iterations pay 20 full edge shuffles.
+  *  - `writeEdges` + `ranksBucketed` — the cluster layout: edges are
+  *    written ONCE bucketed+sorted by src (degree pre-joined at
+  *    write time), so every iteration's join reads buckets in place
+  *    and only the small rank frame (one long per node) moves. The
+  *    per-iteration exchange volume drops from O(|E|) to O(|V|);
+  *    PageRankSpec asserts the edge side of the loop join is
+  *    exchange-free, and `Profile pagerank` measures the effect at
+  *    1× and 10× edges.
+  *
+  * `localCheckpoint` every iteration truncates the plan to constant
+  * size (the `Components` loop lesson), so 20 iterations cost 20
+  * bounded shuffles, not an exponentially deep lineage.
   */
 object PageRank {
+
+  private def normalize(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+
+  /** (src, dst, __deg): each edge with its source's out-degree —
+    * the shape the iteration joins against. */
+  private def withDegrees(e: DataFrame): DataFrame =
+    e.join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
+
+  /** One synchronous iteration's incoming contribution sums:
+    * Σ_{(src,dst) ∈ E} rank(src) div outdeg(src), grouped by dst.
+    * Package-private so the spec can assert the plan shape (bucketed
+    * edge side joins exchange-free). */
+  private[graft] def contribSums(withDeg: DataFrame, r: DataFrame): DataFrame =
+    withDeg.join(r, withDeg("src") === r("id"))
+      .select(col("dst").as("id"), expr("rank div __deg").as("__c"))
+      .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
+
+  private def checkParams(iters: Int, scale: Long, dampNum: Long, dampDen: Long): Long = {
+    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
+    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
+    require(scale * (dampDen - dampNum) % dampDen == 0,
+      s"base (1-d)*scale = $scale*(${dampDen - dampNum}/$dampDen) must be an exact integer")
+    scale * (dampDen - dampNum) / dampDen
+  }
+
+  // Overflow guard: total mass never exceeds N·scale (the damping
+  // step contracts it), so a single node's incoming sum is bounded
+  // by N·scale and the damping multiply by dampNum·N·scale — which
+  // must fit a Long, or a mega-hub would silently wrap negative
+  // under non-ANSI arithmetic.
+  private def checkOverflow(n: Long, scale: Long, dampNum: Long): Unit =
+    require(java.math.BigInteger.valueOf(dampNum)
+      .multiply(java.math.BigInteger.valueOf(n))
+      .multiply(java.math.BigInteger.valueOf(scale))
+      .bitLength() < 63,
+      s"PageRank: dampNum*N*scale = $dampNum*$n*$scale can overflow Long - " +
+        "lower `scale` (rank resolution) for graphs this large")
+
+  private def run(withDeg: DataFrame, nodes: DataFrame, iters: Int, base: Long,
+                  scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
+    var r = nodes.withColumn("rank", lit(scale))
+    for (_ <- 0 until iters) {
+      val sums = contribSums(withDeg, r)
+      r = nodes.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
 
   /** Ranks after `iters` synchronous iterations over directed
     * `edges` (src, dst BIGINT; parallel edges count once per
@@ -42,42 +106,47 @@ object PageRank {
     * scale. Damping d = dampNum/dampDen (default 17/20 = 0.85). */
   def ranks(edges: DataFrame, iters: Int = 5, scale: Long = 1000000000L,
             dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters in [1,50], got $iters")
-    require(dampNum > 0 && dampDen > dampNum, "need 0 < dampNum < dampDen")
-    require(scale * (dampDen - dampNum) % dampDen == 0,
-      s"base (1-d)*scale = $scale*(${dampDen - dampNum}/$dampDen) must be an exact integer")
-    val base = scale * (dampDen - dampNum) / dampDen
-    val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true)
+    val base = checkParams(iters, scale, dampNum, dampDen)
+    val e = normalize(edges).localCheckpoint(true)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
-    // Overflow guard: total mass never exceeds N·scale (the damping
-    // step contracts it), so a single node's incoming sum is bounded
-    // by N·scale and the damping multiply by dampNum·N·scale — which
-    // must fit a Long, or a mega-hub would silently wrap negative
-    // under non-ANSI arithmetic. N is already materialized
-    // (checkpointed), so the count is a cheap metadata-ish job.
+    // N is already materialized (checkpointed), so the count is cheap.
     val n = nodes.count()
-    require(java.math.BigInteger.valueOf(dampNum)
-      .multiply(java.math.BigInteger.valueOf(n))
-      .multiply(java.math.BigInteger.valueOf(scale))
-      .bitLength() < 63,
-      s"PageRank: dampNum*N*scale = $dampNum*$n*$scale can overflow Long - " +
-        "lower `scale` (rank resolution) for graphs this large")
-    val withDeg = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
-      .localCheckpoint(true)
-    var r = nodes.withColumn("rank", lit(scale))
-    for (_ <- 0 until iters) {
-      val sums = withDeg.join(r, withDeg("src") === r("id"))
-        .select(col("dst").as("id"), expr("rank div __deg").as("__c"))
-        .groupBy(col("id")).agg(sum(col("__c")).as("__s"))
-      r = nodes.join(sums, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
-        .localCheckpoint(true)
-    }
-    r
+    checkOverflow(n, scale, dampNum)
+    val withDeg = withDegrees(e).localCheckpoint(true)
+    run(withDeg, nodes, iters, base, scale, dampNum, dampDen)
+  }
+
+  /** Write-once edge layout for iterative runs: (src, dst, __deg)
+    * bucketed AND sorted by src into the session catalog (the
+    * `Sinks.writeBucketed` strategy — parquet path tables can't
+    * carry bucket metadata). Pays the edge shuffle and the degree
+    * aggregation exactly once; every later `ranksBucketed` iteration
+    * joins it exchange-free on the edge side. */
+  def writeEdges(edges: DataFrame, table: String, buckets: Int): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    withDegrees(normalize(edges))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "src").sortBy("src").saveAsTable(table)
+  }
+
+  /** `ranks` over a pre-bucketed edge table written by `writeEdges`:
+    * identical integer arithmetic, bit-identical results, but the
+    * per-iteration join leaves the (big) edge side where it lies —
+    * only the rank frame shuffles to the bucket layout. The edge
+    * table is re-scanned per iteration (a bucketed columnar read, no
+    * exchange); at cluster scale that is the standard trade against
+    * holding |E| in memory for the whole loop. */
+  def ranksBucketed(spark: SparkSession, edgeTable: String, iters: Int = 5,
+                    scale: Long = 1000000000L, dampNum: Long = 17L,
+                    dampDen: Long = 20L): DataFrame = {
+    val base = checkParams(iters, scale, dampNum, dampDen)
+    val withDeg = spark.table(edgeTable)
+    val nodes = withDeg.select(col("src").as("id"))
+      .union(withDeg.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    checkOverflow(n, scale, dampNum)
+    run(withDeg, nodes, iters, base, scale, dampNum, dampDen)
   }
 }

@@ -138,8 +138,13 @@ object Sampling {
     requirePortableKey(df, key)
     val h = graft.plans.Hash60.hash60(
       concat_ws(":", lit(salt), col(key).cast("string")))
-    // u in (0, 1]: (h + 1) / 2^60 — both bounds exact in doubles
-    val u = (h + lit(1L)).cast("double") / lit(math.pow(2.0, 60))
+    // u in (0, 1] from the TOP 53 bits of the hash: (h >> 7) + 1 spans
+    // 53 bits, so every u value is exactly representable in a double —
+    // no two distinct shifted hashes collapse to the same u. (Using all
+    // 60 bits would silently merge ~2^7 adjacent hash values per double
+    // near the top of the range, a systematic tie broken toward smaller
+    // keys.) The oracle performs the identical >>7 conversion in SQL.
+    val u = (shiftright(h, 7) + lit(1L)).cast("double") / lit(math.pow(2.0, 53))
     val w = col(weightCol).cast("double")
     // NaN guard is load-bearing: Spark orders NaN ABOVE every number,
     // so `NaN > 0` passes and a NaN selection key would win the draw

@@ -14,6 +14,13 @@ class JaroWinklerSpec extends SparkSpec {
     assert(JaroWinklerImpl.jaroWinkler("DWAYNE", "DUANE") == 0.8400000000000001)
     assert(JaroWinklerImpl.jaroWinkler("CRATE", "TRACE") == 0.7333333333333334)
     assert(JaroWinklerImpl.jaroWinkler("red bolt", "rd bolt") == 0.9625)
+    // ODD transposition count (a 3-cycle of matched chars: out-of-order
+    // matches a,b,c vs c,a,b -> 3 mismatched positions): pins the
+    // floor-halving convention `(m - t/2)` in integer arithmetic.
+    // DuckDB returns the same double (jaro = (1 + 1 + 5/6)/3), so the
+    // cross-engine q_jaro_rank oracle is safe on odd-trans inputs too;
+    // exact halving (t=1.5) would give 0.9166... instead.
+    assert(JaroWinklerImpl.jaroWinkler("abcxyz", "cabxyz") == 0.9444444444444445)
   }
 
   test("edge cases: empty, identical, disjoint, null") {
