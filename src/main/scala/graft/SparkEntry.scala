@@ -630,6 +630,17 @@ object SparkEntry {
           codes, emb.where(col("vec_id") < 50), mdl, k = 3)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // ---- the PRODUCTION codebook path: encode under a 2-iteration
+    // exact-integer-Lloyd's trained codebook. Deterministic under any
+    // partitioning (integer sums, rounded-integer means, ties to the
+    // smallest centroid id), so the whole training loop unrolls into
+    // a cross-engine SQL oracle — the q_kmeans precedent ----
+    "q_pq_trained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mdl = graft.operators.ProductQuantizer.trainedModel(emb, m = 4, k = 16, iters = 2)
+      graft.operators.ProductQuantizer.encode(emb, mdl)
+        .orderBy(col("vec_id"))
+    }),
     // ---- SemDeDup: within-cluster near-dup pairs under the trained
     // k-means model (cluster-scoped quadratic search — the published
     // alternative to global LSH bucketing) ----
@@ -2283,6 +2294,65 @@ object SparkEntry {
     val kmeansSql =
       s"""$kmeansCtes
          |SELECT vec_id, CAST(cid AS INT) AS list_id FROM a2 ORDER BY vec_id""".stripMargin
+    // PQ trained codebook: ProductQuantizer.trainedModel(m=4, k=16,
+    // iters=2) + encode, unrolled per subspace (the m subspaces train
+    // independently — loop order in the Scala code is irrelevant).
+    // Each subspace: seed c{s}_0 = corpus rows vec_id < 16 sliced,
+    // two Lloyd rounds of (argmin assign with ties to the smallest
+    // cid, rounded-integer-mean update floorDiv(2·Σx + n, 2n) with
+    // empty clusters keeping their centroid), then the final encode
+    // assignment. The assignment ranks by FULL squared L2 where the
+    // Scala side drops the constant ‖v_s‖² term — identical order and
+    // ties within each (vec, subspace) partition. floorDiv must be
+    // FLOOR division (Math.floorDiv): DuckDB's // truncates toward
+    // zero, hence the explicit (a − ((a%b)+b)%b)/b form (b = 2n > 0).
+    val pqTrainedSql = {
+      val m = 4; val k = 16; val sd = 16
+      def d2(vExpr: String, cvExpr: String) =
+        s"CAST(list_sum(list_transform(generate_series(1, $sd), i -> ($vExpr[i] - $cvExpr[i]) * ($vExpr[i] - $cvExpr[i]))) AS BIGINT)"
+      def assignCte(s: Int, cents: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT n.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY n.vec_id ORDER BY ${d2("n.sv", "c.cv")} ASC, c.cid ASC) AS rn
+           |    FROM sv$s n, $cents c)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      def updateCte(s: Int, assign: String, prev: String, out: String) = {
+        val fd = "((2*sx + n) - (((2*sx + n) % (2*n)) + (2*n)) % (2*n)) // (2*n)"
+        s"""s_$out AS (
+           |  SELECT a.cid, d.i, CAST(SUM(n.sv[d.i]) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS n
+           |  FROM $assign a JOIN sv$s n USING (vec_id), (SELECT unnest(generate_series(1, $sd)) AS i) d
+           |  GROUP BY 1, 2
+           |), u_$out AS (
+           |  SELECT cid, list($fd ORDER BY i) AS cv FROM s_$out GROUP BY cid
+           |), $out AS (
+           |  SELECT p.cid, coalesce(u.cv, p.cv) AS cv FROM $prev p LEFT JOIN u_$out u USING (cid)
+           |)""".stripMargin
+      }
+      val perS = (0 until m).map { s =>
+        val lo = s * sd + 1; val hi = (s + 1) * sd
+        s"""sv$s AS (
+           |  SELECT vec_id, list_slice(v, $lo, $hi) AS sv FROM qz
+           |), c${s}_0 AS (
+           |  SELECT vec_id AS cid, list_slice(v, $lo, $hi) AS cv FROM qz WHERE vec_id < $k
+           |), ${assignCte(s, s"c${s}_0", s"a${s}_1")},
+           |${updateCte(s, s"a${s}_1", s"c${s}_0", s"c${s}_1")},
+           |${assignCte(s, s"c${s}_1", s"a${s}_2")},
+           |${updateCte(s, s"a${s}_2", s"c${s}_1", s"c${s}_2")},
+           |${assignCte(s, s"c${s}_2", s"f$s")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qz AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |), $perS
+         |SELECT q.vec_id,
+         |  CAST(f0.cid AS INT) AS code0, CAST(f1.cid AS INT) AS code1,
+         |  CAST(f2.cid AS INT) AS code2, CAST(f3.cid AS INT) AS code3
+         |FROM qz q JOIN f0 USING (vec_id) JOIN f1 USING (vec_id)
+         |     JOIN f2 USING (vec_id) JOIN f3 USING (vec_id)
+         |ORDER BY q.vec_id""".stripMargin
+    }
     // SemDeDup: the same trained assignment, then all within-cluster
     // pairs verified with the exact quantized cosine at threshold 0.4
     val semdedupSql =
@@ -3449,6 +3519,8 @@ object SparkEntry {
           |  CAST(max(CASE WHEN s = 2 THEN code END) AS INT) AS code2,
           |  CAST(max(CASE WHEN s = 3 THEN code END) AS INT) AS code3
           |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+      "q_pq_trained" -> pqTrainedSql,
 
       "q_pq_adc" ->
         """WITH qz AS (
