@@ -51,7 +51,7 @@ object Components {
     // cost 10× the pair generation itself. The self-union below also
     // raced both branches into cache population, running the
     // generator twice.)
-    val p = pairs.select(col("d1"), col("d2")).localCheckpoint(true)
+    val p = pairs.select(col("d1"), col("d2")).transform(graft.ops.Checkpoints.truncate)
     val edges = p.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(p.select(col("d2").as("src"), col("d1").as("dst")))
       .repartition(partitions, col("src"))
@@ -70,17 +70,19 @@ object Components {
     // final after this seed and the loop usually runs one verify
     // round plus one no-change round.
     //
-    // localCheckpoint (eager) per round: persist alone keeps the full
-    // lineage, so round i's plan embeds i joins — analysis + codegen
-    // grow linearly and dominate past a few rounds. Checkpointing
-    // truncates the plan to a constant size. Superseded checkpoint
-    // blocks are reclaimed by the ContextCleaner rather than
-    // explicitly (Dataset.unpersist can't reach a checkpoint RDD);
-    // exposure is bounded at maxIter snapshots of O(#nodes) rows —
-    // small next to the edge list the loop keeps cached on purpose.
+    // Eager checkpoint per round (Checkpoints.truncate — executor-
+    // local by default, reliable when the session has a checkpoint
+    // dir): persist alone keeps the full lineage, so round i's plan
+    // embeds i joins — analysis + codegen grow linearly and dominate
+    // past a few rounds. Checkpointing truncates the plan to a
+    // constant size. Superseded executor-local checkpoint blocks are
+    // reclaimed by the ContextCleaner rather than explicitly
+    // (Dataset.unpersist can't reach a checkpoint RDD); exposure is
+    // bounded at maxIter snapshots of O(#nodes) rows — small next to
+    // the edge list the loop keeps cached on purpose.
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), min(col("src"))).as("comp"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.truncate)
     var prevSum = labels.agg(sum(col("comp"))).first().getLong(0)
     var converged = false
     var i = 0
@@ -92,7 +94,7 @@ object Components {
       labels = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoints.truncate)
       val nextSum = labels.agg(sum(col("comp"))).first().getLong(0)
       converged = nextSum == prevSum
       prevSum = nextSum

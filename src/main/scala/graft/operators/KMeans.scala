@@ -76,7 +76,7 @@ object KMeans {
     val base = corpus
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(Similarity.qnorm2(col("v")).cast("double")))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.truncate)
     var cents = Similarity.centroidModel(corpus, k)
     require(cents.length == k,
       s"corpus has fewer than k=$k seed vectors (got ${cents.length})")

@@ -41,9 +41,12 @@ import org.apache.spark.sql.functions._
   *    exchange-free, and `Profile pagerank` measures the effect at
   *    1× and 10× edges.
   *
-  * `localCheckpoint` every iteration truncates the plan to constant
-  * size (the `Components` loop lesson), so 20 iterations cost 20
-  * bounded shuffles, not an exponentially deep lineage.
+  * Every iteration truncates the plan to constant size (the
+  * `Components` loop lesson), so 20 iterations cost 20 bounded
+  * shuffles, not an exponentially deep lineage. Durability follows
+  * the shared [[graft.ops.Checkpoints]] contract: executor-local by
+  * default; set a session checkpoint dir for reliable, executor-
+  * loss-surviving truncation on long cluster runs.
   */
 object PageRank {
 
@@ -94,7 +97,7 @@ object PageRank {
       r = nodes.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
-        .localCheckpoint(true)
+        .transform(graft.ops.Checkpoints.truncate)
     }
     r
   }
@@ -107,13 +110,13 @@ object PageRank {
   def ranks(edges: DataFrame, iters: Int = 5, scale: Long = 1000000000L,
             dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
     val base = checkParams(iters, scale, dampNum, dampDen)
-    val e = normalize(edges).localCheckpoint(true)
+    val e = normalize(edges).transform(graft.ops.Checkpoints.truncate)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.ops.Checkpoints.truncate)
     // N is already materialized (checkpointed), so the count is cheap.
     val n = nodes.count()
     checkOverflow(n, scale, dampNum)
-    val withDeg = withDegrees(e).localCheckpoint(true)
+    val withDeg = withDegrees(e).transform(graft.ops.Checkpoints.truncate)
     run(withDeg, nodes, iters, base, scale, dampNum, dampDen)
   }
 
@@ -144,7 +147,7 @@ object PageRank {
     val withDeg = spark.table(edgeTable)
     val nodes = withDeg.select(col("src").as("id"))
       .union(withDeg.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.ops.Checkpoints.truncate)
     val n = nodes.count()
     checkOverflow(n, scale, dampNum)
     run(withDeg, nodes, iters, base, scale, dampNum, dampDen)

@@ -87,7 +87,7 @@ object ProductQuantizer {
     val init = model(corpus, m, k)
     val base = corpus.where(col("embedding").isNotNull)
       .select(Similarity.quantize(col("embedding")).as("v"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Checkpoints.truncate)
     val cents = init.cents.map(_.map { case (cid, cv, n2) => (cid, cv.clone(), n2) })
     for (_ <- 0 until iters; s <- 0 until m) {
       val scored = array(cents(s).map { case (cid, cv, cn2) =>
