@@ -27,13 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
-  /** Apply `log` (opCol ∈ {I,U,D}, ordered per key by `seqCol`) to
-    * `snapshot`; both carry `key` + `payloadCols`. Returns the next
-    * snapshot (key + payloadCols). Unknown ops raise; equal max
-    * sequence numbers for one key raise (ambiguous feed). */
-  def applyLog(snapshot: DataFrame, log: DataFrame, key: String,
-               payloadCols: Seq[String], opCol: String = "op",
-               seqCol: String = "seq"): DataFrame = {
+  /** The per-key winning log entry: (key, __w = struct(__op, __p),
+    * __seq) with the op/NULL-seq/ambiguity guards of `applyLog` —
+    * shared by the batch apply and the streaming generation loop
+    * (`streaming.StreamCdc`), so both resolve "latest" identically. */
+  private[graft] def winners(log: DataFrame, key: String, payloadCols: Seq[String],
+                             opCol: String, seqCol: String): DataFrame = {
     require(payloadCols.nonEmpty, "payloadCols must name at least one column")
     val payload = struct(payloadCols.map(col): _*)
     val opOk = col(opCol).isin("I", "U", "D")
@@ -51,18 +50,30 @@ object Cdc {
     // aggregate below groups by — one exchange, reused
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
     val withMax = guarded.withColumn("__maxseq", max(col(seqCol)).over(w))
-    val winners = withMax
+    val agged = withMax
       .groupBy(col(key))
       .agg(
         max_by(struct(col(opCol).as("__op"), payload.as("__p")), col(seqCol)).as("__w0"),
+        max(col(seqCol)).as("__seq"),
         // ambiguity guard: two entries at the max sequence for one
         // key have no defined winner — fail loud, don't pick one
         sum(when(col(seqCol) === col("__maxseq"), 1).otherwise(0)).as("__at_max"))
-    val checked = winners.withColumn("__w",
+    agged.withColumn("__w",
       when(col("__at_max") > 1, raise_error(concat(
         lit(s"Cdc.applyLog: ambiguous feed - multiple entries at max $seqCol for key "),
         col(key).cast("string"))))
         .otherwise(col("__w0")))
+      .select(col(key), col("__w"), col("__seq"))
+  }
+
+  /** Apply `log` (opCol ∈ {I,U,D}, ordered per key by `seqCol`) to
+    * `snapshot`; both carry `key` + `payloadCols`. Returns the next
+    * snapshot (key + payloadCols). Unknown ops raise; equal max
+    * sequence numbers for one key raise (ambiguous feed). */
+  def applyLog(snapshot: DataFrame, log: DataFrame, key: String,
+               payloadCols: Seq[String], opCol: String = "op",
+               seqCol: String = "seq"): DataFrame = {
+    val checked = winners(log, key, payloadCols, opCol, seqCol)
     val snap = snapshot.select((col(key) +: payloadCols.map(col)): _*)
     snap.as("s").join(checked.as("c"), Seq(key), "full_outer")
       .where(
