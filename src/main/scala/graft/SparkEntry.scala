@@ -806,6 +806,18 @@ object SparkEntry {
             pmod(col("l_suppkey"), lit(65536L))).as("zkey"))
         .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
     }),
+    // ---- 3-dim z-order (the real OPTIMIZE ZORDER arity): zKeyN's
+    // general per-bit interleave, exact against a generate_series
+    // bit-sum replica ----
+    "q_zorder3" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zKeyN(Seq(
+            pmod(col("l_partkey"), lit(65536L)),
+            pmod(col("l_suppkey"), lit(65536L)),
+            pmod(col("l_orderkey"), lit(65536L))), bits = 16).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
 
     // ---- O2/O3/O4/O6/O7: the predicate kit on one frame ----
     "q_filter_kit" -> ((s, dir) => {
@@ -3701,6 +3713,23 @@ object SparkEntry {
         |)
         |SELECT l_orderkey, l_linenumber, xa | (xb << 1) AS zkey
         |FROM t4
+        |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // 3-dim Morton: bit j of key d at position 3j+d, summed over a
+    // generate_series bit table — the general interleave zKeyN unrolls
+    "q_zorder3" ->
+      """WITH t0 AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_partkey % 65536 AS xa, l_suppkey % 65536 AS xb,
+        |         l_orderkey % 65536 AS xc
+        |  FROM lineitem
+        |), bits AS (SELECT unnest(generate_series(0, 15)) AS j)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(SUM((((xa >> j) & 1) << (3*j))
+        |         + (((xb >> j) & 1) << (3*j + 1))
+        |         + (((xc >> j) & 1) << (3*j + 2))) AS BIGINT) AS zkey
+        |FROM t0, bits
+        |GROUP BY l_orderkey, l_linenumber, xa, xb, xc
         |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_filter_kit" ->

@@ -51,13 +51,41 @@ object Layout {
     * interleaved into a wrong ordering. */
   def zKey2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    spread16(checked("zKey2", a, bits)).bitwiseOR(shiftleft(spread16(checked("zKey2", b, bits)), 1))
+  }
+
+  private def checked(fn: String, c: Column, bits: Int): Column = {
     val mask = (1L << bits) - 1
-    def checked(c: Column) =
-      when(c.isNull || c < 0 || c > mask,
-        raise_error(concat(lit(s"zKey2: key outside [0, $mask]: "),
-          coalesce(c.cast("string"), lit("NULL")))))
-        .otherwise(c.cast("long"))
-    spread16(checked(a)).bitwiseOR(shiftleft(spread16(checked(b)), 1))
+    when(c.isNull || c < 0 || c > mask,
+      raise_error(concat(lit(s"$fn: key outside [0, $mask]: "),
+        coalesce(c.cast("string"), lit("NULL")))))
+      .otherwise(c.cast("long"))
+  }
+
+  /** Z-order key interleaving ANY number of non-negative keys, each
+    * in [0, 2^bits): bit j of key d lands at position j·n + d, so
+    * `zKeyN(Seq(a, b), 16)` equals `zKey2(a, b)` bit for bit — and
+    * real lakehouse OPTIMIZE ZORDER takes 3-4 columns, which is what
+    * this general form serves (q_zorder3 carries the exact 3-dim
+    * cross-engine oracle). No magic-bits constants exist for general
+    * n, so the interleave unrolls the bits explicitly — still pure
+    * shift/mask column arithmetic inside whole-stage codegen (the
+    * `Sinks.writeZOrdered` construction), n·bits OR-terms instead of
+    * 4 masked doublings; Catalyst's subexpression elimination keeps
+    * the range check per key, not per bit. The bit budget shrinks
+    * with n (n·bits ≤ 63): more dimensions = coarser per-dimension
+    * resolution, the inherent z-order trade. */
+  def zKeyN(keys: Seq[Column], bits: Int): Column = {
+    val n = keys.size
+    require(n >= 2, s"zKeyN needs at least 2 keys, got $n (sort linearly for 1)")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n keys x $bits bits = ${n * bits} must fit a long's 63 value bits")
+    keys.zipWithIndex.map { case (k, d) =>
+      val kc = checked("zKeyN", k, bits)
+      (0 until bits).map { j =>
+        shiftleft(shiftright(kc, j).bitwiseAND(lit(1L)), j * n + d)
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
   }
 
   /** Range-reduce an arbitrary numeric column to [0, 2^bits) by
@@ -107,4 +135,29 @@ object Layout {
         min(col(aCol)).as("a_min"), max(col(aCol)).as("a_max"),
         min(col(bCol)).as("b_min"), max(col(bCol)).as("b_max"),
         count(lit(1)).as("rows"))
+
+  /** N-key twin of `writeZOrdered`: range-partition by the `zKeyN`
+    * key into `numFiles` files so each file covers one tight
+    * hyper-BOX in every z-dimension at once. */
+  def writeZOrderedN(df: DataFrame, path: String, keys: Seq[Column],
+                     bits: Int, numFiles: Int = 32): Unit = {
+    require(numFiles >= 1, "numFiles must be positive")
+    df.withColumn("__z", zKeyN(keys, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** N-column `fileEnvelopes`: per-file min/max per named column
+    * (`<col>_min`/`<col>_max`), the stats file-skipping consults. */
+  def fileEnvelopesN(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))) :+
+      count(lit(1)).as("rows")
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

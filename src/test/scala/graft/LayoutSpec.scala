@@ -37,6 +37,33 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  /** Reference n-key interleave, bit by bit. */
+  private def zRefN(keys: Seq[Long], bits: Int): Long = {
+    val n = keys.size
+    keys.zipWithIndex.foldLeft(0L) { case (acc, (k, d)) =>
+      (0 until bits).foldLeft(acc) { (a, j) => a | (((k >> j) & 1L) << (j * n + d)) }
+    }
+  }
+
+  test("zKeyN equals the bitwise reference and zKey2 on 2 keys") {
+    val s3 = Seq((0L, 0L, 0L), (1L, 2L, 4L), (65535L, 0L, 65535L),
+      (12345L, 54321L, 4242L), (65535L, 65535L, 65535L))
+    val got3 = s3.toDF("a", "b", "c")
+      .select($"a", $"b", $"c", Layout.zKeyN(Seq($"a", $"b", $"c"), bits = 16).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (a, b, c, z) => assert(z == zRefN(Seq(a, b, c), 16), s"($a,$b,$c)") }
+    // 2-key zKeyN is bit-for-bit zKey2
+    val pairs = Seq((12345L, 54321L), (255L, 256L), (65535L, 65535L)).toDF("a", "b")
+      .select(Layout.zKey2($"a", $"b").as("z2"), Layout.zKeyN(Seq($"a", $"b"), 16).as("zn"))
+      .as[(Long, Long)].collect()
+    pairs.foreach { case (z2, zn) => assert(z2 == zn) }
+    // 4 keys x 15 bits fits; the budget guard rejects 4 x 16
+    val four = Seq((1L, 2L, 3L, 4L)).toDF("a", "b", "c", "d")
+    assert(four.select(Layout.zKeyN(Seq($"a", $"b", $"c", $"d"), 15)).collect().nonEmpty)
+    intercept[IllegalArgumentException](Layout.zKeyN(Seq($"a", $"b", $"c", $"d"), 16))
+    intercept[IllegalArgumentException](Layout.zKeyN(Seq($"a"), 16))
+  }
+
   test("out-of-range and NULL keys fail loudly, not silently misplace data") {
     val bad = Seq((70000L, 1L)).toDF("a", "b")
     val ex = intercept[Exception] {
@@ -89,5 +116,35 @@ class LayoutSpec extends SparkSpec {
     val envZ = Layout.fileEnvelopes(spark, s"$base/z", "x", "y").collect()
     val xHit = envZ.count(r => r.getAs[Long]("a_min") <= 40L && r.getAs[Long]("a_max") >= 20L)
     assert(xHit <= 16 / 2, s"x-slice hit $xHit files in z layout")
+  }
+
+  test("3-dim z-order prunes on EVERY dimension; an x-sorted layout only on x") {
+    // uniform 3-d corpus over a 256^3 key space, 64 files
+    val df = spark.range(200000).select(
+      pmod(hash($"id"), lit(256)).cast("long").as("x"),
+      pmod(hash($"id" * 31 + 7), lit(256)).cast("long").as("y"),
+      pmod(hash($"id" * 131 + 13), lit(256)).cast("long").as("w"),
+      $"id".as("payload"))
+    val base = Files.createTempDirectory("graft-layout3").toString
+    Layout.writeZOrderedN(df, s"$base/z", Seq($"x", $"y", $"w"), bits = 8, numFiles = 64)
+    df.repartitionByRange(64, $"x").sortWithinPartitions($"x")
+      .write.parquet(s"$base/linear_x")
+
+    // a narrow slice [20, 30] in each dimension in turn
+    def hits(path: String): Map[String, Int] = {
+      val env = Layout.fileEnvelopesN(spark, path, Seq("x", "y", "w")).collect()
+      Seq("x", "y", "w").map { c =>
+        c -> env.count(r => r.getAs[Long](s"${c}_min") <= 30L && r.getAs[Long](s"${c}_max") >= 20L)
+      }.toMap
+    }
+    val zh = hits(s"$base/z")
+    val lh = hits(s"$base/linear_x")
+    info(s"files hit of 64 — z: $zh, linear-x: $lh")
+    // linear layout: y/w slices read everything
+    assert(lh("y") == 64 && lh("w") == 64)
+    // z layout: every dimension's slice skips at least half the files
+    Seq("x", "y", "w").foreach { c =>
+      assert(zh(c) <= 32, s"$c-slice hit ${zh(c)} of 64 z-ordered files")
+    }
   }
 }
