@@ -524,6 +524,56 @@ object Profile {
         codesT.unpersist(); corpus2.unpersist()
         emb.unpersist()
 
+      case "fuzzyreal" =>
+        // Skeleton blocking on a REALISTIC-cardinality corpus. The
+        // registered q_fuzzy_match runs on raw p_name, whose small
+        // distinct vocabulary at low SF makes true pairs themselves
+        // quadratic (the SCALE_NOTES caveat). Here names are mostly
+        // unique — each row's p_name concatenated with a
+        // pseudo-randomly chosen OTHER row's p_name, distinct
+        // pairings per x10 copy (more entities, never more copies of
+        // one entity) — so block sizes should track duplicate-GROUP
+        // sizes, not corpus size: candidates grow ~linearly 1x->10x.
+        val partsR = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_name")).persist()
+        val nParts = partsR.count()
+        for (mult <- Seq(1, 10)) {
+          val cat = (0 until mult).map { c =>
+            val other = partsR.select(col("p_partkey").as("k2"), col("p_name").as("n2"))
+            partsR.withColumn("k2", (col("p_partkey") * 31 + lit(c * 7 + 1)) % nParts + 1)
+              .join(other, "k2")
+              .withColumn("id", col("p_partkey") + lit(c.toLong * 100000000L))
+              // the unique letters-only token that makes each entity's
+              // NAME unique (real names are) — the testdata's ~64
+              // distinct p_name values alone would collapse the
+              // skeleton space to 64^2 blocks and re-create the very
+              // caveat this case measures
+              .select(col("id"), concat_ws(" ", col("p_name"), col("n2"),
+                translate(col("id").cast("string"), "0123456789", "bcdfghjklm")).as("name"))
+          }.reduce(_ unionByName _).persist()
+          val n = cat.count()
+          val skel = graft.ops.FuzzyJoin.skeletonBlock _
+          val rs = cat.withColumn("__blk", skel(col("name")))
+          val stats = rs.groupBy(col("__blk")).count()
+            .agg(count(lit(1)).as("blocks"), max(col("count")).as("maxb"),
+              expr("percentile_approx(count, 0.99)").as("p99"))
+            .head()
+          // dirty side: vowel-stripped copies (skeleton-invariant, so
+          // the true source is always in the candidate set)
+          val d = cat.where(col("id") % 7 === 0)
+            .select(col("id").as("dirty_id"),
+              regexp_replace(col("name"), "e", "").as("dirty_name"))
+          val nd = d.count()
+          val ls = d.withColumn("__blk", skel(col("dirty_name")))
+          val cand = time(s"real skeleton candidates x$mult")(ls.join(rs, "__blk").count())
+          val selfHits = ls.join(rs, "__blk").where(col("dirty_id") === col("id")).count()
+          println(s"PROF real x$mult: corpus=$n dirty=$nd blocks=${stats.getAs[Long]("blocks")} " +
+            s"maxblock=${stats.getAs[Long]("maxb")} p99block=${stats.get(2)} " +
+            s"candidates=$cand (avg ${"%.2f".format(cand * 1.0 / nd)} per dirty row) " +
+            s"sourceRecall=$selfHits/$nd")
+          cat.unpersist()
+        }
+        partsR.unpersist()
+
       case "pagerank" =>
         // Iterative-join layout cost: the q_pagerank graph at 1x and
         // 10x edges (10 disjoint shifted copies — same degree
