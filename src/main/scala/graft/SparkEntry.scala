@@ -788,6 +788,31 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ---- S1/S2 end-to-end: the paged REST ingest's in-engine half.
+    // Derive the key-ranged paged landing a fetcher would produce
+    // (one JSON batch per keyed page request), then scan it back
+    // through the DataSource V2 connector — planning-time page
+    // pruning against manifest key envelopes, column pruning into
+    // the parse loop, row filter re-applied by Spark. The oracle is
+    // the same aggregate over the parquet events the pages were
+    // derived from, so the whole land → manifest → pruned-scan loop
+    // is exact-oracle-gated, not just spec-gated. ----
+    "q_rest_pages" -> ((s, dir) => {
+      val landing = graft.sources.v2.PagedLanding.ensureLanding(s, dir)
+      s.read.format("graft-pages")
+        .schema(graft.sources.v2.PagedLanding.pageSchema)
+        .option("manifest", landing)
+        .option("keyCol", "user_id")
+        .load()
+        .where(col("user_id").between(3L, 9L)) // key-range page prune at any sf
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("min_event"),
+          max(col("event_id")).as("max_event"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- Z-order layout key: the Morton interleave behind
     // OPTIMIZE ZORDER BY — pure shift/mask column arithmetic, so the
     // physical-layout sort key itself is exact-oracle-checkable (the
@@ -3691,6 +3716,17 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount > 0.08""".stripMargin,
+
+    // the connector round-trip must reproduce the parquet truth the
+    // pages were derived from — integer-only aggregates, so the JSON
+    // land/parse loop has nowhere to hide a lossy conversion
+    "q_rest_pages" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9
+        |GROUP BY event_type""".stripMargin,
 
     // Morton spread as four shift-or-mask steps per key, identical
     // bitwise semantics in both engines (BIGINT <<, &, |).
