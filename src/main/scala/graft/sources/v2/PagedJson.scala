@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,6 +69,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * exact predicates — identical to parquet row-group pruning
   * semantics), and reports the key-range subset it prunes with via
   * `pushedFilters` so `.explain` shows what the scan skipped.
+  *
+  * The table also supports MICRO_BATCH_READ: `readStream` over the
+  * same landing directory tails the append-only manifest, planning
+  * each trigger's batch from the lines appended since the last
+  * committed offset — see `PagedMicroBatchStream`.
   */
 class PagedJsonSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pages"
@@ -107,6 +113,13 @@ private[v2] object PagedJson {
 
   /** One manifest row = one page. */
   final case class PageStat(path: String, rows: Long, keyMin: Long, keyMax: Long)
+
+  /** Streaming-friendly manifest read: a landing zone may be
+    * subscribed to before its fetcher lands the first page. */
+  def readManifestIfExists(dir: String): Seq[PageStat] = {
+    val p = new Path(dir, "manifest.json")
+    if (p.getFileSystem(new Configuration()).exists(p)) readManifest(dir) else Seq.empty
+  }
 
   /** Driver-side manifest read: one small file, Hadoop FS API so the
     * landing zone can live on any supported filesystem. */
@@ -180,7 +193,7 @@ private[v2] class PagedJsonTable(tableSchema: StructType, manifestDir: String,
   override def name(): String = s"paged_json(`$manifestDir`)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedJsonScanBuilder(schema, manifestDir, keyCol)
 }
@@ -232,6 +245,73 @@ class PagedJsonScan(manifestDir: String, requiredSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(requiredSchema)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagedMicroBatchStream(manifestDir, requiredSchema, pageFilters, keyCol)
+}
+
+/** Streaming offset = number of manifest lines consumed. The manifest
+  * is APPEND-ONLY by contract (the fetcher appends one line as each
+  * page lands, pages themselves are immutable), so a line count is a
+  * total order over landed data and replaying [start, end) is
+  * deterministic — exactly-once ingest falls out of the checkpoint
+  * committing these offsets, with no source-side state at all. */
+case class PagedStreamOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Micro-batch ingest of a paged landing zone: each trigger picks up
+  * the manifest lines appended since the last committed offset and
+  * plans one partition per new page — the engine-side half of the
+  * reference's every-N-minutes fetch loop, expressed as a Structured
+  * Streaming source instead of an external scheduler re-running a
+  * batch job. Key-envelope pruning applies per batch when the query
+  * pushed key-range filters; a pruned page is skipped permanently,
+  * exactly as in the batch scan (envelopes prove it holds no
+  * matching rows). `Trigger.AvailableNow` is supported by pinning
+  * the target offset at stream start. */
+class PagedMicroBatchStream(manifestDir: String, requiredSchema: StructType,
+                            pageFilters: Array[Filter], keyCol: Option[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def manifestLines(): Long = PagedJson.readManifestIfExists(manifestDir).length.toLong
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(manifestLines())
+
+  override def initialOffset(): Offset = PagedStreamOffset(0L)
+
+  override def latestOffset(): Offset =
+    PagedStreamOffset(availableNowTarget.getOrElse(manifestLines()))
+
+  /** Admission-control form (SupportsTriggerAvailableNow extends it).
+    * All landed pages are admitted per trigger — page batches are the
+    * fetcher's own rate unit, so a second rate limit would just delay
+    * data the manifest already promised. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PagedStreamOffset].n
+    val e = end.asInstanceOf[PagedStreamOffset].n
+    val pages = PagedJson.readManifestIfExists(manifestDir)
+    require(pages.length >= e,
+      s"manifest truncated: committed offset $e exceeds ${pages.length} landed pages — " +
+        "landing manifests are append-only; a rewritten manifest breaks replay")
+    pages.slice(s.toInt, e.toInt)
+      .filter(p => keyCol.forall(k => pageFilters.forall(PagedJson.pageSurvives(p, _, k))))
+      .map(p => PagedInputPartition(p.path): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(requiredSchema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def deserializeOffset(json: String): Offset =
+    PagedStreamOffset(json.trim.toLong)
 }
 
 case class PagedInputPartition(path: String) extends InputPartition
