@@ -612,6 +612,19 @@ object SparkEntry {
       graft.operators.PageRank.ranks(edges, iters = 5)
         .orderBy(col("id"))
     }),
+    // ---- triangle counting with degree-ordered orientation over
+    // the parts-bought-together co-occurrence graph (edge = two
+    // parts in the same order). Exact integers end to end; the
+    // oracle replicates the identical orientation, so each triangle
+    // is counted once at its lowest-(deg,id) corner ----
+    "q_triangles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).where(col("u") < col("v"))
+        .select(col("u").as("src"), col("v").as("dst")).distinct()
+      graft.operators.Triangles.perNodeCounts(edges).orderBy(col("id"))
+    }),
     // ---- product quantization: 64 floats -> 4 codebook codes
     // (Jégou et al. 2011). Integer-quantized subspace distances make
     // encode (argmin, ties to smallest centroid) and ADC scores
@@ -691,6 +704,32 @@ object SparkEntry {
       graft.multimodal.Multimodal.decodeFeatures(media)
         .select(
           Seq(col("media_id"), col("n_bytes"), col("width"), col("height")) ++
+            (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+        .orderBy(col("media_id"))
+    }),
+    // ---- REAL audio decode, exact-oracled (the WAV twin of
+    // q_media_decode): each doc_id becomes a genuine 52-byte
+    // RIFF/WAVE file — 44-byte canonical PCM header + four 16-bit
+    // mono samples at 8 kHz, each sample a pure function of doc_id —
+    // AudioCodec parses the actual bytes back to signed samples, and
+    // the oracle recomputes the integer-derived features
+    // arithmetically ----
+    "q_audio_decode" -> ((s, dir) => {
+      // RIFF(44) WAVE fmt(16): PCM, mono, 8000 Hz, 16-bit; data(8)
+      val header = "52494646" + "2c000000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0100" + "401f0000" + "803e0000" + "0200" + "1000" +
+        "64617461" + "08000000"
+      def u(mult: Int) = pmod(col("doc_id") * mult, lit(65536L))
+      def hx(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+      def le16(c: org.apache.spark.sql.Column) =
+        concat(hx(pmod(c, lit(256L))), hx(shiftright(c, 8)))
+      val payload = unhex(concat(lit(header),
+        le16(u(7)), le16(u(31)), le16(u(131)), le16(u(8191))))
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("audio").as("kind"), payload.as("payload"))
+      graft.multimodal.Multimodal.decodeFeatures(media)
+        .select(
+          Seq(col("media_id"), col("n_bytes"), col("sample_rate")) ++
             (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy(col("media_id"))
     }),
@@ -842,6 +881,58 @@ object SparkEntry {
             pmod(col("l_suppkey"), lit(65536L)),
             pmod(col("l_orderkey"), lit(65536L))), bits = 16).as("zkey"))
         .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+    // ---- small-file compaction planning (lakehouse OPTIMIZE's
+    // metadata half): documents stand in for a file listing
+    // (partition = source, size = n_chars) — the plan is one window
+    // expression over the listing, exact-integer deterministic ----
+    "q_compaction_plan" -> ((s, dir) => {
+      val files = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      graft.ops.Compaction.plan(files, Seq("source"), "doc_id", "n_chars", 500L)
+        .orderBy(col("doc_id"))
+    }),
+    // ---- URL normalization + per-domain curation stats (the
+    // crawl-pipeline shape): messy URL spellings are synthesized
+    // from doc fields — mixed case, www., default ports, trailing
+    // dots, fragments — pushed through the full ops.Urls regexp
+    // chain, and the oracle checks the result against ground-truth
+    // hosts built arithmetically from the same fields ----
+    "q_domain_stats" -> ((s, dir) => {
+      val tld = when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("org"))
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example."), tld,
+            lit(":443/docs/"), col("doc_id"), lit("?utm=x#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://"), col("source"), lit(".example."), tld,
+            lit(":80/d/"), col("doc_id")))
+        .otherwise(
+          concat(lit("https://cdn."), col("source"), lit(".example."), tld,
+            lit("./media/"), col("doc_id"), lit("#x")))
+      val host = graft.ops.Urls.host(url)
+      Tables.documents(s, dir)
+        .select(host.as("host"),
+          graft.ops.Urls.registrableDomain(host).as("domain"),
+          col("n_chars"), col("lang"))
+        .groupBy(col("host"), col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy(col("host"))
+    }),
+    // ---- BPE ENCODE under a trained merge table (the native
+    // plans.BpeEncode expression — the real greedy merge chain, not
+    // a regex approximation). The oracle uses a merge table whose
+    // greedy application has a closed form — ("t","h") single-char
+    // non-overlapping, ("e","</w>") terminal, alphabets disjoint so
+    // the merges can't interact — making the general engine path
+    // checkable arithmetically (the q_media_decode pattern) ----
+    "q_bpe_encode" -> ((s, dir) => {
+      val merges = Seq(("t", "h"), ("e", graft.ops.Bpe.EndOfWord))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.Bpe.bpeTokenCount(col("text"), merges).as("n_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // ---- O2/O3/O4/O6/O7: the predicate kit on one frame ----
@@ -3199,6 +3290,43 @@ object SparkEntry {
           |FROM px
           |ORDER BY media_id""".stripMargin,
 
+      // AudioCodec's integer-derived features (class doc formula)
+      // from the same doc_id sample arithmetic: u = (doc_id·p) mod
+      // 2^16 stored little-endian, decoded back to signed 16-bit,
+      // integer sums + one IEEE division each. n_bytes = 44-byte
+      // header + 8 bytes of samples.
+      "q_audio_decode" ->
+        """WITH sv AS (
+          |  SELECT d.doc_id, m.k,
+          |    CASE WHEN ((d.doc_id * m.p) % 65536) < 32768
+          |         THEN ((d.doc_id * m.p) % 65536)
+          |         ELSE ((d.doc_id * m.p) % 65536) - 65536 END AS s
+          |  FROM documents d, (VALUES (0, 7), (1, 31), (2, 131), (3, 8191)) m(k, p)
+          |), agg AS (
+          |  SELECT doc_id,
+          |    SUM(ABS(s)) AS sabs, SUM(s * s) AS ssq,
+          |    MIN(s) AS smin, MAX(s) AS smax,
+          |    SUM(CASE WHEN ABS(s) >= 32256 THEN 1 ELSE 0 END) AS nclip
+          |  FROM sv GROUP BY doc_id
+          |), zc AS (
+          |  SELECT a.doc_id,
+          |    SUM(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 ELSE 0 END) AS z
+          |  FROM sv a JOIN sv b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+          |  GROUP BY a.doc_id
+          |)
+          |SELECT g.doc_id AS media_id, CAST(52 AS BIGINT) AS n_bytes,
+          |  CAST(8000 AS INT) AS sample_rate,
+          |  g.sabs / (4 * 32768.0) AS f0,
+          |  g.ssq / (4 * 32768.0 * 32768.0) AS f1,
+          |  g.smin / 32768.0 AS f2,
+          |  g.smax / 32768.0 AS f3,
+          |  z.z / 3.0 AS f4,
+          |  g.nclip / 4.0 AS f5,
+          |  4 / 8000.0 AS f6,
+          |  CAST(1 AS DOUBLE) AS f7
+          |FROM agg g JOIN zc z ON z.doc_id = g.doc_id
+          |ORDER BY media_id""".stripMargin,
+
       // Mirrors Multimodal.resizeStub(224, 224) over the decode stub's
       // md5-derived dimensions.
       "q_media_resize" ->
@@ -3532,6 +3660,36 @@ object SparkEntry {
           |)
           |SELECT id, CAST(r AS BIGINT) AS rank FROM i5 ORDER BY id""".stripMargin,
 
+      // Triangles: the same degree-ordered orientation as the engine
+      // (orient each undirected edge from its (deg,id)-smaller
+      // endpoint), wedge join on the shared source, close with an
+      // oriented edge — each triangle materializes exactly once.
+      "q_triangles" ->
+        """WITH pe AS (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |), deg AS (
+          |  SELECT id, CAST(count(*) AS BIGINT) AS d
+          |  FROM (SELECT u AS id FROM pe UNION ALL SELECT v AS id FROM pe)
+          |  GROUP BY 1
+          |), o AS (
+          |  SELECT
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND pe.u < pe.v) THEN pe.u ELSE pe.v END AS src,
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND pe.u < pe.v) THEN pe.v ELSE pe.u END AS dst,
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND pe.u < pe.v) THEN dv.d ELSE du.d END AS ddeg
+          |  FROM pe JOIN deg du ON du.id = pe.u JOIN deg dv ON dv.id = pe.v
+          |), tri AS (
+          |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          |  FROM o e1
+          |  JOIN o e2 ON e1.src = e2.src
+          |    AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+          |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+          |)
+          |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+          |FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+          |GROUP BY id ORDER BY id""".stripMargin,
+
       // PQ: centroids = corpus rows vec_id < 16 subspace-sliced;
       // encode = per-subspace argmin of exact integer squared L2
       // (lexicographic list min → ties to smallest centroid id);
@@ -3771,6 +3929,57 @@ object SparkEntry {
          |FROM t0
          |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
     },
+
+    // Compaction plan: same window recurrence — preceding cumsum of
+    // small-file sizes within the partition, floored to the target.
+    "q_compaction_plan" ->
+      """SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CASE WHEN n_chars < 500 THEN 'compact' ELSE 'keep' END AS action,
+        |  CASE WHEN n_chars < 500 THEN CAST(FLOOR(COALESCE(
+        |    SUM(CASE WHEN n_chars < 500 THEN n_chars ELSE 0 END) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500.0) AS BIGINT)
+        |  END AS bin_id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Domain stats: the oracle does NOT replicate the regexp chain —
+    // it constructs the ground-truth normalized host from the same
+    // doc fields, so the whole Urls.host normalization (case, www.,
+    // port, trailing dot, fragment) is verified end to end.
+    "q_domain_stats" ->
+      """WITH h AS (
+        |  SELECT
+        |    CASE WHEN doc_id % 3 = 2 THEN 'cdn.' || source ELSE source END
+        |      || '.example.' || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS host,
+        |    'example.' || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS domain,
+        |    n_chars, lang
+        |  FROM documents
+        |)
+        |SELECT host, domain,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM h GROUP BY host, domain
+        |ORDER BY host""".stripMargin,
+
+    // BPE encode: tokens per word = (codepoints + 1 for </w>)
+    // − one per greedy merge. With disjoint single-char pair (t,h)
+    // and terminal pair (e,</w>), merge counts have closed forms:
+    // non-overlapping 'th' occurrences + ends-with-'e'.
+    "q_bpe_encode" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    CAST(len(word) + 1
+        |      - (len(word) - len(replace(word, 'th', ''))) // 2
+        |      - CASE WHEN word LIKE '%e' THEN 1 ELSE 0 END AS BIGINT) AS n
+        |  FROM w WHERE len(word) > 0
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(sum(t.n), 0) AS BIGINT) AS n_tokens
+        |FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_filter_kit" ->
       """SELECT event_id, user_id, event_type, value

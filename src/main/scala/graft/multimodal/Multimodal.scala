@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * structs; decode / feature-extract / resize / frame-sample run as
   * partition-batched functions over the binary column.
   *
-  * Decoding is layered: image payloads in the two formats a bare JVM
-  * can parse exactly — uncompressed 24-bpp BMP and binary PPM — go
-  * through the REAL decoder (`ImageCodec`: bytes → pixels → exact
-  * integer-derived features); everything else (audio/video codecs
-  * absent from this container, unrecognized image bytes) falls back
+  * Decoding is layered: payloads in the formats a bare JVM can parse
+  * exactly — uncompressed 24-bpp BMP and binary PPM images
+  * (`ImageCodec`) and 16-bit PCM RIFF/WAVE audio (`AudioCodec`) — go
+  * through REAL decoders (bytes → samples/pixels → exact
+  * integer-derived features); everything else (compressed codecs
+  * absent from this container, unrecognized bytes) falls back
   * to `decodeStub`, a deterministic md5-seeded fake that preserves
   * the schema/batching contract. Swapping in a full codec library
   * widens the real branch only — the Spark-side shape (mapPartitions
@@ -86,14 +87,18 @@ object Multimodal {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
-          // real decode first (BMP/PPM images), stub fallback
-          val real = if (kind == "image") ImageCodec.decode(payload) else None
-          real match {
-            case Some(d) =>
+          // real decode first (BMP/PPM images, PCM WAV audio), stub fallback
+          val realImg = if (kind == "image") ImageCodec.decode(payload) else None
+          val realAud = if (kind == "audio") AudioCodec.decode(payload) else None
+          (realImg, realAud) match {
+            case (Some(d), _) =>
               Row(id, kind, payload.length.toLong,
                 Integer.valueOf(d.width), Integer.valueOf(d.height),
                 null, d.features.toSeq)
-            case None =>
+            case (_, Some(a)) =>
+              Row(id, kind, payload.length.toLong,
+                null, null, Integer.valueOf(a.sampleRate), a.features.toSeq)
+            case _ =>
               val (w, h, sr, feats) = decodeStub(kind, payload)
               Row(id, kind, payload.length.toLong,
                 if (kind == "audio") null else Integer.valueOf(w),

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle counting with degree-ordered orientation — the
+  * third graph primitive next to `Components` (connectivity) and
+  * `PageRank` (centrality). Triangles drive clustering-coefficient /
+  * community features over co-occurrence graphs (e.g. "products
+  * bought together", "documents sharing a near-dup cluster").
+  *
+  * Algorithm (Cohen 2009 / Suri-Vassilvitskii 2011, the MapReduce
+  * classic): orient every undirected edge from its (degree, id)-
+  * smaller endpoint to the larger, then count wedges (a→b, a→c with
+  * (b,c) in orientation order) that close with an oriented edge
+  * b→c. Each triangle is produced exactly once, at its unique
+  * lowest-(degree,id) corner.
+  *
+  * Why orientation is THE scale move: a naive wedge join fans out
+  * quadratically at hub nodes (a degree-10⁶ node yields 10¹² wedge
+  * candidates). Orienting by degree caps every node's OUT-degree at
+  * O(√m) — a hub's edges almost all point INTO it — so total wedge
+  * volume is O(m^{3/2}) worst-case and far less on real power-law
+  * graphs. The hot key problem disappears structurally rather than
+  * via salting.
+  *
+  * Plan shape: two |V|-sized degree joins (once), then one self
+  * equi-join on src (wedges) and one equi-join on (b, c) to close
+  * them — all standard shuffle hash joins on key columns, no
+  * cartesian anywhere, no driver collect. Everything is exact
+  * integer arithmetic, so results are bit-identical across
+  * partitionings and engines (q_triangles hash-matches a DuckDB
+  * replica of the same orientation).
+  */
+object Triangles {
+
+  /** Canonical undirected edge set: one row per unordered pair
+    * {u, v}, u < v, self-loops and duplicate orientations dropped. */
+  def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src").cast("long"), col("dst").cast("long")).as("u"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+
+  /** Undirected degrees over the canonical edge set: (id, deg). */
+  private def degrees(canon: DataFrame): DataFrame =
+    canon.select(col("u").as("id")).unionAll(canon.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+
+  /** Degree-ordered orientation of the canonical edges:
+    * (src, dst, ddeg) where (deg(src), src) < (deg(dst), dst) and
+    * ddeg = deg(dst) — carried so the wedge join can compare
+    * orientation order without re-joining degrees. */
+  private[graft] def oriented(canon: DataFrame): DataFrame = {
+    val deg = degrees(canon)
+    val du = deg.select(col("id").as("u"), col("deg").as("udeg"))
+    val dv = deg.select(col("id").as("v"), col("deg").as("vdeg"))
+    canon.join(du, "u").join(dv, "v")
+      .select(
+        when(col("udeg") < col("vdeg") ||
+             (col("udeg") === col("vdeg") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("vdeg").as("ddeg")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"), col("udeg").as("ddeg")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+  }
+
+  /** All triangles, one row each: (a, b, c) in orientation order
+    * (a is the unique lowest-(degree,id) corner). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val o = oriented(canonicalEdges(edges))
+    val e1 = o.select(col("src").as("a"), col("dst").as("b"),
+      col("ddeg").as("bdeg"))
+    val e2 = o.select(col("src").as("a"), col("dst").as("c"),
+      col("ddeg").as("cdeg"))
+    val closer = o.select(col("src").as("b"), col("dst").as("c"))
+    e1.join(e2, Seq("a"))
+      .where(col("bdeg") < col("cdeg") ||
+             (col("bdeg") === col("cdeg") && col("b") < col("c")))
+      .join(closer, Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  /** Per-node triangle participation counts: (id, n_triangles),
+    * nodes in no triangle omitted. The local clustering coefficient
+    * is n_triangles / C(deg, 2) — join `degrees` back if needed. */
+  def perNodeCounts(edges: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    tri.select(col("a").as("id"))
+      .unionAll(tri.select(col("b").as("id")))
+      .unionAll(tri.select(col("c").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+}

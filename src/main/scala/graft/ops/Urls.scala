@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL normalization for web-corpus curation — the canonicalization
+  * step every crawl-derived training set runs before per-domain
+  * aggregation, domain-level quality scoring, and URL-key dedup
+  * (two spellings of one URL are the most common exact-dup source in
+  * crawl data).
+  *
+  * Everything is built from `regexp_extract`/`regexp_replace` column
+  * expressions — codegen'd, row-local, no UDF, streaming-legal —
+  * and every rule is deterministic, so normalized keys are stable
+  * across engines (q_domain_stats checks the whole chain against
+  * ground-truth hosts constructed arithmetically in the oracle).
+  *
+  * Normalization contract (documented, exact):
+  *  - fragment (`#…`) dropped;
+  *  - host matched after an optional `scheme://` (bare
+  *    `example.com/path` works; userinfo is not supported — it is a
+  *    phishing marker worth quarantining upstream, not normalizing);
+  *  - host lowercased; explicit port, ONE trailing dot, and ONE
+  *    leading `www.` stripped (in that order — `WWW.x.com.:8080`
+  *    → `x.com`);
+  *  - `registrableDomain` = last two labels, a documented
+  *    public-suffix-LITE approximation: correct for `.com`/`.org`
+  *    style TLDs, wrong for multi-label suffixes like `co.uk`
+  *    (a real PSL is a ~10k-row broadcast-join table, the same
+  *    plan shape — this keeps the exact-oracle property instead).
+  *
+  * Scale: a narrow per-row projection — normalization cost is
+  * O(bytes scanned), no shuffle; the per-domain aggregate after it
+  * is one hash aggregation on a low-cardinality key.
+  */
+object Urls {
+
+  /** The URL without its fragment part. */
+  def stripFragment(url: Column): Column = regexp_replace(url, "#.*$", "")
+
+  /** Raw `host[:port]` as spelled (lowercased), after an optional
+    * scheme. Empty string when nothing host-like is present. */
+  private def hostPort(url: Column): Column =
+    lower(regexp_extract(stripFragment(url),
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]+)", 1))
+
+  /** Normalized host: lowercased, port / one trailing dot / one
+    * leading `www.` stripped. */
+  def host(url: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(hostPort(url), ":[0-9]+$", ""),
+        "\\.$", ""),
+      "^www\\.", "")
+
+  /** Last two labels of a normalized host (public-suffix-lite; see
+    * class doc). Empty string for single-label hosts. */
+  def registrableDomain(hostCol: Column): Column =
+    regexp_extract(hostCol, "([^.]+\\.[^.]+)$", 1)
+
+  /** Path with the default-document normalization crawls use: no
+    * path → `/`; query string kept (it distinguishes documents),
+    * fragment dropped. */
+  def pathQuery(url: Column): Column = {
+    val pq = regexp_extract(stripFragment(url),
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(.*)$", 1)
+    when(pq === "", lit("/")).otherwise(pq)
+  }
+
+  /** Full canonical key for URL-level dedup:
+    * `host + pathQuery` — scheme deliberately dropped (http/https
+    * duplicates are the same document in crawl data). */
+  def canonicalKey(url: Column): Column = concat(host(url), pathQuery(url))
+}
