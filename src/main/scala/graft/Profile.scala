@@ -600,6 +600,36 @@ object Profile {
           spark.sql(s"DROP TABLE IF EXISTS prof_pr_$n")
         }
 
+      case "triangles" =>
+        // Wedge volume (the triangle join's true cost driver) under
+        // degree orientation vs naive id orientation, and wall time,
+        // at 1x and 10x edges (disjoint shifted copies — linear
+        // scaling expected since copies share no wedges).
+        import graft.operators.Triangles
+        def coEdges = {
+          val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+          li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+            .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("v")), Seq("k"))
+            .where(col("u") < col("v"))
+            .select(col("u").as("src"), col("v").as("dst")).distinct()
+        }
+        def wedges(o: org.apache.spark.sql.DataFrame): Long =
+          o.groupBy(col("src")).agg(count(lit(1)).as("c"))
+            .agg(sum(expr("c * (c - 1) div 2")).as("w")).head().getLong(0)
+        for (n <- Seq(1, 10)) {
+          val off = 10000000L
+          val e = (0 until n).map(i => coEdges.select(
+              (col("src") + lit(i * off)).as("src"), (col("dst") + lit(i * off)).as("dst")))
+            .reduce(_.unionByName(_)).localCheckpoint(true)
+          val cnt = e.count()
+          val canon = Triangles.canonicalEdges(e).localCheckpoint(true)
+          val wDeg = wedges(Triangles.oriented(canon))
+          val wId = wedges(canon.select(col("u").as("src"), col("v").as("dst")))
+          println(s"PROF wedges x$n ($cnt edges): deg-oriented=$wDeg id-oriented=$wId")
+          time(s"triangles x$n")(Triangles.triangles(e).count())
+          time(s"perNode x$n warm")(Triangles.perNodeCounts(e).count())
+        }
+
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

@@ -616,9 +616,16 @@ object SparkEntry {
     // the parts-bought-together co-occurrence graph (edge = two
     // parts in the same order). Exact integers end to end; the
     // oracle replicates the identical orientation, so each triangle
-    // is counted once at its lowest-(deg,id) corner ----
+    // is counted once at its lowest-(deg,id) corner. Instance
+    // sizing: wedge volume (the algorithm's true cost, Σ outdeg²)
+    // grows with the SQUARE of co-occurrence density, so the gate
+    // instance takes the deterministic quarter of orders — the full
+    // graph is the Profile/SCALE_NOTES measurement, not the
+    // per-round bench ----
     "q_triangles" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
       val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
       val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
       val edges = a.join(b, Seq("k")).where(col("u") < col("v"))
@@ -882,6 +889,19 @@ object SparkEntry {
             pmod(col("l_orderkey"), lit(65536L))), bits = 16).as("zkey"))
         .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
     }),
+    // ---- Hilbert-curve layout key (the locality-better sibling of
+    // q_zorder, what modern lakehouse clustering uses): the native
+    // plans.Hilbert expression's 16-step reflect/rotate walk,
+    // hash-matched against a 16-chained-CTE replica of the same
+    // recurrence in DuckDB ----
+    "q_hilbert" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.plans.Hilbert.hilbertKey2(
+            pmod(col("l_partkey"), lit(65536L)),
+            pmod(col("l_suppkey"), lit(65536L)), bits = 16).as("hkey"))
+        .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
     // ---- small-file compaction planning (lakehouse OPTIMIZE's
     // metadata half): documents stand in for a file listing
     // (partition = source, size = n_chars) — the plan is one window
@@ -919,6 +939,45 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy(col("host"))
+    }),
+    // ---- domain-level leakage-safe split (the crawl practice:
+    // train/valid/test boundaries at the HOST, not the document —
+    // two pages of one site must never straddle a split). Pure
+    // composition: Urls.host -> Sampling.assignSplit on the host
+    // string, so split membership is a deterministic function of
+    // the normalized host ----
+    "q_domain_split" -> ((s, dir) => {
+      val tld = when(col("doc_id") % 2 === 0, lit("com")).otherwise(lit("org"))
+      val url = when(col("doc_id") % 3 === 0,
+          concat(lit("HTTPS://WWW."), upper(col("source")), lit(".Example."), tld,
+            lit(":443/docs/"), col("doc_id"), lit("?utm=x#frag")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("http://"), col("source"), lit(".example."), tld,
+            lit(":80/d/"), col("doc_id"))).otherwise(
+          concat(lit("https://cdn."), col("source"), lit(".example."), tld,
+            lit("./media/"), col("doc_id"), lit("#x")))
+      val withHost = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.Urls.host(url).as("host"))
+      graft.ops.Sampling.assignSplit(withHost, "host", 80, 10)
+        .groupBy(col("split"), col("host"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("host"))
+    }),
+    // ---- versioned-snapshot table read (sources.Snapshots): the
+    // corpus lands over a real 4-version history — two appends, a
+    // bad overwrite, a rollback — and the query reads HEAD through
+    // the manifest protocol; the oracle is the same aggregate over
+    // the raw corpus, proving the commit/rollback/read path loses
+    // and invents nothing ----
+    "q_snapshot_read" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
+      graft.sources.Snapshots.read(s, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("lang"))
     }),
     // ---- BPE ENCODE under a trained merge table (the native
     // plans.BpeEncode expression — the real greedy merge chain, not
@@ -3669,6 +3728,7 @@ object SparkEntry {
           |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           |  FROM lineitem a JOIN lineitem b
           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  WHERE a.l_orderkey % 4 = 0
           |), deg AS (
           |  SELECT id, CAST(count(*) AS BIGINT) AS d
           |  FROM (SELECT u AS id FROM pe UNION ALL SELECT v AS id FROM pe)
@@ -3930,6 +3990,40 @@ object SparkEntry {
          |ORDER BY zkey, l_orderkey, l_linenumber""".stripMargin
     },
 
+    // Hilbert key: the identical xy->d recurrence as the engine,
+    // one CTE per scale step (s = 2^15 .. 2^0). Within each step the
+    // SELECT reads the PREVIOUS step's (x, y, d) row, so d uses the
+    // pre-rotation coordinates exactly like the JVM loop; (3rx)^ry
+    // is spelled as a CASE to avoid engine-specific XOR operators.
+    "q_hilbert" -> {
+      val steps = (0 until 16).map { k =>
+        val b = 15 - k
+        val s2 = (1L << b) * (1L << b)
+        s"""h${k + 1} AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    CASE WHEN ((y >> $b) & 1) = 0
+           |         THEN CASE WHEN ((x >> $b) & 1) = 1 THEN 65535 - y ELSE y END
+           |         ELSE x END AS x,
+           |    CASE WHEN ((y >> $b) & 1) = 0
+           |         THEN CASE WHEN ((x >> $b) & 1) = 1 THEN 65535 - x ELSE x END
+           |         ELSE y END AS y,
+           |    d + CAST($s2 AS BIGINT) *
+           |      (CASE WHEN ((x >> $b) & 1) = 0 THEN ((y >> $b) & 1)
+           |            ELSE 3 - ((y >> $b) & 1) END) AS d
+           |  FROM h$k
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH h0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_partkey % 65536 AS x, l_suppkey % 65536 AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem
+         |), $steps
+         |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hkey
+         |FROM h16
+         |ORDER BY hkey, l_orderkey, l_linenumber""".stripMargin
+    },
+
     // Compaction plan: same window recurrence — preceding cumsum of
     // small-file sizes within the partition, floored to the target.
     "q_compaction_plan" ->
@@ -3962,6 +4056,36 @@ object SparkEntry {
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
         |FROM h GROUP BY host, domain
         |ORDER BY host""".stripMargin,
+
+    // Domain split: ground-truth host (as in q_domain_stats) pushed
+    // through the md5 hash-bucket convention on the HOST string.
+    "q_domain_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2 THEN 'cdn.' || source ELSE source END
+        |      || '.example.' || CASE WHEN doc_id % 2 = 0 THEN 'com' ELSE 'org' END AS host
+        |  FROM documents
+        |), b AS (
+        |  SELECT host,
+        |    CAST(concat('0x', substr(md5(host), 1, 15)) AS BIGINT) % 100 AS bucket
+        |  FROM h
+        |)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |       host, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1, 2
+        |ORDER BY host""".stripMargin,
+
+    // Snapshot read: HEAD of the 4-version demo history equals the
+    // raw corpus — commit/overwrite/rollback must be lossless.
+    "q_snapshot_read" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // BPE encode: tokens per word = (codepoints + 1 for </w>)
     // − one per greedy merge. With disjoint single-char pair (t,h)

@@ -1,0 +1,185 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Versioned-snapshot table layout — the minimal lakehouse commit
+  * protocol (Iceberg/Delta's core idea) from plain parquet + an
+  * atomic manifest swap, with time travel, rollback, optimistic
+  * concurrency, and vacuum.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _snapshots/v00000001.txt   one manifest per committed version
+  *     data/c1-<nonce>/part-*.parquet
+  * }}}
+  * A manifest is line-oriented (version / parent / op headers, then
+  * one live data-file path per line — deliberately not JSON: nothing
+  * to mis-parse, trivially diffable). The COMMIT is the atomic
+  * hard-link publish of the next manifest into `_snapshots/`
+  * (link() fails with EEXIST where rename() would silently replace
+  * the race winner): readers resolve
+  * the newest manifest and read exactly its file list, so they see
+  * complete versions only — a half-written data directory is
+  * invisible until its manifest lands (snapshot isolation), and two
+  * racing writers cannot both win version N+1 (the second rename
+  * fails loud — optimistic concurrency, retry by re-reading HEAD).
+  *
+  * Why it scales: readers never list data directories — one small
+  * `_snapshots/` listing resolves HEAD, then the manifest IS the
+  * file list (the object-store point: LIST on a 100 TB prefix is
+  * the operation that doesn't scale; manifests make reads O(files
+  * actually live)). Appends write only new files; overwrites write
+  * new files and drop references (old bytes stay until `vacuum`,
+  * which is what makes time travel free). Caveat vs the real
+  * formats, stated honestly: single-filesystem link atomicity (no
+  * lock service — on S3-style stores the publish needs a conditional
+  * PUT), no column stats in manifests (pair with `Layout.fileEnvelopes`
+  * for skipping), no schema evolution tracking.
+  */
+object Snapshots {
+
+  private val SnapDir = "_snapshots"
+
+  private def snapPath(tableDir: String): Path = Paths.get(tableDir, SnapDir)
+
+  private def manifestPath(tableDir: String, v: Int): Path =
+    snapPath(tableDir).resolve(f"v$v%08d.txt")
+
+  /** Newest committed version, 0 if the table is empty/new. */
+  def currentVersion(tableDir: String): Int = {
+    val dir = snapPath(tableDir)
+    if (!Files.isDirectory(dir)) return 0
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{8}\\.txt") => s.substring(1, 9).toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** Live data files of `version` (default HEAD). Fails loud on a
+    * vacuumed-away or never-committed version. */
+  def liveFiles(tableDir: String, version: Int): Seq[String] = {
+    val p = manifestPath(tableDir, version)
+    require(Files.exists(p),
+      s"Snapshots: version $version of $tableDir does not exist " +
+        "(never committed, or its manifest was removed)")
+    Files.readAllLines(p).asScala.toSeq
+      .filterNot(l => l.startsWith("#") || l.isEmpty)
+      .filterNot(_.contains("="))
+  }
+
+  private def headerValue(lines: Seq[String], key: String): Option[String] =
+    lines.find(_.startsWith(s"$key=")).map(_.substring(key.length + 1))
+
+  /** Commit `df` as the next version. `mode` is "append" (new files
+    * join the previous version's) or "overwrite" (new files replace
+    * them). Returns the committed version. Throws
+    * `FileAlreadyExistsException` if another writer won the version
+    * race — re-read HEAD and retry. */
+  def commit(df: DataFrame, tableDir: String, mode: String = "append"): Int = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got '$mode'")
+    Files.createDirectories(snapPath(tableDir))
+    val prev = currentVersion(tableDir)
+    val v = prev + 1
+    // data lands under a nonce'd dir so a racing loser's files never
+    // collide with the winner's; unreferenced ones are vacuum fodder
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val dataDir = Paths.get(tableDir, "data", s"c$v-$nonce")
+    df.write.parquet(dataDir.toString)
+    val newFiles = Files.list(dataDir).iterator().asScala
+      .map(_.toString).filter(_.matches(".*part-.*\\.parquet")).toSeq.sorted
+    val carried = if (mode == "append" && prev > 0) liveFiles(tableDir, prev) else Seq.empty
+    writeManifest(tableDir, v, prev, mode, carried ++ newFiles)
+    v
+  }
+
+  /** Make `version`'s file list the new HEAD (as a NEW version —
+    * history is never rewritten). */
+  def rollback(tableDir: String, version: Int): Int = {
+    val files = liveFiles(tableDir, version) // loud if missing
+    val prev = currentVersion(tableDir)
+    val v = prev + 1
+    writeManifest(tableDir, v, prev, s"rollback($version)", files)
+    v
+  }
+
+  /** The atomic commit primitive: publish version `v`'s manifest via
+    * no-clobber rename. Package-private so the spec can drive the
+    * version race directly (two writers racing for the same v — the
+    * window `commit` itself cannot reopen deterministically). */
+  private[graft] def writeManifest(tableDir: String, v: Int, parent: Int,
+                                   op: String, files: Seq[String]): Unit = {
+    val body = (Seq(s"version=$v", s"parent=$parent", s"op=$op") ++ files)
+      .mkString("", "\n", "\n")
+    val tmp = Files.createTempFile(snapPath(tableDir), s".v$v-", ".tmp")
+    Files.writeString(tmp, body)
+    // POSIX rename() REPLACES an existing target, so ATOMIC_MOVE
+    // cannot express "publish unless someone beat me" — link() can:
+    // creating a hard link at the final name fails with EEXIST
+    // atomically when a racing writer already won this version
+    try Files.createLink(manifestPath(tableDir, v), tmp)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw e
+    }
+    Files.delete(tmp)
+  }
+
+  /** Read a committed snapshot: HEAD by default, any retained
+    * `version` for time travel. */
+  def read(spark: SparkSession, tableDir: String, version: Int = -1): DataFrame = {
+    val v = if (version >= 0) version else currentVersion(tableDir)
+    require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    val files = liveFiles(tableDir, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Delete data files referenced by NO retained version (the last
+    * `keepLast` versions stay readable) and the manifests of expired
+    * versions. Time travel to expired versions then fails loud —
+    * that is the documented trade for reclaiming bytes. */
+  def vacuum(tableDir: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val keepFrom = math.max(1, head - keepLast + 1)
+    val retained = (keepFrom to head)
+      .filter(v => Files.exists(manifestPath(tableDir, v)))
+      .flatMap(v => liveFiles(tableDir, v)).toSet
+    val dataRoot = Paths.get(tableDir, "data")
+    if (Files.isDirectory(dataRoot)) {
+      Files.walk(dataRoot).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !retained.contains(p.toString))
+        .foreach(Files.delete)
+      // drop now-empty commit dirs
+      Files.list(dataRoot).iterator().asScala.toSeq.foreach { d =>
+        if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
+      }
+    }
+    (1 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
+  }
+
+  /** Deterministic demo table for the q_snapshot_read oracle: the
+    * documents corpus committed in two appends (even doc_ids, then
+    * odd) plus one superseded-and-rolled-back overwrite, so the read
+    * path crosses a real multi-version history. Rebuilt fresh per
+    * call (the PagedLanding convention — no stale-testdata risk);
+    * staged under the system temp dir. */
+  def ensureDemoTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = Integer.toHexString(sfDir.hashCode)
+    val tableDir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-snap-$key")
+    if (Files.exists(tableDir))
+      Files.walk(tableDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    commit(docs.where("doc_id % 2 = 0"), tableDir.toString, "append")   // v1
+    commit(docs.where("doc_id % 2 = 1"), tableDir.toString, "append")   // v2
+    commit(docs.where("doc_id < 0"), tableDir.toString, "overwrite")    // v3 (empty, wrong)
+    rollback(tableDir.toString, 2)                                      // v4 == full corpus
+    tableDir.toString
+  }
+}

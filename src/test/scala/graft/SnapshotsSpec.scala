@@ -1,0 +1,108 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+class SnapshotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("snapspec").resolve("t").toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select($"id").as[Long].collect().sorted.toSeq
+
+  test("append commits accumulate; every version stays readable (time travel)") {
+    val t = freshTable()
+    assert(Snapshots.currentVersion(t) == 0)
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    val v2 = Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    assert((v1, v2) == ((1, 2)))
+    assert(ids(Snapshots.read(spark, t)) == Seq(1L, 2L, 3L))
+    assert(ids(Snapshots.read(spark, t, version = 1)) == Seq(1L, 2L))
+  }
+
+  test("overwrite replaces the live set without touching history") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), t, mode = "overwrite")
+    assert(ids(Snapshots.read(spark, t)) == Seq(9L))
+    assert(ids(Snapshots.read(spark, t, version = 1)) == Seq(1L)) // isolation
+  }
+
+  test("rollback restores an old file list as a NEW version") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t)
+    Snapshots.commit(spark.emptyDataset[(Long, String)].toDF("id", "s"), t, "overwrite")
+    val v = Snapshots.rollback(t, 2)
+    assert(v == 4 && Snapshots.currentVersion(t) == 4)
+    assert(ids(Snapshots.read(spark, t)) == Seq(1L, 2L))
+  }
+
+  test("a racing writer loses the version race loudly, never clobbers") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    // two writers that both read HEAD=1 race to publish v2: the
+    // first rename wins, the second must throw, not overwrite
+    Snapshots.writeManifest(t, 2, 1, "append", Seq("winner-file.parquet"))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      Snapshots.writeManifest(t, 2, 1, "append", Seq("loser-file.parquet"))
+    }
+    val dir = java.nio.file.Paths.get(t, "_snapshots")
+    val v2 = java.nio.file.Files.readString(dir.resolve("v00000002.txt"))
+    assert(v2.contains("winner-file") && !v2.contains("loser-file"))
+    // and a fresh commit moves PAST the interloper, never over it
+    val v3 = Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    assert(v3 == 3)
+  }
+
+  test("readers see complete versions only: un-manifested data dirs are invisible") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    // a crashed writer left data files but no manifest
+    Seq((99L, "junk")).toDF("id", "s")
+      .write.parquet(java.nio.file.Paths.get(t, "data", "c2-dead").toString)
+    assert(ids(Snapshots.read(spark, t)) == Seq(1L))
+    assert(Snapshots.currentVersion(t) == 1)
+  }
+
+  test("vacuum reclaims unreferenced bytes; retained versions still read") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)             // v1
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t, "overwrite") // v2
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t, "overwrite") // v3
+    Snapshots.vacuum(t, keepLast = 2)
+    assert(ids(Snapshots.read(spark, t)) == Seq(3L))
+    assert(ids(Snapshots.read(spark, t, version = 2)) == Seq(2L))
+    // v1 is expired: manifest gone, bytes gone, fails loud
+    intercept[IllegalArgumentException](Snapshots.read(spark, t, version = 1))
+    // v1's data dir was physically removed
+    val dataRoot = java.nio.file.Paths.get(t, "data")
+    val live = java.nio.file.Files.walk(dataRoot).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (live.hasNext) names += live.next().toString
+    assert(!names.exists(_.contains("c1-")))
+  }
+
+  test("bad inputs fail loud: unknown mode, missing version, empty table") {
+    val t = freshTable()
+    intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t, mode = "merge"))
+    intercept[IllegalArgumentException](Snapshots.read(spark, t))
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    intercept[IllegalArgumentException](Snapshots.read(spark, t, version = 7))
+    intercept[IllegalArgumentException](Snapshots.rollback(t, 7))
+    intercept[IllegalArgumentException](Snapshots.vacuum(t, 0))
+  }
+
+  test("demo table: 4-version history resolves to the full corpus") {
+    val dir = Snapshots.ensureDemoTable(spark, "/root/testdata/sf0.001")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert(Snapshots.currentVersion(dir) == 4)
+    assert(Snapshots.read(spark, dir).count() == docs.count())
+    assert(Snapshots.read(spark, dir, version = 3).count() == 0) // the bad overwrite
+    assert(Snapshots.read(spark, dir, version = 1).count() ==
+      docs.where("doc_id % 2 = 0").count())
+  }
+}

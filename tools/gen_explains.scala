@@ -50,7 +50,12 @@ val picks = Seq(
   "q_pagerank" -> "PageRank (final iteration shown): each round is one edges-join-ranks equi-join + one dst hash aggregate over localCheckpoint'd constant-size inputs (LogicalRDD scans) -- lineage never grows; ranks are exact scaled BIGINTs so the plan is free of IEEE accumulation order.",
   "q_cdc_apply" -> "CDC apply: the changelog collapses to one latest-per-key aggregate (window + max_by share ONE exchange on the key), then a single full-outer join against the snapshot -- cost |log|+|snapshot| regardless of history; bucketing the snapshot by key removes its exchange too.",
   "q_weighted_sample" -> "A-ES weighted sampling: the selection key ln(u)/w is a narrow hash-arithmetic projection; exactly-k selection plans as TakeOrderedAndProject -- no total sort, no shuffle of losers, the driver sees k rows at any corpus size.",
-  "q_jaro_rank" -> "Jaro-Winkler ranking: skeleton-block equi-join generates candidates; the native graft_jaro_winkler scorer runs as a codegen'd projection on joined rows -- the same blocked-candidates-then-verify shape as q_fuzzy_match with a similarity scorer in place of edit distance."
+  "q_jaro_rank" -> "Jaro-Winkler ranking: skeleton-block equi-join generates candidates; the native graft_jaro_winkler scorer runs as a codegen'd projection on joined rows -- the same blocked-candidates-then-verify shape as q_fuzzy_match with a similarity scorer in place of edit distance.",
+  "q_triangles" -> "Triangle counting: the oriented-edge frame is a localCheckpoint'd LogicalRDD feeding all THREE join inputs (both wedge sides + the closer) -- built once, scanned thrice; wedges form on one src equi-join with the orientation predicate as a join filter, close on a (b,c) equi-join, and the per-node count is one hash aggregate. Degree orientation caps out-degree at O(sqrt(m)), so no hot-key wedge explosion.",
+  "q_hilbert" -> "Hilbert layout key: the 16-step reflect/rotate walk is ONE native graft_hilbert_key2 call inside WholeStageCodegen over the scan -- a pure-Column unroll would double the expression tree per step; like q_zorder, the key exists to feed repartitionByRange at write time.",
+  "q_compaction_plan" -> "Compaction planning: one window over the FILE LISTING partitioned by table-partition (single exchange on source) -- the preceding-cumsum bin assignment is window arithmetic, keep/compact a projection; planning cost is metadata-sized however big the table is.",
+  "q_domain_stats" -> "Domain stats: the whole URL normalization chain (fragment/scheme/port/www regexps) is a narrow codegen'd projection feeding one hash aggregate on (host, domain) -- normalization never shuffles, only the low-cardinality domain keys do.",
+  "q_audio_decode" -> "Audio decode: WAV assembly (hex projection) and the mapPartitions decode are both narrow -- payloads never leave the executor; the only exchange is the output order. Same shape as q_media_decode with the PCM parser in place of the BMP parser."
 )
 val sb = new StringBuilder
 sb.append("# EXPLAINS -- formatted plans of headline queries (sf0.01)\n\n")
