@@ -78,7 +78,8 @@ object Snapshots {
     * them). Returns the committed version. Throws
     * `FileAlreadyExistsException` if another writer won the version
     * race — re-read HEAD and retry. */
-  def commit(df: DataFrame, tableDir: String, mode: String = "append"): Int = {
+  def commit(df: DataFrame, tableDir: String, mode: String = "append",
+             tag: Option[String] = None): Int = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got '$mode'")
     Files.createDirectories(snapPath(tableDir))
@@ -92,8 +93,21 @@ object Snapshots {
     val newFiles = Files.list(dataDir).iterator().asScala
       .map(_.toString).filter(_.matches(".*part-.*\\.parquet")).toSeq.sorted
     val carried = if (mode == "append" && prev > 0) liveFiles(tableDir, prev) else Seq.empty
-    writeManifest(tableDir, v, prev, mode, carried ++ newFiles)
+    writeManifest(tableDir, v, prev, mode, carried ++ newFiles, tag)
     v
+  }
+
+  /** Tags of every retained committed version — the idempotence
+    * ledger a streaming sink consults before re-committing a
+    * replayed micro-batch. O(retained versions) small-file reads of
+    * the manifest directory only. */
+  def committedTags(tableDir: String): Set[String] = {
+    val dir = snapPath(tableDir)
+    if (!Files.isDirectory(dir)) return Set.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.txt"))
+      .flatMap(p => headerValue(Files.readAllLines(p).asScala.toSeq, "tag"))
+      .toSet
   }
 
   /** Make `version`'s file list the new HEAD (as a NEW version —
@@ -111,8 +125,11 @@ object Snapshots {
     * version race directly (two writers racing for the same v — the
     * window `commit` itself cannot reopen deterministically). */
   private[graft] def writeManifest(tableDir: String, v: Int, parent: Int,
-                                   op: String, files: Seq[String]): Unit = {
-    val body = (Seq(s"version=$v", s"parent=$parent", s"op=$op") ++ files)
+                                   op: String, files: Seq[String],
+                                   tag: Option[String] = None): Unit = {
+    tag.foreach(t => require(!t.contains("\n") && t.nonEmpty, s"bad tag: '$t'"))
+    val body = (Seq(s"version=$v", s"parent=$parent", s"op=$op") ++
+      tag.map(t => s"tag=$t").toSeq ++ files)
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(snapPath(tableDir), s".v$v-", ".tmp")
     Files.writeString(tmp, body)
