@@ -58,6 +58,11 @@ object Snapshots {
       .foldLeft(0)(math.max)
   }
 
+  // header lines are exactly these keys — file PATHS may legally
+  // contain '=' (hive-style bin=0/ dirs), so discrimination must be
+  // by known key, never by "contains a '='"
+  private val HeaderKeys = Seq("version", "parent", "op", "tag")
+
   /** Live data files of `version` (default HEAD). Fails loud on a
     * vacuumed-away or never-committed version. */
   def liveFiles(tableDir: String, version: Int): Seq[String] = {
@@ -67,7 +72,7 @@ object Snapshots {
         "(never committed, or its manifest was removed)")
     Files.readAllLines(p).asScala.toSeq
       .filterNot(l => l.startsWith("#") || l.isEmpty)
-      .filterNot(_.contains("="))
+      .filterNot(l => HeaderKeys.exists(k => l.startsWith(k + "=")))
   }
 
   private def headerValue(lines: Seq[String], key: String): Option[String] =
@@ -178,6 +183,48 @@ object Snapshots {
       }
     }
     (1 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
+  }
+
+  /** Lakehouse OPTIMIZE over a snapshot table: stat the live files,
+    * bin-pack the small ones with [[graft.ops.Compaction.plan]],
+    * rewrite each bin as one file, and commit the compacted layout
+    * as a NEW version (kept files are carried by reference — their
+    * bytes are not rewritten). Readers before/after see identical
+    * rows; history (and time travel to the fragmented versions)
+    * survives until `vacuum`. Returns the committed version, or -1
+    * when nothing needed compacting (no empty commits).
+    *
+    * Scale: planning is metadata-sized (one stat per live file);
+    * rewrite IO is proportional to the SMALL fraction only — the
+    * whole point vs truncate-and-rewrite. The streaming sink's
+    * one-manifest-per-batch accumulation composes with this:
+    * optimize periodically, vacuum after the retention horizon. */
+  def optimize(spark: SparkSession, tableDir: String, targetBytes: Long): Int = {
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val files = liveFiles(tableDir, head)
+    val stats = files.map(f => (f, Files.size(Paths.get(f))))
+    val keep = stats.filter(_._2 >= targetBytes).map(_._1)
+    val small = stats.filter(_._2 < targetBytes)
+    if (small.size < 2) return -1 // nothing to merge
+    import spark.implicits._
+    val planned = graft.ops.Compaction.plan(
+      small.toDF("file", "bytes").withColumn("part", org.apache.spark.sql.functions.lit("t")),
+      Seq("part"), "file", "bytes", targetBytes)
+    val bins = planned.where(org.apache.spark.sql.functions.col("action") === "compact")
+      .select($"file", $"bin_id").as[(String, Long)].collect() // listing-sized
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val v = head + 1
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val outDir = Paths.get(tableDir, "data", s"c$v-$nonce")
+    bins.toSeq.sortBy(_._1).foreach { case (bin, paths) =>
+      graft.ops.Compaction.rewriteBin(spark, paths, outDir.toString, bin)
+    }
+    val rewritten = Files.walk(outDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.matches(".*part-.*\\.parquet"))
+      .map(_.toString).toSeq.sorted
+    writeManifest(tableDir, v, head, s"optimize($targetBytes)", keep ++ rewritten)
+    v
   }
 
   /** Deterministic demo table for the q_snapshot_read oracle: the

@@ -96,6 +96,38 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.vacuum(t, 0))
   }
 
+  test("optimize merges small files, keeps rows identical, preserves history") {
+    val t = freshTable()
+    // 6 tiny single-file commits (the streaming-sink accumulation shape)
+    (1L to 6L).foreach(i => Snapshots.commit(Seq((i, s"r$i")).toDF("id", "s").coalesce(1), t))
+    val before = Snapshots.read(spark, t)
+    val filesBefore = Snapshots.liveFiles(t, 6).size
+    val v = Snapshots.optimize(spark, t, targetBytes = 1 << 20) // all are "small"
+    assert(v == 7)
+    val after = Snapshots.read(spark, t)
+    assert(ids(after) == ids(before))
+    assert(Snapshots.liveFiles(t, 7).size < filesBefore)
+    // fragmented history still time-travels
+    assert(ids(Snapshots.read(spark, t, version = 3)) == Seq(1L, 2L, 3L))
+    // nothing left to merge -> no empty commit
+    assert(Snapshots.optimize(spark, t, targetBytes = 1L) == -1)
+    assert(Snapshots.currentVersion(t) == 7)
+  }
+
+  test("optimize carries large files by reference, never rewrites their bytes") {
+    val t = freshTable()
+    Snapshots.commit(spark.range(200000).selectExpr("id", "repeat('x', 50) as s").coalesce(1), t)
+    Snapshots.commit(Seq("A").toDF("s").selectExpr("-1L as id", "s").coalesce(1), t)
+    Snapshots.commit(Seq("B").toDF("s").selectExpr("-2L as id", "s").coalesce(1), t)
+    val bigBefore = Snapshots.liveFiles(t, 3)
+      .filter(f => java.nio.file.Files.size(java.nio.file.Paths.get(f)) >= 4096)
+    val v = Snapshots.optimize(spark, t, targetBytes = 4096)
+    assert(v == 4)
+    val live = Snapshots.liveFiles(t, 4)
+    bigBefore.foreach(f => assert(live.contains(f))) // same physical file
+    assert(Snapshots.read(spark, t).count() == 200002)
+  }
+
   test("demo table: 4-version history resolves to the full corpus") {
     val dir = Snapshots.ensureDemoTable(spark, "/root/testdata/sf0.001")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
