@@ -36,8 +36,10 @@ import scala.jdk.CollectionConverters._
   * which is what makes time travel free). Caveat vs the real
   * formats, stated honestly: single-filesystem link atomicity (no
   * lock service — on S3-style stores the publish needs a conditional
-  * PUT), no column stats in manifests (pair with `Layout.fileEnvelopes`
-  * for skipping), no schema evolution tracking.
+  * PUT) and no schema evolution tracking. Manifests CAN carry
+  * per-file integral column envelopes (`commit(statsCols = …)`), and
+  * `readPruned` turns them into zone-map file skipping — skipped
+  * only on provably disjoint envelopes, so pruning is never lossy.
   */
 object Snapshots {
 
@@ -63,9 +65,10 @@ object Snapshots {
   // by known key, never by "contains a '='"
   private val HeaderKeys = Seq("version", "parent", "op", "tag")
 
-  /** Live data files of `version` (default HEAD). Fails loud on a
-    * vacuumed-away or never-committed version. */
-  def liveFiles(tableDir: String, version: Int): Seq[String] = {
+  /** Raw file lines of `version`'s manifest: `<path>` optionally
+    * followed by tab-separated `<col>=<min>:<max>` integral stats.
+    * Fails loud on a vacuumed-away or never-committed version. */
+  private def fileLines(tableDir: String, version: Int): Seq[String] = {
     val p = manifestPath(tableDir, version)
     require(Files.exists(p),
       s"Snapshots: version $version of $tableDir does not exist " +
@@ -74,6 +77,24 @@ object Snapshots {
       .filterNot(l => l.startsWith("#") || l.isEmpty)
       .filterNot(l => HeaderKeys.exists(k => l.startsWith(k + "=")))
   }
+
+  /** Live data file paths of `version`. */
+  def liveFiles(tableDir: String, version: Int): Seq[String] =
+    fileLines(tableDir, version).map(_.split('\t')(0))
+
+  /** Per-file column stats of `version`: path → (col → (min, max)).
+    * Files committed without `statsCols` carry an empty map. */
+  def fileStats(tableDir: String, version: Int): Seq[(String, Map[String, (Long, Long)])] =
+    fileLines(tableDir, version).map { line =>
+      val parts = line.split('\t')
+      val stats = parts.drop(1).flatMap { s =>
+        val eq = s.indexOf('='); val co = s.indexOf(':', eq)
+        if (eq < 0 || co < 0) None
+        else Some(s.substring(0, eq) ->
+          (s.substring(eq + 1, co).toLong, s.substring(co + 1).toLong))
+      }.toMap
+      (parts(0), stats)
+    }
 
   private def headerValue(lines: Seq[String], key: String): Option[String] =
     lines.find(_.startsWith(s"$key=")).map(_.substring(key.length + 1))
@@ -84,7 +105,7 @@ object Snapshots {
     * `FileAlreadyExistsException` if another writer won the version
     * race — re-read HEAD and retry. */
   def commit(df: DataFrame, tableDir: String, mode: String = "append",
-             tag: Option[String] = None): Int = {
+             tag: Option[String] = None, statsCols: Seq[String] = Nil): Int = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got '$mode'")
     Files.createDirectories(snapPath(tableDir))
@@ -97,9 +118,64 @@ object Snapshots {
     df.write.parquet(dataDir.toString)
     val newFiles = Files.list(dataDir).iterator().asScala
       .map(_.toString).filter(_.matches(".*part-.*\\.parquet")).toSeq.sorted
-    val carried = if (mode == "append" && prev > 0) liveFiles(tableDir, prev) else Seq.empty
-    writeManifest(tableDir, v, prev, mode, carried ++ newFiles, tag)
+    val newLines =
+      if (statsCols.isEmpty) newFiles
+      else statLines(df.sparkSession, dataDir.toString, newFiles, statsCols)
+    // append carries the previous version's full lines — stats travel
+    // with their files
+    val carried = if (mode == "append" && prev > 0) fileLines(tableDir, prev) else Seq.empty
+    writeManifest(tableDir, v, prev, mode, carried ++ newLines, tag)
     v
+  }
+
+  /** Per-file min/max manifest lines for the just-written files —
+    * one read-back aggregate over the NEW files only (the zone-map
+    * pass real formats fold into the writer). Stats are Long-cast:
+    * integral columns get exact envelopes; a column that casts to
+    * NULL (non-integral, all-NULL file) simply records no stat for
+    * that file, and pruning stays conservative. */
+  private def statLines(spark: SparkSession, dataDir: String,
+                        newFiles: Seq[String], statsCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__min_$c"), max(col(c).cast("long")).as(s"__max_$c")))
+    val rows = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per new file — listing-sized
+    val byPath = rows.map { r =>
+      val path = Paths.get(new java.net.URI(r.getString(0))).toString
+      val stats = statsCols.flatMap { c =>
+        val mi = r.getAs[Any](s"__min_$c"); val ma = r.getAs[Any](s"__max_$c")
+        if (mi == null || ma == null) None
+        else Some(s"$c=${mi.asInstanceOf[Long]}:${ma.asInstanceOf[Long]}")
+      }
+      path -> stats
+    }.toMap
+    newFiles.map(f => (f +: byPath.getOrElse(f, Seq.empty)).mkString("\t"))
+  }
+
+  /** The file paths of `version` that can contain rows with
+    * `col` in [lo, hi] — manifest-stat pruning: a file is skipped
+    * ONLY when its recorded envelope is disjoint from the range;
+    * files without a stat for `col` are always kept (no false
+    * skipping, ever). Package-visible so the spec can measure. */
+  private[graft] def prunedFiles(tableDir: String, version: Int,
+                                 c: String, lo: Long, hi: Long): Seq[String] =
+    fileStats(tableDir, version).collect {
+      case (path, stats) if stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } => path
+    }
+
+  /** Range read with manifest-stat file skipping: reads only files
+    * whose envelope intersects [lo, hi], then applies the exact
+    * predicate. Equals the unpruned filtered read by construction. */
+  def readPruned(spark: SparkSession, tableDir: String, c: String,
+                 lo: Long, hi: Long, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version >= 0) version else currentVersion(tableDir)
+    require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    val files = prunedFiles(tableDir, v, c, lo, hi)
+    if (files.isEmpty) read(spark, tableDir, v).where(col(c).between(lo, hi)).limit(0)
+    else spark.read.parquet(files: _*).where(col(c).between(lo, hi))
   }
 
   /** Tags of every retained committed version — the idempotence
@@ -118,10 +194,10 @@ object Snapshots {
   /** Make `version`'s file list the new HEAD (as a NEW version —
     * history is never rewritten). */
   def rollback(tableDir: String, version: Int): Int = {
-    val files = liveFiles(tableDir, version) // loud if missing
+    val lines = fileLines(tableDir, version) // loud if missing; stats travel
     val prev = currentVersion(tableDir)
     val v = prev + 1
-    writeManifest(tableDir, v, prev, s"rollback($version)", files)
+    writeManifest(tableDir, v, prev, s"rollback($version)", lines)
     v
   }
 
@@ -202,10 +278,13 @@ object Snapshots {
   def optimize(spark: SparkSession, tableDir: String, targetBytes: Long): Int = {
     val head = currentVersion(tableDir)
     require(head > 0, s"Snapshots: $tableDir has no committed versions")
-    val files = liveFiles(tableDir, head)
-    val stats = files.map(f => (f, Files.size(Paths.get(f))))
+    val lines = fileLines(tableDir, head)
+    val stats = lines.map(l => (l, Files.size(Paths.get(l.split('\t')(0)))))
+    // kept files carry their full manifest lines (column stats travel);
+    // rewritten bins start stat-less — conservative, always re-read
     val keep = stats.filter(_._2 >= targetBytes).map(_._1)
     val small = stats.filter(_._2 < targetBytes)
+      .map { case (l, sz) => (l.split('\t')(0), sz) }
     if (small.size < 2) return -1 // nothing to merge
     import spark.implicits._
     val planned = graft.ops.Compaction.plan(

@@ -128,6 +128,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).count() == 200002)
   }
 
+  test("manifest column stats: zone-map pruning skips disjoint files, never rows") {
+    val t = freshTable()
+    // three commits covering disjoint id ranges, stats on id
+    Snapshots.commit((1L to 100L).toDF("id").coalesce(1), t, statsCols = Seq("id"))
+    Snapshots.commit((101L to 200L).toDF("id").coalesce(1), t, statsCols = Seq("id"))
+    Snapshots.commit((201L to 300L).toDF("id").coalesce(1), t, statsCols = Seq("id"))
+    val stats = Snapshots.fileStats(t, 3)
+    assert(stats.size == 3 && stats.forall(_._2.contains("id")))
+    // the middle range touches exactly one file
+    assert(Snapshots.prunedFiles(t, 3, "id", 150L, 160L).size == 1)
+    val pruned = Snapshots.readPruned(spark, t, "id", 150L, 160L)
+    assert(ids(pruned) == (150L to 160L))
+    // boundary overlap keeps both adjacent files
+    assert(Snapshots.prunedFiles(t, 3, "id", 100L, 101L).size == 2)
+    // fully-outside range reads nothing but still returns the schema
+    assert(Snapshots.readPruned(spark, t, "id", 900L, 999L).count() == 0)
+  }
+
+  test("stats survive append-carry and rollback; stat-less files always read") {
+    val t = freshTable()
+    Snapshots.commit((1L to 50L).toDF("id").coalesce(1), t, statsCols = Seq("id"))
+    Snapshots.commit((51L to 99L).toDF("id").coalesce(1), t) // NO stats
+    // the stat-less file must be kept for any range (conservative)
+    assert(Snapshots.prunedFiles(t, 2, "id", 10L, 20L).size == 2)
+    assert(ids(Snapshots.readPruned(spark, t, "id", 40L, 60L)) == (40L to 60L))
+    Snapshots.commit(Seq(1000L).toDF("id"), t, mode = "overwrite")
+    Snapshots.rollback(t, 2)
+    // rolled-back manifest still carries v1's stats line
+    assert(Snapshots.fileStats(t, 4).exists(_._2.contains("id")))
+  }
+
   test("demo table: 4-version history resolves to the full corpus") {
     val dir = Snapshots.ensureDemoTable(spark, "/root/testdata/sf0.001")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
