@@ -632,6 +632,20 @@ object SparkEntry {
         .select(col("u").as("src"), col("v").as("dst")).distinct()
       graft.operators.Triangles.perNodeCounts(edges).orderBy(col("id"))
     }),
+    // ---- local clustering coefficients over the same graph: every
+    // node with degree, triangle count, and cc = 2T/(deg·(deg−1))
+    // (NULL below degree 2 — undefined, not zero). Exact integers
+    // plus one IEEE division ----
+    "q_clustering" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).where(col("u") < col("v"))
+        .select(col("u").as("src"), col("v").as("dst")).distinct()
+      graft.operators.Triangles.clusteringCoefficients(edges).orderBy(col("id"))
+    }),
     // ---- product quantization: 64 floats -> 4 codebook codes
     // (Jégou et al. 2011). Integer-quantized subspace distances make
     // encode (argmin, ties to smallest centroid) and ADC scores
@@ -3749,6 +3763,42 @@ object SparkEntry {
           |SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
           |FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
           |GROUP BY id ORDER BY id""".stripMargin,
+
+      // Clustering coefficients: the q_triangles pipeline + a degree
+      // left join; cc = one IEEE division over exact integers.
+      "q_clustering" ->
+        """WITH pe AS (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  WHERE a.l_orderkey % 4 = 0
+          |), deg AS (
+          |  SELECT id, CAST(count(*) AS BIGINT) AS d
+          |  FROM (SELECT u AS id FROM pe UNION ALL SELECT v AS id FROM pe)
+          |  GROUP BY 1
+          |), o AS (
+          |  SELECT
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND pe.u < pe.v) THEN pe.u ELSE pe.v END AS src,
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND pe.u < pe.v) THEN pe.v ELSE pe.u END AS dst,
+          |    CASE WHEN du.d < dv.d OR (du.d = dv.d AND pe.u < pe.v) THEN dv.d ELSE du.d END AS ddeg
+          |  FROM pe JOIN deg du ON du.id = pe.u JOIN deg dv ON dv.id = pe.v
+          |), tri AS (
+          |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          |  FROM o e1
+          |  JOIN o e2 ON e1.src = e2.src
+          |    AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+          |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+          |), tc AS (
+          |  SELECT id, CAST(count(*) AS BIGINT) AS n
+          |  FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+          |  GROUP BY id
+          |)
+          |SELECT d.id, d.d AS deg,
+          |  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles,
+          |  CASE WHEN d.d >= 2
+          |       THEN CAST(2 * COALESCE(t.n, 0) AS DOUBLE) / (d.d * (d.d - 1)) END AS cc
+          |FROM deg d LEFT JOIN tc t ON t.id = d.id
+          |ORDER BY d.id""".stripMargin,
 
       // PQ: centroids = corpus rows vec_id < 16 subspace-sliced;
       // encode = per-subspace argmin of exact integer squared L2

@@ -67,14 +67,12 @@ object Triangles {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
   }
 
-  /** All triangles, one row each: (a, b, c) in orientation order
-    * (a is the unique lowest-(degree,id) corner). The oriented frame
-    * is materialized once ([[graft.ops.Checkpoints]] contract): it
-    * feeds THREE join inputs (both wedge sides and the closer), and
-    * without truncation each would re-run the canonicalize + degree
-    * joins — measured 3× the whole query's cost at sf0.1. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val o = graft.ops.Checkpoints.truncate(oriented(canonicalEdges(edges)))
+  /** Wedge + close joins over an already-materialized oriented
+    * frame. The caller MUST truncate `o` first: it feeds THREE join
+    * inputs (both wedge sides and the closer), and without
+    * truncation each re-runs the canonicalize + degree joins —
+    * measured 3× the whole query's cost at sf0.1. */
+  private def trianglesOriented(o: DataFrame): DataFrame = {
     val e1 = o.select(col("src").as("a"), col("dst").as("b"),
       col("ddeg").as("bdeg"))
     val e2 = o.select(col("src").as("a"), col("dst").as("c"),
@@ -87,14 +85,38 @@ object Triangles {
       .select(col("a"), col("b"), col("c"))
   }
 
-  /** Per-node triangle participation counts: (id, n_triangles),
-    * nodes in no triangle omitted. The local clustering coefficient
-    * is n_triangles / C(deg, 2) — join `degrees` back if needed. */
-  def perNodeCounts(edges: DataFrame): DataFrame = {
-    val tri = triangles(edges)
+  private def countsFromTriangles(tri: DataFrame): DataFrame =
     tri.select(col("a").as("id"))
       .unionAll(tri.select(col("b").as("id")))
       .unionAll(tri.select(col("c").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+
+  /** All triangles, one row each: (a, b, c) in orientation order
+    * (a is the unique lowest-(degree,id) corner). */
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesOriented(graft.ops.Checkpoints.truncate(oriented(canonicalEdges(edges))))
+
+  /** Per-node triangle participation counts: (id, n_triangles),
+    * nodes in no triangle omitted. */
+  def perNodeCounts(edges: DataFrame): DataFrame =
+    countsFromTriangles(triangles(edges))
+
+  /** Local clustering coefficients: every node with its degree,
+    * triangle count, and cc = 2T / (deg·(deg−1)) — NULL below
+    * degree 2 (undefined, not zero). Integers throughout plus ONE
+    * IEEE division, so the value is cross-engine exact. The
+    * canonical frame is truncated once and shared by the degree
+    * aggregate and the orientation — the whole computation adds one
+    * |V|-sized left join over `perNodeCounts`. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val canon = graft.ops.Checkpoints.truncate(canonicalEdges(edges))
+    val o = graft.ops.Checkpoints.truncate(oriented(canon))
+    val tri = countsFromTriangles(trianglesOriented(o))
+    degrees(canon).join(tri, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1))).as("cc"))
   }
 }

@@ -112,7 +112,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SignBands].getName, "graft_sign_bands"),
       (children: Seq[Expression]) => SignBands(children.head,
         intArg(children(1), "graft_sign_bands"), intArg(children(2), "graft_sign_bands"),
-        intArg(children(3), "graft_sign_bands")))
+        intArg(children(3), "graft_sign_bands"))),
+    (FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (children: Seq[Expression]) => JaroWinkler(children.head, children(1))),
+    (FunctionIdentifier("graft_hilbert_key2"),
+      new ExpressionInfo(classOf[HilbertKey2].getName, "graft_hilbert_key2"),
+      (children: Seq[Expression]) => HilbertKey2(children.head, children(1),
+        intArg(children(2), "graft_hilbert_key2")))
   )
 
   /** Runtime registration on an existing session. */

@@ -27,6 +27,15 @@ class Hash60Spec extends SparkSpec {
     assert(r == expected)
   }
 
+  test("graft_jaro_winkler and graft_hilbert_key2 resolve in SQL and agree with column forms") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS jw, " +
+        "graft_hilbert_key2(3L, 5L, 4) AS hk").head()
+    assert(row.getDouble(0) == graft.plans.JaroWinklerImpl.jaroWinkler("martha", "marhta"))
+    assert(row.getLong(1) == graft.plans.HilbertImpl.key2(3L, 5L, 4))
+  }
+
   test("all graft_* SQL functions resolve and agree with their column forms") {
     GraftExtensions.register(spark)
     val row = spark.sql(

@@ -53,6 +53,24 @@ class TrianglesSpec extends SparkSpec {
     assert(Triangles.triangles(edges.repartition(13)).count() == expected)
   }
 
+  test("clustering coefficients: K4 is all 1.0; diagonal square hand-computed; leaves NULL") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val ccK4 = Triangles.clusteringCoefficients(k4)
+      .orderBy($"id").as[(Long, Long, Long, Option[Double])].collect()
+    assert(ccK4.forall { case (_, deg, t, cc) => deg == 3 && t == 3 && cc.contains(1.0) })
+
+    // square 1-2-3-4 with diagonal 1-3, plus a pendant leaf 5 on 1
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L), (1L, 5L)).toDF("src", "dst")
+    val cc = Triangles.clusteringCoefficients(g)
+      .orderBy($"id").as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(cc == Seq(
+      (1L, 4L, 2L, Some(4.0 / 12)),  // deg 4, 2 triangles
+      (2L, 2L, 1L, Some(1.0)),
+      (3L, 3L, 2L, Some(4.0 / 6)),
+      (4L, 2L, 1L, Some(1.0)),
+      (5L, 1L, 0L, None)))           // degree-1: undefined, not zero
+  }
+
   test("orientation caps out-degree: a hub's edges point INTO it") {
     // star: hub 0 with 30 leaves — hub out-degree must be 0 after orientation
     val edges = (1L to 30L).map(i => (0L, i)).toDF("src", "dst")
