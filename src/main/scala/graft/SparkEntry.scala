@@ -993,6 +993,18 @@ object SparkEntry {
           max(col("doc_id")).as("max_doc"))
         .orderBy(col("lang"))
     }),
+    // ---- zone-map pruned snapshot read: the demo table commits
+    // carry doc_id envelopes, readPruned skips provably-disjoint
+    // files, and the oracle is the plain filtered aggregate — the
+    // pruning path must lose nothing (file-count reduction itself is
+    // measured in SnapshotsSpec; here the GATE is result equality) ----
+    "q_snapshot_prune" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
+      graft.sources.Snapshots.readPruned(s, t, "doc_id", 100L, 260L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("source"))
+    }),
     // ---- BPE ENCODE under a trained merge table (the native
     // plans.BpeEncode expression — the real greedy merge chain, not
     // a regex approximation). The oracle uses a merge table whose
@@ -4136,6 +4148,16 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Pruned snapshot read: zone-map skipping must equal the plain
+    // filtered aggregate — pruning reads less, never answers less.
+    "q_snapshot_prune" ->
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 260
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // BPE encode: tokens per word = (codepoints + 1 for </w>)
     // − one per greedy merge. With disjoint single-char pair (t,h)

@@ -36,7 +36,10 @@ import scala.jdk.CollectionConverters._
   * which is what makes time travel free). Caveat vs the real
   * formats, stated honestly: single-filesystem link atomicity (no
   * lock service — on S3-style stores the publish needs a conditional
-  * PUT) and no schema evolution tracking. Manifests CAN carry
+  * PUT), and schema evolution is ADDITIVE-only (`read(mergeSchema =
+  * true)` resolves the union schema; renames/drops/retypes are not
+  * tracked — that needs per-manifest schema records). Manifests CAN
+  * carry
   * per-file integral column envelopes (`commit(statsCols = …)`), and
   * `readPruned` turns them into zone-map file skipping — skipped
   * only on provably disjoint envelopes, so pruning is never lossy.
@@ -227,12 +230,18 @@ object Snapshots {
   }
 
   /** Read a committed snapshot: HEAD by default, any retained
-    * `version` for time travel. */
-  def read(spark: SparkSession, tableDir: String, version: Int = -1): DataFrame = {
+    * `version` for time travel. `mergeSchema = true` resolves the
+    * union schema across commits (an appended commit may add
+    * columns; older files surface them as NULL) — additive schema
+    * evolution, parquet's native mechanism. Without it the schema
+    * comes from one sampled footer, the plain-parquet default. */
+  def read(spark: SparkSession, tableDir: String, version: Int = -1,
+           mergeSchema: Boolean = false): DataFrame = {
     val v = if (version >= 0) version else currentVersion(tableDir)
     require(v > 0, s"Snapshots: $tableDir has no committed versions")
     val files = liveFiles(tableDir, v)
     if (files.isEmpty) spark.emptyDataFrame
+    else if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
     else spark.read.parquet(files: _*)
   }
 
@@ -319,8 +328,11 @@ object Snapshots {
     if (Files.exists(tableDir))
       Files.walk(tableDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    commit(docs.where("doc_id % 2 = 0"), tableDir.toString, "append")   // v1
-    commit(docs.where("doc_id % 2 = 1"), tableDir.toString, "append")   // v2
+    val stats = Seq("doc_id") // zone-map envelopes for q_snapshot_prune
+    commit(docs.where("doc_id % 2 = 0").repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id")),
+      tableDir.toString, "append", statsCols = stats)                   // v1
+    commit(docs.where("doc_id % 2 = 1").repartitionByRange(4, org.apache.spark.sql.functions.col("doc_id")),
+      tableDir.toString, "append", statsCols = stats)                   // v2
     commit(docs.where("doc_id < 0"), tableDir.toString, "overwrite")    // v3 (empty, wrong)
     rollback(tableDir.toString, 2)                                      // v4 == full corpus
     tableDir.toString

@@ -159,6 +159,16 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.fileStats(t, 4).exists(_._2.contains("id")))
   }
 
+  test("schema evolution: appended columns surface under mergeSchema, old rows NULL") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b", 9L)).toDF("id", "s", "extra"), t)
+    val df = Snapshots.read(spark, t, mergeSchema = true).orderBy($"id")
+    assert(df.columns.toSet == Set("id", "s", "extra"))
+    assert(df.select($"id", $"extra").as[(Long, Option[Long])].collect().toSeq ==
+      Seq((1L, None), (2L, Some(9L))))
+  }
+
   test("demo table: 4-version history resolves to the full corpus") {
     val dir = Snapshots.ensureDemoTable(spark, "/root/testdata/sf0.001")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
