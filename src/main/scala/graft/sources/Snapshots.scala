@@ -245,6 +245,37 @@ object Snapshots {
     else spark.read.parquet(files: _*)
   }
 
+  /** Incremental (change-feed-lite) read: the rows ADDED between
+    * `sinceVersion` (exclusive) and HEAD — the consumer loop's
+    * "give me what's new" primitive over an append-only table, the
+    * same offsets-are-versions idea a streaming source would use.
+    * Returns (new rows, HEAD version) so the caller persists HEAD as
+    * its next offset. Every version in the range must be an append
+    * (or a no-file-change rollback): overwrite/optimize rewrite
+    * files, so "new files since v" would double-count rewritten
+    * rows — those ranges fail loud instead of silently lying.
+    * Cost: manifest reads + a scan of the NEW files only. */
+  def changesSince(spark: SparkSession, tableDir: String,
+                   sinceVersion: Int): (DataFrame, Int) = {
+    val head = currentVersion(tableDir)
+    require(sinceVersion >= 0 && sinceVersion <= head,
+      s"Snapshots: sinceVersion $sinceVersion outside [0, $head]")
+    if (sinceVersion == head) return (read(spark, tableDir, head).limit(0), head)
+    ((sinceVersion + 1) to head).foreach { v =>
+      val op = headerValue(Files.readAllLines(manifestPath(tableDir, v)).asScala.toSeq, "op")
+      require(op.exists(o => o == "append" || o.startsWith("rollback")),
+        s"Snapshots: changesSince crosses version $v (op=${op.getOrElse("?")}) - " +
+          "incremental reads are defined for append-only ranges; re-read the full snapshot")
+    }
+    val before =
+      if (sinceVersion == 0) Set.empty[String]
+      else liveFiles(tableDir, sinceVersion).toSet
+    val added = liveFiles(tableDir, head).filterNot(before)
+    val df = if (added.isEmpty) read(spark, tableDir, head).limit(0)
+             else spark.read.parquet(added: _*)
+    (df, head)
+  }
+
   /** Delete data files referenced by NO retained version (the last
     * `keepLast` versions stay readable) and the manifests of expired
     * versions. Time travel to expired versions then fails loud —

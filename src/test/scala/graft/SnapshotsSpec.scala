@@ -159,6 +159,31 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.fileStats(t, 4).exists(_._2.contains("id")))
   }
 
+  test("changesSince: incremental reads see exactly the appended rows, then drain to empty") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t)
+    val (d1, v1) = Snapshots.changesSince(spark, t, 0)
+    assert(ids(d1) == Seq(1L, 2L) && v1 == 2)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    val (d2, v2) = Snapshots.changesSince(spark, t, v1)
+    assert(ids(d2) == Seq(3L) && v2 == 3)
+    val (d3, v3) = Snapshots.changesSince(spark, t, v2)
+    assert(d3.isEmpty && v3 == 3)
+  }
+
+  test("changesSince refuses ranges crossing a rewrite (overwrite/optimize)") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t, mode = "overwrite")
+    val e = intercept[IllegalArgumentException](Snapshots.changesSince(spark, t, 1))
+    assert(e.getMessage.contains("append-only"))
+    // but a range PAST the rewrite works again
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    val (d, v) = Snapshots.changesSince(spark, t, 2)
+    assert(ids(d) == Seq(3L) && v == 3)
+  }
+
   test("schema evolution: appended columns surface under mergeSchema, old rows NULL") {
     val t = freshTable()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
