@@ -55,7 +55,9 @@ val picks = Seq(
   "q_hilbert" -> "Hilbert layout key: the 16-step reflect/rotate walk is ONE native graft_hilbert_key2 call inside WholeStageCodegen over the scan -- a pure-Column unroll would double the expression tree per step; like q_zorder, the key exists to feed repartitionByRange at write time.",
   "q_compaction_plan" -> "Compaction planning: one window over the FILE LISTING partitioned by table-partition (single exchange on source) -- the preceding-cumsum bin assignment is window arithmetic, keep/compact a projection; planning cost is metadata-sized however big the table is.",
   "q_domain_stats" -> "Domain stats: the whole URL normalization chain (fragment/scheme/port/www regexps) is a narrow codegen'd projection feeding one hash aggregate on (host, domain) -- normalization never shuffles, only the low-cardinality domain keys do.",
-  "q_audio_decode" -> "Audio decode: WAV assembly (hex projection) and the mapPartitions decode are both narrow -- payloads never leave the executor; the only exchange is the output order. Same shape as q_media_decode with the PCM parser in place of the BMP parser."
+  "q_audio_decode" -> "Audio decode: WAV assembly (hex projection) and the mapPartitions decode are both narrow -- payloads never leave the executor; the only exchange is the output order. Same shape as q_media_decode with the PCM parser in place of the BMP parser.",
+  "q_clustering" -> "Clustering coefficients: the truncated canonical frame (LogicalRDD) feeds both the degree aggregate and the orientation, the triangle pipeline reuses the truncated oriented frame thrice, and the coefficient is one |V|-sized left join + a single IEEE division in the projection.",
+  "q_snapshot_prune" -> "Pruned snapshot read: file selection happens at PLANNING time from manifest zone maps (the scan's file list is already pruned -- fewer input files, not a runtime filter); the exact range predicate then pushes into the parquet scan of the surviving files."
 )
 val sb = new StringBuilder
 sb.append("# EXPLAINS -- formatted plans of headline queries (sf0.01)\n\n")
