@@ -276,6 +276,44 @@ object Snapshots {
     (df, head)
   }
 
+  /** The committed offset of a named consumer over this table, 0 if
+    * the consumer has never committed. Offsets live in the table's
+    * `_consumers/` dir — one tiny file per consumer, the Kafka
+    * consumer-group idea over snapshot versions. */
+  def consumerOffset(tableDir: String, consumer: String): Int = {
+    val p = consumerPath(tableDir, consumer)
+    if (Files.exists(p)) Files.readString(p).trim.toInt else 0
+  }
+
+  private def consumerPath(tableDir: String, consumer: String): Path = {
+    require(consumer.matches("[A-Za-z0-9._-]+"), s"bad consumer name: '$consumer'")
+    Paths.get(tableDir, "_consumers", s"$consumer.offset")
+  }
+
+  /** Advance a consumer's offset AFTER its processing of the range
+    * succeeded — the at-least-once contract: crash before commit →
+    * the range redelivers; idempotent processors therefore get
+    * exactly-once, the same ledger idea `StreamSnapshot.sink` uses
+    * on the write side. Never moves backwards (a stale worker
+    * cannot rewind a faster one). */
+  def commitConsumer(tableDir: String, consumer: String, version: Int): Unit = {
+    val p = consumerPath(tableDir, consumer)
+    Files.createDirectories(p.getParent)
+    val cur = consumerOffset(tableDir, consumer)
+    require(version >= cur,
+      s"Snapshots: consumer '$consumer' offset moving backwards ($cur -> $version)")
+    val tmp = Files.createTempFile(p.getParent, s".$consumer-", ".tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** One consumer poll: the rows appended since the consumer's last
+    * committed offset, plus the HEAD to commit after processing.
+    * `(empty, same offset)` when caught up. */
+  def poll(spark: SparkSession, tableDir: String, consumer: String): (DataFrame, Int) =
+    changesSince(spark, tableDir, consumerOffset(tableDir, consumer))
+
   /** Delete data files referenced by NO retained version (the last
     * `keepLast` versions stay readable) and the manifests of expired
     * versions. Time travel to expired versions then fails loud —

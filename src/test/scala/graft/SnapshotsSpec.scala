@@ -184,6 +184,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(d) == Seq(3L) && v == 3)
   }
 
+  test("consumer offsets: at-least-once poll/commit, independent groups, no rewind") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t)
+    // poll without commit = redelivery (crash before commit)
+    val (p1, v1) = Snapshots.poll(spark, t, "etl")
+    assert(ids(p1) == Seq(1L, 2L) && v1 == 2)
+    val (p1again, _) = Snapshots.poll(spark, t, "etl")
+    assert(ids(p1again) == Seq(1L, 2L))
+    // commit, then only new data delivers
+    Snapshots.commitConsumer(t, "etl", v1)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t)
+    val (p2, v2) = Snapshots.poll(spark, t, "etl")
+    assert(ids(p2) == Seq(3L) && v2 == 3)
+    // a second consumer group starts from scratch
+    val (q1, _) = Snapshots.poll(spark, t, "audit")
+    assert(ids(q1) == Seq(1L, 2L, 3L))
+    // offsets never rewind
+    intercept[IllegalArgumentException](Snapshots.commitConsumer(t, "etl", 1))
+    intercept[IllegalArgumentException](Snapshots.commitConsumer(t, "bad/name", 1))
+  }
+
   test("schema evolution: appended columns surface under mergeSchema, old rows NULL") {
     val t = freshTable()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
