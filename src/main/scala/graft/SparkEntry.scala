@@ -1005,6 +1005,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("source"))
     }),
+    // ---- URL-key exact dedup (the most common exact-dup source in
+    // crawl data: spelling variants of one URL). Pairs of doc_ids
+    // get the SAME page in different spellings — scheme, case, www,
+    // default port, fragment — and canonicalKey must collapse each
+    // pair to its min-doc_id survivor. The oracle constructs the
+    // ground-truth key arithmetically, verifying the whole
+    // host+path normalization chain, not replicating it ----
+    "q_url_dedup" -> ((s, dir) => {
+      val page = floor(col("doc_id") / 2) // two spellings per page
+      val site = concat(lit("site"), pmod(page, lit(10)))
+      val tld = when(page % 2 === 0, lit("com")).otherwise(lit("org"))
+      val url = when(col("doc_id") % 2 === 0,
+          concat(lit("HTTP://WWW."), upper(site), lit(".Example."), tld,
+            lit("/p/"), page, lit("?v=1#top")))
+        .otherwise(
+          concat(lit("https://"), site, lit(".example."), tld,
+            lit(":443/p/"), page, lit("?v=1")))
+      val keyed = Tables.documents(s, dir)
+        .select(col("doc_id"), graft.ops.Urls.canonicalKey(url).as("url_key"))
+      keyed.groupBy(col("url_key"))
+        .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_variants"))
+        .orderBy(col("url_key"))
+    }),
     // ---- BPE ENCODE under a trained merge table (the native
     // plans.BpeEncode expression — the real greedy merge chain, not
     // a regex approximation). The oracle uses a merge table whose
@@ -4158,6 +4181,21 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id BETWEEN 100 AND 260
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // URL dedup: ground-truth canonical key built arithmetically —
+    // host (lowered, www/port/fragment-stripped) + path + query.
+    "q_url_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    'site' || CAST((doc_id // 2) % 10 AS VARCHAR) || '.example.'
+        |      || CASE WHEN (doc_id // 2) % 2 = 0 THEN 'com' ELSE 'org' END
+        |      || '/p/' || CAST(doc_id // 2 AS VARCHAR) || '?v=1' AS url_key
+        |  FROM documents
+        |)
+        |SELECT url_key, min(doc_id) AS keep_doc,
+        |  CAST(count(*) AS BIGINT) AS n_variants
+        |FROM k GROUP BY url_key
+        |ORDER BY url_key""".stripMargin,
 
     // BPE encode: tokens per word = (codepoints + 1 for </w>)
     // − one per greedy merge. With disjoint single-char pair (t,h)
