@@ -64,7 +64,11 @@ object Urls {
   def pathQuery(url: Column): Column = {
     val pq = regexp_extract(stripFragment(url),
       "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#]*(.*)$", 1)
-    when(pq === "", lit("/")).otherwise(pq)
+    // default document in BOTH no-path shapes: bare host AND
+    // query-without-path (`host?q=1` ≡ `host/?q=1`)
+    when(pq === "", lit("/"))
+      .when(pq.startsWith("?"), concat(lit("/"), pq))
+      .otherwise(pq)
   }
 
   /** Full canonical key for URL-level dedup:

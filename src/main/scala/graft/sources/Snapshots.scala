@@ -276,6 +276,19 @@ object Snapshots {
     (df, head)
   }
 
+  /** Row-level diff between two retained versions — the full CDC
+    * feed `changesSince` deliberately is not: works across
+    * overwrite/optimize rewrites because it diffs ROWS (one
+    * full-outer key join via [[graft.operators.SnapshotDiff]]), not
+    * file lists. Output: (key, status ∈ added|removed|changed,
+    * old/new payloads). Cost |v1| + |v2| — the price of rewriting history
+    * into a row feed; use `changesSince` on append-only ranges where
+    * the file diff is free. */
+  def diffVersions(spark: SparkSession, tableDir: String, fromV: Int, toV: Int,
+                   key: String, payloadCols: Seq[String]): DataFrame =
+    graft.operators.SnapshotDiff.diff(
+      read(spark, tableDir, fromV), read(spark, tableDir, toV), key, payloadCols)
+
   /** The committed offset of a named consumer over this table, 0 if
     * the consumer has never committed. Offsets live in the table's
     * `_consumers/` dir — one tiny file per consumer, the Kafka

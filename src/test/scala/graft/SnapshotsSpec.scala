@@ -206,6 +206,17 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.commitConsumer(t, "bad/name", 1))
   }
 
+  test("diffVersions: row-level change feed across a rewrite (where changesSince refuses)") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    // the rewrite: 1 changed, 2 removed, 3 added
+    Snapshots.commit(Seq((1L, "a2"), (3L, "c")).toDF("id", "s"), t, mode = "overwrite")
+    intercept[IllegalArgumentException](Snapshots.changesSince(spark, t, 1))
+    val d = Snapshots.diffVersions(spark, t, 1, 2, "id", Seq("s"))
+      .select($"id", $"status").as[(Long, String)].collect().toSet
+    assert(d == Set((1L, "changed"), (2L, "removed"), (3L, "added")))
+  }
+
   test("schema evolution: appended columns surface under mergeSchema, old rows NULL") {
     val t = freshTable()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)

@@ -38,6 +38,32 @@ class UrlsSpec extends SparkSpec {
     assert(keyOf("https://example.com/") == "example.com/")
   }
 
+  test("property: any messy spelling of clean components normalizes to the same key") {
+    val rnd = new scala.util.Random(19)
+    val cases = (1 to 200).map { i =>
+      val host = s"h$i.example.${if (i % 2 == 0) "com" else "org"}"
+      val path = if (i % 3 == 0) "" else s"/a/$i"
+      val query = if (i % 4 == 0) s"?q=$i" else ""
+      val expected = host + (if (path.isEmpty) "/" else path) + query
+      // messy spelling: random scheme, case, www, default port, dot, fragment
+      val scheme = Seq("", "http://", "https://", "HTTPS://")(rnd.nextInt(4))
+      val www = if (rnd.nextBoolean()) "www." else ""
+      val spelledHost = {
+        val h = if (rnd.nextBoolean()) host.toUpperCase else host
+        h + (if (rnd.nextBoolean()) "." else "")
+      }
+      val port = if (rnd.nextBoolean()) ":" + Seq("80", "443", "8080")(rnd.nextInt(3)) else ""
+      val frag = if (rnd.nextBoolean()) "#frag" else ""
+      // a non-default port must NOT normalize away from the key? It
+      // does by contract (ports stripped) — expected key is portless.
+      (scheme + www + spelledHost + port + path + query + frag, expected)
+    }
+    val out = cases.toDF("url", "expected")
+      .select(Urls.canonicalKey($"url").as("k"), $"expected")
+      .as[(String, String)].collect()
+    out.foreach { case (k, e) => assert(k == e, s"got $k want $e") }
+  }
+
   test("url-key exact dedup: spelling variants collapse to one survivor") {
     val urls = Seq(
       (1L, "http://www.Site.com/page"),
