@@ -675,6 +675,19 @@ object SparkEntry {
       graft.operators.ProductQuantizer.encode(emb, mdl)
         .orderBy(col("vec_id"))
     }),
+    // ---- IVF-PQ (IVFADC, Jégou et al. 2011): coarse lists route
+    // the query to nProbe/nLists of the corpus, global PQ codes
+    // shrink each scanned row to m bytes-ish, ADC ranks — the
+    // billion-scale ANN layout as one composition of the two
+    // oracle-gated parts. Integer ADC + deterministic tie-breaks ⇒
+    // DuckDB replicates the exact same approximation ----
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mdl = graft.operators.ProductQuantizer.model(emb, m = 4, k = 16)
+      graft.operators.Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 50), 3,
+          nLists = 8, nProbe = 2, mdl)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
     // ---- SemDeDup: within-cluster near-dup pairs under the trained
     // k-means model (cluster-scoped quadratic search — the published
     // alternative to global LSH bucketing) ----
@@ -1027,6 +1040,44 @@ object SparkEntry {
       keyed.groupBy(col("url_key"))
         .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_variants"))
         .orderBy(col("url_key"))
+    }),
+    // ---- copy-on-write DELETE on a snapshot table: remove one
+    // lang/id-residue slice through the manifest protocol (only
+    // files containing matches rewrite; the rest carry by
+    // reference), then read HEAD — the oracle is the NOT-filtered
+    // aggregate over the raw corpus, proving the rewrite dropped
+    // exactly the TRUE rows and invented nothing ----
+    "q_delete_where" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
+      graft.sources.Snapshots.deleteWhere(s, t,
+        col("lang") === "en" && pmod(col("doc_id"), lit(7)) === 3)
+      graft.sources.Snapshots.read(s, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
+    // ---- copy-on-write MERGE (keyed upsert) on a snapshot table:
+    // one commit applies updates (doc_id%10=0, payload bumped,
+    // source re-tagged) and inserts (shifted new keys) — WHEN
+    // MATCHED UPDATE / WHEN NOT MATCHED INSERT. The oracle
+    // replicates the merge relationally over the raw corpus ----
+    "q_merge_cow" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
+      val docs = Tables.documents(s, dir)
+      val updates = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("n_chars", col("n_chars") + 100000L)
+        .withColumn("source", lit("merged"))
+      val inserts = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("source", lit("inserted"))
+      graft.sources.Snapshots.mergeInto(s, t, updates.unionByName(inserts), "doc_id")
+      graft.sources.Snapshots.read(s, t)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
     }),
     // ---- BPE ENCODE under a trained merge table (the native
     // plans.BpeEncode expression — the real greedy merge chain, not
@@ -3892,6 +3943,57 @@ object SparkEntry {
           |WHERE rnk <= 3
           |ORDER BY query_id, rnk""".stripMargin,
 
+      // IVF-PQ: q_ivf_topk's coarse assign/probe CTEs (nLists=8,
+      // nProbe=2) composed with q_pq_adc's code/ADC CTEs — candidate
+      // pairs restricted to probed lists, ADC rank inside them.
+      "q_ivfpq_topk" ->
+        """WITH qz AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+          |  FROM embeddings
+          |), nrm AS (
+          |  SELECT vec_id, v,
+          |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+          |  FROM qz
+          |), coarse AS (
+          |  SELECT vec_id AS cid, v AS cv, nv AS cn FROM nrm WHERE vec_id < 8
+          |), cscore AS (
+          |  SELECT n.vec_id, c.cid,
+          |    row_number() OVER (PARTITION BY n.vec_id
+          |                       ORDER BY CAST(CAST(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)/(n.nv*c.cn) DESC, c.cid ASC) AS rn
+          |  FROM nrm n, coarse c
+          |), corpus_assign AS (
+          |  SELECT vec_id AS corpus_id, cid AS list_id FROM cscore WHERE rn = 1
+          |), probes AS (
+          |  SELECT vec_id AS query_id, cid AS list_id FROM cscore WHERE rn <= 2 AND vec_id < 50
+          |), cent AS (
+          |  SELECT vec_id AS cid, v FROM qz WHERE vec_id < 16
+          |), sub AS (
+          |  SELECT q.vec_id, s.s, c.cid,
+          |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+          |      (q.v[s.s*16 + i] - c.v[s.s*16 + i]) * (q.v[s.s*16 + i] - c.v[s.s*16 + i]))) AS BIGINT) AS d
+          |  FROM qz q, (SELECT unnest(generate_series(0, 3)) AS s) s, cent c
+          |), best AS (
+          |  SELECT vec_id, s, min([d, cid])[2] AS code FROM sub GROUP BY 1, 2
+          |), adcsub AS (
+          |  SELECT p.query_id, b.vec_id AS corpus_id, b.s,
+          |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+          |      (qq.v[b.s*16 + i] - c.v[b.s*16 + i]) * (qq.v[b.s*16 + i] - c.v[b.s*16 + i]))) AS BIGINT) AS d
+          |  FROM best b
+          |  JOIN corpus_assign a ON a.corpus_id = b.vec_id
+          |  JOIN probes p ON p.list_id = a.list_id
+          |  JOIN qz qq ON qq.vec_id = p.query_id
+          |  JOIN cent c ON c.cid = b.code
+          |  WHERE qq.vec_id != b.vec_id
+          |), adc AS (
+          |  SELECT query_id, corpus_id, CAST(SUM(d) AS BIGINT) AS adc_dist
+          |  FROM adcsub GROUP BY 1, 2
+          |)
+          |SELECT query_id, corpus_id, adc_dist, CAST(rnk AS INT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS rnk
+          |      FROM adc)
+          |WHERE rnk <= 3
+          |ORDER BY query_id, rnk""".stripMargin,
+
       "q_text_stats" ->
         """SELECT doc_id,
           |  CAST(len(string_split_regex(text, ' +')) AS INT) AS n_tokens,
@@ -4196,6 +4298,38 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_variants
         |FROM k GROUP BY url_key
         |ORDER BY url_key""".stripMargin,
+
+    // Copy-on-write DELETE: reading HEAD after the delete must equal
+    // the NOT-filtered corpus — NULL-free predicate here; the
+    // NULL-survivor rule is pinned in SnapshotMutationsSpec.
+    "q_delete_where" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE NOT (lang = 'en' AND doc_id % 7 = 3)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Copy-on-write MERGE: the relational replica of WHEN MATCHED
+    // UPDATE / WHEN NOT MATCHED INSERT over the raw corpus.
+    "q_merge_cow" ->
+      """WITH src AS (
+        |  SELECT doc_id, text, lang, 'merged' AS source,
+        |         n_chars + 100000 AS n_chars
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, 'inserted', n_chars
+        |  FROM documents WHERE doc_id % 10 = 1
+        |), merged AS (
+        |  SELECT * FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM src)
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars FROM src
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  max(doc_id) AS max_doc
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
 
     // BPE encode: tokens per word = (codepoints + 1 for </w>)
     // − one per greedy merge. With disjoint single-char pair (t,h)

@@ -126,7 +126,7 @@ object ProductQuantizer {
     * smallest squared L2 = ||c||² − 2·⟨v_s, c⟩ (the ||v_s||² term is
     * constant per row), ties to the smallest centroid id via
     * lexicographic struct min. */
-  private def codeFor(v: Column, s: Int, mdl: Model): Column = {
+  private[graft] def codeFor(v: Column, s: Int, mdl: Model): Column = {
     val scored = array(mdl.cents(s).map { case (cid, cv, cn2) =>
       struct(
         (lit(cn2) - lit(2L) * Similarity.qdot(sub(v, s, mdl.subDim), typedLit(cv.toSeq)))
@@ -152,23 +152,34 @@ object ProductQuantizer {
     * — exact integers given the codes, so ranking is deterministic
     * (ties to smallest corpus id). `queries` must carry vec_id +
     * embedding; `codes` is `encode`'s output. Top-k per query. */
-  def adcTopK(codes: DataFrame, queries: DataFrame, mdl: Model, k: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
+  /** Query-side ADC projection: per subspace the quantized
+    * subvector q{s} and its squared norm qn{s} — the columns
+    * [[adcDistExpr]] consumes. Shared by [[adcTopK]] and the IVF-PQ
+    * composition in [[Similarity.ivfPqTopK]]. */
+  private[graft] def querySubCols(mdl: Model): Seq[Column] = {
     val qv = Similarity.quantize(col("embedding"))
-    val q = queries.where(col("embedding").isNotNull).select(
-      col("vec_id").as("query_id") +:
-        (0 until mdl.m).flatMap(s => Seq(
-          sub(qv, s, mdl.subDim).as(s"q$s"),
-          Similarity.qnorm2(sub(qv, s, mdl.subDim)).as(s"qn$s"))): _*)
-    // per subspace: ||q_s||² + ||c||² − 2⟨q_s, c⟩ with the centroid
-    // picked by the stored code — centroid vectors/norms are literal
-    // arrays indexed by code (k entries, model-sized)
-    val dist = (0 until mdl.m).map { s =>
+    (0 until mdl.m).flatMap(s => Seq(
+      sub(qv, s, mdl.subDim).as(s"q$s"),
+      Similarity.qnorm2(sub(qv, s, mdl.subDim)).as(s"qn$s")))
+  }
+
+  /** The ADC squared-L2 distance: Σ_s ||q_s||² + ||c||² − 2⟨q_s, c⟩
+    * with the centroid picked by the stored code — centroid
+    * vectors/norms are literal arrays indexed by code (k entries,
+    * model-sized). Exact integers given the codes. */
+  private[graft] def adcDistExpr(mdl: Model): Column =
+    (0 until mdl.m).map { s =>
       val centVecs = typedLit(mdl.cents(s).map(_._2.toSeq).toSeq)
       val centN2 = typedLit(mdl.cents(s).map(_._3).toSeq)
       col(s"qn$s") + element_at(centN2, col(s"code$s") + 1) -
         lit(2L) * Similarity.qdot(col(s"q$s"), element_at(centVecs, col(s"code$s") + 1))
     }.reduce(_ + _)
+
+  def adcTopK(codes: DataFrame, queries: DataFrame, mdl: Model, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val q = queries.where(col("embedding").isNotNull).select(
+      col("vec_id").as("query_id") +: querySubCols(mdl): _*)
+    val dist = adcDistExpr(mdl)
     val scored = codes.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("corpus_id"), dist.as("adc_dist"))

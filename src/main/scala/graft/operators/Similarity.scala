@@ -270,20 +270,26 @@ object Similarity {
   /** Assignment: one inverted list per corpus vector — a NARROW
     * projection over literal centroids (no shuffle, no broadcast).
     * Output: (corpus_id, cv, cn, list_id). */
-  def assignLists(corpus: DataFrame, cents: Array[(Int, Array[Long], Double)]): DataFrame = {
-    // per-vector centroid scores: array<struct<cos,negid>>; array_max =
-    // (highest cosine, then smallest centroid id)
+  def assignLists(corpus: DataFrame, cents: Array[(Int, Array[Long], Double)]): DataFrame =
+    corpus
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
+      .withColumn("list_id", listIdExpr(cents))
+      .select(col("vec_id").as("corpus_id"), col("v").as("cv"),
+        col("nrm").as("cn"), col("list_id"))
+
+  /** The coarse-assignment expression over columns `v` (quantized
+    * vector) and `nrm`: per-vector centroid scores as
+    * array<struct<cos,negid>>; array_max = (highest cosine, then
+    * smallest centroid id). Shared by [[assignLists]] and the fused
+    * IVF-PQ projection. */
+  private[graft] def listIdExpr(cents: Array[(Int, Array[Long], Double)]): Column = {
     val centScores = array(cents.map { case (cid, cv, cn) =>
       struct(
         (qdot(col("v"), typedLit(cv.toSeq)).cast("double") / (col("nrm") * lit(cn))).as("cos"),
         lit(-cid).as("negid"))
     }: _*)
-    corpus
-      .select(col("vec_id"), quantize(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
-      .withColumn("list_id", -array_max(centScores).getField("negid"))
-      .select(col("vec_id").as("corpus_id"), col("v").as("cv"),
-        col("nrm").as("cn"), col("list_id"))
+    -array_max(centScores).getField("negid")
   }
 
   /** Probing: the query's nProbe best lists (sort asc on (-cos, id),
@@ -361,6 +367,55 @@ object Similarity {
     val index = spark.read.parquet(path)
       .select(col("corpus_id"), col("cv"), col("cn"), col("list_id").cast("int").as("list_id"))
     scoreProbedLists(index, probeLists(queries, cents, nProbe), k)
+  }
+
+  /** IVF-PQ: the billion-scale ANN layout (Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011
+    * — the IVFADC structure): a coarse quantizer routes each corpus
+    * vector to an inverted list, a product quantizer compresses it
+    * to m small codes, and a query ADC-scores ONLY the codes in its
+    * probed lists. Here the codes are GLOBAL PQ (not per-list
+    * residual PQ — stated honestly: residual codebooks buy recall
+    * but need per-list training; global codes keep the layout and
+    * query path identical and make the approximation exactly
+    * replicable cross-engine).
+    *
+    * The index build is ONE fused narrow projection per corpus row —
+    * coarse list id + m codes from the same quantized vector, no
+    * join between the assignment and encoding passes, no shuffle at
+    * all. The scan payload of a probed list is (id, m codes): at
+    * m=4, k=16 that is ~8 bytes/vector vs 256 for the raw floats —
+    * the 100 TB story is nProbe/nLists of the data × 32× smaller
+    * rows, with `writeIvfIndex`-style partitionBy(list_id) making
+    * the probe a directory-pruned scan. Deterministic end to end
+    * (integer ADC distances; ties → smallest corpus id), so the
+    * DuckDB oracle replicates the exact approximation. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nLists: Int, nProbe: Int,
+                mdl: graft.operators.ProductQuantizer.Model): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= nLists,
+      s"need k>=1, 1<=nProbe<=nLists; got k=$k nProbe=$nProbe nLists=$nLists")
+    val cents = centroidModel(corpus, nLists)
+    // fused index projection: (corpus_id, list_id, code0..code{m-1})
+    val coded = corpus.where(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
+      .select(col("vec_id").as("corpus_id") +: listIdExpr(cents).as("list_id") +:
+        (0 until mdl.m).map(s => ProductQuantizer.codeFor(col("v"), s, mdl).as(s"code$s")): _*)
+    // query side: probed lists × ADC subvector projection — small by
+    // contract, broadcast into the per-list candidate join
+    val probes = probeLists(queries, cents, nProbe).select(col("query_id"), col("list_id"))
+    val q = queries.where(col("embedding").isNotNull)
+      .select(col("vec_id").as("query_id") +: ProductQuantizer.querySubCols(mdl): _*)
+      .join(probes, Seq("query_id"))
+    val scored = coded.join(broadcast(q), Seq("list_id"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        ProductQuantizer.adcDistExpr(mdl).as("adc_dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc_dist").asc, col("corpus_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("int")).where(col("rnk") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("rnk"))
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket; exact

@@ -397,6 +397,193 @@ object Snapshots {
     v
   }
 
+  // ---------------------------------------------------------------
+  // Row-level mutation verbs (copy-on-write) + retrying appends.
+  // ---------------------------------------------------------------
+
+  private def localPath(uriOrPath: String): String =
+    if (uriOrPath.startsWith("file:")) Paths.get(new java.net.URI(uriOrPath)).toString
+    else uriOrPath
+
+  private def stageDataDir(tableDir: String, prefix: String): Path = {
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    Paths.get(tableDir, "data", s"$prefix-$nonce")
+  }
+
+  private def listParts(dataDir: Path): Seq[String] =
+    if (!Files.isDirectory(dataDir)) Seq.empty
+    else Files.list(dataDir).iterator().asScala
+      .map(_.toString).filter(_.matches(".*part-.*\\.parquet")).toSeq.sorted
+
+  /** Publish `v = readV + 1` or fail loud when the table advanced
+    * past `readV` since the caller's read: a mutation's REWRITE SET
+    * was planned against `readV`'s files, so rebasing it onto a
+    * newer HEAD could silently resurrect rows a concurrent commit
+    * removed (or drop ones it added). This is the classic
+    * serializable-conflict abort — the caller re-runs the whole
+    * operation against the new HEAD. Appends have no read set and
+    * rebase automatically instead ([[commitWithRetry]]). */
+  private def publishOrConflict(tableDir: String, readV: Int, op: String,
+                                lines: Seq[String]): Unit =
+    try writeManifest(tableDir, readV + 1, readV, op, lines)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new java.util.ConcurrentModificationException(
+        s"Snapshots: $tableDir advanced past version $readV during $op — " +
+          "the planned rewrite set is stale; re-run the operation against the new HEAD")
+    }
+
+  /** Copy-on-write row-level DELETE: remove the rows where
+    * `predicate` is TRUE (NULL-predicate rows SURVIVE — SQL DELETE
+    * semantics), rewriting ONLY the files that contain a matching
+    * row. Untouched files are carried by reference with their
+    * manifest stats; history stays time-travelable until `vacuum`.
+    * Returns the committed version, or -1 when nothing matched (no
+    * empty commits).
+    *
+    * Scale: the find-affected pass is one column-pruned scan
+    * producing a listing-sized distinct-file set; rewrite IO is
+    * proportional to the files actually hit, not the table — on a
+    * zone-mapped table a range-shaped predicate additionally prunes
+    * the scan itself via [[readPruned]] composition upstream. The
+    * publish aborts loudly if the table advanced since the read
+    * (stale rewrite set — see [[publishOrConflict]]). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  predicate: org.apache.spark.sql.Column): Int =
+    deleteWhereHook(spark, tableDir, predicate, () => ())
+
+  /** Test seam: `beforePublish` runs after the rewrite is planned
+    * and staged, before the manifest link — the conflict window the
+    * public verb cannot reopen deterministically. */
+  private[graft] def deleteWhereHook(spark: SparkSession, tableDir: String,
+                                     predicate: org.apache.spark.sql.Column,
+                                     beforePublish: () => Unit): Int = {
+    import org.apache.spark.sql.functions._
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val lines = fileLines(tableDir, head)
+    if (lines.isEmpty) return -1
+    val files = lines.map(_.split('\t')(0))
+    val hit = spark.read.parquet(files: _*)
+      .where(predicate)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
+    if (hit.isEmpty) return -1
+    val kept = lines.filterNot(l => hit.contains(l.split('\t')(0)))
+    val outDir = stageDataDir(tableDir, "d")
+    // survivors: predicate FALSE or NULL both keep the row
+    spark.read.parquet(hit.toSeq.sorted: _*)
+      .where(!coalesce(predicate, lit(false)))
+      .write.parquet(outDir.toString)
+    beforePublish()
+    publishOrConflict(tableDir, head, "delete", kept ++ listParts(outDir))
+    head + 1
+  }
+
+  /** Copy-on-write MERGE (keyed upsert): rows of `source` replace
+    * same-`key` rows of the table; new-key rows are appended —
+    * Delta/Iceberg `MERGE WHEN MATCHED THEN UPDATE WHEN NOT MATCHED
+    * THEN INSERT`, as one commit. Only files containing a matched
+    * key are rewritten; the rest carry by reference. Fails loud on
+    * duplicate source keys (ambiguous merge) and on a schema
+    * mismatch (this verb is not schema evolution — use an append
+    * with `mergeSchema` for that). Returns the committed version.
+    *
+    * Scale: candidate files are pre-pruned through the manifest
+    * zone maps when the table carries envelopes for `key` (the
+    * source's key range is one tiny aggregate); the match pass then
+    * scans only candidates' key columns, and rewrite IO ∝ files
+    * actually containing matches + the source itself. */
+  def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
+                key: String): Int = {
+    import org.apache.spark.sql.functions._
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val lines = fileLines(tableDir, head)
+    require(lines.nonEmpty, s"Snapshots: $tableDir HEAD is empty; use commit(append)")
+    val tableCols = read(spark, tableDir, head).columns.toSeq
+    require(source.columns.sorted.toSeq == tableCols.sorted,
+      s"Snapshots: mergeInto schema mismatch — table [${tableCols.sorted.mkString(",")}] " +
+        s"vs source [${source.columns.sorted.mkString(",")}]")
+    require(source.groupBy(col(key)).count().where(col("count") > 1).limit(1).count() == 0,
+      s"Snapshots: mergeInto source has duplicate '$key' values — ambiguous merge")
+    val src = source.select(tableCols.map(col): _*)
+    // zone-map candidate pruning: with integral key envelopes the
+    // match scan touches only files whose range intersects the
+    // source's (stat-less files are always kept — never lossy)
+    val files = lines.map(_.split('\t')(0))
+    val bounds = src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).first()
+    val candidates =
+      if (bounds.isNullAt(0)) files
+      else prunedFiles(tableDir, head, key, bounds.getLong(0), bounds.getLong(1))
+    val srcKeys = src.select(col(key)).distinct()
+    val hit =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read.parquet(candidates: _*)
+        // file name is stamped directly over the scan (input_file_name
+        // is single-source); the semi join runs above the projection
+        .select(col(key), input_file_name().as("__f"))
+        .join(srcKeys, Seq(key), "left_semi")
+        .select(col("__f")).distinct()
+        .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
+    val kept = lines.filterNot(l => hit.contains(l.split('\t')(0)))
+    val outDir = stageDataDir(tableDir, "m")
+    val survivors =
+      if (hit.isEmpty) src
+      else spark.read.parquet(hit.toSeq.sorted: _*)
+        .join(srcKeys, Seq(key), "left_anti")
+        .select(tableCols.map(col): _*)
+        .unionByName(src)
+    survivors.write.parquet(outDir.toString)
+    publishOrConflict(tableDir, head, "merge", kept ++ listParts(outDir))
+    head + 1
+  }
+
+  /** Append with automatic rebase on a lost version race: the data
+    * files are STAGED ONCE, then the manifest publish loop re-reads
+    * HEAD and re-carries its lines until the link lands (append has
+    * no read set, so rebasing is always sound — the commutativity
+    * that makes optimistic concurrency cheap for the by-far-most-
+    * common write). Bytes are never rewritten across retries.
+    * `maxRetries` bounds livelock under pathological contention;
+    * losing that many races fails loud with the staged dir named so
+    * the caller can vacuum or retry. */
+  def commitWithRetry(df: DataFrame, tableDir: String, maxRetries: Int = 5,
+                      tag: Option[String] = None, statsCols: Seq[String] = Nil): Int =
+    commitWithRetryHook(df, tableDir, maxRetries, tag, statsCols, _ => ())
+
+  /** Test seam: `beforePublish(attempt)` runs AFTER attempt's HEAD
+    * read, BEFORE its manifest link — the race window itself. The
+    * spec lands a real interloper commit there, forcing the EEXIST
+    * path `commitWithRetry` cannot reopen on demand. */
+  private[graft] def commitWithRetryHook(df: DataFrame, tableDir: String,
+                                         maxRetries: Int, tag: Option[String],
+                                         statsCols: Seq[String],
+                                         beforePublish: Int => Unit): Int = {
+    Files.createDirectories(snapPath(tableDir))
+    val dataDir = stageDataDir(tableDir, "s")
+    df.write.parquet(dataDir.toString)
+    val newFiles = listParts(dataDir)
+    val newLines =
+      if (statsCols.isEmpty) newFiles
+      else statLines(df.sparkSession, dataDir.toString, newFiles, statsCols)
+    var attempt = 0
+    while (true) {
+      val prev = currentVersion(tableDir)
+      val carried = if (prev > 0) fileLines(tableDir, prev) else Seq.empty
+      beforePublish(attempt)
+      try {
+        writeManifest(tableDir, prev + 1, prev, "append", carried ++ newLines, tag)
+        return prev + 1
+      } catch { case _: java.nio.file.FileAlreadyExistsException =>
+        attempt += 1
+        require(attempt <= maxRetries,
+          s"Snapshots: lost the version race $attempt times on $tableDir; " +
+            s"staged data retained at $dataDir")
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Deterministic demo table for the q_snapshot_read oracle: the
     * documents corpus committed in two appends (even doc_ids, then
     * odd) plus one superseded-and-rolled-back overwrite, so the read

@@ -86,6 +86,33 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(top.where($"query_id" === 9L).count() == 0 && top.count() == 2)
   }
 
+  test("ivfPqTopK with a full probe equals plain ADC top-k; partial probe is a subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where($"vec_id" < 20)
+    val mdl = ProductQuantizer.model(emb, m = 4, k = 16)
+    // probing every list removes the approximation on the IVF side:
+    // the composition must reduce exactly to adcTopK
+    val full = graft.operators.Similarity.ivfPqTopK(emb, queries, 3, nLists = 8, nProbe = 8, mdl)
+      .select($"query_id", $"corpus_id", $"adc_dist", $"rnk")
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    val plain = ProductQuantizer.adcTopK(ProductQuantizer.encode(emb, mdl), queries, mdl, 3)
+      .as[(Long, Long, Long, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(full.toSeq == plain.toSeq)
+    // a partial probe returns pairs drawn only from probed lists —
+    // every (query, corpus, dist) it emits exists in the full scoring
+    val partial = graft.operators.Similarity.ivfPqTopK(emb, queries, 3, nLists = 8, nProbe = 2, mdl)
+      .select($"query_id", $"corpus_id", $"adc_dist").as[(Long, Long, Long)].collect().toSet
+    val allPairs = plain.map(r => (r._1, r._2, r._3)).toSet
+    // top-k of a subset need not be the global top-k, but distances
+    // must agree wherever pairs coincide
+    val fullDists = ProductQuantizer.adcTopK(
+      ProductQuantizer.encode(emb, mdl), queries, mdl, Int.MaxValue - 1)
+      .select($"query_id", $"corpus_id", $"adc_dist").as[(Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(partial.forall { case (q, c, d) => fullDists((q, c)) == d })
+    assert(allPairs.nonEmpty && partial.nonEmpty)
+  }
+
   test("ADC ranking tracks true distance: a planted exact twin ranks first") {
     // append an exact copy of vector 20 with a fresh id — its codes
     // equal vector 20's, so ADC distance(query=20, twin) is the
