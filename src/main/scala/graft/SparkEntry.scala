@@ -1041,6 +1041,19 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_variants"))
         .orderBy(col("url_key"))
     }),
+    // ---- Bloom-pruned snapshot point lookup: per-file source
+    // blooms in the manifest skip definitely-absent files (the
+    // string-equality complement of the integral zone maps); the
+    // oracle is the plain filtered aggregate — skipping must lose
+    // nothing (file-count reduction measured in SnapshotsSpec) ----
+    "q_snapshot_bloom" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureBloomTable(s, dir)
+      graft.sources.Snapshots.readPrunedEq(s, t, "source", "src7")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }),
     // ---- copy-on-write DELETE on a snapshot table: remove one
     // lang/id-residue slice through the manifest protocol (only
     // files containing matches rewrite; the rest carry by
@@ -4298,6 +4311,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_variants
         |FROM k GROUP BY url_key
         |ORDER BY url_key""".stripMargin,
+
+    // Bloom-pruned point lookup: equality read through per-file
+    // manifest blooms must equal the plain filter.
+    "q_snapshot_bloom" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE source = 'src7'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Copy-on-write DELETE: reading HEAD after the delete must equal
     // the NOT-filtered corpus — NULL-free predicate here; the

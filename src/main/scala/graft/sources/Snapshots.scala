@@ -86,11 +86,13 @@ object Snapshots {
     fileLines(tableDir, version).map(_.split('\t')(0))
 
   /** Per-file column stats of `version`: path → (col → (min, max)).
-    * Files committed without `statsCols` carry an empty map. */
+    * Files committed without `statsCols` carry an empty map. Bloom
+    * parts (`bloom:` prefix) are a separate namespace — skipped
+    * here, parsed by [[prunedFilesEq]]. */
   def fileStats(tableDir: String, version: Int): Seq[(String, Map[String, (Long, Long)])] =
     fileLines(tableDir, version).map { line =>
       val parts = line.split('\t')
-      val stats = parts.drop(1).flatMap { s =>
+      val stats = parts.drop(1).filterNot(_.startsWith("bloom:")).flatMap { s =>
         val eq = s.indexOf('='); val co = s.indexOf(':', eq)
         if (eq < 0 || co < 0) None
         else Some(s.substring(0, eq) ->
@@ -108,7 +110,9 @@ object Snapshots {
     * `FileAlreadyExistsException` if another writer won the version
     * race — re-read HEAD and retry. */
   def commit(df: DataFrame, tableDir: String, mode: String = "append",
-             tag: Option[String] = None, statsCols: Seq[String] = Nil): Int = {
+             tag: Option[String] = None, statsCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil, bloomExpectedItems: Long = 10000L,
+             bloomFpp: Double = 0.03): Int = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got '$mode'")
     Files.createDirectories(snapPath(tableDir))
@@ -121,14 +125,83 @@ object Snapshots {
     df.write.parquet(dataDir.toString)
     val newFiles = Files.list(dataDir).iterator().asScala
       .map(_.toString).filter(_.matches(".*part-.*\\.parquet")).toSeq.sorted
-    val newLines =
+    val statLined =
       if (statsCols.isEmpty) newFiles
       else statLines(df.sparkSession, dataDir.toString, newFiles, statsCols)
+    val newLines =
+      if (bloomCols.isEmpty) statLined
+      else statLined.map(l =>
+        withBloomParts(df.sparkSession, l, bloomCols, bloomExpectedItems, bloomFpp))
     // append carries the previous version's full lines — stats travel
     // with their files
     val carried = if (mode == "append" && prev > 0) fileLines(tableDir, prev) else Seq.empty
     writeManifest(tableDir, v, prev, mode, carried ++ newLines, tag)
     v
+  }
+
+  /** Append per-file Bloom parts (`bloom:<col>=<base64>`) to a
+    * manifest line — equality file-skipping for STRING columns, the
+    * complement of the integral zone maps (ranges prune sorted data;
+    * blooms prune point lookups on high-cardinality strings, where
+    * min/max envelopes are useless). One
+    * `org.apache.spark.util.sketch.BloomFilter` per (file, col),
+    * built from that file's values; no false negatives by
+    * construction, so pruning can never drop a row. Sized by the
+    * caller (`bloomExpectedItems`/`bloomFpp` ≈ file row count / the
+    * acceptable extra-read rate). Non-string columns fail loud —
+    * integral columns belong in `statsCols`. Base64 carries no tab,
+    * newline, ':' or leading '=', so the parts coexist with stat
+    * parts on the same line (and [[fileStats]] skips the namespace
+    * explicitly). The per-file build mirrors `statLines`' read-back
+    * pass — the cost real formats fold into the writer. */
+  private def withBloomParts(spark: SparkSession, line: String, bloomCols: Seq[String],
+                             expectedItems: Long, fpp: Double): String = {
+    val path = line.split('\t')(0)
+    val df = spark.read.parquet(path)
+    val parts = bloomCols.map { c =>
+      require(df.schema(c).dataType == org.apache.spark.sql.types.StringType,
+        s"Snapshots: bloom stats support STRING columns ('$c' is " +
+          s"${df.schema(c).dataType.catalogString}); integral columns belong in statsCols")
+      val bf = df.stat.bloomFilter(c, expectedItems, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      s"bloom:$c=${java.util.Base64.getEncoder.encodeToString(bos.toByteArray)}"
+    }
+    (line +: parts).mkString("\t")
+  }
+
+  /** The file paths of `version` that MAY contain `col = value` —
+    * per-file Bloom probing: a file is skipped only when its filter
+    * answers "definitely absent"; files without a bloom for `col`
+    * are always kept. Package-visible so the spec can measure. */
+  private[graft] def prunedFilesEq(tableDir: String, version: Int,
+                                   c: String, value: String): Seq[String] = {
+    val prefix = s"bloom:$c="
+    fileLines(tableDir, version).flatMap { line =>
+      val parts = line.split('\t')
+      parts.drop(1).find(_.startsWith(prefix)) match {
+        case None => Some(parts(0))
+        case Some(p) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(p.substring(prefix.length))))
+          if (bf.mightContainString(value)) Some(parts(0)) else None
+      }
+    }
+  }
+
+  /** Point-lookup read with Bloom file skipping: reads only files
+    * whose filter may contain `value`, then applies the exact
+    * predicate. Equals the unpruned filtered read by construction
+    * (no false negatives; false positives only read extra). */
+  def readPrunedEq(spark: SparkSession, tableDir: String, c: String,
+                   value: String, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version >= 0) version else currentVersion(tableDir)
+    require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    val files = prunedFilesEq(tableDir, v, c, value)
+    if (files.isEmpty) read(spark, tableDir, v).where(col(c) === value).limit(0)
+    else spark.read.parquet(files: _*).where(col(c) === value)
   }
 
   /** Per-file min/max manifest lines for the just-written files —
@@ -604,6 +677,25 @@ object Snapshots {
       tableDir.toString, "append", statsCols = stats)                   // v2
     commit(docs.where("doc_id < 0"), tableDir.toString, "overwrite")    // v3 (empty, wrong)
     rollback(tableDir.toString, 2)                                      // v4 == full corpus
+    tableDir.toString
+  }
+
+  /** Demo table for the q_snapshot_bloom oracle: the corpus in two
+    * appends, each hash-clustered by `source` into 4 files and
+    * committed with per-file source blooms — so an equality lookup
+    * has real files to skip. Separate from [[ensureDemoTable]] to
+    * keep the bloom build cost off the other snapshot queries. */
+  def ensureBloomTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = Integer.toHexString(sfDir.hashCode)
+    val tableDir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-bloomtab-$key")
+    if (Files.exists(tableDir))
+      Files.walk(tableDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val src = org.apache.spark.sql.functions.col("source")
+    commit(docs.where("doc_id % 2 = 0").repartition(4, src), tableDir.toString,
+      "append", bloomCols = Seq("source"), bloomExpectedItems = 4000L, bloomFpp = 0.01)
+    commit(docs.where("doc_id % 2 = 1").repartition(4, src), tableDir.toString,
+      "append", bloomCols = Seq("source"), bloomExpectedItems = 4000L, bloomFpp = 0.01)
     tableDir.toString
   }
 }

@@ -227,6 +227,50 @@ class SnapshotsSpec extends SparkSpec {
       Seq((1L, None), (2L, Some(9L))))
   }
 
+  test("bloom manifest parts: equality pruning skips files, never rows") {
+    val t = freshTable()
+    // three single-file commits with disjoint string key sets
+    Snapshots.commit(Seq((1L, "apple"), (2L, "avocado")).toDF("id", "s").coalesce(1), t,
+      bloomCols = Seq("s"), bloomExpectedItems = 100L, bloomFpp = 0.01)
+    Snapshots.commit(Seq((3L, "banana"), (4L, "blueberry")).toDF("id", "s").coalesce(1), t,
+      bloomCols = Seq("s"), bloomExpectedItems = 100L, bloomFpp = 0.01)
+    Snapshots.commit(Seq((5L, "cherry"), (6L, "cranberry")).toDF("id", "s").coalesce(1), t,
+      bloomCols = Seq("s"), bloomExpectedItems = 100L, bloomFpp = 0.01)
+    // the probe skips files whose filter answers definitely-absent
+    // (deterministic: fixed data, fixed sketch seeds)
+    assert(Snapshots.prunedFilesEq(t, 3, "s", "banana").size < 3)
+    assert(ids(Snapshots.readPrunedEq(spark, t, "s", "banana")) == Seq(3L))
+    // a value present nowhere: empty result (possibly zero files read)
+    assert(Snapshots.readPrunedEq(spark, t, "s", "durian").count() == 0)
+    // never lossy: every present value still found after pruning
+    for (v <- Seq("apple", "avocado", "banana", "blueberry", "cherry", "cranberry"))
+      assert(Snapshots.readPrunedEq(spark, t, "s", v).count() == 1, s"lost '$v'")
+  }
+
+  test("blooms and zone maps coexist on one line and both travel through append-carry") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "x")).toDF("id", "s").coalesce(1), t,
+      statsCols = Seq("id"), bloomCols = Seq("s"))
+    Snapshots.commit(Seq((100L, "y")).toDF("id", "s").coalesce(1), t,
+      statsCols = Seq("id"), bloomCols = Seq("s"))
+    // zone maps parse cleanly with bloom parts on the same line
+    val stats = Snapshots.fileStats(t, 2)
+    assert(stats.size == 2 && stats.forall(_._2.contains("id")))
+    // v2 carried v1's line verbatim: its bloom still prunes
+    assert(Snapshots.prunedFilesEq(t, 2, "s", "y").size == 1)
+    assert(ids(Snapshots.readPrunedEq(spark, t, "s", "x")) == Seq(1L))
+    // and range pruning still works beside the blooms
+    assert(ids(Snapshots.readPruned(spark, t, "id", 50L, 200L)) == Seq(100L))
+  }
+
+  test("bloom on a non-string column fails loud (integral columns belong in statsCols)") {
+    val t = freshTable()
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((1L, "x")).toDF("id", "s"), t, bloomCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("STRING"))
+  }
+
   test("demo table: 4-version history resolves to the full corpus") {
     val dir = Snapshots.ensureDemoTable(spark, "/root/testdata/sf0.001")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
