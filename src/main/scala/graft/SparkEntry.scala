@@ -646,6 +646,20 @@ object SparkEntry {
         .select(col("u").as("src"), col("v").as("dst")).distinct()
       graft.operators.Triangles.clusteringCoefficients(edges).orderBy(col("id"))
     }),
+    // ---- k-core peeling (Seidman 1983) on the same co-occurrence
+    // graph: three fixed peel rounds at k=8 — the fixed-round form
+    // (engine fixpoint loop spec-gated in KCoreSpec) unrolls into an
+    // exact SQL oracle, the PageRank precedent ----
+    "q_kcore" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      val edges = a.join(b, Seq("k")).where(col("u") < col("v"))
+        .select(col("u").as("src"), col("v").as("dst")).distinct()
+      graft.operators.KCore.peelRounds(edges, k = 8, rounds = 3).orderBy(col("id"))
+    }),
     // ---- product quantization: 64 floats -> 4 codebook codes
     // (Jégou et al. 2011). Integer-quantized subspace distances make
     // encode (argmin, ties to smallest centroid) and ADC scores
@@ -1750,6 +1764,31 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // ---- point-in-time join against the SCD2 dimension: every
+    // event gets the tier valid AT its timestamp — one as-of join
+    // (single key shuffle, linear), not the BETWEEN theta-join
+    // Spark would plan as a nested-loop. Pre-first-version and
+    // unknown-key facts surface as NULL, never a stale version ----
+    "q_scd2_pit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val snap = ev.where(col("ts") < cut)
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("ts"), col("event_id"), col("event_type")),
+          struct(col("ts"), col("event_id"))).as("u"))
+        .select(col("user_id"), col("u.event_type").as("tier"), col("u.ts").as("since"))
+      val upd = ev.where(col("ts") >= cut)
+        .select(col("user_id"), col("event_type").as("tier"), col("ts"), col("event_id"))
+      val dim = graft.ops.Scd2.apply(
+        graft.ops.Scd2.init(snap, "user_id", Seq("tier"), "since"),
+        upd, "user_id", Seq("tier"), "ts", "event_id")
+      graft.ops.Scd2.pointInTime(
+          ev.select(col("event_id"), col("user_id"), col("ts")), dim, "user_id", "ts",
+          Seq("tier"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("tier"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- BPE training statistics: frequency-weighted adjacent
     // symbol-pair counts over the corpus word dictionary (the
     // distributed half of tokenizer training; the merge loop is
@@ -2125,6 +2164,40 @@ object SparkEntry {
         |)
         |SELECT * FROM existing UNION ALL SELECT * FROM reopened
         |ORDER BY user_id, valid_from""".stripMargin,
+    // Point-in-time join restated as the interval BETWEEN join the
+    // as-of plan avoids: at most one dim version contains each fact
+    // ts (intervals tile), so the LEFT JOIN is row-preserving.
+    "q_scd2_pit" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events WHERE user_id IS NOT NULL
+        |), snap AS (
+        |  SELECT user_id, event_type AS tier, ts AS valid_from
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1
+        |), upd AS (
+        |  SELECT user_id, event_type AS tier, ts
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00')
+        |  WHERE rn = 1
+        |), existing AS (
+        |  SELECT s.user_id, s.tier, s.valid_from,
+        |    CASE WHEN u.user_id IS NOT NULL AND u.tier IS DISTINCT FROM s.tier THEN u.ts END AS valid_to
+        |  FROM snap s LEFT JOIN upd u USING (user_id)
+        |), reopened AS (
+        |  SELECT u.user_id, u.tier, u.ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        |  FROM upd u LEFT JOIN snap s USING (user_id)
+        |  WHERE s.user_id IS NULL OR u.tier IS DISTINCT FROM s.tier
+        |), dim AS (
+        |  SELECT * FROM existing UNION ALL SELECT * FROM reopened
+        |)
+        |SELECT f.event_id, f.user_id, f.ts, d.tier
+        |FROM ev f LEFT JOIN dim d
+        |  ON d.user_id = f.user_id
+        |  AND d.valid_from <= f.ts
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
+
     // BPE pair counts rebuilt from the same word-frequency dict and
     // 1-char-symbols + </w> model; total order (cnt, a, b) makes the
     // top-100 cutoff deterministic in both engines.
@@ -3903,6 +3976,40 @@ object SparkEntry {
       // encode = per-subspace argmin of exact integer squared L2
       // (lexicographic list min → ties to smallest centroid id);
       // ADC = sum of per-subspace distances to the CODED centroids.
+      // k-core: three unrolled peels — each round recomputes degrees
+      // over the surviving edge set and keeps vertices with deg >= 8.
+      "q_kcore" ->
+        """WITH pe AS (
+          |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  WHERE a.l_orderkey % 4 = 0
+          |), e0 AS (
+          |  SELECT u AS src, v AS dst FROM pe
+          |), s0 AS (
+          |  SELECT id FROM (SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0)
+          |  GROUP BY id HAVING count(*) >= 8
+          |), e1 AS (
+          |  SELECT e.src, e.dst FROM e0 e
+          |  JOIN s0 x ON x.id = e.src JOIN s0 y ON y.id = e.dst
+          |), s1 AS (
+          |  SELECT id FROM (SELECT src AS id FROM e1 UNION ALL SELECT dst FROM e1)
+          |  GROUP BY id HAVING count(*) >= 8
+          |), e2 AS (
+          |  SELECT e.src, e.dst FROM e1 e
+          |  JOIN s1 x ON x.id = e.src JOIN s1 y ON y.id = e.dst
+          |), s2 AS (
+          |  SELECT id FROM (SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2)
+          |  GROUP BY id HAVING count(*) >= 8
+          |), e3 AS (
+          |  SELECT e.src, e.dst FROM e2 e
+          |  JOIN s2 x ON x.id = e.src JOIN s2 y ON y.id = e.dst
+          |)
+          |SELECT id, CAST(count(*) AS BIGINT) AS deg
+          |FROM (SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3)
+          |GROUP BY id
+          |ORDER BY id""".stripMargin,
+
       "q_pq_codes" ->
         """WITH qz AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v

@@ -104,4 +104,41 @@ object Scd2 {
       col(tsCol).as("valid_from") :+
       lit(null).cast(snapshot.schema(tsCol).dataType).as("valid_to") :+
       lit(true).as("is_current")): _*)
+
+  /** Point-in-time (temporal) join: attach to every fact row the
+    * dimension attributes that were valid AT the fact's timestamp —
+    * the version with `valid_from` ≤ ts < `valid_to` (open version:
+    * no upper bound). Facts before the key's first version, with an
+    * unknown key, or falling in a GAP of a non-contiguous dimension
+    * get NULL attributes (left-join semantics) — never the stale
+    * previous version.
+    *
+    * Plan shape: because SCD2 intervals per key are ordered by
+    * `valid_from`, "the containing interval" IS "the most recent
+    * version starting at-or-before ts" — so this is one
+    * [[Joins.asOfJoin]] (union + single window pass, ONE shuffle on
+    * the key, linear) plus a narrow gap check, not an interval theta-
+    * join (BroadcastNestedLoopJoin, quadratic per key — the plan
+    * Spark picks for the naive BETWEEN join). Zero-width versions
+    * (closed at their own start) share `valid_from` with their
+    * successor; the tie is broken toward the version with the later
+    * (or open) `valid_to` — the one actually containing ts. */
+  def pointInTime(facts: DataFrame, dim: DataFrame, key: String,
+                  factTs: String, attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    val vtType = dim.schema("valid_to").dataType
+    val farFuture = lit("9999-12-31 23:59:59").cast(vtType)
+    val d = dim.select((col(key) +: col("valid_from") +: col("valid_to") +:
+        coalesce(col("valid_to"), farFuture).as("pit_tie") +:
+        attrCols.map(col)): _*)
+    val joined = Joins.asOfJoin(facts, d, Seq(key), factTs, "valid_from", "pit_tie",
+      payload = attrCols :+ "valid_to")
+    // gap guard: a closed version whose interval ended at-or-before
+    // the fact ts matched only because the dimension has a hole
+    // there — the honest answer is "no version", not the stale one
+    val gap = col("valid_to").isNotNull && col(factTs) >= col("valid_to")
+    attrCols.foldLeft(joined) { (df, a) =>
+      df.withColumn(a, when(gap, lit(null).cast(df.schema(a).dataType)).otherwise(col(a)))
+    }.drop("valid_to")
+  }
 }

@@ -117,6 +117,48 @@ class Scd2Spec extends SparkSpec {
     assert(err.getMessage.contains("NULL ts"), err.getMessage)
   }
 
+  test("pointInTime attaches the version valid AT each fact ts (boundaries to the new version)") {
+    // user 1: bronze [01-01, 02-01) -> silver [02-01, open)
+    val b1 = Seq((1L, "silver", ts("2024-02-01 00:00:00"), 1L))
+      .toDF("user_id", "tier", "ts", "update_id")
+    val dim = Scd2.apply(dim0, b1, "user_id", Seq("tier"), "ts", "update_id")
+    val facts = Seq(
+      (10L, 1L, ts("2024-01-15 00:00:00")), // inside v1
+      (11L, 1L, ts("2024-02-01 00:00:00")), // boundary: belongs to v2
+      (12L, 1L, ts("2024-03-01 00:00:00")), // open version
+      (13L, 1L, ts("2023-12-01 00:00:00")), // before first version -> NULL
+      (14L, 7L, ts("2024-03-01 00:00:00"))  // unknown key -> NULL
+    ).toDF("fact_id", "user_id", "fts")
+    val got = Scd2.pointInTime(facts, dim, "user_id", "fts", Seq("tier"))
+      .select($"fact_id", $"tier").as[(Long, Option[String])].collect().toMap
+    assert(got == Map(10L -> Some("bronze"), 11L -> Some("silver"),
+      12L -> Some("silver"), 13L -> None, 14L -> None))
+  }
+
+  test("pointInTime in a dimension gap yields NULL, never the stale previous version") {
+    // hand-built non-contiguous dim: v1 [01-01, 01-10), v2 [02-01, open)
+    val dim = Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-01-10 00:00:00")), false),
+      (1L, "silver", ts("2024-02-01 00:00:00"), Option.empty[Timestamp], true)
+    ).toDF("user_id", "tier", "valid_from", "valid_to", "is_current")
+    val facts = Seq((10L, 1L, ts("2024-01-20 00:00:00"))).toDF("fact_id", "user_id", "fts")
+    val got = Scd2.pointInTime(facts, dim, "user_id", "fts", Seq("tier"))
+      .select($"fact_id", $"tier").as[(Long, Option[String])].collect()
+    assert(got.toSeq == Seq((10L, None)))
+  }
+
+  test("pointInTime zero-width versions lose the boundary to their successor") {
+    // an update at exactly the open row's valid_from makes v1 [t, t)
+    val dim = Seq(
+      (1L, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-01-01 00:00:00")), false),
+      (1L, "silver", ts("2024-01-01 00:00:00"), Option.empty[Timestamp], true)
+    ).toDF("user_id", "tier", "valid_from", "valid_to", "is_current")
+    val facts = Seq((10L, 1L, ts("2024-01-01 00:00:00"))).toDF("fact_id", "user_id", "fts")
+    val got = Scd2.pointInTime(facts, dim, "user_id", "fts", Seq("tier"))
+      .select($"fact_id", $"tier").as[(Long, Option[String])].collect()
+    assert(got.toSeq == Seq((10L, Some("silver"))))
+  }
+
   test("NULL attrs compare with null-safe equality (no phantom versions)") {
     val d = Scd2.init(Seq((1L, null.asInstanceOf[String], ts("2024-01-01 00:00:00")))
       .toDF("user_id", "tier", "since"), "user_id", Seq("tier"), "since")
