@@ -288,6 +288,23 @@ object SparkEntry {
           (element_at(col("sorted"), (floor((col("n") - 1) * 0.9) + 1).cast("int")) / 100.0).as("p90"),
           (element_at(col("sorted"), (floor((col("n") - 1) * 0.99) + 1).cast("int")) / 100.0).as("p99"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- regular-grid resampling with linear interpolation: the
+    // value-estimating extension of the hourly null-filled grid.
+    // Integer-cents observations, one IEEE division per point —
+    // bit-identical cross-engine; NULL outside each key's observed
+    // range (extrapolation invents data) ----
+    "q_interpolate" -> ((s, dir) => {
+      val obs = Tables.events(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+        .agg(max(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("event_type"), timestamp_seconds(col("tsec")).as("ts"), col("cents"))
+      graft.ops.Resample.interpolate(obs, Seq("event_type"), "ts", "cents",
+          startEpoch = 1704240000L, endEpoch = 1704412800L, stepSeconds = 3600)
+        .select(col("event_type"),
+          unix_timestamp(col("grid_ts")).cast("long").as("grid_epoch"), col("value"))
+        .orderBy(col("event_type"), col("grid_epoch"))
     })
   )
 
@@ -780,6 +797,26 @@ object SparkEntry {
           Seq(col("media_id"), col("n_bytes"), col("sample_rate")) ++
             (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy(col("media_id"))
+    }),
+    // ---- frame-level audio features over the same synthesized WAVs:
+    // 4 samples at frameLen=2 -> two complete frames per doc, each
+    // carrying exact-integer energy/|s|/peak/trough/crossings — the
+    // windowed silence/VAD primitives, oracle-recomputed
+    // arithmetically from the sample formula ----
+    "q_audio_frames" -> ((s, dir) => {
+      val header = "52494646" + "2c000000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0100" + "401f0000" + "803e0000" + "0200" + "1000" +
+        "64617461" + "08000000"
+      def u(mult: Int) = pmod(col("doc_id") * mult, lit(65536L))
+      def hx(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+      def le16(c: org.apache.spark.sql.Column) =
+        concat(hx(pmod(c, lit(256L))), hx(shiftright(c, 8)))
+      val payload = unhex(concat(lit(header),
+        le16(u(7)), le16(u(31)), le16(u(131)), le16(u(8191))))
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("audio").as("kind"), payload.as("payload"))
+      graft.multimodal.Multimodal.audioFrames(media, frameLen = 2)
+        .orderBy(col("media_id"), col("frame_idx"))
     }),
     // ---- resize planning over decoded media (audio rows keep null
     // dims/scale; the uniform-scale doubles are exact IEEE divisions) ----
@@ -1299,6 +1336,21 @@ object SparkEntry {
       graft.ops.Windows.tumbling(
         Tables.events(s, dir).where(col("user_id").isNotNull && col("user_id") < 20),
         "ts", "10 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n_rows"), centSum(col("value")).as("sum_value"))
+      )
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("user_id"), col("n_rows"), col("sum_value"))
+        .orderBy(col("w_start"), col("user_id"))
+    }),
+
+    // ---- hopping 30-min windows every 10 min: each event lands in
+    // exactly 3 overlapping windows (the expand happens before the
+    // single aggregation shuffle — no self-union of shifted copies);
+    // the oracle replays the 3-offset fan-out explicitly ----
+    "q_hopping_30x10" -> ((s, dir) => {
+      graft.ops.Windows.hopping(
+        Tables.events(s, dir).where(col("user_id").isNotNull && col("user_id") < 20),
+        "ts", "30 minutes", "10 minutes", Seq("user_id"),
         Seq(count(lit(1)).as("n_rows"), centSum(col("value")).as("sum_value"))
       )
         .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
@@ -2341,6 +2393,35 @@ object SparkEntry {
         |FROM b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100 ELSE 60 END)
         |GROUP BY 1""".stripMargin,
+
+    // Interpolation restated as the per-point neighbor lookup the
+    // windowed plan avoids; same second-floored epochs, same
+    // dedup-by-max-cents, same one-division lerp tree.
+    "q_interpolate" ->
+      """WITH obs AS (
+        |  SELECT event_type AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         CAST(max(CAST(round(value*100) AS BIGINT)) AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT k, unnest(generate_series(1704240000, 1704412800, 3600)) AS t
+        |  FROM (SELECT DISTINCT event_type AS k FROM events WHERE value IS NOT NULL)
+        |), nb AS (
+        |  SELECT g.k, g.t,
+        |    (SELECT max(o.t) FROM obs o WHERE o.k = g.k AND o.t <= g.t) AS tb,
+        |    (SELECT min(o.t) FROM obs o WHERE o.k = g.k AND o.t >= g.t) AS ta
+        |  FROM grid g
+        |)
+        |SELECT n.k AS event_type, n.t AS grid_epoch,
+        |  CASE WHEN n.tb IS NULL OR n.ta IS NULL THEN NULL
+        |       WHEN n.tb = n.ta THEN vb.v
+        |       ELSE vb.v + ((va.v - vb.v) * CAST(n.t - n.tb AS DOUBLE))
+        |                   / CAST(n.ta - n.tb AS DOUBLE)
+        |  END AS value
+        |FROM nb n
+        |LEFT JOIN obs vb ON vb.k = n.k AND vb.t = n.tb
+        |LEFT JOIN obs va ON va.k = n.k AND va.t = n.ta
+        |ORDER BY event_type, grid_epoch""".stripMargin,
 
     "q_quantiles" ->
       """WITH v AS (
@@ -3572,6 +3653,36 @@ object SparkEntry {
           |FROM agg g JOIN zc z ON z.doc_id = g.doc_id
           |ORDER BY media_id""".stripMargin,
 
+      // Frame features: the same sample formula bucketed into
+      // frames of 2; crossings join only pairs inside one frame.
+      "q_audio_frames" ->
+        """WITH sv AS (
+          |  SELECT d.doc_id, m.k,
+          |    CASE WHEN ((d.doc_id * m.p) % 65536) < 32768
+          |         THEN ((d.doc_id * m.p) % 65536)
+          |         ELSE ((d.doc_id * m.p) % 65536) - 65536 END AS s
+          |  FROM documents d, (VALUES (0, 7), (1, 31), (2, 131), (3, 8191)) m(k, p)
+          |), agg AS (
+          |  SELECT doc_id, k // 2 AS frame_idx,
+          |    SUM(s * s) AS energy, SUM(ABS(s)) AS sum_abs,
+          |    MAX(s) AS peak, MIN(s) AS trough
+          |  FROM sv GROUP BY 1, 2
+          |), zc AS (
+          |  SELECT a.doc_id, a.k // 2 AS frame_idx,
+          |    SUM(CASE WHEN (a.s >= 0) <> (b.s >= 0) THEN 1 ELSE 0 END) AS z
+          |  FROM sv a JOIN sv b
+          |    ON b.doc_id = a.doc_id AND b.k = a.k + 1 AND (b.k // 2) = (a.k // 2)
+          |  GROUP BY 1, 2
+          |)
+          |SELECT g.doc_id AS media_id, CAST(g.frame_idx AS INT) AS frame_idx,
+          |  CAST(2 AS INT) AS n,
+          |  CAST(g.energy AS BIGINT) AS energy,
+          |  CAST(g.sum_abs AS BIGINT) AS sum_abs,
+          |  CAST(g.peak AS INT) AS peak, CAST(g.trough AS INT) AS trough,
+          |  CAST(z.z AS BIGINT) AS crossings
+          |FROM agg g JOIN zc z ON z.doc_id = g.doc_id AND z.frame_idx = g.frame_idx
+          |ORDER BY media_id, frame_idx""".stripMargin,
+
       // Mirrors Multimodal.resizeStub(224, 224) over the decode stub's
       // md5-derived dimensions.
       "q_media_resize" ->
@@ -4538,6 +4649,22 @@ object SparkEntry {
         |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
         |FROM events WHERE user_id IS NOT NULL AND user_id < 20
         |GROUP BY 1,2,3""".stripMargin,
+
+    // Hopping windows: the event→3-window fan-out made explicit —
+    // a window starting at bucket10(ts) − {0,10,20} min contains ts.
+    "q_hopping_30x10" ->
+      """WITH e AS (
+        |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS tb, user_id,
+        |         CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND user_id < 20
+        |)
+        |SELECT e.tb - m.off AS w_start,
+        |  e.tb - m.off + INTERVAL '30 minutes' AS w_end,
+        |  user_id, count(*) AS n_rows,
+        |  sum(cents)/100.0 AS sum_value
+        |FROM e, (VALUES (INTERVAL '0 minutes'), (INTERVAL '10 minutes'),
+        |                (INTERVAL '20 minutes')) m(off)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_rank_topk" ->
       """SELECT user_id, rnk, event_id, value FROM (

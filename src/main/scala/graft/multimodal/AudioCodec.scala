@@ -60,9 +60,11 @@ object AudioCodec {
   private def leSample(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)).toShort.toInt
 
-  private def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
-    // chunk walk: fmt must precede data per spec, but tolerate any
-    // order by scanning; chunks are word-aligned (odd sizes padded)
+  /** Chunk walk shared by the feature decode and [[samples]]:
+    * (rate, channels, dataOff, nSamples), or None when not 16-bit
+    * PCM. fmt must precede data per spec, but tolerate any order by
+    * scanning; chunks are word-aligned (odd sizes padded). */
+  private def parsePcm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     var pos = 12
     var rate = -1; var channels = -1; var fmtOk = false
     var dataOff = -1; var dataLen = -1
@@ -83,7 +85,30 @@ object AudioCodec {
       pos += 8 + size + (size & 1)
     }
     if (!fmtOk || dataOff < 0 || dataLen < 2) return None
-    val n = dataLen / 2 // whole samples; a trailing odd byte is ignored
+    Some((rate, channels, dataOff, dataLen / 2)) // trailing odd byte ignored
+  }
+
+  /** Raw interleaved signed samples of a 16-bit PCM RIFF/WAVE —
+    * the sample-level entry frame analysis builds on. None = not a
+    * recognized payload (caller skips or stubs). Never throws. */
+  def samples(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (payload.length < 12 ||
+          payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+          payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E')
+        None
+      else parsePcm(payload).map { case (rate, ch, off, n) =>
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) { out(i) = leSample(payload, off + i * 2); i += 1 }
+        (rate, ch, out)
+      }
+    } catch { case _: RuntimeException => None }
+
+  private def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
+    val parsed = parsePcm(b)
+    if (parsed.isEmpty) return None
+    val (rate, channels, dataOff, n) = parsed.get
     var sabs = 0L; var ssq = 0L; var minS = Int.MaxValue; var maxS = Int.MinValue
     var clip = 0L; var crossings = 0L; var prevNonNeg = false
     var i = 0

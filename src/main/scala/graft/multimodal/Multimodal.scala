@@ -110,6 +110,67 @@ object Multimodal {
       }(enc)
   }
 
+  private val frameSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("n", IntegerType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("trough", IntegerType, nullable = false),
+    StructField("crossings", LongType, nullable = false)))
+
+  /** Frame-level audio analysis: non-overlapping fixed windows of
+    * `frameLen` samples over the interleaved PCM stream, one output
+    * row per COMPLETE frame (the ragged tail is dropped — stated,
+    * not silent: partial-frame stats are not comparable across
+    * rows). Per frame, all-integer measurements — energy Σs²,
+    * Σ|s|, peak/trough, and sign crossings BETWEEN samples of the
+    * same frame (boundary pairs belong to neither frame) — the
+    * silence/VAD/clipping primitives an audio curation pipeline
+    * windows over, exact in any engine.
+    *
+    * Only genuinely decodable payloads (16-bit PCM WAV) produce
+    * frames; the md5 stub has no sample stream to window, and a
+    * fake frame row would poison downstream thresholds. Same scale
+    * contract as `decodeFeatures`: mapPartitions over executor-side
+    * iterators, payloads never hit the driver, output rows ∝ audio
+    * duration / frameLen. */
+  def audioFrames(media: DataFrame, frameLen: Int): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val enc = Encoders.row(frameSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .where(col("kind") === "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          AudioCodec.samples(payload) match {
+            case None => Iterator.empty
+            case Some((_, _, s)) =>
+              (0 until s.length / frameLen).iterator.map { f =>
+                val start = f * frameLen
+                var energy = 0L; var sabs = 0L; var z = 0L
+                var peak = Int.MinValue; var trough = Int.MaxValue
+                var prevNonNeg = false
+                var i = start
+                while (i < start + frameLen) {
+                  val v = s(i)
+                  energy += v.toLong * v; sabs += math.abs(v)
+                  if (v > peak) peak = v
+                  if (v < trough) trough = v
+                  val nonNeg = v >= 0
+                  if (i > start && nonNeg != prevNonNeg) z += 1
+                  prevNonNeg = nonNeg
+                  i += 1
+                }
+                Row(id, f, frameLen, energy, sabs, peak, trough, z)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic "resize": marks the target dims in metadata and
     * truncates the payload proportionally (stub for a real resampler). */
   def resizeStub(features: DataFrame, targetW: Int, targetH: Int): DataFrame =

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling of irregular time series with linear
+  * interpolation — the step past `Recap.hourly`'s null-filled grid:
+  * instead of reporting a slot empty, estimate the value between its
+  * neighboring observations (sensor/telemetry practice; the weather
+  * pipeline's hourly grid is the constant-only special case).
+  *
+  * Semantics per key and grid instant t:
+  *  - both neighbors exist (prev obs at tb ≤ t, next obs at ta ≥ t):
+  *    value = vb + ((va − vb) · (t − tb)) / (ta − tb), the exact
+  *    IEEE evaluation of that parse tree — every operand an
+  *    integer-exact double, ONE rounding step (the division), so any
+  *    engine reproduces it bit-for-bit;
+  *  - an observation exactly at t: its value verbatim (also the
+  *    tb = ta case, which the formula cannot divide through);
+  *  - t before the key's first or after its last observation: NULL —
+  *    extrapolation invents data, callers who want clamping can
+  *    coalesce with the boundary value themselves.
+  *
+  * Plan shape: the observations and the exploded grid are unioned
+  * and sorted ONCE per key (one shuffle); the prev/next neighbor for
+  * every grid point comes from two running `last(_, ignoreNulls)`
+  * window passes over that order (the asOfJoin trick, both
+  * directions) — linear, no per-grid-point probe join, no range
+  * join. At 100 TB the cost is the one key shuffle of |obs| +
+  * |keys|·|grid| rows.
+  *
+  * Contract: (key, ts) must be unique in the observations (two
+  * values at one instant make the neighbor value ambiguous) —
+  * enforced with a loud raise inside the same window pass, the
+  * asOfJoin duplicate-guard policy. NULL values/timestamps are
+  * rejected the same way.
+  */
+object Resample {
+
+  /** @param keys        series identity columns
+    * @param tsCol       observation timestamp (second precision used)
+    * @param valCol      numeric value (pass exact cents for the
+    *                    bit-reproducibility contract)
+    * @param startEpoch  first grid instant, unix seconds (inclusive)
+    * @param endEpoch    last grid instant, unix seconds (inclusive)
+    * @param stepSeconds grid spacing
+    * @return one row per key × grid instant: keys, `grid_ts`
+    *         (timestamp), `value` (double, NULL outside the key's
+    *         observed range) */
+  def interpolate(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+                  startEpoch: Long, endEpoch: Long, stepSeconds: Int): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(stepSeconds > 0 && endEpoch >= startEpoch,
+      s"need stepSeconds>0, endEpoch>=startEpoch; got step=$stepSeconds [$startEpoch, $endEpoch]")
+    val kCols = keys.map(col)
+    val obs = df.select(kCols :+ unix_timestamp(col(tsCol)).as("__t") :+
+        col(valCol).cast("double").as("__v"): _*)
+      .withColumn("__v", when(col("__v").isNull || col("__t").isNull,
+        raise_error(lit(s"Resample: NULL $tsCol/$valCol observation — filter first"))
+          .cast("double")).otherwise(col("__v")))
+      .withColumn("__side", lit(0))
+    val grid = df.select(kCols: _*).distinct()
+      .withColumn("__t", explode(sequence(lit(startEpoch), lit(endEpoch),
+        lit(stepSeconds.toLong))))
+      .withColumn("__v", lit(null).cast("double"))
+      .withColumn("__side", lit(1))
+    val all = obs.unionByName(grid)
+    // duplicate-observation guard rides the same partitioning
+    val dupW = Window.partitionBy(kCols :+ col("__t"): _*)
+    val guarded = all.withColumn("__nobs",
+        sum(when(col("__side") === 0, 1).otherwise(0)).over(dupW))
+      .withColumn("__v",
+        when(col("__nobs") > 1, raise_error(concat(
+          lit("Resample: duplicate observation at epoch "), col("__t").cast("string"),
+          lit(" — (key, ts) must be unique"))).cast("double"))
+          .otherwise(col("__v")))
+    // prev: obs at-or-before t (obs sorts before the grid row at equal t)
+    val fwd = Window.partitionBy(kCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // next: obs at-or-after t (same-instant obs already seen in the
+    // descending order because side asc puts it first)
+    val bwd = Window.partitionBy(kCols: _*)
+      .orderBy(col("__t").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ob = when(col("__side") === 0, struct(col("__t").as("t"), col("__v").as("v")))
+    val out = guarded
+      .withColumn("__prev", last(ob, ignoreNulls = true).over(fwd))
+      .withColumn("__next", last(ob, ignoreNulls = true).over(bwd))
+      .where(col("__side") === 1)
+    val tb = col("__prev.t"); val vb = col("__prev.v")
+    val ta = col("__next.t"); val va = col("__next.v")
+    val t = col("__t")
+    val lerp = when(col("__prev").isNull || col("__next").isNull, lit(null).cast("double"))
+      .when(tb === ta, vb)
+      .otherwise(vb + ((va - vb) * (t - tb).cast("double")) / (ta - tb).cast("double"))
+    out.select(kCols :+ timestamp_seconds(col("__t")).as("grid_ts") :+
+      lerp.as("value"): _*)
+  }
+}

@@ -43,4 +43,18 @@ object Windows {
   def tumbling(df: DataFrame, tsCol: String, duration: String, keys: Seq[String], aggs: Seq[Column]): DataFrame =
     df.groupBy((window(col(tsCol), duration) +: keys.map(col)): _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** Hopping (sliding) event-time windows: length `duration`, a new
+    * window every `slide` — each event contributes to
+    * duration/slide overlapping windows (the smoothing the tumbling
+    * bucket's hard edges can't give: a spike at a bucket boundary
+    * splits across two tumbling buckets but is whole in some hop).
+    * Same streaming-compatible `window()` as [[tumbling]], so the
+    * shape runs under Structured Streaming with a watermark; the
+    * duration/slide fan-out happens in the generated expand, before
+    * the ONE aggregation shuffle — no self-union of shifted copies. */
+  def hopping(df: DataFrame, tsCol: String, duration: String, slide: String,
+              keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), duration, slide) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
 }

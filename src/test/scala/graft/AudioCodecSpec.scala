@@ -72,6 +72,41 @@ class AudioCodecSpec extends SparkSpec {
     assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
   }
 
+  test("samples() returns the exact interleaved signed stream; declines non-PCM") {
+    val got = AudioCodec.samples(wav(8000, 2, Seq(100, -200, 32767, -32768))).get
+    assert(got._1 == 8000 && got._2 == 2)
+    assert(got._3.toSeq == Seq(100, -200, 32767, -32768))
+    assert(AudioCodec.samples("not audio".getBytes).isEmpty)
+  }
+
+  test("audioFrames: exact per-frame integer features; ragged tail dropped; stub skipped") {
+    import spark.implicits._
+    // 5 samples at frameLen=2 -> frames {100,-200}, {300,-400}; tail {5} dropped
+    val payload = wav(8000, 1, Seq(100, -200, 300, -400, 5))
+    val media = Seq(
+      (1L, "audio", payload),
+      (2L, "audio", "opus-encoded-bytes".getBytes), // undecodable: no frames
+      (3L, "image", payload)                        // wrong kind: filtered
+    ).toDF("media_id", "kind", "payload")
+    val rows = graft.multimodal.Multimodal.audioFrames(media, frameLen = 2)
+      .orderBy($"media_id", $"frame_idx")
+      .as[(Long, Int, Int, Long, Long, Int, Int, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 0, 2, 100L * 100 + 200L * 200, 300L, 100, -200, 1L),
+      (1L, 1, 2, 300L * 300 + 400L * 400, 700L, 300, -400, 1L)))
+  }
+
+  test("audioFrames crossings count only within-frame sign changes") {
+    import spark.implicits._
+    // alternating signs: 4 crossings in the stream, but the pair at
+    // the frame boundary (idx 1->2) belongs to neither frame
+    val media = Seq((1L, "audio", wav(8000, 1, Seq(1, -1, 1, -1))))
+      .toDF("media_id", "kind", "payload")
+    val z = graft.multimodal.Multimodal.audioFrames(media, frameLen = 2)
+      .orderBy($"frame_idx").select($"crossings").as[Long].collect().toSeq
+    assert(z == Seq(1L, 1L))
+  }
+
   test("decodeFeatures routes genuine WAV audio through the real branch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.Resample
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(epoch: Long) = new Timestamp(epoch * 1000L)
+
+  test("linear interpolation between neighbors; verbatim at observations; NULL outside range") {
+    val obs = Seq(("a", ts(1000), 100.0), ("a", ts(1100), 300.0))
+      .toDF("k", "t", "v")
+    val out = Resample.interpolate(obs, Seq("k"), "t", "v", 950L, 1150L, 50)
+      .orderBy($"grid_ts")
+      .select(unix_timestamp($"grid_ts").as("e"), $"value")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (950L, None),          // before first obs
+      (1000L, Some(100.0)),  // exact obs
+      (1050L, Some(200.0)),  // midpoint
+      (1100L, Some(300.0)),  // exact obs
+      (1150L, None)))        // after last obs
+  }
+
+  test("uneven spacing interpolates by exact time fractions") {
+    val obs = Seq(("a", ts(0), 0.0), ("a", ts(400), 100.0)).toDF("k", "t", "v")
+    val out = Resample.interpolate(obs, Seq("k"), "t", "v", 100L, 300L, 100)
+      .orderBy($"grid_ts").select($"value").as[Double].collect().toSeq
+    assert(out == Seq(25.0, 50.0, 75.0))
+  }
+
+  test("keys interpolate independently; a single-observation key is NULL except at its instant") {
+    val obs = Seq(("a", ts(0), 0.0), ("a", ts(200), 200.0), ("b", ts(100), 7.0))
+      .toDF("k", "t", "v")
+    val out = Resample.interpolate(obs, Seq("k"), "t", "v", 0L, 200L, 100)
+      .orderBy($"k", $"grid_ts")
+      .select($"k", $"value").as[(String, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("a", Some(0.0)), ("a", Some(100.0)), ("a", Some(200.0)),
+      ("b", None), ("b", Some(7.0)), ("b", None)))
+  }
+
+  test("duplicate observations at one instant fail loud") {
+    val obs = Seq(("a", ts(0), 1.0), ("a", ts(0), 2.0)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Resample.interpolate(obs, Seq("k"), "t", "v", 0L, 100L, 100).collect()
+    }
+    assert(e.getMessage.contains("duplicate observation"), e.getMessage)
+  }
+
+  test("NULL observations fail loud instead of silently vanishing") {
+    val obs = Seq(("a", ts(0), Some(1.0)), ("a", ts(50), Option.empty[Double]))
+      .toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Resample.interpolate(obs, Seq("k"), "t", "v", 0L, 100L, 100).collect()
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
+  test("result is independent of input partitioning") {
+    val obs = Seq(("a", ts(0), 0.0), ("a", ts(300), 90.0), ("a", ts(700), -10.0))
+      .toDF("k", "t", "v")
+    val a = Resample.interpolate(obs, Seq("k"), "t", "v", 0L, 700L, 100)
+      .orderBy($"grid_ts").select($"value").as[Option[Double]].collect().toSeq
+    val b = Resample.interpolate(obs.repartition(7), Seq("k"), "t", "v", 0L, 700L, 100)
+      .orderBy($"grid_ts").select($"value").as[Option[Double]].collect().toSeq
+    assert(a == b && a.flatten.nonEmpty)
+  }
+}
