@@ -1092,6 +1092,22 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_variants"))
         .orderBy(col("url_key"))
     }),
+    // ---- incremental materialized-view maintenance: a per-lang
+    // aggregate view bootstrapped from the first append, then
+    // REFRESHED from only the second append's files (delta fold +
+    // copy-on-write merge) — the oracle is the full aggregate over
+    // the whole corpus, proving delta maintenance loses nothing ----
+    "q_mv_refresh" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-mv")
+      val base = root.resolve("base").toString
+      val view = root.resolve("view").toString
+      val docs = Tables.documents(s, dir)
+      graft.sources.Snapshots.commit(docs.where("doc_id % 2 = 0"), base)
+      graft.sources.MaterializedView.fullRefresh(s, base, view, "lang", Seq("n_chars"))
+      graft.sources.Snapshots.commit(docs.where("doc_id % 2 = 1"), base)
+      graft.sources.MaterializedView.refresh(s, base, view, "lang", Seq("n_chars"))
+      graft.sources.Snapshots.read(s, view).orderBy(col("lang"))
+    }),
     // ---- Bloom-pruned snapshot point lookup: per-file source
     // blooms in the manifest skip definitely-absent files (the
     // string-equality complement of the integral zone maps); the
@@ -4529,6 +4545,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_variants
         |FROM k GROUP BY url_key
         |ORDER BY url_key""".stripMargin,
+
+    // Incremental MV: delta-folded view == full aggregate.
+    "q_mv_refresh" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Bloom-pruned point lookup: equality read through per-file
     // manifest blooms must equal the plain filter.

@@ -396,14 +396,28 @@ object Similarity {
     require(k >= 1 && nProbe >= 1 && nProbe <= nLists,
       s"need k>=1, 1<=nProbe<=nLists; got k=$k nProbe=$nProbe nLists=$nLists")
     val cents = centroidModel(corpus, nLists)
-    // fused index projection: (corpus_id, list_id, code0..code{m-1})
-    val coded = corpus.where(col("embedding").isNotNull)
+    scoreProbedCodes(ivfPqCode(corpus, cents, mdl), queries, cents, nProbe, mdl, k)
+  }
+
+  /** The fused IVF-PQ index projection: (corpus_id, list_id,
+    * code0..code{m-1}) — coarse assignment and PQ encoding from the
+    * SAME quantized vector in one narrow pass, no join, no shuffle. */
+  private def ivfPqCode(corpus: DataFrame, cents: Array[(Int, Array[Long], Double)],
+                        mdl: ProductQuantizer.Model): DataFrame =
+    corpus.where(col("embedding").isNotNull)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
       .select(col("vec_id").as("corpus_id") +: listIdExpr(cents).as("list_id") +:
         (0 until mdl.m).map(s => ProductQuantizer.codeFor(col("v"), s, mdl).as(s"code$s")): _*)
-    // query side: probed lists × ADC subvector projection — small by
-    // contract, broadcast into the per-list candidate join
+
+  /** ADC top-k within probed lists: the probe side (query subvectors
+    * × probed list ids) broadcasts into the per-list candidate join —
+    * on a list_id-partitioned index this is what triggers dynamic
+    * partition pruning. */
+  private def scoreProbedCodes(coded: DataFrame, queries: DataFrame,
+                               cents: Array[(Int, Array[Long], Double)],
+                               nProbe: Int, mdl: ProductQuantizer.Model,
+                               k: Int): DataFrame = {
     val probes = probeLists(queries, cents, nProbe).select(col("query_id"), col("list_id"))
     val q = queries.where(col("embedding").isNotNull)
       .select(col("vec_id").as("query_id") +: ProductQuantizer.querySubCols(mdl): _*)
@@ -416,6 +430,64 @@ object Similarity {
       .partitionBy(col("query_id")).orderBy(col("adc_dist").asc, col("corpus_id").asc)
     scored.withColumn("rnk", row_number().over(w).cast("int")).where(col("rnk") <= k)
       .select(col("query_id"), col("corpus_id"), col("adc_dist"), col("rnk"))
+  }
+
+  /** Persist the IVF-PQ index: the fused code projection written
+    * `partitionBy(list_id)` — the probe-pruned directory layout of
+    * `writeIvfIndex`, but each row is (id, m codes) instead of the
+    * raw vector: the scan that remains after pruning is ALSO ~32×
+    * smaller. Two model-parameter-sized sidecars make the index
+    * self-describing: `<path>.centroids` (the coarse quantizer) and
+    * `<path>.codebook` (the PQ codebooks, one row per (subspace,
+    * centroid)). */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, nLists: Int,
+                      mdl: ProductQuantizer.Model): Unit = {
+    val spark = corpus.sparkSession
+    val cents = centroidModel(corpus, nLists)
+    ivfPqCode(corpus, cents, mdl)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
+    val centRows = cents.map { case (cid, cv, cn) =>
+      org.apache.spark.sql.Row(cid, cv.toSeq, cn)
+    }.toSeq.asJava
+    spark.createDataFrame(centRows, StructType(Seq(
+        StructField("cid", IntegerType), StructField("cv", ArrayType(LongType)),
+        StructField("cn", DoubleType))))
+      .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+    val bookRows = (for {
+      s <- 0 until mdl.m
+      (cid, cv, cn2) <- mdl.cents(s)
+    } yield org.apache.spark.sql.Row(s, cid, cv.toSeq, cn2)).asJava
+    spark.createDataFrame(bookRows, StructType(Seq(
+        StructField("s", IntegerType), StructField("cid", IntegerType),
+        StructField("cv", ArrayType(LongType)), StructField("cn2", LongType))))
+      .coalesce(1).write.mode("overwrite").parquet(path + ".codebook")
+  }
+
+  /** Query a persisted IVF-PQ index: both sidecars rebuild the
+    * models (tiny reads), the probe side broadcasts, and the code
+    * scan touches only probed list_id directories (spec-measured
+    * with scan metrics, the IvfIndexSpec pattern). Identical to
+    * `ivfPqTopK` in-memory with the same models (spec-checked). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val cents: Array[(Int, Array[Long], Double)] =
+      spark.read.parquet(path + ".centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray, r.getDouble(2)))
+        .sortBy(_._1)
+    val book = spark.read.parquet(path + ".codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2).toArray, r.getLong(3)))
+    val m = book.map(_._1).max + 1
+    val centsBySub = Array.tabulate(m)(s =>
+      book.filter(_._1 == s).map(t => (t._2, t._3, t._4)).sortBy(_._1))
+    val mdl = ProductQuantizer.Model(m, centsBySub.head.head._2.length,
+      centsBySub.head.length, centsBySub)
+    val coded = spark.read.parquet(path)
+      .select(col("corpus_id") +: col("list_id").cast("int").as("list_id") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+    scoreProbedCodes(coded, queries, cents, nProbe, mdl, k)
   }
 
   /** Approximate top-k: candidates share the query's LSH bucket; exact

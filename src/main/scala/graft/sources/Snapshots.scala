@@ -497,8 +497,8 @@ object Snapshots {
     * operation against the new HEAD. Appends have no read set and
     * rebase automatically instead ([[commitWithRetry]]). */
   private def publishOrConflict(tableDir: String, readV: Int, op: String,
-                                lines: Seq[String]): Unit =
-    try writeManifest(tableDir, readV + 1, readV, op, lines)
+                                lines: Seq[String], tag: Option[String] = None): Unit =
+    try writeManifest(tableDir, readV + 1, readV, op, lines, tag)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new java.util.ConcurrentModificationException(
         s"Snapshots: $tableDir advanced past version $readV during $op — " +
@@ -567,7 +567,7 @@ object Snapshots {
     * scans only candidates' key columns, and rewrite IO ∝ files
     * actually containing matches + the source itself. */
   def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
-                key: String): Int = {
+                key: String, tag: Option[String] = None): Int = {
     import org.apache.spark.sql.functions._
     val head = currentVersion(tableDir)
     require(head > 0, s"Snapshots: $tableDir has no committed versions")
@@ -580,14 +580,24 @@ object Snapshots {
     require(source.groupBy(col(key)).count().where(col("count") > 1).limit(1).count() == 0,
       s"Snapshots: mergeInto source has duplicate '$key' values — ambiguous merge")
     val src = source.select(tableCols.map(col): _*)
-    // zone-map candidate pruning: with integral key envelopes the
-    // match scan touches only files whose range intersects the
-    // source's (stat-less files are always kept — never lossy)
+    // zone-map candidate pruning: with an INTEGRAL key and stats
+    // recorded, the match scan touches only files whose range
+    // intersects the source's (stat-less files are always kept —
+    // never lossy; non-integral keys skip straight to the full
+    // candidate set — an ANSI cast would throw, not return NULL)
     val files = lines.map(_.split('\t')(0))
-    val bounds = src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).first()
+    val keyIsIntegral = source.schema(key).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     val candidates =
-      if (bounds.isNullAt(0)) files
-      else prunedFiles(tableDir, head, key, bounds.getLong(0), bounds.getLong(1))
+      if (!keyIsIntegral) files
+      else {
+        val bounds = src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).first()
+        if (bounds.isNullAt(0)) files
+        else prunedFiles(tableDir, head, key, bounds.getLong(0), bounds.getLong(1))
+      }
     val srcKeys = src.select(col(key)).distinct()
     val hit =
       if (candidates.isEmpty) Set.empty[String]
@@ -607,7 +617,7 @@ object Snapshots {
         .select(tableCols.map(col): _*)
         .unionByName(src)
     survivors.write.parquet(outDir.toString)
-    publishOrConflict(tableDir, head, "merge", kept ++ listParts(outDir))
+    publishOrConflict(tableDir, head, "merge", kept ++ listParts(outDir), tag)
     head + 1
   }
 

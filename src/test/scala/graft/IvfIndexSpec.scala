@@ -85,4 +85,41 @@ class IvfIndexSpec extends SparkSpec {
       s"probe read $filesRead of $totalFiles files; expected <= $maxFiles (pruned to probed lists)")
     assert(filesRead < totalFiles, "probe scanned the whole index — no pruning happened")
   }
+
+  test("ivfPqTopKIndexed equals in-memory ivfPqTopK; sidecars fully rebuild both models") {
+    val path = Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    val mdl = graft.operators.ProductQuantizer.model(embeddings, m = 4, k = 16)
+    Similarity.writeIvfPqIndex(embeddings, path, nLists = 8, mdl)
+    val queries = embeddings.where($"vec_id" < 5)
+    val mem = Similarity.ivfPqTopK(embeddings, queries, 3, nLists = 8, nProbe = 2, mdl)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val idx = Similarity.ivfPqTopKIndexed(spark, path, queries, 3, nProbe = 2)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(idx == mem && idx.nonEmpty)
+  }
+
+  test("an IVF-PQ probe reads only probed list directories of code-sized rows") {
+    val path = Files.createTempDirectory("graft-ivfpq2").toString + "/index"
+    val nLists = 16
+    val mdl = graft.operators.ProductQuantizer.model(embeddings, m = 4, k = 16)
+    Similarity.writeIvfPqIndex(embeddings, path, nLists = nLists, mdl)
+    val listDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(listDirs.length == nLists)
+    val totalFiles = listDirs.flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    val queries = embeddings.where($"vec_id" < 2)
+    val q = Similarity.ivfPqTopKIndexed(spark, path, queries, 3, nProbe = 4)
+    assert(q.collect().nonEmpty)
+    val indexScan = fileScans(q)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivfpq2")))
+      .getOrElse(fail("no index scan found in the executed plan"))
+    val filesRead = indexScan.metrics("numFiles").value
+    info(s"index files: $totalFiles; files read by probe: $filesRead")
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"probe read $filesRead of $totalFiles files — expected a pruned scan")
+    // and the scanned payload is codes, not vectors: no embedding/cv
+    // column in the index schema at all
+    val schema = spark.read.parquet(path).schema.fieldNames.toSet
+    assert(schema == Set("corpus_id", "code0", "code1", "code2", "code3", "list_id"))
+  }
 }
