@@ -524,6 +524,33 @@ object Profile {
         codesT.unpersist(); corpus2.unpersist()
         emb.unpersist()
 
+      case "ivfpq" =>
+        // IVF-PQ cost split: the registered q_ivfpq_topk fuses index
+        // BUILD (coarse assign + encode of the whole corpus) with the
+        // QUERY (probe + ADC over probed lists). Production builds
+        // once and queries many times (writeIvfPqIndex /
+        // ivfPqTopKIndexed) — this case measures each half so the
+        // bench line's cost attributes honestly.
+        import graft.operators.{ProductQuantizer, Similarity}
+        import java.nio.file.Files
+        val emb = Tables.embeddings(spark, sfDir).persist()
+        val nv = emb.count()
+        val queries = emb.where(col("vec_id") < 50)
+        val mdl = time("ivfpq model build (collects)")(
+          ProductQuantizer.model(emb, m = 4, k = 16))
+        val fused = time("ivfpq fused build+query")(
+          Similarity.ivfPqTopK(emb, queries, 3, nLists = 8, nProbe = 2, mdl).collect())
+        val path = Files.createTempDirectory("prof-ivfpq").toString + "/index"
+        time("ivfpq index write")(
+          Similarity.writeIvfPqIndex(emb, path, nLists = 8, mdl))
+        val idx = time("ivfpq indexed query (warm)")(
+          Similarity.ivfPqTopKIndexed(spark, path, queries, 3, nProbe = 2).collect())
+        val idx2 = time("ivfpq indexed query (2nd)")(
+          Similarity.ivfPqTopKIndexed(spark, path, queries, 3, nProbe = 2).collect())
+        println(s"PROF ivfpq rows=$nv fused=${fused.length} " +
+          s"indexed=${idx.length}/${idx2.length} (must match)")
+        emb.unpersist()
+
       case "fuzzyreal" =>
         // Skeleton blocking on a REALISTIC-cardinality corpus. The
         // registered q_fuzzy_match runs on raw p_name, whose small

@@ -1092,6 +1092,21 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n_variants"))
         .orderBy(col("url_key"))
     }),
+    // ---- OPTIMIZE ZORDER BY executed against a snapshot table:
+    // scattered corpus rewritten clustered on (doc_id, n_chars) with
+    // zone maps, then a range read on the SECOND dimension through
+    // the pruned path — the oracle is the plain filtered aggregate
+    // (pruning measured in SnapshotsSpec; the gate is equality) ----
+    "q_optimize_zorder" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-zopt")
+      val t = root.resolve("t").toString
+      graft.sources.Snapshots.commit(Tables.documents(s, dir).repartition(8), t)
+      graft.sources.Snapshots.optimizeZOrder(s, t, Seq("doc_id", "n_chars"), nFiles = 8)
+      graft.sources.Snapshots.readPruned(s, t, "n_chars", 200L, 400L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).cast("long").as("sum_doc"))
+        .orderBy(col("lang"))
+    }),
     // ---- incremental materialized-view maintenance: a per-lang
     // aggregate view bootstrapped from the first append, then
     // REFRESHED from only the second append's files (delta fold +
@@ -4545,6 +4560,16 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_variants
         |FROM k GROUP BY url_key
         |ORDER BY url_key""".stripMargin,
+
+    // OPTIMIZE ZORDER: the pruned second-dimension range read must
+    // equal the plain filter over the raw corpus.
+    "q_optimize_zorder" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
+        |FROM documents
+        |WHERE n_chars BETWEEN 200 AND 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Incremental MV: delta-folded view == full aggregate.
     "q_mv_refresh" ->

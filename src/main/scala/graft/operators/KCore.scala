@@ -52,7 +52,10 @@ object KCore {
     * fixed-round form the SQL oracle unrolls verbatim. */
   def peelRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got k=$k rounds=$rounds")
-    var e = validate(edges)
+    // truncate the INPUT too: validate() already ran one job over the
+    // (possibly expensive) edge derivation — without this, round 1
+    // recomputes it from scratch
+    var e = graft.ops.Checkpoints.truncate(validate(edges))
     for (_ <- 0 until rounds)
       e = graft.ops.Checkpoints.truncate(peelOnce(e, k))
     e.select(explode(array(col("src"), col("dst"))).as("id"))

@@ -66,7 +66,7 @@ object Snapshots {
   // header lines are exactly these keys — file PATHS may legally
   // contain '=' (hive-style bin=0/ dirs), so discrimination must be
   // by known key, never by "contains a '='"
-  private val HeaderKeys = Seq("version", "parent", "op", "tag")
+  private val HeaderKeys = Seq("version", "parent", "op", "tag", "ts")
 
   /** Raw file lines of `version`'s manifest: `<path>` optionally
     * followed by tab-separated `<col>=<min>:<max>` integral stats.
@@ -285,7 +285,8 @@ object Snapshots {
                                    op: String, files: Seq[String],
                                    tag: Option[String] = None): Unit = {
     tag.foreach(t => require(!t.contains("\n") && t.nonEmpty, s"bad tag: '$t'"))
-    val body = (Seq(s"version=$v", s"parent=$parent", s"op=$op") ++
+    val body = (Seq(s"version=$v", s"parent=$parent", s"op=$op",
+      s"ts=${System.currentTimeMillis}") ++
       tag.map(t => s"tag=$t").toSeq ++ files)
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(snapPath(tableDir), s".v$v-", ".tmp")
@@ -468,6 +469,73 @@ object Snapshots {
       .map(_.toString).toSeq.sorted
     writeManifest(tableDir, v, head, s"optimize($targetBytes)", keep ++ rewritten)
     v
+  }
+
+  /** Wall-clock commit time of `version` (epoch millis) — the `ts=`
+    * manifest header; manifests from before the header existed fall
+    * back to the manifest file's mtime (same clock, coarser). */
+  def commitTimeMillis(tableDir: String, version: Int): Long = {
+    val p = manifestPath(tableDir, version)
+    require(Files.exists(p),
+      s"Snapshots: version $version of $tableDir does not exist")
+    headerValue(Files.readAllLines(p).asScala.toSeq, "ts").map(_.toLong)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+  }
+
+  /** Time travel by TIMESTAMP: the newest version committed at or
+    * before `epochMillis` (Delta's `TIMESTAMP AS OF`). Versions are
+    * scanned in order and the LAST one whose commit time ≤ the ask
+    * wins — robust to small clock skew between writers (version
+    * order, not timestamp order, is the commit order; the hard-link
+    * protocol guarantees it). Fails loud when the ask predates the
+    * oldest RETAINED version (vacuum may have expired earlier ones —
+    * the documented time-travel trade). */
+  def versionAt(tableDir: String, epochMillis: Long): Int = {
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val vs = (1 to head).filter(v => Files.exists(manifestPath(tableDir, v)))
+    val at = vs.foldLeft(0) { (acc, v) =>
+      if (commitTimeMillis(tableDir, v) <= epochMillis) v else acc
+    }
+    require(at > 0,
+      s"Snapshots: no retained version of $tableDir at or before epoch $epochMillis " +
+        s"(oldest retained: v${vs.head} @ ${commitTimeMillis(tableDir, vs.head)})")
+    at
+  }
+
+  /** Read the snapshot as of a wall-clock instant. */
+  def readAsOf(spark: SparkSession, tableDir: String, epochMillis: Long,
+               mergeSchema: Boolean = false): DataFrame =
+    read(spark, tableDir, versionAt(tableDir, epochMillis), mergeSchema)
+
+  /** Lakehouse OPTIMIZE ZORDER BY: rewrite the live data clustered
+    * on the interleaved-bit key of `cols` and commit with per-file
+    * zone maps on those same columns — after which a range predicate
+    * on ANY of the clustered dimensions prunes files through
+    * [[readPruned]] (the single-column sort can only serve its
+    * leading column; see `ops.Layout` for the bit-interleaving
+    * argument). `repartitionByRange` on the z-key + a within-
+    * partition sort gives each output file a tight z-range, hence
+    * tight min/max envelopes on every clustered dimension.
+    *
+    * Unlike [[optimize]] (bin-packing, rewrites only small files)
+    * this rewrites ALL live bytes — the expensive, occasional
+    * operation real lakehouses schedule; history stays
+    * time-travelable until vacuum. */
+  def optimizeZOrder(spark: SparkSession, tableDir: String, cols: Seq[String],
+                     nFiles: Int): Int = {
+    require(cols.size >= 2, "optimizeZOrder needs >= 2 columns (sort linearly for 1)")
+    require(nFiles >= 1, s"nFiles must be >= 1, got $nFiles")
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val df = read(spark, tableDir, head)
+    val bits = math.min(16, 63 / cols.size)
+    val zk = graft.ops.Layout.zKeyN(cols.map(c => graft.ops.Layout.rankBits(df, c, bits)), bits)
+    val clustered = df.withColumn("__z", zk)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions(org.apache.spark.sql.functions.col("__z"))
+      .drop("__z")
+    commit(clustered, tableDir, "overwrite", tag = None, statsCols = cols)
   }
 
   // ---------------------------------------------------------------

@@ -271,6 +271,41 @@ class SnapshotsSpec extends SparkSpec {
     assert(e.getMessage.contains("STRING"))
   }
 
+  test("time travel by timestamp: readAsOf resolves the newest version at-or-before the instant") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    val afterV1 = System.currentTimeMillis
+    Thread.sleep(20) // separate the commit instants measurably
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t)
+    assert(Snapshots.versionAt(t, afterV1) == 1)
+    assert(ids(Snapshots.readAsOf(spark, t, afterV1)) == Seq(1L))
+    assert(ids(Snapshots.readAsOf(spark, t, System.currentTimeMillis)) == Seq(1L, 2L))
+    // an ask predating the oldest retained version fails loud
+    val e = intercept[IllegalArgumentException](Snapshots.versionAt(t, 0L))
+    assert(e.getMessage.contains("at or before"))
+  }
+
+  test("optimizeZOrder: a range predicate on EITHER clustered dimension prunes files") {
+    val t = freshTable()
+    // 32x32 grid scattered across 8 files in insertion (random-ish hash) order
+    val grid = spark.range(1024).select(
+      ($"id" % 32).as("x"), ($"id" / 32).as("y"), $"id")
+    Snapshots.commit(grid.repartition(8), t, statsCols = Seq("x", "y"))
+    val before = Snapshots.prunedFiles(t, 1, "y", 4L, 7L).size
+    val v = Snapshots.optimizeZOrder(spark, t, Seq("x", "y"), nFiles = 8)
+    assert(v == 2)
+    val afterY = Snapshots.prunedFiles(t, v, "y", 4L, 7L).size
+    val afterX = Snapshots.prunedFiles(t, v, "x", 4L, 7L).size
+    info(s"files read for y-slice: $before of 8 before, $afterY after; x-slice: $afterX")
+    assert(before == 8, "hash-scattered layout should have no pruning")
+    assert(afterY < 8 && afterX < 8, "z-order must prune on both dimensions")
+    // and the rows are identical
+    assert(Snapshots.read(spark, t).agg(sum($"id")).head.getLong(0) == 1024L * 1023 / 2)
+    // q_snapshot-style result equality through the pruned read
+    assert(ids(Snapshots.readPruned(spark, t, "x", 3L, 3L).select($"id".as("id"))) ==
+      (0 until 32).map(r => r * 32L + 3L))
+  }
+
   test("demo table: 4-version history resolves to the full corpus") {
     val dir = Snapshots.ensureDemoTable(spark, "/root/testdata/sf0.001")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
