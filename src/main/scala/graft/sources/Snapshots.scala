@@ -635,8 +635,16 @@ object Snapshots {
     * scans only candidates' key columns, and rewrite IO ∝ files
     * actually containing matches + the source itself. */
   def mergeInto(spark: SparkSession, tableDir: String, source: DataFrame,
-                key: String, tag: Option[String] = None): Int = {
+                key: String, tag: Option[String] = None): Int =
+    mergeIntoKeys(spark, tableDir, source, Seq(key), tag)
+
+  /** Composite-key form of [[mergeInto]]: a row matches when ALL key
+    * columns are equal. Zone-map candidate pruning applies through
+    * the first key column when it is integral with recorded stats. */
+  def mergeIntoKeys(spark: SparkSession, tableDir: String, source: DataFrame,
+                    keys: Seq[String], tag: Option[String] = None): Int = {
     import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
     val head = currentVersion(tableDir)
     require(head > 0, s"Snapshots: $tableDir has no committed versions")
     val lines = fileLines(tableDir, head)
@@ -645,16 +653,18 @@ object Snapshots {
     require(source.columns.sorted.toSeq == tableCols.sorted,
       s"Snapshots: mergeInto schema mismatch — table [${tableCols.sorted.mkString(",")}] " +
         s"vs source [${source.columns.sorted.mkString(",")}]")
-    require(source.groupBy(col(key)).count().where(col("count") > 1).limit(1).count() == 0,
-      s"Snapshots: mergeInto source has duplicate '$key' values — ambiguous merge")
+    require(source.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).limit(1).count() == 0,
+      s"Snapshots: mergeInto source has duplicate (${keys.mkString(",")}) values — ambiguous merge")
     val src = source.select(tableCols.map(col): _*)
-    // zone-map candidate pruning: with an INTEGRAL key and stats
-    // recorded, the match scan touches only files whose range
+    // zone-map candidate pruning: with an INTEGRAL leading key and
+    // stats recorded, the match scan touches only files whose range
     // intersects the source's (stat-less files are always kept —
     // never lossy; non-integral keys skip straight to the full
     // candidate set — an ANSI cast would throw, not return NULL)
+    val key0 = keys.head
     val files = lines.map(_.split('\t')(0))
-    val keyIsIntegral = source.schema(key).dataType match {
+    val keyIsIntegral = source.schema(key0).dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
@@ -662,18 +672,18 @@ object Snapshots {
     val candidates =
       if (!keyIsIntegral) files
       else {
-        val bounds = src.agg(min(col(key).cast("long")), max(col(key).cast("long"))).first()
+        val bounds = src.agg(min(col(key0).cast("long")), max(col(key0).cast("long"))).first()
         if (bounds.isNullAt(0)) files
-        else prunedFiles(tableDir, head, key, bounds.getLong(0), bounds.getLong(1))
+        else prunedFiles(tableDir, head, key0, bounds.getLong(0), bounds.getLong(1))
       }
-    val srcKeys = src.select(col(key)).distinct()
+    val srcKeys = src.select(keys.map(col): _*).distinct()
     val hit =
       if (candidates.isEmpty) Set.empty[String]
       else spark.read.parquet(candidates: _*)
         // file name is stamped directly over the scan (input_file_name
         // is single-source); the semi join runs above the projection
-        .select(col(key), input_file_name().as("__f"))
-        .join(srcKeys, Seq(key), "left_semi")
+        .select(keys.map(col) :+ input_file_name().as("__f"): _*)
+        .join(srcKeys, keys, "left_semi")
         .select(col("__f")).distinct()
         .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
     val kept = lines.filterNot(l => hit.contains(l.split('\t')(0)))
@@ -681,12 +691,61 @@ object Snapshots {
     val survivors =
       if (hit.isEmpty) src
       else spark.read.parquet(hit.toSeq.sorted: _*)
-        .join(srcKeys, Seq(key), "left_anti")
+        .join(srcKeys, keys, "left_anti")
         .select(tableCols.map(col): _*)
         .unionByName(src)
     survivors.write.parquet(outDir.toString)
     publishOrConflict(tableDir, head, "merge", kept ++ listParts(outDir), tag)
     head + 1
+  }
+
+  /** Commit with WRITE CONTRACTS — the Delta-style guardrails:
+    *
+    *  - **Schema enforcement**: an append whose column set or types
+    *    differ from the table's is rejected BEFORE any data is
+    *    written (metadata-only check). Widening the schema is an
+    *    explicit choice — use plain `commit` and read with
+    *    `mergeSchema`, or overwrite.
+    *  - **CHECK constraints**: each (name, predicate) must hold for
+    *    every row. The checks ride INSIDE the write projection as
+    *    conditional raise_errors — one scan total, no separate
+    *    validation pass (the cost posture real writers take). A
+    *    violating row fails the write job, so the manifest never
+    *    lands and the table is untouched (crash-before-publish
+    *    invisibility); the staged partial files are vacuum fodder.
+    *    NULL predicate results are violations (a check that cannot
+    *    evaluate did not pass). For violation COUNTS and diagnosis,
+    *    run `ops.Expectations.report` on the batch first — this verb
+    *    optimizes the expected-pass path. */
+  def commitChecked(df: DataFrame, tableDir: String, mode: String = "append",
+                    checks: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                    tag: Option[String] = None, statsCols: Seq[String] = Nil): Int = {
+    // named import: functions._ would shadow the `mode` parameter
+    import org.apache.spark.sql.functions.{coalesce, col, lit, raise_error, when}
+    require(checks.map(_._1).distinct.size == checks.size, "check names must be unique")
+    val head = currentVersion(tableDir)
+    if (mode == "append" && head > 0) {
+      val tableSig = read(df.sparkSession, tableDir, head).schema
+        .fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val dfSig = df.schema.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      require(dfSig == tableSig,
+        s"Snapshots: schema enforcement rejected the append — table " +
+          s"[${tableSig.map(t => s"${t._1}:${t._2.simpleString}").mkString(", ")}] vs batch " +
+          s"[${dfSig.map(t => s"${t._1}:${t._2.simpleString}").mkString(", ")}]; " +
+          "schema evolution is an explicit commit(mergeSchema-read) or overwrite choice")
+    }
+    // the raise_error guards REPLACE the first column (an unused
+    // guard column would be pruned away by the optimizer)
+    val c0 = df.columns.head
+    val c0Type = df.schema(c0).dataType
+    val guarded = checks.foldLeft(df) { case (d, (name, pred)) =>
+      d.withColumn(c0,
+        when(!coalesce(pred, lit(false)),
+          raise_error(lit(s"Snapshots: CHECK constraint '$name' violated — commit " +
+            "rejected, table untouched; diagnose with Expectations.report")).cast(c0Type))
+          .otherwise(col(c0)))
+    }
+    commit(guarded, tableDir, mode, tag, statsCols)
   }
 
   /** Append with automatic rebase on a lost version race: the data

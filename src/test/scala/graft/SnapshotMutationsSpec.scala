@@ -109,6 +109,71 @@ class SnapshotMutationsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(t) == 3) // nothing committed
   }
 
+  test("mergeIntoKeys matches on ALL key columns (composite keys)") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "x", "a"), (1L, "y", "b"), (2L, "x", "c"))
+      .toDF("k1", "k2", "s"), t)
+    val src = Seq((1L, "x", "UPD"), (3L, "z", "NEW")).toDF("k1", "k2", "s")
+    Snapshots.mergeIntoKeys(spark, t, src, Seq("k1", "k2"))
+    val rows = Snapshots.read(spark, t).as[(Long, String, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (1,x) replaced; (1,y) and (2,x) untouched despite sharing a key part
+    assert(rows == Map((1L, "x") -> "UPD", (1L, "y") -> "b",
+      (2L, "x") -> "c", (3L, "z") -> "NEW"))
+    // duplicate composite keys in the source fail loud
+    val dup = Seq((1L, "x", "p"), (1L, "x", "q")).toDF("k1", "k2", "s")
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.mergeIntoKeys(spark, t, dup, Seq("k1", "k2"))
+    }.getMessage.contains("duplicate"))
+  }
+
+  test("commitChecked: schema enforcement rejects a drifted append before writing") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    val drifted = Seq((2L, "b", 9)).toDF("id", "s", "extra")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitChecked(drifted, t)
+    }
+    assert(e.getMessage.contains("schema enforcement"))
+    assert(Snapshots.currentVersion(t) == 1) // nothing committed
+    // a type change is also drift, not just a column-set change
+    val retyped = Seq(("2", "b")).toDF("id", "s")
+    assert(intercept[IllegalArgumentException] {
+      Snapshots.commitChecked(retyped, t)
+    }.getMessage.contains("schema enforcement"))
+  }
+
+  test("commitChecked: a CHECK violation fails the write; the table is untouched") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    val checks = Seq[(String, org.apache.spark.sql.Column)](
+      "id_positive" -> ($"id" > 0L),
+      "s_nonempty" -> (length($"s") > 0))
+    // passing batch commits normally
+    assert(Snapshots.commitChecked(Seq((2L, "b")).toDF("id", "s"), t, checks = checks) == 2)
+    // violating batch: write job fails, no new version, rows unchanged
+    val e = intercept[Exception] {
+      Snapshots.commitChecked(Seq((3L, "c"), (-7L, "d")).toDF("id", "s"), t, checks = checks)
+    }
+    assert(e.getMessage.contains("id_positive") ||
+      Option(e.getCause).exists(_.getMessage.contains("id_positive")), e.getMessage)
+    assert(Snapshots.currentVersion(t) == 2)
+    assert(ids(Snapshots.read(spark, t)) == Seq(1L, 2L))
+  }
+
+  test("commitChecked: a NULL check result is a violation, not a pass") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, Option("a"))).toDF("id", "s"), t)
+    val e = intercept[Exception] {
+      Snapshots.commitChecked(
+        Seq((2L, Option.empty[String])).toDF("id", "s"), t,
+        checks = Seq[(String, org.apache.spark.sql.Column)]("s_short" -> (length($"s") < 10)))
+    }
+    assert(e.getMessage.contains("s_short") ||
+      Option(e.getCause).exists(_.getMessage.contains("s_short")), e.getMessage)
+    assert(Snapshots.currentVersion(t) == 1)
+  }
+
   test("a mutation publishing after a concurrent commit aborts loudly (stale rewrite set)") {
     val t = threeFileTable()
     // a real interloper append lands INSIDE deleteWhere's window —
