@@ -290,6 +290,34 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- time-weighted average (TWAP / sensor-uptime convention):
+    // last-observation-carried-forward weighting over one day, exact
+    // integer cents × whole-second weights, one IEEE division ----
+    "q_twap" -> ((s, dir) => {
+      val obs = Tables.events(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+        .agg(max(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("event_type"), timestamp_seconds(col("tsec")).as("ts"), col("cents"))
+      graft.ops.Resample.timeWeightedAvg(obs, Seq("event_type"), "ts", "cents",
+          startEpoch = 1704240000L, endEpoch = 1704326400L)
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- robust outliers (Hampel: |x − median| > 3·MAD): exact
+    // discrete medians over integer cents — no floating point in
+    // the rule at all, so the flags replicate bit-for-bit ----
+    "q_mad_outliers" -> ((s, dir) => {
+      val v = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      val stats = graft.ops.Outliers.groupStats(v, Seq("event_type"), "cents")
+      val counts = graft.ops.Outliers.flag(v, Seq("event_type"), "cents", 3)
+        .groupBy(col("event_type"))
+        .agg(sum(col("is_outlier").cast("long")).as("n_outliers"))
+      stats.join(counts, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("median"), col("mad"), col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- regular-grid resampling with linear interpolation: the
     // value-estimating extension of the hourly null-filled grid.
     // Integer-cents observations, one IEEE division per point —
@@ -2424,6 +2452,56 @@ object SparkEntry {
         |FROM b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100 ELSE 60 END)
         |GROUP BY 1""".stripMargin,
+
+    // TWAP: the same LOCF segment decomposition via lead(); exact
+    // integer numerator/denominator, one division.
+    "q_twap" ->
+      """WITH obs AS (
+        |  SELECT event_type AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         max(CAST(round(value*100) AS BIGINT)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT k, t, v,
+        |    coalesce(lead(t) OVER (PARTITION BY k ORDER BY t), 1704326400) AS nxt
+        |  FROM obs WHERE t < 1704326400
+        |), seg AS (
+        |  SELECT k, v,
+        |    greatest(least(nxt, 1704326400) - greatest(t, 1704240000), 0) AS len
+        |  FROM w
+        |)
+        |SELECT k AS event_type,
+        |  CASE WHEN sum(len) > 0
+        |       THEN CAST(sum(v*len) AS DOUBLE) / CAST(sum(len) AS DOUBLE) END AS twap,
+        |  CAST(sum(len) AS BIGINT) AS covered_seconds
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MAD outliers: exact lower-medians over sorted cent arrays,
+    // Hampel flags counted per group.
+    "q_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, list_sort(list(cents)) AS sorted, count(*) AS n
+        |  FROM v GROUP BY 1
+        |), m AS (
+        |  SELECT event_type, n, sorted,
+        |    sorted[CAST((n-1)//2 AS BIGINT) + 1] AS median
+        |  FROM g
+        |), s AS (
+        |  SELECT event_type, n, median,
+        |    list_sort(list_transform(sorted, x -> abs(x - median)))[CAST((n-1)//2 AS BIGINT) + 1] AS mad
+        |  FROM m
+        |), c AS (
+        |  SELECT v.event_type,
+        |    sum(CASE WHEN abs(v.cents - s.median) > 3*s.mad THEN 1 ELSE 0 END) AS n_outliers
+        |  FROM v JOIN s USING (event_type) GROUP BY 1
+        |)
+        |SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+        |  CAST(s.median AS BIGINT) AS median, CAST(s.mad AS BIGINT) AS mad,
+        |  CAST(c.n_outliers AS BIGINT) AS n_outliers
+        |FROM s JOIN c USING (event_type) ORDER BY 1""".stripMargin,
 
     // Interpolation restated as the per-point neighbor lookup the
     // windowed plan avoids; same second-floored epochs, same

@@ -98,4 +98,61 @@ object Resample {
     out.select(kCols :+ timestamp_seconds(col("__t")).as("grid_ts") :+
       lerp.as("value"): _*)
   }
+
+  /** Time-weighted average over a window [start, end): each
+    * observation's value holds until the next one (step function /
+    * last-observation-carried-forward — the market-data TWAP and the
+    * sensor-uptime convention), weighted by how long it held inside
+    * the window. The observation in force AT `start` is the last one
+    * at-or-before it, so values carry INTO the window; time before
+    * the key's first observation is UNCOVERED — excluded from both
+    * numerator and denominator, with `covered_seconds` reported so
+    * the caller can judge (a 10-second-covered "average" over an
+    * hour window is a data-quality smell, not a statistic). A key
+    * with no observation before the window's end has no coverage and
+    * is ABSENT from the output (left-join a key dimension for NULL
+    * rows).
+    *
+    * Exactness: weights are whole seconds, values integer (pass
+    * cents); the numerator Σ vᵢ·lenᵢ and denominator Σ lenᵢ are
+    * exact longs and the single IEEE division makes the result
+    * bit-identical cross-engine. Plan: one shuffle on the key, one
+    * window `lead` pass, one aggregate — linear, no grid explode at
+    * all (contrast [[interpolate]], which pays |keys|·|grid|). */
+  def timeWeightedAvg(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+                      startEpoch: Long, endEpoch: Long): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(endEpoch > startEpoch, s"need endEpoch > startEpoch; got [$startEpoch, $endEpoch)")
+    val kCols = keys.map(col)
+    val obs = df.select(kCols :+ unix_timestamp(col(tsCol)).as("__t") :+
+        col(valCol).cast("long").as("__v"): _*)
+      .withColumn("__v", when(col("__v").isNull || col("__t").isNull,
+        raise_error(lit(s"Resample: NULL $tsCol/$valCol observation — filter first"))
+          .cast("long")).otherwise(col("__v")))
+      // observations past the window can never hold time inside it;
+      // dropping them early also caps the lead() state
+      .where(col("__t") < endEpoch)
+    val w = Window.partitionBy(kCols: _*).orderBy(col("__t").asc)
+    // duplicate instants make "the value in force" ambiguous — same
+    // loud contract as interpolate
+    val dupGuard = when(count(lit(1)).over(
+        Window.partitionBy(kCols :+ col("__t"): _*)) > 1,
+      raise_error(concat(lit("Resample: duplicate observation at epoch "),
+        col("__t").cast("string"), lit(" — (key, ts) must be unique"))).cast("long"))
+    val seg = obs
+      .withColumn("__v", coalesce(dupGuard, col("__v")))
+      .withColumn("__next", coalesce(lead(col("__t"), 1).over(w), lit(endEpoch)))
+      // clamp the held interval to the window; pre-window holds clamp
+      // to zero-or-positive length via greatest
+      .withColumn("__from", greatest(col("__t"), lit(startEpoch)))
+      .withColumn("__to", least(col("__next"), lit(endEpoch)))
+      .withColumn("__len", greatest(col("__to") - col("__from"), lit(0L)))
+    seg.groupBy(kCols: _*)
+      .agg(sum(col("__v") * col("__len")).as("__num"),
+        sum(col("__len")).as("__den"))
+      .select(kCols :+
+        (when(col("__den") > 0, col("__num").cast("double") / col("__den").cast("double"))
+          .otherwise(lit(null).cast("double"))).as("twap") :+
+        coalesce(col("__den"), lit(0L)).as("covered_seconds"): _*)
+  }
 }

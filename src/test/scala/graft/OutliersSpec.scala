@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Outliers
+import org.apache.spark.sql.functions._
+
+class OutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupStats: exact lower-median and MAD on a hand fixture") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L)).toDF("k", "v")
+    val s = Outliers.groupStats(df, Seq("k"), "v")
+      .as[(String, Long, Long, Long)].collect().head
+    // sorted [1,2,3,4,100]: median idx (5-1)/2 = 2 -> 3
+    // devs sorted [0,1,1,2,97] -> mad = 1
+    assert(s == (("g", 5L, 3L, 1L)))
+  }
+
+  test("flag: Hampel's rule marks exactly the far point at k=3") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 4L), ("g", 100L)).toDF("k", "v")
+    val flagged = Outliers.flag(df, Seq("k"), "v", 3)
+      .as[(String, Long, Boolean)].collect().toMap2
+    assert(flagged == Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 100L -> true))
+  }
+
+  test("a zero-MAD group flags ANY deviation from the median") {
+    val df = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 9L)).toDF("k", "v")
+    val flagged = Outliers.flag(df, Seq("k"), "v", 3)
+      .as[(String, Long, Boolean)].collect().toMap2
+    assert(flagged == Map(5L -> false, 9L -> true))
+  }
+
+  test("NULL values are never flagged; groups stay independent") {
+    val df = Seq(("g", Option(1L)), ("g", Option(2L)), ("g", Option(3L)),
+      ("g", Option.empty[Long]), ("h", Option(1000L))).toDF("k", "v")
+    val rows = Outliers.flag(df, Seq("k"), "v", 3)
+      .select($"k", $"v", $"is_outlier").as[(String, Option[Long], Boolean)].collect()
+    assert(rows.forall(!_._3)) // nothing anomalous in-group; NULL unflagged
+    assert(rows.count(_._2.isEmpty) == 1)
+  }
+
+  implicit private class MapOps(rows: Array[(String, Long, Boolean)]) {
+    def toMap2: Map[Long, Boolean] = rows.map(r => r._2 -> r._3).toMap
+  }
+}

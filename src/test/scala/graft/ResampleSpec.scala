@@ -59,6 +59,38 @@ class ResampleSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL"), e.getMessage)
   }
 
+  test("timeWeightedAvg: step-function weighting, pre-window carry, uncovered head") {
+    val obs = Seq(
+      ("a", ts(0), 100.0), ("a", ts(50), 200.0),   // equal halves -> 150
+      ("b", ts(-100), 40.0), ("b", ts(50), 80.0),  // carries 40 into [0,50)
+      ("c", ts(30), 10.0),                         // head [0,30) uncovered
+      ("d", ts(200), 9.0)                          // entirely past the window
+    ).toDF("k", "t", "v")
+    val out = Resample.timeWeightedAvg(obs, Seq("k"), "t", "v", 0L, 100L)
+      .orderBy($"k").as[(String, Option[Double], Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", Some(150.0), 100L),
+      ("b", Some(60.0), 100L),
+      ("c", Some(10.0), 70L)))   // d: no coverage -> absent
+  }
+
+  test("timeWeightedAvg: observations after the window never contribute") {
+    val obs = Seq(("a", ts(10), 100.0), ("a", ts(90), 300.0), ("a", ts(150), 999999.0))
+      .toDF("k", "t", "v")
+    val out = Resample.timeWeightedAvg(obs, Seq("k"), "t", "v", 0L, 100L)
+      .as[(String, Option[Double], Long)].collect().head
+    // [10,90) at 100 + [90,100) at 300, head [0,10) uncovered
+    assert(out == (("a", Some((100.0 * 80 + 300.0 * 10) / 90), 90L)))
+  }
+
+  test("timeWeightedAvg: duplicate instants fail loud") {
+    val obs = Seq(("a", ts(10), 1.0), ("a", ts(10), 2.0)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Resample.timeWeightedAvg(obs, Seq("k"), "t", "v", 0L, 100L).collect()
+    }
+    assert(e.getMessage.contains("duplicate observation"), e.getMessage)
+  }
+
   test("result is independent of input partitioning") {
     val obs = Seq(("a", ts(0), 0.0), ("a", ts(300), 90.0), ("a", ts(700), -10.0))
       .toDF("k", "t", "v")
