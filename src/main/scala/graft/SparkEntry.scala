@@ -1135,6 +1135,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).cast("long").as("sum_doc"))
         .orderBy(col("lang"))
     }),
+    // ---- conjunctive box read over the z-ordered layout — the
+    // query shape z-order exists for: every dimension's envelope
+    // prunes independently; the oracle is the plain AND filter ----
+    "q_zorder_box" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-zbox")
+      val t = root.resolve("t").toString
+      graft.sources.Snapshots.commit(Tables.documents(s, dir).repartition(8), t)
+      graft.sources.Snapshots.optimizeZOrder(s, t, Seq("doc_id", "n_chars"), nFiles = 8)
+      graft.sources.Snapshots.readPrunedBox(s, t,
+          Seq(("doc_id", 100L, 400L), ("n_chars", 200L, 400L)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).cast("long").as("sum_doc"))
+        .orderBy(col("lang"))
+    }),
     // ---- incremental materialized-view maintenance: a per-lang
     // aggregate view bootstrapped from the first append, then
     // REFRESHED from only the second append's files (delta fold +
@@ -4647,6 +4661,16 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
         |FROM documents
         |WHERE n_chars BETWEEN 200 AND 400
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Box read: conjunctive ranges through per-dimension envelope
+    // skipping must equal the plain AND filter.
+    "q_zorder_box" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 400 AND n_chars BETWEEN 200 AND 400
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Incremental MV: delta-folded view == full aggregate.

@@ -190,6 +190,39 @@ object Snapshots {
     }
   }
 
+  /** The file paths of `version` that can contain a row inside the
+    * BOX — the conjunction of per-column ranges: a file is skipped
+    * when ANY column's recorded envelope is disjoint from its range
+    * (each skip is individually provable, so the conjunction is
+    * never lossy; stat-less columns never skip). Package-visible so
+    * the spec can measure. */
+  private[graft] def prunedFilesBox(tableDir: String, version: Int,
+                                    box: Seq[(String, Long, Long)]): Seq[String] =
+    fileStats(tableDir, version).collect {
+      case (path, stats) if box.forall { case (c, lo, hi) =>
+        stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      } => path
+    }
+
+  /** Box read: conjunctive range predicates over several columns
+    * with manifest-stat file skipping on EVERY dimension — the query
+    * shape `optimizeZOrder` lays data out for (a z-clustered file
+    * covers a tight hyper-rectangle, so a small box intersects few
+    * envelopes; a single-column sort can only ever prune its leading
+    * column). Equals the unpruned conjunctive filter by
+    * construction. */
+  def readPrunedBox(spark: SparkSession, tableDir: String,
+                    box: Seq[(String, Long, Long)], version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(box.nonEmpty, "box needs at least one (column, lo, hi) range")
+    val v = if (version >= 0) version else currentVersion(tableDir)
+    require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _)
+    val files = prunedFilesBox(tableDir, v, box)
+    if (files.isEmpty) read(spark, tableDir, v).where(pred).limit(0)
+    else spark.read.parquet(files: _*).where(pred)
+  }
+
   /** Point-lookup read with Bloom file skipping: reads only files
     * whose filter may contain `value`, then applies the exact
     * predicate. Equals the unpruned filtered read by construction

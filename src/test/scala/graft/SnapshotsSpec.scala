@@ -306,6 +306,25 @@ class SnapshotsSpec extends SparkSpec {
       (0 until 32).map(r => r * 32L + 3L))
   }
 
+  test("readPrunedBox: a small box on a z-ordered table prunes more than either single range") {
+    val t = freshTable()
+    val grid = spark.range(1024).select(
+      ($"id" % 32).as("x"), ($"id" / 32).cast("long").as("y"), $"id")
+    Snapshots.commit(grid.repartition(8), t, statsCols = Seq("x", "y"))
+    val v = Snapshots.optimizeZOrder(spark, t, Seq("x", "y"), nFiles = 8)
+    val box = Seq(("x", 4L, 7L), ("y", 4L, 7L))
+    val boxFiles = Snapshots.prunedFilesBox(t, v, box).size
+    val xFiles = Snapshots.prunedFiles(t, v, "x", 4L, 7L).size
+    val yFiles = Snapshots.prunedFiles(t, v, "y", 4L, 7L).size
+    info(s"files: box=$boxFiles x=$xFiles y=$yFiles of 8")
+    assert(boxFiles <= math.min(xFiles, yFiles))
+    assert(boxFiles < 8)
+    // result equality: the 4x4 box has exactly 16 cells
+    val rows = Snapshots.readPrunedBox(spark, t, box)
+      .select($"x", $"y").as[(Long, Long)].collect().toSet
+    assert(rows == (for (x <- 4L to 7L; y <- 4L to 7L) yield (x, y)).toSet)
+  }
+
   test("demo table: 4-version history resolves to the full corpus") {
     val dir = Snapshots.ensureDemoTable(spark, "/root/testdata/sf0.001")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
