@@ -290,6 +290,18 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- exact two-sample KS drift between the month's halves:
+    // cross-multiplied cumulative counts keep the statistic in
+    // integers (cross-engine bit-exact); the cumulative pass runs
+    // over the distinct-cent histogram, not the rows ----
+    "q_ks_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      graft.ops.Drift.ksStatistic(
+        ev.where(col("ts") < cut), ev.where(col("ts") >= cut), "cents")
+    }),
+
     // ---- time-weighted average (TWAP / sensor-uptime convention):
     // last-observation-carried-forward weighting over one day, exact
     // integer cents × whole-second weights, one IEEE division ----
@@ -2466,6 +2478,34 @@ object SparkEntry {
         |FROM b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 100 ELSE 60 END)
         |GROUP BY 1""".stripMargin,
+
+    // Exact KS: same histogram → cumulative → cross-multiplied max.
+    "q_ks_drift" ->
+      """WITH av AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |), bv AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |), h AS (
+        |  SELECT v, CAST(sum(na) AS BIGINT) AS nav, CAST(sum(nb) AS BIGINT) AS nbv
+        |  FROM (SELECT v, 1 AS na, 0 AS nb FROM av
+        |        UNION ALL SELECT v, 0, 1 FROM bv)
+        |  GROUP BY v
+        |), c AS (
+        |  SELECT v,
+        |    CAST(sum(nav) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+        |    CAST(sum(nbv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+        |  FROM h
+        |), t AS (
+        |  SELECT CAST((SELECT count(*) FROM av) AS BIGINT) AS n_a,
+        |         CAST((SELECT count(*) FROM bv) AS BIGINT) AS n_b
+        |)
+        |SELECT CAST(max(abs(c.ca*t.n_b - c.cb*t.n_a)) AS BIGINT) AS ks_num,
+        |  t.n_a, t.n_b,
+        |  CAST(CAST(max(abs(c.ca*t.n_b - c.cb*t.n_a)) AS BIGINT) AS DOUBLE)
+        |    / CAST(t.n_a*t.n_b AS DOUBLE) AS ks
+        |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
 
     // TWAP: the same LOCF segment decomposition via lead(); exact
     // integer numerator/denominator, one division.
