@@ -1206,6 +1206,22 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("lang"))
     }),
+    // ---- replaceWhere (partition-reload verb): one commit swaps
+    // the 100-299 slice for its recomputed form — out-of-scope
+    // inserts raise; the oracle replays the swap relationally ----
+    "q_replace_where" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
+      val docs = Tables.documents(s, dir)
+      val repl = docs.where(col("doc_id").between(100, 299))
+        .withColumn("n_chars", col("n_chars") * 2)
+        .withColumn("source", lit("reloaded"))
+      graft.sources.Snapshots.replaceWhere(s, t, col("doc_id").between(100, 299), repl)
+      graft.sources.Snapshots.read(s, t)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("source"))
+    }),
     // ---- copy-on-write MERGE (keyed upsert) on a snapshot table:
     // one commit applies updates (doc_id%10=0, payload bumped,
     // source re-tagged) and inserts (shifted new keys) — WHEN
@@ -4741,6 +4757,19 @@ object SparkEntry {
         |FROM documents
         |WHERE NOT (lang = 'en' AND doc_id % 7 = 3)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // replaceWhere: delete-scope ∪ recomputed-scope, relationally.
+    "q_replace_where" ->
+      """WITH merged AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE doc_id NOT BETWEEN 100 AND 299
+        |  UNION ALL
+        |  SELECT 'reloaded', n_chars*2 FROM documents
+        |  WHERE doc_id BETWEEN 100 AND 299
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM merged GROUP BY source ORDER BY source""".stripMargin,
 
     // Copy-on-write MERGE: the relational replica of WHEN MATCHED
     // UPDATE / WHEN NOT MATCHED INSERT over the raw corpus.

@@ -246,8 +246,12 @@ object Snapshots {
   private def statLines(spark: SparkSession, dataDir: String,
                         newFiles: Seq[String], statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions._
+    // the read-back pass also records each file's ROW COUNT
+    // (`rows=<n>` part — no ':' so the min/max parser skips it):
+    // metadata-only COUNT(*) / incremental sizing come free with it
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__min_$c"), max(col(c).cast("long")).as(s"__max_$c")))
+      min(col(c).cast("long")).as(s"__min_$c"), max(col(c).cast("long")).as(s"__max_$c"))) :+
+      count(lit(1)).as("__rows")
     val rows = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
       .collect() // one row per new file — listing-sized
@@ -257,10 +261,59 @@ object Snapshots {
         val mi = r.getAs[Any](s"__min_$c"); val ma = r.getAs[Any](s"__max_$c")
         if (mi == null || ma == null) None
         else Some(s"$c=${mi.asInstanceOf[Long]}:${ma.asInstanceOf[Long]}")
-      }
+      } :+ s"rows=${r.getAs[Long]("__rows")}"
       path -> stats
     }.toMap
-    newFiles.map(f => (f +: byPath.getOrElse(f, Seq.empty)).mkString("\t"))
+    // a file that produced no groupBy row is EMPTY (zero rows)
+    newFiles.map(f => (f +: byPath.getOrElse(f, Seq("rows=0"))).mkString("\t"))
+  }
+
+  /** Per-file row counts of `version`: path → rows, for files whose
+    * commit recorded them (`statsCols` commits do). */
+  def fileRowCounts(tableDir: String, version: Int): Seq[(String, Option[Long])] =
+    fileLines(tableDir, version).map { line =>
+      val parts = line.split('\t')
+      (parts(0), parts.drop(1).find(_.startsWith("rows=")).map(_.substring(5).toLong))
+    }
+
+  /** Metadata-only COUNT(*): the sum of per-file row counts — zero
+    * data IO, the classic stats-pushdown answer. Fails loud when any
+    * live file lacks a recorded count (committed without stats):
+    * guessing would silently undercount. */
+  def countRows(tableDir: String, version: Int = -1): Long = {
+    val v = if (version >= 0) version else currentVersion(tableDir)
+    require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    fileRowCounts(tableDir, v).map {
+      case (_, Some(n)) => n
+      case (path, None) => throw new IllegalArgumentException(
+        s"Snapshots: countRows needs per-file row counts but $path was committed " +
+          "without stats — re-commit with statsCols (or count by scanning)")
+    }.sum
+  }
+
+  /** Metadata-only MIN/MAX of an integral column: folded from the
+    * per-file envelopes — exact, because each envelope is the exact
+    * min/max of its file. Fails loud when any live NON-EMPTY file
+    * lacks the column's stat (empty files constrain nothing). */
+  def minMaxFromStats(tableDir: String, c: String, version: Int = -1): (Long, Long) = {
+    val v = if (version >= 0) version else currentVersion(tableDir)
+    require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    val counts = fileRowCounts(tableDir, v).toMap
+    val envs = fileStats(tableDir, v).flatMap { case (path, stats) =>
+      stats.get(c) match {
+        case Some(mm) => Some(mm)
+        case None if counts.get(path).flatten.contains(0L) => None // empty file
+        case None =>
+          // a stats-commit records every requested column unless the
+          // file's values are all NULL / non-integral — either way
+          // the true min/max is unknowable from metadata
+          throw new IllegalArgumentException(
+            s"Snapshots: minMaxFromStats('$c') — $path carries no envelope for it " +
+              "(committed without that statsCol, or the file has no castable values)")
+      }
+    }
+    require(envs.nonEmpty, s"Snapshots: no '$c' envelopes in version $v (empty table?)")
+    (envs.map(_._1).min, envs.map(_._2).max)
   }
 
   /** The file paths of `version` that can contain rows with
@@ -650,6 +703,57 @@ object Snapshots {
       .write.parquet(outDir.toString)
     beforePublish()
     publishOrConflict(tableDir, head, "delete", kept ++ listParts(outDir))
+    head + 1
+  }
+
+  /** Atomic predicate-scoped overwrite — Delta's `replaceWhere`, the
+    * partition-reload verb ("recompute day X and swap it in"): ONE
+    * commit deletes the rows where `predicate` is TRUE and inserts
+    * `df`. Only files containing a TRUE row rewrite; untouched files
+    * carry with their stats. Every INSERTED row must itself satisfy
+    * the predicate — a row outside the replaced scope would silently
+    * survive the next reload of a different scope, so violations
+    * raise inside the write projection (the `commitChecked` guard
+    * shape: one scan, the manifest never lands, table untouched).
+    * Schema must match the table (this verb is not evolution).
+    * Publishes with the serializable-conflict abort of the other
+    * mutation verbs. */
+  def replaceWhere(spark: SparkSession, tableDir: String,
+                   predicate: org.apache.spark.sql.Column, df: DataFrame): Int = {
+    import org.apache.spark.sql.functions._
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val lines = fileLines(tableDir, head)
+    require(lines.nonEmpty, s"Snapshots: $tableDir HEAD is empty; use commit(append)")
+    val tableCols = read(spark, tableDir, head).columns.toSeq
+    require(df.columns.sorted.toSeq == tableCols.sorted,
+      s"Snapshots: replaceWhere schema mismatch — table [${tableCols.sorted.mkString(",")}] " +
+        s"vs replacement [${df.columns.sorted.mkString(",")}]")
+    val files = lines.map(_.split('\t')(0))
+    val hit = spark.read.parquet(files: _*)
+      .where(predicate)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
+    val kept = lines.filterNot(l => hit.contains(l.split('\t')(0)))
+    // inserted rows must live INSIDE the replaced scope — raise in
+    // the write projection, one scan (see commitChecked)
+    val c0 = tableCols.head
+    val c0Type = df.schema(c0).dataType
+    val guardedNew = df.select(tableCols.map(col): _*)
+      .withColumn(c0,
+        when(!coalesce(predicate, lit(false)),
+          raise_error(lit("Snapshots: replaceWhere insert outside the replaced scope — " +
+            "every inserted row must satisfy the predicate")).cast(c0Type))
+          .otherwise(col(c0)))
+    val outDir = stageDataDir(tableDir, "r")
+    val rewritten =
+      if (hit.isEmpty) guardedNew
+      else spark.read.parquet(hit.toSeq.sorted: _*)
+        .where(!coalesce(predicate, lit(false)))
+        .select(tableCols.map(col): _*)
+        .unionByName(guardedNew)
+    rewritten.write.parquet(outDir.toString)
+    publishOrConflict(tableDir, head, "replace", kept ++ listParts(outDir))
     head + 1
   }
 

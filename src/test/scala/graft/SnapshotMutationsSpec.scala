@@ -109,6 +109,43 @@ class SnapshotMutationsSpec extends SparkSpec {
     assert(Snapshots.currentVersion(t) == 3) // nothing committed
   }
 
+  test("replaceWhere swaps one scope atomically; untouched files carry; out-of-scope inserts raise") {
+    val t = threeFileTable()
+    val before = manifestFileLines(t, 3)
+    // reload the 10-19 scope with recomputed rows
+    val v = Snapshots.replaceWhere(spark, t, $"id" >= 10L && $"id" < 20L,
+      Seq((10L, "C2"), (12L, "NEW")).toDF("id", "s"))
+    assert(v == 4)
+    val rows = Snapshots.read(spark, t).as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "a", 2L -> "b", 10L -> "C2", 12L -> "NEW",
+      20L -> "e", 21L -> "f")) // 11 gone (replaced scope), others untouched
+    assert(manifestFileLines(t, 4).toSet.intersect(before.toSet).size == 2)
+    // an insert OUTSIDE the scope fails the write; the table is untouched
+    val e = intercept[Exception] {
+      Snapshots.replaceWhere(spark, t, $"id" >= 10L && $"id" < 20L,
+        Seq((99L, "ESCAPEE")).toDF("id", "s"))
+    }
+    assert(e.getMessage.contains("outside the replaced scope") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside the replaced scope")))
+    assert(Snapshots.currentVersion(t) == 4)
+  }
+
+  test("metadata-only COUNT and MIN/MAX fold exactly from manifest stats") {
+    val t = threeFileTable()
+    assert(Snapshots.countRows(t) == 6L)
+    assert(Snapshots.minMaxFromStats(t, "id") == ((1L, 21L)))
+    // still exact after a copy-on-write delete re-stats nothing: the
+    // rewritten file has no stats -> loud, never a silent wrong answer
+    Snapshots.deleteWhere(spark, t, $"id" === 10L)
+    val e = intercept[IllegalArgumentException](Snapshots.countRows(t))
+    assert(e.getMessage.contains("without stats"))
+    // a stats-less commit also refuses metadata answers
+    val t2 = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t2)
+    assert(intercept[IllegalArgumentException](Snapshots.countRows(t2))
+      .getMessage.contains("without stats"))
+  }
+
   test("mergeIntoKeys matches on ALL key columns (composite keys)") {
     val t = freshTable()
     Snapshots.commit(Seq((1L, "x", "a"), (1L, "y", "b"), (2L, "x", "c"))
