@@ -112,9 +112,10 @@ class PlanSpec extends SparkSpec {
     // (q_boilerplate's scalar is the corpus doc count; q_oov_rate
     // inherits vocab coverage's 1-row total through its vocab input)
     // (q_surprisal and q_bigram_ppl carry their 1-row total-token-count
-    // scalar the same way vocab coverage does)
+    // scalar the same way vocab coverage does; q_ks_drift broadcasts
+    // its 1-row sample-totals frame over the value histogram)
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
-      "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25")
+      "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
