@@ -759,6 +759,20 @@ object SparkEntry {
           nLists = 8, nProbe = 2, mdl)
         .orderBy(col("query_id"), col("rnk"))
     }),
+    // ---- cross-corpus SEMANTIC contamination: eval rows (natural
+    // tail + planted copies of train rows) banded against the train
+    // side — the paraphrase-leak check n-gram contamination can't
+    // make; at 0.95 only the planted copies match. Same plane
+    // family as q_embed_neardup, replicated exactly in SQL ----
+    "q_semantic_contam" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val train = emb.where(col("vec_id") < 1500)
+      val evalSet = emb.where(col("vec_id") >= 1500)
+        .unionByName(emb.where(col("vec_id") < 100)
+          .withColumn("vec_id", col("vec_id") + 10000L))
+      graft.operators.Similarity.crossCorpusNearDup(train, evalSet, 0.95)
+        .orderBy(col("eval_id"), col("train_id"))
+    }),
     // ---- SemDeDup: within-cluster near-dup pairs under the trained
     // k-means model (cluster-scoped quadratic search — the published
     // alternative to global LSH bucketing) ----
@@ -2775,6 +2789,55 @@ object SparkEntry {
         |  FROM cand c JOIN nrm an ON an.vec_id = c.a_id JOIN nrm bn ON bn.vec_id = c.b_id
         |)
         |SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.5""".stripMargin,
+
+    // Cross-corpus contamination: q_embed_neardup's plane family,
+    // banded EVAL × TRAIN instead of self; eval = natural tail +
+    // planted train copies (ids shifted +10000).
+    "q_semantic_contam" ->
+      """WITH tr AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id < 1500
+        |), ev AS (
+        |  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id >= 1500
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT))
+        |  FROM embeddings WHERE vec_id < 100
+        |), trn AS (
+        |  SELECT vec_id, v,
+        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+        |  FROM tr
+        |), evn AS (
+        |  SELECT vid, v,
+        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+        |  FROM ev
+        |), planes AS (
+        |  SELECT p.p // 4 AS band, p.p % 4 AS j, i.i,
+        |    CASE WHEN CAST('0x' || substr(md5(p.p || ':' || i.i), 1, 15) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM (SELECT unnest(generate_series(0, 63)) AS p) p,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) i
+        |), projT AS (
+        |  SELECT n.vec_id, pl.band, pl.j, CAST(SUM(n.v[pl.i + 1] * pl.s) AS BIGINT) AS dot
+        |  FROM trn n JOIN planes pl ON pl.i < len(n.v) GROUP BY 1, 2, 3
+        |), bktT AS (
+        |  SELECT vec_id, band, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM projT GROUP BY 1, 2
+        |), projE AS (
+        |  SELECT n.vid, pl.band, pl.j, CAST(SUM(n.v[pl.i + 1] * pl.s) AS BIGINT) AS dot
+        |  FROM evn n JOIN planes pl ON pl.i < len(n.v) GROUP BY 1, 2, 3
+        |), bktE AS (
+        |  SELECT vid, band, CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM projE GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT e.vid AS eval_id, t.vec_id AS train_id
+        |  FROM bktE e JOIN bktT t ON t.band = e.band AND t.bucket = e.bucket
+        |), s AS (
+        |  SELECT c.eval_id, c.train_id,
+        |    CAST(CAST(list_sum(list_transform(generate_series(1, len(en.v)), k -> en.v[k]*tn.v[k])) AS BIGINT) AS DOUBLE)/(en.nv*tn.nv) AS cosine
+        |  FROM cand c JOIN evn en ON en.vid = c.eval_id JOIN trn tn ON tn.vec_id = c.train_id
+        |)
+        |SELECT eval_id, train_id, cosine FROM s WHERE cosine >= 0.95
+        |ORDER BY eval_id, train_id""".stripMargin,
 
     // Same plane family and verify shape as q_embed_neardup, but
     // 28 bands × 12 planes (336 planes) at threshold 0.9 over the

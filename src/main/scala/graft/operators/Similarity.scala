@@ -219,6 +219,47 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Cross-corpus semantic contamination: eval-set rows whose
+    * embedding is near-duplicate to ANY training row — the semantic
+    * twin of n-gram `Contamination` (a paraphrased or re-chunked
+    * leak shares no 13-gram but sits at cosine ≈ 1; benchmark
+    * decontamination needs both checks). Same banded sign-LSH
+    * machinery as [[cosineNearDupPairsLsh]], but the band join runs
+    * EVAL × TRAIN instead of self — candidates stay narrow
+    * (id, band, bucket) rows, exact quantized verify after. Output:
+    * (eval_id, train_id, cosine ≥ threshold) pairs; dropping
+    * `eval_id`s from the benchmark (or flagging the train side for
+    * removal) is one semi/anti join away.
+    *
+    * At 100 TB of train × a benchmark-sized eval: the eval side's
+    * signatures are tiny, so the band join broadcasts them and the
+    * train corpus is never shuffled — candidate volume is the
+    * bucket-collision rate, the same selectivity story (and the
+    * same high-threshold caveat) as the self-join form. */
+  def crossCorpusNearDup(train: DataFrame, eval: DataFrame, threshold: Double,
+                         bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
+    require(bands > 0 && planesPerBand > 0 && planesPerBand <= 62,
+      "bands and planesPerBand must be positive (bucket bits fit a long)")
+    val t = train.select(col("vec_id").as("train_id"), quantize(col("embedding")).as("tv"))
+      .withColumn("tn", sqrt(qnorm2(col("tv")).cast("double")))
+    val e = eval.select(col("vec_id").as("eval_id"), quantize(col("embedding")).as("ev"))
+      .withColumn("en", sqrt(qnorm2(col("ev")).cast("double")))
+    val st = t.select(col("train_id"),
+        posexplode(graft.plans.SignBands.signBands(col("tv"), bands, planesPerBand)))
+      .toDF("train_id", "band", "bucket")
+    val se = e.select(col("eval_id"),
+        posexplode(graft.plans.SignBands.signBands(col("ev"), bands, planesPerBand)))
+      .toDF("eval_id", "band", "bucket")
+    val cand = st.join(broadcast(se), Seq("band", "bucket"))
+      .select(col("eval_id"), col("train_id")).distinct()
+    cand
+      .join(t, Seq("train_id"))
+      .join(broadcast(e), Seq("eval_id"))
+      .select(col("eval_id"), col("train_id"),
+        (qdot(col("ev"), col("tv")).cast("double") / (col("en") * col("tn"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
   /** IVF-style approximate nearest neighbor — the classic
     * inverted-file index shape: a coarse quantizer assigns every
     * corpus vector to exactly one of nLists inverted lists; a query

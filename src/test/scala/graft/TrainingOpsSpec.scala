@@ -170,6 +170,29 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("crossCorpusNearDup finds every planted leak and nothing below threshold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val train = emb.where($"vec_id" < 800)
+    // eval: natural (distinct) tail + exact copies of 20 train rows
+    val leaked = emb.where($"vec_id" < 20).withColumn("vec_id", $"vec_id" + 5000L)
+    val evalSet = emb.where($"vec_id" >= 800).unionByName(leaked)
+    val pairs = Similarity.crossCorpusNearDup(train, evalSet, 0.95)
+      .select($"eval_id", $"train_id", $"cosine").as[(Long, Long, Double)].collect()
+    // every planted copy matches its original at cosine 1.0 (an exact
+    // copy collides in every band — recall is structural, not lucky)
+    val found = pairs.filter(p => p._1 >= 5000L && p._2 == p._1 - 5000L)
+    // cosine of a self-copy is 1 up to one ulp of dot/(√n·√n)
+    assert(found.length == 20 && found.forall(p => math.abs(p._3 - 1.0) < 1e-12))
+    // equality with the brute-force cross pairs at the same threshold
+    val exact = Similarity.bruteForceTopK(train, evalSet, 1)
+      .where($"cosine" >= 0.95)
+      .select($"query_id", $"corpus_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    // brute-force top-1 is a lower bound (one match per eval row);
+    // every top-1 match above threshold must be in the LSH pairs
+    val pairSet = pairs.map(p => (p._1, p._2, p._3)).toSet
+    assert(exact.forall(pairSet.contains), s"missed ${exact -- pairSet}")
+  }
+
   test("native SignBands equals the composed per-band lshBucket family") {
     // the fused expression must reproduce every band's bucket id from
     // the same deterministic plane family, on real embeddings
