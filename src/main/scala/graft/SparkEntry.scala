@@ -826,6 +826,26 @@ object SparkEntry {
             (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
         .orderBy(col("media_id"))
     }),
+    // ---- perceptual image hashing over REAL decoded pixels: each
+    // doc_id becomes a genuine 4×2 bottom-up BMP whose 24 channel
+    // values are pure functions of doc_id; the dHash grid sampling
+    // and luminance compares are exact integers, so the oracle
+    // recomputes the hash arithmetically from the pixel formula ----
+    "q_image_dhash" -> ((s, dir) => {
+      val header = "424d4e0000000000000036000000" +
+        "28000000040000000200000001001800" +
+        "00000000180000000000000000000000" +
+        "0000000000000000"
+      def px(i: Int, off: Int) = pmod(col("doc_id") * (6 * i + off), lit(256)).cast("int")
+      def hx(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+      def pix(i: Int) = concat(hx(px(i, 7)), hx(px(i, 5)), hx(px(i, 3))) // BGR on disk
+      val payload = unhex(concat(lit(header),
+        pix(4), pix(5), pix(6), pix(7),   // file row 0 = bottom image row
+        pix(0), pix(1), pix(2), pix(3)))  // file row 1 = top image row
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("image").as("kind"), payload.as("payload"))
+      graft.multimodal.Multimodal.imageDHash(media).orderBy(col("media_id"))
+    }),
     // ---- REAL audio decode, exact-oracled (the WAV twin of
     // q_media_decode): each doc_id becomes a genuine 52-byte
     // RIFF/WAVE file — 44-byte canonical PCM header + four 16-bit
@@ -3863,6 +3883,36 @@ object SparkEntry {
       // 2^16 stored little-endian, decoded back to signed 16-bit,
       // integer sums + one IEEE division each. n_bytes = 44-byte
       // header + 8 bytes of samples.
+      // dHash replica: pixel luminances from the channel formula,
+      // the 10-sample/7-row floor-scaled grid, right>left bit sets
+      // at position y*9+x (63 bits — the engine's signed-long-safe
+      // default).
+      "q_image_dhash" ->
+        """WITH px AS (
+          |  SELECT d.doc_id, i.ix, i.iy,
+          |    (d.doc_id*(6*(i.iy*4+i.ix)+3))%256
+          |    + (d.doc_id*(6*(i.iy*4+i.ix)+5))%256
+          |    + (d.doc_id*(6*(i.iy*4+i.ix)+7))%256 AS l
+          |  FROM documents d,
+          |    (SELECT a.ix, b.iy
+          |     FROM (VALUES (0),(1),(2),(3)) a(ix), (VALUES (0),(1)) b(iy)) i
+          |), g AS (
+          |  SELECT x.x, y.y,
+          |    (x.x*4)//10 AS lgx, ((x.x+1)*4)//10 AS rgx, (y.y*2)//7 AS gy
+          |  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)) x(x),
+          |       (VALUES (0),(1),(2),(3),(4),(5),(6)) y(y)
+          |), bits AS (
+          |  SELECT p1.doc_id,
+          |    CASE WHEN p2.l > p1.l
+          |         THEN (CAST(1 AS BIGINT) << (g.y*9 + g.x)) ELSE 0 END AS bit
+          |  FROM g
+          |  JOIN px p1 ON p1.ix = g.lgx AND p1.iy = g.gy
+          |  JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.ix = g.rgx AND p2.iy = g.gy
+          |)
+          |SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+          |  CAST(SUM(bit) AS BIGINT) AS dhash
+          |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
       "q_audio_decode" ->
         """WITH sv AS (
           |  SELECT d.doc_id, m.k,

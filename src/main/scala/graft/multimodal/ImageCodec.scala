@@ -36,6 +36,12 @@ object ImageCodec {
     * recognized/valid image (caller falls back to the stub). Never
     * throws on malformed bytes. */
   def decode(payload: Array[Byte]): Option[Decoded] =
+    pixels(payload).map { case (w, h, rgb) => Decoded(w, h, features(w, h, rgb)) }
+
+  /** Raw interleaved RGB samples of a decodable image — the
+    * pixel-level entry perceptual hashing builds on. None = not a
+    * recognized payload (caller skips or stubs). Never throws. */
+  def pixels(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
       else if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
@@ -76,7 +82,7 @@ object ImageCodec {
     * 4-byte-padded BGR, bottom-up when height > 0, top-down when the
     * height field is negative (both legal per the format). Other
     * bit depths / compressions → None. */
-  private def decodeBmp(b: Array[Byte]): Option[Decoded] = {
+  private def decodeBmp(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (b.length < 54) return None
     val pixOff = leInt(b, 10)
     val hdrSize = leInt(b, 14)
@@ -112,7 +118,7 @@ object ImageCodec {
       }
       y += 1
     }
-    Some(Decoded(w, h, features(w, h, rgb)))
+    Some((w, h, rgb))
   }
 
   /** Binary PPM (P6): ASCII header "P6 <w> <h> <maxval>" with
@@ -122,7 +128,7 @@ object ImageCodec {
     * formula's /255 normalization format-independent — declining it
     * (stub fallback) is honest; silently treating 15-scale samples
     * as 255-scale would yield wrong intensity features. */
-  private def decodePpm(b: Array[Byte]): Option[Decoded] = {
+  private def decodePpm(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     var pos = 2
     def skipWs(): Unit = {
       var more = true
@@ -148,6 +154,40 @@ object ImageCodec {
     val rgb = new Array[Int](w * h * 3)
     var i = 0
     while (i < rgb.length) { rgb(i) = b(pos + i) & 0xff; i += 1 }
-    Some(Decoded(w, h, features(w, h, rgb)))
+    Some((w, h, rgb))
+  }
+
+  /** Perceptual difference hash (dHash, Krawetz 2013): sample a
+    * (gw+1)×gh luminance grid by EXACT nearest-pixel pick (floor
+    * scaling — no interpolation, so the hash is pure integer
+    * arithmetic and replicates in any engine), then set bit
+    * y·gw + x when the right sample is strictly brighter than the
+    * left. Luminance = r+g+b (0..765 — no /3, stays integral).
+    * Robust to uniform brightness shifts by construction (gradients
+    * are shift-invariant) — the property that makes it a NEAR-dup
+    * key where md5 is an exact-dup key. Default 9×7 grid = 63 bits —
+    * one bit shy of the classic 8×8, keeping the hash a NON-NEGATIVE
+    * long that any engine's signed shift can build (1<<63 overflows
+    * checked-arithmetic engines). */
+  def dHash(w: Int, h: Int, rgb: Array[Int], gw: Int = 9, gh: Int = 7): Long = {
+    require(gw >= 1 && gh >= 1 && gw.toLong * gh <= 63, s"grid $gw x $gh must fit 63 bits")
+    def lum(gx: Int, gy: Int): Int = {
+      // nearest sample of the (gw+1) x gh grid over the w x h image
+      val pxX = (gx.toLong * w / (gw + 1)).toInt
+      val pxY = (gy.toLong * h / gh).toInt
+      val o = (pxY * w + pxX) * 3
+      rgb(o) + rgb(o + 1) + rgb(o + 2)
+    }
+    var bits = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw) {
+        if (lum(gx + 1, gy) > lum(gx, gy)) bits |= 1L << (gy * gw + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
   }
 }

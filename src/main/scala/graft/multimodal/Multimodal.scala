@@ -171,6 +171,41 @@ object Multimodal {
       }(enc)
   }
 
+  private val dhashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("dhash", LongType, nullable = false)))
+
+  /** Perceptual hashes for image near-dup detection: one 63-bit
+    * dHash per genuinely decodable image (BMP/PPM here; a full codec
+    * library widens the branch, the plumbing is identical). Exact
+    * integer sampling — see [[ImageCodec.dHash]] — so the hash is a
+    * deterministic function of the pixels in any engine. Downstream:
+    * exact-duplicate groups are a groupBy(dhash); Hamming-tolerant
+    * near-dups ride the same banding machinery the text SimHash
+    * uses (split the 64 bits into bands, join on (band, sub-key),
+    * verify xor-popcount). Undecodable payloads produce NO row —
+    * an md5-derived fake hash would poison duplicate groups. Same
+    * scale contract as `decodeFeatures`: mapPartitions, payloads
+    * never leave the executor. */
+  def imageDHash(media: DataFrame, gridW: Int = 9, gridH: Int = 7): DataFrame = {
+    val enc = Encoders.row(dhashSchema)
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .where(col("kind") === "image")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          ImageCodec.pixels(payload) match {
+            case None => Iterator.empty
+            case Some((w, h, rgb)) =>
+              Iterator.single(Row(id, w, h, ImageCodec.dHash(w, h, rgb, gridW, gridH)))
+          }
+        }
+      }(enc)
+  }
+
   /** Deterministic "resize": marks the target dims in metadata and
     * truncates the payload proportionally (stub for a real resampler). */
   def resizeStub(features: DataFrame, targetW: Int, targetH: Int): DataFrame =

@@ -135,6 +135,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageDHash: exact bits on a hand gradient; brightness-shift invariant; dup-equal") {
+    // 4x1 left-to-right brightening ramp on a 2x1 grid (gw=2, gh=1):
+    // samples at pxX = floor(gx*4/3) = 0,1,2 -> lums 30,60,90 ->
+    // both right-brighter bits set -> hash = 0b11
+    val ramp = Seq((10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40))
+    val shifted = ramp.map { case (r, g, b) => (r + 50, g + 50, b + 50) }
+    import graft.multimodal.ImageCodec
+    val (w, h, rgb) = ImageCodec.pixels(bmpBytes(4, 1, ramp)).get
+    assert(ImageCodec.dHash(w, h, rgb, gw = 2, gh = 1) == 3L)
+    val (_, _, rgb2) = ImageCodec.pixels(bmpBytes(4, 1, shifted)).get
+    assert(ImageCodec.dHash(4, 1, rgb2, gw = 2, gh = 1) == 3L) // gradient invariance
+    // the Spark plumbing: dup images hash equal, stubs and non-images drop
+    val px6 = Seq((1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12), (13, 14, 15), (16, 17, 18))
+    val rows = Seq(
+      (1L, "image", bmpBytes(3, 2, px6)),
+      (2L, "image", ppmBytes(3, 2, px6)),   // same pixels, other container
+      (3L, "image", "not-an-image".getBytes),
+      (4L, "audio", bmpBytes(3, 2, px6))
+    ).toDF("media_id", "kind", "payload")
+    val hashed = Multimodal.imageDHash(rows).as[(Long, Int, Int, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(hashed.keySet == Set(1L, 2L))
+    assert(hashed(1L) == hashed(2L)) // container-independent perceptual key
+  }
+
   test("frameSampleStub explodes deterministic frame rows for videos only") {
     val frames = Multimodal.frameSampleStub(media, everyK = 4, maxFrames = 8)
     val kinds = frames.join(media, Seq("media_id")).select($"kind").distinct().as[String].collect()
