@@ -846,6 +846,42 @@ object SparkEntry {
         col("doc_id").as("media_id"), lit("image").as("kind"), payload.as("payload"))
       graft.multimodal.Multimodal.imageDHash(media).orderBy(col("media_id"))
     }),
+    // ---- image NEAR-dup pairs: base BMPs (channels mod 200) plus
+    // brightness-shifted copies (+10, no clipping) of every 5th doc
+    // — the copies hash identically (gradients are shift-invariant),
+    // band-collide, and verify at Hamming 0; the oracle exploits the
+    // provable shift-cancellation to hash once per doc, then
+    // replays the same 4-band join and xor-popcount verify ----
+    "q_image_neardup" -> ((s, dir) => {
+      // 8x4 images (24-byte rows, no padding): 7 informative grid
+      // columns x 4 distinct grid rows = 28 effective hash bits, so
+      // natural collisions are rare and the pair count stays linear
+      // in the planted copies (a 4x2 image has ~6 effective bits
+      // and goes quadratic — measured, not guessed)
+      val header = "424d9600000000000000360000002800" +
+        "0000080000000400000001001800" +
+        "00000000600000000000000000000000" +
+        "0000000000000000"
+      def hx(c: org.apache.spark.sql.Column) = lpad(lower(hex(c)), 2, "0")
+      def payloadFor(shift: Int) = {
+        // distinct prime moduli per channel keep the pixel function
+        // aperiodic over the corpus (lcm(199,211,223) >> doc count)
+        def px(i: Int, off: Int, m: Int) =
+          (pmod(col("doc_id") * (6 * i + off), lit(m)) + shift).cast("int")
+        def pix(i: Int) = concat(hx(px(i, 7, 223)), hx(px(i, 5, 211)), hx(px(i, 3, 199)))
+        // bottom-up file rows: imgY 3, 2, 1, 0
+        val rows = (3 to 0 by -1).flatMap(imgY => (0 until 8).map(x => pix(imgY * 8 + x)))
+        unhex(concat(lit(header) +: rows: _*))
+      }
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id").as("media_id"),
+        lit("image").as("kind"), payloadFor(0).as("payload"))
+      val shifted = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 100000L).as("media_id"),
+          lit("image").as("kind"), payloadFor(10).as("payload"))
+      graft.multimodal.Multimodal.imageNearDupPairs(base.unionByName(shifted), 3)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
     // ---- REAL audio decode, exact-oracled (the WAV twin of
     // q_media_decode): each doc_id becomes a genuine 52-byte
     // RIFF/WAVE file — 44-byte canonical PCM header + four 16-bit
@@ -3912,6 +3948,54 @@ object SparkEntry {
           |SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
           |  CAST(SUM(bit) AS BIGINT) AS dhash
           |FROM bits GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+      // Near-dup images: the +10 brightness shift cancels in every
+      // luminance compare, so a copy's hash EQUALS its base's —
+      // hash once per doc, union the two id spaces, band-join, and
+      // verify with xor-popcount (natural cross-doc collisions are
+      // computed identically on both engines).
+      "q_image_neardup" ->
+        """WITH px AS (
+          |  SELECT d.doc_id, i.ix, i.iy,
+          |    (d.doc_id*(6*(i.iy*8+i.ix)+3))%199
+          |    + (d.doc_id*(6*(i.iy*8+i.ix)+5))%211
+          |    + (d.doc_id*(6*(i.iy*8+i.ix)+7))%223 AS l
+          |  FROM documents d,
+          |    (SELECT a.ix, b.iy
+          |     FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) a(ix),
+          |          (VALUES (0),(1),(2),(3)) b(iy)) i
+          |), g AS (
+          |  SELECT x.x, y.y,
+          |    (x.x*8)//10 AS lgx, ((x.x+1)*8)//10 AS rgx, (y.y*4)//7 AS gy
+          |  FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)) x(x),
+          |       (VALUES (0),(1),(2),(3),(4),(5),(6)) y(y)
+          |), h AS (
+          |  SELECT p1.doc_id,
+          |    CAST(SUM(CASE WHEN p2.l > p1.l
+          |         THEN (CAST(1 AS BIGINT) << (g.y*9 + g.x)) ELSE 0 END) AS BIGINT) AS dh
+          |  FROM g
+          |  JOIN px p1 ON p1.ix = g.lgx AND p1.iy = g.gy
+          |  JOIN px p2 ON p2.doc_id = p1.doc_id AND p2.ix = g.rgx AND p2.iy = g.gy
+          |  GROUP BY p1.doc_id
+          |), media AS (
+          |  SELECT doc_id AS media_id, dh FROM h
+          |  UNION ALL
+          |  SELECT doc_id + 100000, dh FROM h WHERE doc_id % 5 = 0
+          |), sig AS (
+          |  SELECT media_id, dh, b.b,
+          |    CASE b.b WHEN 0 THEN dh & 65535
+          |             WHEN 1 THEN (dh >> 16) & 65535
+          |             WHEN 2 THEN (dh >> 32) & 65535
+          |             ELSE (dh >> 48) & 32767 END AS bval
+          |  FROM media, (VALUES (0),(1),(2),(3)) b(b)
+          |), cand AS (
+          |  SELECT DISTINCT x.media_id AS a_id, x.dh AS ah, y.media_id AS b_id, y.dh AS bh
+          |  FROM sig x JOIN sig y
+          |    ON x.b = y.b AND x.bval = y.bval AND x.media_id < y.media_id
+          |)
+          |SELECT a_id, b_id, CAST(bit_count(xor(ah, bh)) AS INT) AS hamming
+          |FROM cand WHERE bit_count(xor(ah, bh)) <= 3
+          |ORDER BY a_id, b_id""".stripMargin,
 
       "q_audio_decode" ->
         """WITH sv AS (

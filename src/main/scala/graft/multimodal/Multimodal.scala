@@ -206,6 +206,39 @@ object Multimodal {
       }(enc)
   }
 
+  /** Image near-duplicate pairs via banded dHash — the multimodal
+    * twin of the text SimHash pipeline: 63-bit perceptual hashes
+    * split into 4 bands (16+16+16+15 bits), candidates share at
+    * least one exact band, verification is popcount(xor) ≤
+    * `maxHamming`. By pigeonhole, any pair within Hamming
+    * `bands − 1 = 3` has a clean band — recall is STRUCTURAL up to
+    * that radius, so the bound is enforced loudly rather than
+    * silently degrading (wider radii need more bands / multi-probe).
+    * Candidates carry only (id, hash) longs through the band join;
+    * the verify is one integer xor+popcount, never a pixel
+    * comparison. Returns (a_id, b_id, hamming). */
+  def imageNearDupPairs(media: DataFrame, maxHamming: Int,
+                        gridW: Int = 9, gridH: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] — 4 bands guarantee recall only to Hamming 3 " +
+        s"(got $maxHamming; wider radii need a larger band family)")
+    val hashed = imageDHash(media, gridW, gridH).select(col("media_id"), col("dhash"))
+    val bands = Seq((0, 16), (16, 16), (32, 16), (48, 15))
+    val sig = hashed.select(col("media_id"), col("dhash"),
+      posexplode(array(bands.map { case (off, w) =>
+        shiftright(col("dhash"), off).bitwiseAND(lit((1L << w) - 1))
+      }: _*)).as(Seq("band", "bval")))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("x.dhash").as("a_hash"),
+        col("y.media_id").as("b_id"), col("y.dhash").as("b_hash"))
+      .distinct()
+    cand.select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** Deterministic "resize": marks the target dims in metadata and
     * truncates the payload proportionally (stub for a real resampler). */
   def resizeStub(features: DataFrame, targetW: Int, targetH: Int): DataFrame =

@@ -160,6 +160,24 @@ class MultimodalSpec extends SparkSpec {
     assert(hashed(1L) == hashed(2L)) // container-independent perceptual key
   }
 
+  test("imageNearDupPairs: a brightness-shifted copy verifies at Hamming 0; radius bound is loud") {
+    val base = Seq((10, 40, 90), (120, 20, 60), (5, 150, 30), (80, 80, 80), (33, 66, 99), (140, 7, 70))
+    val copy = base.map { case (r, g, b) => (r + 40, g + 40, b + 40) } // no clipping
+    val other = base.map { case (r, g, b) => (255 - r, 255 - g, 255 - b) } // inverted gradient
+    val media = Seq(
+      (1L, "image", bmpBytes(3, 2, base)),
+      (2L, "image", bmpBytes(3, 2, copy)),
+      (3L, "image", bmpBytes(3, 2, other))
+    ).toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.imageNearDupPairs(media, 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(media, 4)
+    }.getMessage.contains("Hamming 3"))
+  }
+
   test("frameSampleStub explodes deterministic frame rows for videos only") {
     val frames = Multimodal.frameSampleStub(media, everyK = 4, maxFrames = 8)
     val kinds = frames.join(media, Seq("media_id")).select($"kind").distinct().as[String].collect()
