@@ -717,6 +717,20 @@ object SparkEntry {
         .select(col("u").as("src"), col("v").as("dst")).distinct()
       graft.operators.KCore.peelRounds(edges, k = 8, rounds = 3).orderBy(col("id"))
     }),
+    // ---- multi-source BFS: shortest hop distances from the
+    // partkey%101==0 seed parts over the part<->supplier bipartite
+    // graph (the q_pagerank instance). Exact small integers, so the
+    // 4-round frontier expansion replays verbatim as a bounded
+    // recursive CTE ----
+    "q_bfs_hops" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      val sources = ps.select(col("src").as("id")).distinct()
+        .where(col("id") % 202 === 0)
+      graft.operators.Bfs.hops(edges, sources, rounds = 4).orderBy(col("id"))
+    }),
     // ---- product quantization: 64 floats -> 4 codebook codes
     // (Jégou et al. 2011). Integer-quantized subspace distances make
     // encode (argmin, ties to smallest centroid) and ADC scores
@@ -4496,6 +4510,25 @@ object SparkEntry {
           |FROM (SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3)
           |GROUP BY id
           |ORDER BY id""".stripMargin,
+
+      // BFS: DuckDB's bounded recursive CTE IS the frontier
+      // expansion — UNION dedups (id, dist) pairs, dist < 4 bounds
+      // the walk, min(dist) per id is the shortest hop count.
+      "q_bfs_hops" ->
+        """WITH RECURSIVE ps AS (
+          |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+          |), e AS (
+          |  SELECT src, dst FROM ps UNION ALL SELECT dst AS src, src AS dst FROM ps
+          |), seeds AS (
+          |  SELECT DISTINCT src AS id FROM ps WHERE src % 202 = 0
+          |), walk(id, dist) AS (
+          |  SELECT id, CAST(0 AS BIGINT) FROM seeds
+          |  UNION
+          |  SELECT e.dst, walk.dist + 1 FROM walk JOIN e ON e.src = walk.id
+          |  WHERE walk.dist < 4
+          |)
+          |SELECT id, CAST(min(dist) AS BIGINT) AS dist
+          |FROM walk GROUP BY id ORDER BY id""".stripMargin,
 
       "q_pq_codes" ->
         """WITH qz AS (
