@@ -731,6 +731,20 @@ object SparkEntry {
         .where(col("id") % 202 === 0)
       graft.operators.Bfs.hops(edges, sources, rounds = 4).orderBy(col("id"))
     }),
+    // ---- personalized PageRank (TrustRank): teleport mass pinned
+    // to the suppkey%10==0 "trusted" suppliers (node id ≡ 1 mod 20)
+    // over the same bipartite graph. Exact integers → 5x-unrolled
+    // SQL replica, the q_pagerank precedent ----
+    "q_trustrank" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = ps.select(col("dst").as("id")).distinct()
+        .where(col("id") % 20 === 1)
+      graft.operators.PageRank.personalizedRanks(edges, seeds, iters = 5)
+        .orderBy(col("id"))
+    }),
     // ---- product quantization: 64 floats -> 4 codebook codes
     // (Jégou et al. 2011). Integer-quantized subspace distances make
     // encode (argmin, ties to smallest centroid) and ADC scores
@@ -4529,6 +4543,45 @@ object SparkEntry {
           |)
           |SELECT id, CAST(min(dist) AS BIGINT) AS dist
           |FROM walk GROUP BY id ORDER BY id""".stripMargin,
+
+      // TrustRank: the q_pagerank unroll with the teleport term
+      // (init AND per-iteration base) restricted to seed nodes
+      // (supplier ids ≡ 1 mod 20).
+      "q_trustrank" ->
+        """WITH ed AS (
+          |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+          |), e AS (
+          |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+          |), n AS (
+          |  SELECT DISTINCT src AS id, CASE WHEN src % 20 = 1 THEN 1 ELSE 0 END AS sd FROM e
+          |), d AS (
+          |  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+          |), ewd AS (
+          |  SELECT e.src, e.dst, d.deg FROM e JOIN d ON d.src = e.src
+          |), i0 AS (
+          |  SELECT id, CAST(sd * 1000000000 AS BIGINT) AS r FROM n
+          |), i1 AS (
+          |  SELECT n.id, n.sd * 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i0 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i2 AS (
+          |  SELECT n.id, n.sd * 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i1 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i3 AS (
+          |  SELECT n.id, n.sd * 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i2 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i4 AS (
+          |  SELECT n.id, n.sd * 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i3 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |), i5 AS (
+          |  SELECT n.id, n.sd * 150000000 + (17 * COALESCE(s.s, 0)) // 20 AS r
+          |  FROM n LEFT JOIN (SELECT ed.dst AS id, CAST(SUM(p.r // ed.deg) AS BIGINT) AS s
+          |                    FROM ewd ed JOIN i4 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
+          |)
+          |SELECT id, CAST(r AS BIGINT) AS rank FROM i5 ORDER BY id""".stripMargin,
 
       "q_pq_codes" ->
         """WITH qz AS (

@@ -89,17 +89,23 @@ object PageRank {
       s"PageRank: dampNum*N*scale = $dampNum*$n*$scale can overflow Long - " +
         "lower `scale` (rank resolution) for graphs this large")
 
+  /** The shared fixed-point loop. `nodes` carries a `__seed` flag:
+    * teleport mass (the init rank and the per-iteration base term)
+    * lands only on flagged nodes — all-true is classic PageRank,
+    * a restricted set is personalized PageRank/TrustRank. */
   private def run(withDeg: DataFrame, nodes: DataFrame, iters: Int, base: Long,
                   scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
-    var r = nodes.withColumn("rank", lit(scale))
+    val baseCol = when(col("__seed"), lit(base)).otherwise(lit(0L))
+    var r = nodes.withColumn("rank",
+      when(col("__seed"), lit(scale)).otherwise(lit(0L)))
     for (_ <- 0 until iters) {
       val sums = contribSums(withDeg, r)
       r = nodes.join(sums, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
+        .select(col("id"), col("__seed"),
+          (baseCol + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
         .transform(graft.ops.Checkpoints.truncate)
     }
-    r
+    r.select(col("id"), col("rank"))
   }
 
   /** Ranks after `iters` synchronous iterations over directed
@@ -114,6 +120,41 @@ object PageRank {
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().transform(graft.ops.Checkpoints.truncate)
     // N is already materialized (checkpointed), so the count is cheap.
+    val n = nodes.count()
+    checkOverflow(n, scale, dampNum)
+    val withDeg = withDegrees(e).transform(graft.ops.Checkpoints.truncate)
+    run(withDeg, nodes.withColumn("__seed", lit(true)),
+      iters, base, scale, dampNum, dampDen)
+  }
+
+  /** Personalized PageRank (TrustRank — Gyöngyi, Garcia-Molina &
+    * Pedersen, VLDB 2004): identical fixed-point arithmetic, but
+    * teleport mass (initial rank AND the per-iteration base term)
+    * lands ONLY on the `seeds` set. Rank then measures proximity to
+    * the trusted core through link structure — the standard crawl-
+    * graph spam/quality signal (far-from-seed domains score ~0) and
+    * the "related items" primitive when seeded per-entity.
+    *
+    * Same exact-integer guarantees as [[ranks]]: bit-identical
+    * across runs, partitionings, and engines (q_trustrank unrolls in
+    * SQL). Seeds outside the graph carry no edges and are ignored;
+    * an EMPTY intersection with the graph raises loudly — an all-
+    * zero "nothing is trusted" frame would read as a spam verdict on
+    * the whole corpus. */
+  def personalizedRanks(edges: DataFrame, seeds: DataFrame, iters: Int = 5,
+                        scale: Long = 1000000000L, dampNum: Long = 17L,
+                        dampDen: Long = 20L): DataFrame = {
+    val base = checkParams(iters, scale, dampNum, dampDen)
+    val e = normalize(edges).transform(graft.ops.Checkpoints.truncate)
+    val sd = seeds.select(col("id").cast("long").as("id")).distinct()
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .join(sd.withColumn("__seed", lit(true)), Seq("id"), "left")
+      .na.fill(false, Seq("__seed"))
+      .transform(graft.ops.Checkpoints.truncate)
+    require(nodes.where(col("__seed")).limit(1).collect().nonEmpty,
+      "personalizedRanks: no seed id is present in the graph - an all-zero " +
+        "rank frame would silently read as 'nothing is trusted'")
     val n = nodes.count()
     checkOverflow(n, scale, dampNum)
     val withDeg = withDegrees(e).transform(graft.ops.Checkpoints.truncate)
@@ -150,6 +191,7 @@ object PageRank {
       .distinct().transform(graft.ops.Checkpoints.truncate)
     val n = nodes.count()
     checkOverflow(n, scale, dampNum)
-    run(withDeg, nodes, iters, base, scale, dampNum, dampDen)
+    run(withDeg, nodes.withColumn("__seed", lit(true)),
+      iters, base, scale, dampNum, dampDen)
   }
 }
