@@ -302,6 +302,19 @@ object SparkEntry {
         ev.where(col("ts") < cut), ev.where(col("ts") >= cut), "cents")
     }),
 
+    // ---- PSI over the same month-halves: per-bucket contributions
+    // in integer nano-units (Laplace-smoothed shares), so the total
+    // is an exact long sum — the deterministic-divergence companion
+    // to q_ks_drift ----
+    "q_psi_bins" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      graft.ops.Drift.psi(
+          ev.where(col("ts") < cut), ev.where(col("ts") >= cut), "cents", width = 500L)
+        .orderBy(col("bucket"))
+    }),
+
     // ---- time-weighted average (TWAP / sensor-uptime convention):
     // last-observation-carried-forward weighting over one day, exact
     // integer cents × whole-second weights, one IEEE division ----
@@ -2620,6 +2633,35 @@ object SparkEntry {
         |  CAST(CAST(max(abs(c.ca*t.n_b - c.cb*t.n_a)) AS BIGINT) AS DOUBLE)
         |    / CAST(t.n_a*t.n_b AS DOUBLE) AS ks
         |FROM c, t GROUP BY t.n_a, t.n_b""".stripMargin,
+
+    // PSI: identical expression shape to Drift.psi — exact-integer
+    // numerators/denominators, two divisions, one ln, round to nano.
+    "q_psi_bins" ->
+      """WITH av AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |), bv AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |), h AS (
+        |  SELECT CAST(floor(v / 500) AS BIGINT) AS bucket,
+        |         CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+        |  FROM (SELECT v, 1 AS na, 0 AS nb FROM av
+        |        UNION ALL SELECT v, 0, 1 FROM bv)
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+        |         CAST(count(*) AS BIGINT) AS nbk
+        |  FROM h
+        |)
+        |SELECT h.bucket, h.n_a, h.n_b,
+        |  CAST(round(
+        |    (CAST(h.n_a + 1 AS DOUBLE) / CAST(t.ta + t.nbk AS DOUBLE)
+        |      - CAST(h.n_b + 1 AS DOUBLE) / CAST(t.tb + t.nbk AS DOUBLE))
+        |    * ln((CAST(h.n_a + 1 AS DOUBLE) * CAST(t.tb + t.nbk AS DOUBLE))
+        |         / (CAST(t.ta + t.nbk AS DOUBLE) * CAST(h.n_b + 1 AS DOUBLE)))
+        |    * 1e9) AS BIGINT) AS psi_e9
+        |FROM h, t ORDER BY h.bucket""".stripMargin,
 
     // TWAP: the same LOCF segment decomposition via lead(); exact
     // integer numerator/denominator, one division.

@@ -32,10 +32,20 @@ import org.apache.spark.sql.functions._
   * inputs): equi-width bucket counts for both sides, ZERO-FILLED on
   * whichever side lacks a bucket — the edge every naive histogram
   * join silently drops, and exactly where drift hides (a bucket one
-  * side has never seen). Consumers compute PSI/χ² from the exact
-  * counts; the divergence formulas themselves involve ln/division
-  * whose cross-engine reproducibility is the caller's choice of
-  * tolerance, so this operator hands over exact integers and stops.
+  * side has never seen). Consumers compute χ² etc. from the exact
+  * counts.
+  *
+  * [[psi]] computes the Population Stability Index on top of those
+  * counts without giving up determinism: each bucket's contribution
+  * (p_a − p_b)·ln(p_a/p_b) is ONE double expression over exact
+  * integers, rounded to integer NANO-UNITS per row — and a sum of
+  * already-rounded longs is order-free, so the total (unlike a
+  * float sum of raw contributions) is bit-identical across
+  * partitionings and engines. ln() itself follows the q_surprisal/
+  * q_bm25 precedent (empirically identical across engines on these
+  * values). Zero-count buckets — where textbook PSI is undefined —
+  * get Laplace smoothing with exact rationals: p = (n+1)/(N+B) over
+  * the B buckets either side has seen.
   */
 object Drift {
 
@@ -88,5 +98,40 @@ object Drift {
     side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
       .groupBy(col("bucket"))
       .agg(sum(col("__a")).as("n_a"), sum(col("__b")).as("n_b"))
+  }
+
+  /** PSI per bucket, in integer nano-units. Output: (bucket, n_a,
+    * n_b, psi_e9) — one row per bucket either side has seen;
+    * PSI(total) = SUM(psi_e9)/1e9, exact because the summands are
+    * already-rounded longs (interpretation: <0.1 stable, 0.1-0.25
+    * moderate shift, >0.25 major shift). Laplace-smoothed shares
+    * p = (n+1)/(N+B) keep one-sided buckets finite; B rides a 1-row
+    * broadcast with the totals (the ksStatistic scalar pattern).
+    * Either side empty fails loud — smoothing would silently score
+    * "uniform noise vs data" as a real comparison. */
+  def psi(a: DataFrame, b: DataFrame, valCol: String, width: Long): DataFrame = {
+    val hist = histogramCompare(a, b, valCol, width)
+    val totals = hist
+      .agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+        count(lit(1)).as("__nb"))
+      .select(
+        when(col("__ta").isNull || col("__ta") === 0 || col("__tb").isNull || col("__tb") === 0,
+          raise_error(lit("Drift.psi: a side has no bucketable values — " +
+            "PSI against an empty side is undefined")).cast("long"))
+          .otherwise(col("__ta")).as("__ta"),
+        col("__tb"), col("__nb"))
+    // exact-integer numerators/denominators; the ONLY doubles are the
+    // two correctly-rounded divisions, one subtraction, one ln, one
+    // multiply — the identical expression shape the oracle replays
+    val an = col("n_a") + lit(1L)
+    val bn = col("n_b") + lit(1L)
+    val ad = col("__ta") + col("__nb")
+    val bd = col("__tb") + col("__nb")
+    hist.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round(
+          (an.cast("double") / ad.cast("double") - bn.cast("double") / bd.cast("double")) *
+            log((an.cast("double") * bd.cast("double")) / (ad.cast("double") * bn.cast("double"))) *
+            lit(1.0e9)).cast("long").as("psi_e9"))
   }
 }

@@ -45,4 +45,44 @@ class DriftSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(rows == Set((0L, 2L, 0L), (1L, 2L, 0L), (2L, 0L, 1L)))
   }
+
+  test("psi: identical sides score exactly zero in every bucket") {
+    val a = Seq(1L, 5L, 12L, 12L, 25L).toDF("v")
+    val rows = Drift.psi(a, a, "v", 10L).as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall(_._4 == 0L))
+  }
+
+  test("psi: hand-checked smoothed contributions, incl. a one-sided bucket") {
+    val a = Seq(0L, 5L, 10L).toDF("v")  // buckets 0(x2), 1
+    val b = Seq(0L, 25L).toDF("v")      // buckets 0, 2
+    // B=3 buckets, Na=3, Nb=2 -> p = (n+1)/(N+3)
+    def contrib(na: Long, nb: Long): Long = {
+      val (an, ad, bn, bd) = (na + 1.0, 6.0, nb + 1.0, 5.0)
+      math.round((an / ad - bn / bd) * math.log((an * bd) / (ad * bn)) * 1.0e9)
+    }
+    val rows = Drift.psi(a, b, "v", 10L).as[(Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows == Map(
+      0L -> ((2L, 1L, contrib(2L, 1L))),
+      1L -> ((1L, 0L, contrib(1L, 0L))),
+      2L -> ((0L, 1L, contrib(0L, 1L)))))
+    // every contribution is non-negative ((p_a-p_b) and ln share sign)
+    assert(rows.values.forall(_._3 >= 0L))
+  }
+
+  test("psi total is an exact long sum - partitioning cannot change it") {
+    val a = (1L to 400L).map(i => (i * 7) % 120).toDF("v")
+    val b = (1L to 300L).map(i => (i * i) % 150).toDF("v")
+    def total(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+      Drift.psi(x, y, "v", 10L).agg(sum($"psi_e9")).as[Long].head()
+    assert(total(a, b) == total(a.repartition(13), b.repartition(5)))
+    assert(total(a, b) > 0L) // genuinely shifted distributions
+  }
+
+  test("psi: an empty side fails loud") {
+    val a = Seq(1L).toDF("v")
+    val empty = Seq(Option.empty[Long]).toDF("v")
+    val e = intercept[Exception](Drift.psi(a, empty, "v", 10L).collect())
+    assert(e.getMessage.contains("undefined"), e.getMessage)
+  }
 }
