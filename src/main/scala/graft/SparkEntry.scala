@@ -315,6 +315,17 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ---- water-filling domain caps: per-language char budgets —
+    // the level τ with Σ min(n_g, τ) = budget; tail languages kept
+    // whole, heavy ones capped at τ (+1 remainder units in group
+    // order). Exact integers end to end ----
+    "q_water_fill" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("n_chars"))
+      graft.ops.Mixture.waterFill(counts, "lang", "n_chars", budget = 140000L)
+        .orderBy(col("lang"))
+    }),
+
     // ---- time-weighted average (TWAP / sensor-uptime convention):
     // last-observation-carried-forward weighting over one day, exact
     // integer cents × whole-second weights, one IEEE division ----
@@ -2662,6 +2673,38 @@ object SparkEntry {
         |         / (CAST(t.ta + t.nbk AS DOUBLE) * CAST(h.n_b + 1 AS DOUBLE)))
         |    * 1e9) AS BIGINT) AS psi_e9
         |FROM h, t ORDER BY h.bucket""".stripMargin,
+
+    // Water-filling: the same segment walk over the size-sorted
+    // group frame — row i's candidate tau = (B - prefix) // m lands
+    // in its own segment [prev, n) for exactly one row (none iff the
+    // budget exceeds the corpus); remainder +1s in group order.
+    "q_water_fill" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n FROM documents GROUP BY 1
+        |), p AS (
+        |  SELECT lang, n,
+        |    CAST(row_number() OVER (ORDER BY n, lang) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (ORDER BY n, lang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(coalesce(lag(n) OVER (ORDER BY n, lang), 0) AS BIGINT) AS prev
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS g FROM c
+        |), lvl AS (
+        |  SELECT CAST((140000 - (cum - n)) // (t.g - i + 1) AS BIGINT) AS tau,
+        |    CAST(140000 - (cum - n)
+        |         - (t.g - i + 1) * ((140000 - (cum - n)) // (t.g - i + 1)) AS BIGINT) AS r
+        |  FROM p, t
+        |  WHERE (140000 - (cum - n)) // (t.g - i + 1) >= prev
+        |    AND (140000 - (cum - n)) // (t.g - i + 1) < n
+        |), ranked AS (
+        |  SELECT c.lang, c.n, l.tau, l.r,
+        |    row_number() OVER (PARTITION BY (c.n > l.tau) ORDER BY c.lang) AS caprank
+        |  FROM c LEFT JOIN lvl l ON TRUE
+        |)
+        |SELECT lang, n AS n_chars,
+        |  CAST(CASE WHEN tau IS NULL OR n <= tau THEN n
+        |       ELSE tau + CASE WHEN caprank <= r THEN 1 ELSE 0 END END AS BIGINT) AS alloc
+        |FROM ranked ORDER BY lang""".stripMargin,
 
     // TWAP: the same LOCF segment decomposition via lead(); exact
     // integer numerator/denominator, one division.

@@ -115,4 +115,69 @@ object Mixture {
       .drop("__cutoff")
       .select(df.columns.map(col): _*)
   }
+
+  /** Water-filling budget allocation — the "domain cap" step of
+    * corpus curation: given per-group sizes and a total budget B,
+    * find the level τ such that Σ_g min(n_g, τ) = B; groups below
+    * the level are kept WHOLE, groups above are capped AT it. The
+    * max-min-fair allocation (every capped group gets the same
+    * amount, no group gets more than it has), and the exact form of
+    * "cap heavy domains, keep the tail" from C4/Gopher-style
+    * pipelines — where a fixed per-domain cap either misses the
+    * budget or needs hand-tuning, water-filling derives the cap FROM
+    * the budget.
+    *
+    * Everything is exact integers. An exact integer level rarely
+    * exists, so the discrete form: the largest τ with S(τ) =
+    * Σ min(n_g, τ) ≤ B, then the remainder r = B − S(τ) < #capped
+    * goes as +1 to the first r capped groups in group order — fully
+    * deterministic, Σ alloc = B exactly (when B ≤ Σ n_g; a budget
+    * the corpus cannot fill returns every group whole). τ is found
+    * segment-wise on the size-sorted group frame with prefix sums:
+    * row i's segment [n_{i−1}, n_i) has S(τ) = prefix_i + m_i·τ
+    * linear, so its candidate is one floor division, and exactly one
+    * candidate lands in its own segment. The windows run over the
+    * per-GROUP frame — bounded by group cardinality, the
+    * ksStatistic/compaction-plan argument — and the chosen level
+    * rides a 1-row broadcast back over it.
+    *
+    * Output: (groupCol, nCol, alloc). NULL groups, NULL or negative
+    * sizes fail loud (a silently dropped group would inflate every
+    * other group's share). */
+  def waterFill(counts: DataFrame, groupCol: String, nCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val g0 = counts.select(col(groupCol).as("__grp"), col(nCol).cast("long").as("__n"))
+    val bad = g0.where(col("__grp").isNull || col("__n").isNull || col("__n") < 0)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"waterFill: NULL group / NULL or negative size (${bad.headOption.orNull}) - " +
+        "a silently dropped group would inflate every other group's allocation")
+    require(g0.limit(1).collect().nonEmpty, "waterFill: no groups to allocate over")
+
+    val w = Window.orderBy(col("__n"), col("__grp"))
+    val pre = g0
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__cum",
+        sum(col("__n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = pre.agg(count(lit(1)).as("__g"), sum(col("__n")).as("__tot"))
+    // the level row: its floor-division candidate lands in its own
+    // segment [prev, n). No row matches iff budget >= total corpus.
+    val level = pre.crossJoin(broadcast(tot))
+      .withColumn("__prev", coalesce(lag(col("__n"), 1).over(w), lit(0L)))
+      .withColumn("__m", col("__g") - col("__i") + 1)
+      .withColumn("__tau", expr(s"($budget - (__cum - __n)) div __m"))
+      .where(col("__tau") >= col("__prev") && col("__tau") < col("__n"))
+      .select(col("__tau"),
+        (lit(budget) - (col("__cum") - col("__n")) - col("__m") * col("__tau")).as("__r"))
+    // capped groups in group order get the +1 remainder units
+    g0.join(broadcast(level), lit(true), "left")
+      .withColumn("__caprank",
+        when(col("__tau").isNotNull && col("__n") > col("__tau"),
+          row_number().over(Window.partitionBy(col("__n") > col("__tau")).orderBy(col("__grp")))))
+      .select(col("__grp").as(groupCol), col("__n").as(nCol),
+        when(col("__tau").isNull || col("__n") <= col("__tau"), col("__n"))
+          .otherwise(col("__tau") +
+            when(col("__caprank") <= col("__r"), lit(1L)).otherwise(lit(0L)))
+          .as("alloc"))
+  }
 }

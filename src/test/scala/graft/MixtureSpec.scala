@@ -87,4 +87,53 @@ class MixtureSpec extends SparkSpec {
       .toDF("id", "src")
     assert(Mixture.byTemperatureSqrt(eq, "id", "src").count() == 200L)
   }
+
+  private def alloc(counts: Seq[(String, Long)], budget: Long): Map[String, Long] =
+    Mixture.waterFill(counts.toDF("g", "n"), "g", "n", budget)
+      .select($"g", $"alloc").as[(String, Long)].collect().toMap
+
+  test("waterFill: hand-checked level — tail kept whole, the heavy group capped") {
+    // sizes 10, 20, 70; budget 60 -> tau=15: S=10+15+15=40? no:
+    // segment walk: [0,10): tau=20 invalid; [10,20): S=10+2tau, tau=25 invalid;
+    // [20,70): S=30+tau, tau=30 ok. S=60, r=0.
+    assert(alloc(Seq("a" -> 10L, "b" -> 20L, "c" -> 70L), 60L) ==
+      Map("a" -> 10L, "b" -> 20L, "c" -> 30L))
+  }
+
+  test("waterFill: remainder goes +1 to the first capped groups in group order") {
+    // sizes 10,10,10,10; budget 7 -> tau=1, S=4, r=3: groups a,b,c get 2, d gets 1
+    assert(alloc(Seq("a" -> 10L, "b" -> 10L, "c" -> 10L, "d" -> 10L), 7L) ==
+      Map("a" -> 2L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("waterFill: the allocation always sums exactly to min(budget, corpus)") {
+    val sizes = Seq("w" -> 13L, "x" -> 999L, "y" -> 7L, "z" -> 250L, "v" -> 0L)
+    for (b <- Seq(1L, 5L, 20L, 270L, 1268L, 1269L, 5000L)) {
+      val a = alloc(sizes, b)
+      assert(a.values.sum == math.min(b, 1269L), s"budget $b")
+      assert(a.forall { case (g, v) => v <= sizes.toMap.apply(g) }, s"budget $b: over-alloc")
+    }
+    // over-budget: everything whole
+    assert(alloc(sizes, 5000L) == sizes.toMap)
+  }
+
+  test("waterFill is partitioning-independent and guards bad input loudly") {
+    val df = (1L to 500L).map(i => (s"g${i % 37}", i % 91)).toDF("g", "n")
+      .groupBy($"g").agg(sum($"n").as("n"))
+    val a = Mixture.waterFill(df.repartition(11), "g", "n", 4000L)
+      .orderBy($"g").collect()
+    val b = Mixture.waterFill(df, "g", "n", 4000L).orderBy($"g").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    intercept[IllegalArgumentException](
+      Mixture.waterFill(df, "g", "n", 0L))
+    assert(intercept[IllegalArgumentException](
+        Mixture.waterFill(Seq(("a", Option.empty[Long])).toDF("g", "n"), "g", "n", 5L))
+      .getMessage.contains("negative size") ||
+      intercept[IllegalArgumentException](
+        Mixture.waterFill(Seq(("a", Option.empty[Long])).toDF("g", "n"), "g", "n", 5L))
+        .getMessage.contains("NULL"))
+    assert(intercept[IllegalArgumentException](
+        Mixture.waterFill(Seq(("a", -1L)).toDF("g", "n"), "g", "n", 5L))
+      .getMessage.contains("negative"))
+  }
 }
