@@ -326,6 +326,21 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- market-basket mining on the deterministic quarter of
+    // orders (the q_triangles sizing): apriori-pruned frequent part
+    // pairs, then item-item cosine in exact nano-units (IEEE sqrt +
+    // division are correctly rounded; the counts do the summing) ----
+    "q_freq_pairs" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 0)
+      graft.ops.Baskets.frequentPairs(li, "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+    "q_item_cosine" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 0)
+      graft.ops.Baskets.cosinePairs(li, "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // ---- time-weighted average (TWAP / sensor-uptime convention):
     // last-observation-carried-forward weighting over one day, exact
     // integer cents × whole-second weights, one IEEE division ----
@@ -2705,6 +2720,46 @@ object SparkEntry {
         |  CAST(CASE WHEN tau IS NULL OR n <= tau THEN n
         |       ELSE tau + CASE WHEN caprank <= r THEN 1 ELSE 0 END END AS BIGINT) AS alloc
         |FROM ranked ORDER BY lang""".stripMargin,
+
+    "q_freq_pairs" ->
+      """WITH f AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 4 = 0
+        |), freq AS (
+        |  SELECT i FROM f GROUP BY i HAVING count(*) >= 2
+        |), pf AS (
+        |  SELECT f.b, f.i FROM f JOIN freq USING (i)
+        |)
+        |SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS support
+        |FROM pf a JOIN pf b2 ON a.b = b2.b AND a.i < b2.i
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // item-item cosine: identical expression shape to
+    // Baskets.cosinePairs — exact counts, one sqrt, one division,
+    // round to nano.
+    "q_item_cosine" ->
+      """WITH f AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 4 = 0
+        |), freq AS (
+        |  SELECT i FROM f GROUP BY i HAVING count(*) >= 2
+        |), pf AS (
+        |  SELECT f.b, f.i FROM f JOIN freq USING (i)
+        |), cnt AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS c FROM pf GROUP BY i
+        |), pairs AS (
+        |  SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS support
+        |  FROM pf a JOIN pf b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT p.item_a, p.item_b, p.support,
+        |  CAST(round(CAST(p.support AS DOUBLE)
+        |      / sqrt(CAST(ca.c * cb.c AS DOUBLE)) * 1e9) AS BIGINT) AS cos_e9
+        |FROM pairs p
+        |JOIN cnt ca ON ca.i = p.item_a
+        |JOIN cnt cb ON cb.i = p.item_b
+        |ORDER BY p.item_a, p.item_b""".stripMargin,
 
     // TWAP: the same LOCF segment decomposition via lead(); exact
     // integer numerator/denominator, one division.

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence mining — frequent item pairs and
+  * item-item similarity from (basket, item) facts. The classic
+  * retail shape (orders × parts), and, in a corpus pipeline, the
+  * co-occurrence backbone for "docs citing both", "tokens sharing a
+  * context", "entities mentioned together".
+  *
+  * The quadratic danger is per-basket pair expansion: a single
+  * degenerate basket with 10^5 items emits 10^10 pairs. Two
+  * defenses, both principled rather than silent:
+  *
+  *  - APRIORI PRUNE (Agrawal & Srikant, VLDB 1994, the downward-
+  *    closure property): an item in fewer than `minSupport` baskets
+  *    cannot appear in any frequent pair, so infrequent items are
+  *    dropped BEFORE the self-join. On heavy-tailed corpora this
+  *    removes most of the item universe and is the difference
+  *    between feasible and not at 100 TB.
+  *  - a loud per-basket cap AFTER the prune (`maxBasketItems`,
+  *    the FuzzyJoin block-cap policy): a basket still quadratic
+  *    after pruning fails the job with the basket named, instead of
+  *    silently detonating a task.
+  *
+  * Plan shape: distinct (one shuffle on (basket, item)) → item
+  * counts (shuffle on item) + semi-join prune → per-basket
+  * self-join (shuffle on basket) → pair count (shuffle on the
+  * pair). All keys are longs/narrow tuples; no driver collects.
+  */
+object Baskets {
+
+  /** Distinct (basket, item) facts with the apriori prune and the
+    * loud basket cap applied — the shared front half. */
+  private def prunedFacts(df: DataFrame, basketCol: String, itemCol: String,
+                          minSupport: Long, maxBasketItems: Int): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
+    val facts = df.select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
+      .where(col("__basket").isNotNull && col("__item").isNotNull)
+      .distinct()
+    val frequent = facts.groupBy(col("__item")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minSupport).select(col("__item"))
+    val pruned = facts.join(frequent, Seq("__item"), "left_semi")
+    val hot = pruned.groupBy(col("__basket")).agg(count(lit(1)).as("__k"))
+      .where(col("__k") > maxBasketItems)
+      .orderBy(col("__k").desc).limit(1).collect()
+    require(hot.isEmpty, {
+      val r = hot.head
+      s"Baskets: basket ${r.get(0)} still holds ${r.get(1)} frequent items " +
+        s"(cap $maxBasketItems) - its pair expansion is quadratic; raise " +
+        "minSupport, cap the basket upstream, or raise maxBasketItems deliberately"
+    })
+    pruned
+  }
+
+  private def pairsFrom(pruned: DataFrame, minSupport: Long): DataFrame = {
+    val a = pruned.select(col("__basket"), col("__item").as("item_a"))
+    val b = pruned.select(col("__basket"), col("__item").as("item_b"))
+    a.join(b, Seq("__basket")).where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("support"))
+      .where(col("support") >= minSupport)
+  }
+
+  /** Frequent unordered item pairs: (item_a, item_b, support) with
+    * item_a < item_b and support = #baskets containing BOTH, for
+    * every pair at or above `minSupport`. */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+                    minSupport: Long, maxBasketItems: Int = 10000): DataFrame =
+    pairsFrom(prunedFacts(df, basketCol, itemCol, minSupport, maxBasketItems), minSupport)
+
+  /** Item-item cosine similarity over basket membership vectors:
+    * cos(a,b) = support(a,b) / sqrt(count(a)·count(b)), reported in
+    * integer NANO-UNITS. Every input is an exact integer and both
+    * the sqrt and the division are correctly rounded under IEEE-754,
+    * so `cos_e9` is bit-identical across engines — no float sums
+    * anywhere (the co-occurrence counts do the accumulating).
+    * Output: (item_a, item_b, support, cos_e9) for pairs at or
+    * above `minSupport`, item_a < item_b. */
+  def cosinePairs(df: DataFrame, basketCol: String, itemCol: String,
+                  minSupport: Long, maxBasketItems: Int = 10000): DataFrame = {
+    val pruned = prunedFacts(df, basketCol, itemCol, minSupport, maxBasketItems)
+    val counts = pruned.groupBy(col("__item")).agg(count(lit(1)).as("__cnt"))
+    val pairs = pairsFrom(pruned, minSupport)
+    pairs
+      .join(counts.select(col("__item").as("item_a"), col("__cnt").as("__ca")), "item_a")
+      .join(counts.select(col("__item").as("item_b"), col("__cnt").as("__cb")), "item_b")
+      .select(col("item_a"), col("item_b"), col("support"),
+        round(col("support").cast("double") /
+            sqrt((col("__ca") * col("__cb")).cast("double")) * lit(1.0e9))
+          .cast("long").as("cos_e9"))
+  }
+}
