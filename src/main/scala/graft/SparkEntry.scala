@@ -784,6 +784,18 @@ object SparkEntry {
       graft.operators.PageRank.personalizedRanks(edges, seeds, iters = 5)
         .orderBy(col("id"))
     }),
+    // ---- HyperBall: per-node 2-hop ball-size estimates (lgK=7)
+    // over the bipartite graph. Deterministic integer registers ⇒
+    // the APPROXIMATE estimates themselves replay exactly in SQL —
+    // the q_hll_portable contract, unrolled two merge rounds ----
+    "q_hyperball" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.HyperBall.ballSizes(edges, rounds = 2, lgK = 7)
+        .orderBy(col("id"))
+    }),
     // ---- product quantization: 64 floats -> 4 codebook codes
     // (Jégou et al. 2011). Integer-quantized subspace distances make
     // encode (argmin, ties to smallest centroid) and ADC scores
@@ -4722,6 +4734,57 @@ object SparkEntry {
           |                    FROM ewd ed JOIN i4 p ON p.id = ed.src GROUP BY 1) s ON s.id = n.id
           |)
           |SELECT id, CAST(r AS BIGINT) AS rank FROM i5 ORDER BY id""".stripMargin,
+
+      // HyperBall: seed registers from each node's own hash, two
+      // absorb-from-successors max-merge rounds, then the portable
+      // HLL estimator at m=128 (linear-counting branch included) —
+      // byte-for-byte the q_hll_portable estimation pipeline.
+      "q_hyperball" ->
+        """WITH ed AS (
+          |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+          |), e AS (
+          |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+          |), n AS (
+          |  SELECT DISTINCT src AS id FROM e
+          |), h AS (
+          |  SELECT id,
+          |    CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM n
+          |), c0 AS (
+          |  SELECT id, CAST(hv % 128 AS INT) AS reg,
+          |    CASE WHEN hv // 128 = 0 THEN 54
+          |         ELSE CAST(bit_count(((hv // 128) & (-(hv // 128))) - 1) AS INT) + 1
+          |    END AS r
+          |  FROM h
+          |), c1 AS (
+          |  SELECT id, reg, max(r) AS r FROM (
+          |    SELECT id, reg, r FROM c0
+          |    UNION ALL
+          |    SELECT e.src AS id, c.reg, c.r FROM c0 c JOIN e ON e.dst = c.id
+          |  ) GROUP BY 1, 2
+          |), c2 AS (
+          |  SELECT id, reg, max(r) AS r FROM (
+          |    SELECT id, reg, r FROM c1
+          |    UNION ALL
+          |    SELECT e.src AS id, c.reg, c.r FROM c1 c JOIN e ON e.dst = c.id
+          |  ) GROUP BY 1, 2
+          |), s AS (
+          |  SELECT id,
+          |    sum(CAST((1::BIGINT << (60 - r)) AS HUGEINT)) AS sp,
+          |    CAST(count(*) AS BIGINT) AS np
+          |  FROM c2 GROUP BY 1
+          |), est AS (
+          |  SELECT id, 128 - np AS zeros,
+          |    ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 128.0::DOUBLE))
+          |      * 16384.0::DOUBLE * 1152921504606846976.0::DOUBLE)
+          |      / CAST(sp + CAST(128 - np AS HUGEINT) * (1::BIGINT << 60) AS DOUBLE) AS rawE
+          |  FROM s
+          |)
+          |SELECT id,
+          |  CAST(round(CASE WHEN zeros > 0 AND rawE <= 320.0::DOUBLE
+          |                  THEN 128.0::DOUBLE * ln(128.0::DOUBLE / CAST(zeros AS DOUBLE))
+          |                  ELSE rawE END) AS BIGINT) AS ball_est
+          |FROM est ORDER BY id""".stripMargin,
 
       "q_pq_codes" ->
         """WITH qz AS (
