@@ -657,6 +657,88 @@ object Profile {
           time(s"perNode x$n warm")(Triangles.perNodeCounts(e).count())
         }
 
+      case "bfs" =>
+        // Frontier-loop layout cost, the pagerank experiment's shape:
+        // ad-hoc edges (reshuffled every round) vs bucketed (frontier
+        // moves, edges stay) at 1x and 10x edges; multi-source seeds
+        // so the wave covers the graph in few rounds.
+        import graft.operators.Bfs
+        def edgesN(n: Int) = {
+          val ps = Tables.lineitem(spark, sfDir)
+            .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val e1 = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+          val off = 100000000L
+          (0 until n).map(i => e1.select((col("src") + lit(i * off)).as("src"),
+            (col("dst") + lit(i * off)).as("dst"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10)) {
+          val e = edgesN(n).localCheckpoint(true)
+          val cnt = e.count()
+          val seeds = e.select(col("src").as("id")).distinct()
+            .where(col("id") % 202 === 0).localCheckpoint(true)
+          time(s"bfs adhoc x$n ($cnt edges)")(
+            Bfs.shortestHops(e, seeds).groupBy(col("dist")).count().count())
+          time(s"bfs writeEdges x$n")(Bfs.writeEdges(e, s"prof_bfs_$n", buckets = 32))
+          time(s"bfs bucketed x$n")(
+            Bfs.hopsBucketed(spark, s"prof_bfs_$n", seeds).count())
+          spark.sql(s"DROP TABLE IF EXISTS prof_bfs_$n")
+        }
+
+      case "hyperball" =>
+        // Register traffic is the cost driver: live register rows per
+        // round (<= min(ball, m) per node) and wall at 1x/10x edges,
+        // lgK 7 vs 10 (m=128 vs 1024 caps).
+        import graft.operators.HyperBall
+        def edgesN(n: Int) = {
+          val ps = Tables.lineitem(spark, sfDir)
+            .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val e1 = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+          val off = 100000000L
+          (0 until n).map(i => e1.select((col("src") + lit(i * off)).as("src"),
+            (col("dst") + lit(i * off)).as("dst"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10); lgK <- Seq(7, 10)) {
+          val e = edgesN(n).localCheckpoint(true)
+          val cnt = e.count()
+          val regs = time(s"hyperball x$n lgK=$lgK ($cnt edges)")(
+            HyperBall.ballRegisters(e, rounds = 3, lgK = lgK))
+          println(s"PROF hb x$n lgK=$lgK register rows after r3: ${regs.count()}")
+        }
+
+      case "baskets" =>
+        // The apriori prune's measured effect. Neither test corpus
+        // has a frequency tail (lineitem part keys are uniform, the
+        // synthetic documents use a 31-word vocabulary), so this
+        // builds the regime the prune exists for explicitly: every
+        // basket's head items (parts, all frequent) PLUS one
+        // once-seen item per fact row — the hapax-legomenon half of
+        // a real Zipf vocabulary (~half of a text corpus's types
+        // appear exactly once). The prune should collapse the pair
+        // volume back to the head's, since singletons cannot form
+        // frequent pairs.
+        val li = Tables.lineitem(spark, sfDir)
+        val head = li.select(col("l_orderkey").as("b"), col("l_partkey").as("i"))
+        val hapax = li.select(col("l_orderkey").as("b"),
+          (lit(1000000000L) + col("l_orderkey") * 10 + col("l_linenumber")).as("i"))
+        val facts = head.unionByName(hapax).distinct().localCheckpoint(true)
+        def pairVolume(f: org.apache.spark.sql.DataFrame): Long =
+          f.groupBy(col("b")).agg(count(lit(1)).as("k"))
+            .agg(sum(expr("k * (k - 1) div 2"))).head().getLong(0)
+        println(s"PROF baskets: ${facts.count()} facts, " +
+          s"${facts.select(col("i")).distinct().count()} distinct items, " +
+          s"raw pair volume ${pairVolume(facts)}")
+        for (ms <- Seq(1L, 2L, 5L)) {
+          val freq = facts.groupBy(col("i")).agg(count(lit(1)).as("n"))
+            .where(col("n") >= ms).select(col("i"))
+          val pruned = facts.join(freq, Seq("i"), "left_semi").localCheckpoint(true)
+          println(s"PROF baskets minSupport=$ms: pruned facts ${pruned.count()}, " +
+            s"pair volume ${pairVolume(pruned)}")
+          time(s"frequentPairs ms=$ms")(graft.ops.Baskets.frequentPairs(
+            facts, "b", "i", ms, maxBasketItems = 100000).count())
+        }
+
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

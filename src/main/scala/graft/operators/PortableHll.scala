@@ -83,23 +83,20 @@ object PortableHll {
     regs.groupBy((groupCols.map(col) :+ col("reg")): _*)
       .agg(max(col("r")).as("r"))
 
-  /** Distinct-count estimate per group from register rows, as a whole
-    * count (BIGINT). Cross-engine-exact: see the class doc. */
-  def estimate(regs: DataFrame, groupCols: Seq[String], lgK: Int = 10,
-               out: String = "distinct_est"): DataFrame = {
+  /** The estimator from the two sufficient statistics — `sp` = exact
+    * integer Σ 2^(60−r) over LIVE registers (decimal), `np` = live
+    * register count. Shared by the grouped row path ([[estimate]])
+    * and HyperBall's row-local dense path: identical expression ⇒
+    * identical estimates, whatever produced (sp, np). */
+  private[graft] def estimateFromParts(sp: Column, np: Column, lgK: Int,
+                                       out: String): Column = {
     require(lgK >= 7, s"alpha constant assumes m >= 128 (lgK >= 7), got $lgK")
     val m = 1L << lgK
-    val grouped = regs.groupBy(groupCols.map(col): _*)
-      .agg(
-        // exact integer Σ 2^(60 - r): r in [1, 61-lgK] so each term
-        // fits a long; the sum needs decimal (DuckDB: HUGEINT)
-        sum(expr("cast(shiftleft(1L, 60 - r) as decimal(38,0))")).as("__sp"),
-        count(lit(1)).as("__np"))
     // absent registers are zeros: each contributes 2^-0 = 1 -> 2^60
-    val sTotal = (col("__sp") +
-      (lit(m) - col("__np")).cast(DecimalType(38, 0)) * lit(1152921504606846976L))
+    val sTotal = (sp +
+      (lit(m) - np).cast(DecimalType(38, 0)) * lit(1152921504606846976L))
       .cast("double")
-    val zeros = lit(m) - col("__np")
+    val zeros = lit(m) - np
     // alpha_m * m^2 * 2^60, folded identically by any IEEE engine
     val alphaNum = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
       lit(m.toDouble * m.toDouble) * lit(1152921504606846976.0)
@@ -107,7 +104,21 @@ object PortableHll {
     val est = when(zeros > 0L && rawE <= lit(2.5 * m),
       lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
       .otherwise(rawE)
+    round(est).cast("long").as(out)
+  }
+
+  /** Distinct-count estimate per group from register rows, as a whole
+    * count (BIGINT). Cross-engine-exact: see the class doc. */
+  def estimate(regs: DataFrame, groupCols: Seq[String], lgK: Int = 10,
+               out: String = "distinct_est"): DataFrame = {
+    require(lgK >= 7, s"alpha constant assumes m >= 128 (lgK >= 7), got $lgK")
+    val grouped = regs.groupBy(groupCols.map(col): _*)
+      .agg(
+        // exact integer Σ 2^(60 - r): r in [1, 61-lgK] so each term
+        // fits a long; the sum needs decimal (DuckDB: HUGEINT)
+        sum(expr("cast(shiftleft(1L, 60 - r) as decimal(38,0))")).as("__sp"),
+        count(lit(1)).as("__np"))
     grouped.select((groupCols.map(col) :+
-      round(est).cast("long").as(out)): _*)
+      estimateFromParts(col("__sp"), col("__np"), lgK, out)): _*)
   }
 }

@@ -58,4 +58,26 @@ class HyperBallSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](HyperBall.ballSizes(withNull, 1))
       .getMessage.contains("NULL edge endpoint"))
   }
+
+  test("harmonic centrality: hand-checked star and chain, islands contribute 0") {
+    // star: 1→3, 2→3; chain onward 3→4. Incoming balls at tiny sizes
+    // estimate exactly (linear counting regime), so the nano-unit
+    // sums are hand-checkable.
+    val star = Seq((1L, 3L), (2L, 3L), (3L, 4L), (8L, 9L)).toDF("src", "dst")
+    val h = HyperBall.harmonicCentrality(star, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == 0L && h(2L) == 0L && h(8L) == 0L) // nothing reaches them
+    assert(h(3L) == 2000000000L)                      // 1 and 2 at distance 1
+    assert(h(9L) == 1000000000L)                      // 8 at distance 1
+    // 4 is reached by 3 at d=1 (1e9) and by 1,2 at d=2 (2 * 5e8)
+    assert(h(4L) == 2000000000L)
+  }
+
+  test("harmonic centrality is partitioning-independent") {
+    val edges = (1L to 300L).map(i => (i, (i * 17) % 290 + 1)).toDF("src", "dst")
+    val a = HyperBall.harmonicCentrality(edges.repartition(13), rounds = 2)
+      .orderBy($"id").collect()
+    val b = HyperBall.harmonicCentrality(edges, rounds = 2).orderBy($"id").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+  }
 }

@@ -113,9 +113,13 @@ class PlanSpec extends SparkSpec {
     // inherits vocab coverage's 1-row total through its vocab input)
     // (q_surprisal and q_bigram_ppl carry their 1-row total-token-count
     // scalar the same way vocab coverage does; q_ks_drift broadcasts
-    // its 1-row sample-totals frame over the value histogram)
+    // its 1-row sample-totals frame over the value histogram, and
+    // q_psi_bins its totals+bucket-count row over the bucket frame;
+    // q_water_fill broadcasts the 1-row water level back over the
+    // per-group frame)
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
-      "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift")
+      "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift",
+      "q_psi_bins", "q_water_fill")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
