@@ -354,6 +354,20 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- OHLC bars: 10-minute candlesticks per event type (open/
+    // close by instant via min_by/max_by, exact cents; instants
+    // pre-deduped max-per-second, the q_twap convention) ----
+    "q_ohlc" -> ((s, dir) => {
+      val obs = Tables.events(s, dir).where(col("value").isNotNull)
+        .groupBy(col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+        .agg(max(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("event_type"), timestamp_seconds(col("tsec")).as("ts"), col("cents"))
+      graft.ops.Resample.ohlc(obs, Seq("event_type"), "ts", "cents", bucketSeconds = 600L)
+        .select(col("event_type"), unix_timestamp(col("bucket_start")).as("bucket_epoch"),
+          col("open"), col("high"), col("low"), col("close"), col("n_obs"))
+        .orderBy(col("event_type"), col("bucket_epoch"))
+    }),
+
     // ---- robust outliers (Hampel: |x − median| > 3·MAD): exact
     // discrete medians over integer cents — no floating point in
     // the rule at all, so the flags replicate bit-for-bit ----
@@ -2813,6 +2827,23 @@ object SparkEntry {
         |       THEN CAST(sum(v*len) AS DOUBLE) / CAST(sum(len) AS DOUBLE) END AS twap,
         |  CAST(sum(len) AS BIGINT) AS covered_seconds
         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // OHLC: arg_min/arg_max on the instant, same per-second
+    // pre-dedup as q_twap.
+    "q_ohlc" ->
+      """WITH obs AS (
+        |  SELECT event_type AS k, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         max(CAST(round(value*100) AS BIGINT)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT k AS event_type, CAST(t - t % 600 AS BIGINT) AS bucket_epoch,
+        |  CAST(arg_min(v, t) AS BIGINT) AS open,
+        |  CAST(max(v) AS BIGINT) AS high,
+        |  CAST(min(v) AS BIGINT) AS low,
+        |  CAST(arg_max(v, t) AS BIGINT) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_obs
+        |FROM obs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // MAD outliers: exact lower-medians over sorted cent arrays,
     // Hampel flags counted per group.

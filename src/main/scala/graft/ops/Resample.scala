@@ -155,4 +155,50 @@ object Resample {
           .otherwise(lit(null).cast("double"))).as("twap") :+
         coalesce(col("__den"), lit(0L)).as("covered_seconds"): _*)
   }
+
+  /** OHLC (candlestick) downsampling — per (keys, bucket): the
+    * opening value (earliest in the bucket), high, low, closing
+    * value (latest), and observation count. The standard "resample
+    * to bars" operation for any tick/sensor/metric series, and the
+    * lossy-but-shape-preserving layout dashboards read instead of
+    * raw ticks.
+    *
+    * Two hash aggregates, both map-side-combining: a per-instant
+    * pass that is ALSO the duplicate guard (duplicate instants per
+    * key make open/close ambiguous, so they raise rather than pick
+    * one silently — the [[timeWeightedAvg]] contract), then the
+    * bucket roll, whose open/close are `min_by`/`max_by` on the
+    * instant. Values are exact integers (cents); no window, no
+    * sort — the aggregate state is five longs per (key, bucket).
+    *
+    * Output: keys ++ (bucket_start TIMESTAMP, open, high, low,
+    * close, n_obs). */
+  def ohlc(df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+           bucketSeconds: Long): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val kCols = keys.map(col)
+    val obs = df.select(kCols :+ unix_timestamp(col(tsCol)).as("__t") :+
+        col(valCol).cast("long").as("__v"): _*)
+      .withColumn("__v", when(col("__v").isNull || col("__t").isNull,
+        raise_error(lit(s"Resample: NULL $tsCol/$valCol observation — filter first"))
+          .cast("long")).otherwise(col("__v")))
+    obs
+      .groupBy(kCols :+ col("__t"): _*)
+      .agg(count(lit(1)).as("__n"), max(col("__v")).as("__v"))
+      .withColumn("__v", when(col("__n") > 1,
+        raise_error(concat(lit("Resample: duplicate observation at epoch "),
+          col("__t").cast("string"), lit(" — (key, ts) must be unique"))).cast("long"))
+        .otherwise(col("__v")))
+      .withColumn("__bucket", (col("__t") - pmod(col("__t"), lit(bucketSeconds))))
+      .groupBy(kCols :+ col("__bucket"): _*)
+      .agg(
+        min_by(col("__v"), col("__t")).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        max_by(col("__v"), col("__t")).as("close"),
+        count(lit(1)).as("n_obs"))
+      .select(kCols ++ Seq(timestamp_seconds(col("__bucket")).as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_obs")): _*)
+  }
 }

@@ -100,4 +100,34 @@ class ResampleSpec extends SparkSpec {
       .orderBy($"grid_ts").select($"value").as[Option[Double]].collect().toSeq
     assert(a == b && a.flatten.nonEmpty)
   }
+
+  test("ohlc: hand-checked bars — open/close by instant, high/low by value") {
+    // one key, one 60s bucket [960,1020) gets 1000,1010; [1020,1080) gets 1050
+    val obs = Seq(
+      ("a", ts(1000), 5L), ("a", ts(1010), 9L), ("a", ts(1019), 2L),
+      ("a", ts(1050), 7L),
+      ("b", ts(1000), 1L)
+    ).toDF("k", "t", "v")
+    val bars = Resample.ohlc(obs, Seq("k"), "t", "v", 60L)
+      .select($"k", unix_timestamp($"bucket_start").as("b"),
+        $"open", $"high", $"low", $"close", $"n_obs")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(bars == Set(
+      ("a", 960L, 5L, 9L, 2L, 2L, 3L),
+      ("a", 1020L, 7L, 7L, 7L, 7L, 1L),
+      ("b", 960L, 1L, 1L, 1L, 1L, 1L)))
+  }
+
+  test("ohlc is partitioning-independent; duplicate instants fail loud") {
+    val obs = (1L to 500L).map(i => (s"k${i % 3}", ts(1000 + i * 7), (i * 13) % 100))
+      .toDF("k", "t", "v")
+    val a = Resample.ohlc(obs.repartition(11), Seq("k"), "t", "v", 300L)
+      .orderBy($"k", $"bucket_start").collect()
+    val b = Resample.ohlc(obs, Seq("k"), "t", "v", 300L)
+      .orderBy($"k", $"bucket_start").collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    val dup = Seq(("a", ts(1000), 1L), ("a", ts(1000), 2L)).toDF("k", "t", "v")
+    val e = intercept[Exception](Resample.ohlc(dup, Seq("k"), "t", "v", 60L).collect())
+    assert(e.getMessage.contains("duplicate observation"), e.getMessage)
+  }
 }
