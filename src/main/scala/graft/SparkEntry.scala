@@ -341,6 +341,20 @@ object SparkEntry {
         .orderBy(col("item_a"), col("item_b"))
     }),
 
+    // ---- spatial radius join: customer points on a synthetic
+    // 1e6×1e6 integer plane (hash-derived coordinates — engine-
+    // reproducible), all pairs within 20000 units via the 3×3 grid
+    // equi-join; exact integer distances, brute-force SQL replica ----
+    "q_geo_radius" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        pmod(graft.plans.Hash60.hash60(
+          concat(lit("gx"), col("c_custkey").cast("string"))), lit(1000000L)).as("x"),
+        pmod(graft.plans.Hash60.hash60(
+          concat(lit("gy"), col("c_custkey").cast("string"))), lit(1000000L)).as("y"))
+      graft.ops.Geo.radiusPairs(pts, "id", "x", "y", radius = 20000L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- time-weighted average (TWAP / sensor-uptime convention):
     // last-observation-carried-forward weighting over one day, exact
     // integer cents × whole-second weights, one IEEE division ----
@@ -2804,6 +2818,23 @@ object SparkEntry {
         |JOIN cnt ca ON ca.i = p.item_a
         |JOIN cnt cb ON cb.i = p.item_b
         |ORDER BY p.item_a, p.item_b""".stripMargin,
+
+    // Geo radius join: brute-force O(n²) replica — exact integer
+    // squared distances make the grid join's answer bit-comparable.
+    "q_geo_radius" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(concat('0x', substr(md5(concat('gx', CAST(c_custkey AS VARCHAR))), 1, 15))
+        |         AS BIGINT) % 1000000 AS x,
+        |    CAST(concat('0x', substr(md5(concat('gy', CAST(c_custkey AS VARCHAR))), 1, 15))
+        |         AS BIGINT) % 1000000 AS y
+        |  FROM customer
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000
+        |ORDER BY 1, 2""".stripMargin,
 
     // TWAP: the same LOCF segment decomposition via lead(); exact
     // integer numerator/denominator, one division.
