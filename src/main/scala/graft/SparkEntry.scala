@@ -78,6 +78,18 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- ordered event-sequence funnel (signup → view → purchase,
+    // 7-day conversion window): k keyed reductions on the user key,
+    // no per-user arrays; strict-after semantics on exact micros ----
+    "q_funnel_steps" -> ((s, dir) => {
+      graft.ops.Journeys.eventFunnel(
+          Tables.events(s, dir).where(col("user_id").isNotNull),
+          "user_id", "ts", "event_type",
+          Seq("signup", "view", "purchase"),
+          windowSec = Some(7L * 24 * 3600))
+        .orderBy(col("step"))
+    }),
+
     // ---- equi-DEPTH histogram (contrast q_histogram's equi-width):
     // 20 tiles of equal population via the no-global-window ntile;
     // min/max per tile are exact double endpoints ----
@@ -2205,6 +2217,35 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // first-touch funnel replays as chained min() CTEs: t1 = first
+    // signup, t2 = first view strictly after t1 within 7 days of t1,
+    // t3 = first purchase strictly after t2 within the same window.
+    // All comparisons on exact integer microseconds.
+    "q_funnel_steps" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'signup'
+        |  GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t1, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= epoch_us(s1.t1) + 604800000000
+        |  GROUP BY e.user_id, s1.t1
+        |), s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) <= epoch_us(s2.t1) + 604800000000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT 1 AS step, 'signup' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL
+        |SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        |ORDER BY step""".stripMargin,
 
     // ntile over the full order is the semantic; the operator
     // computes it without the single-task window. min/max of double

@@ -58,4 +58,56 @@ class JourneysSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("a", "b", 1L), ("b", "c", 1L)))
   }
+
+  // funnel fixture: u1 completes view→click→purchase in order;
+  // u2 clicks BEFORE viewing (fails step 2); u3 views only
+  private def funnelEvents = Seq(
+    (1L, 1L, ts(1), "view"),
+    (2L, 1L, ts(2), "click"),
+    (3L, 1L, ts(3), "purchase"),
+    (4L, 2L, ts(2), "click"),
+    (5L, 2L, ts(3), "view"),
+    (6L, 3L, ts(1), "view")
+  ).toDF("event_id", "user_id", "ts", "event_type")
+
+  test("eventFunnel counts strictly-ordered first-touch completions") {
+    val got = Journeys.eventFunnel(funnelEvents, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSet
+    assert(got == Set((1, "view", 3L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("eventFunnel same-instant step does not count (strict after)") {
+    val burst = Seq(
+      (1L, 9L, ts(1), "view"),
+      (2L, 9L, ts(1), "click") // same timestamp as the view
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Journeys.eventFunnel(burst, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .as[(Int, String, Long)].collect()
+      .map { case (step, _, n) => step -> n }.toMap
+    assert(got == Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("eventFunnel conversion window bounds from the STEP-1 time") {
+    // u5: view day 1, click day 3, purchase day 5 — a 3-day window
+    // from t1 admits the click (t1+2d) but not the purchase (t1+4d)
+    val span = Seq(
+      (1L, 5L, ts(1), "view"),
+      (2L, 5L, ts(3), "click"),
+      (3L, 5L, ts(5), "purchase")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Journeys.eventFunnel(span, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSec = Some(3L * 24 * 3600))
+      .as[(Int, String, Long)].collect()
+      .map { case (step, _, n) => step -> n }.toMap
+    assert(got == Map(1 -> 1L, 2 -> 1L, 3 -> 0L))
+  }
+
+  test("eventFunnel rejects repeated step types loudly") {
+    intercept[IllegalArgumentException] {
+      Journeys.eventFunnel(funnelEvents, "user_id", "ts", "event_type",
+        Seq("view", "view"))
+    }
+  }
 }
