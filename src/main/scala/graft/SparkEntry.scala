@@ -78,6 +78,18 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Pareto skyline: line items on the price-vs-quantity
+    // frontier (maximize both). Range-bucketed sort-scan — the only
+    // single-task window is the O(buckets) per-bucket-max frame;
+    // comparisons only, so exact at any partitioning ----
+    "q_skyline" -> ((s, dir) => {
+      val pts = Tables.lineitem(s, dir)
+        .select(round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.ops.Skyline.frontier2D(pts, "price_cents", "qty")
+        .orderBy(col("price_cents"))
+    }),
+
     // ---- ordered event-sequence funnel (signup → view → purchase,
     // 7-day conversion window): k keyed reductions on the user key,
     // no per-user arrays; strict-after semantics on exact micros ----
@@ -2217,6 +2229,25 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // skyline replays as the textbook sort-scan: per-x max, then a
+    // suffix max over larger x; survive iff y strictly beats it.
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |         CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT price_cents, max(qty) AS qty FROM pts GROUP BY price_cents
+        |), r AS (
+        |  SELECT price_cents, qty, max(qty) OVER (
+        |    ORDER BY price_cents DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm
+        |  FROM m
+        |)
+        |SELECT price_cents, qty FROM r
+        |WHERE sm IS NULL OR qty > sm
+        |ORDER BY price_cents""".stripMargin,
 
     // first-touch funnel replays as chained min() CTEs: t1 = first
     // signup, t2 = first view strictly after t1 within 7 days of t1,
