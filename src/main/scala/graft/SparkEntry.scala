@@ -78,6 +78,19 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- per-user EWMA trace (alpha = 1/2) over click values in
+    // exact integer cents: the >>1 recurrence replays bit-for-bit as
+    // a recursive CTE's floor division ----
+    "q_ewma" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Smoothing.ewmaTrace(ev, "user_id", "ts", "event_id",
+          "cents", num = 1, log2Den = 1)
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
     // ---- Pareto skyline: line items on the price-vs-quantity
     // frontier (maximize both). Range-bucketed sort-scan — the only
     // single-task window is the O(buckets) per-bucket-max frame;
@@ -2229,6 +2242,25 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the EWMA recurrence replays as a recursive CTE: DuckDB's `//`
+    // on non-negative longs is the same floor division as Spark's
+    // arithmetic shift, so every intermediate level matches exactly
+    "q_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, rn, v, v AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.v, (e.v + r.s) // 2
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, rn, v, s AS ewma FROM r
+        |ORDER BY user_id, rn""".stripMargin,
 
     // skyline replays as the textbook sort-scan: per-x max, then a
     // suffix max over larger x; survive iff y strictly beats it.

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exponentially-weighted moving averages over per-key event
+  * sequences — the smoothing the reference's hourly recap
+  * (`dags/spark/transform_raw_weather.py` mean-per-bucket) cannot
+  * express: a recency-weighted level that updates per event.
+  *
+  * Exactness policy: the recurrence is computed in INTEGER units
+  * with a power-of-two smoothing denominator,
+  *
+  *   s_1 = v_1;  s_i = (num*v_i + (den-num)*s_{i-1}) >> log2(den)
+  *
+  * (alpha = num/den, den = 2^k). Arithmetic shift on non-negative
+  * longs is floor division by 2^k, which is DuckDB's `//` on the
+  * same operands — so the whole trace, truncation included, replays
+  * bit-identically in the cross-engine oracle as a recursive CTE.
+  * Values must be non-negative (enforced loudly): for negatives,
+  * truncate-toward-zero and floor diverge and the trace would become
+  * engine-dependent.
+  *
+  * Scale shape: one hash aggregate by key building the per-key
+  * sorted event array, then a linear fold — the same
+  * sorted-`collect_list` contract as the exact-quantiles operator,
+  * with the same loud cap: per-key sequences are bounded by
+  * `maxSeqLen` and a longer key fails with a descriptive error
+  * instead of a silent executor OOM. A recurrence is inherently
+  * sequential per key; keys are independent, so the plan
+  * parallelizes across keys, which is the dimension that grows at
+  * 100 TB (more users), while per-key history is product-bounded.
+  * If per-key history itself becomes unbounded, the float-domain
+  * EWMA composes affinely (a chunk maps s to a*s+b) and admits a
+  * two-level chunked scan — that upgrade path trades the bit-exact
+  * integer contract for unbounded keys; this operator deliberately
+  * keeps the exact contract.
+  */
+object Smoothing {
+
+  /** Per-event EWMA trace. Output: keyCol, rn (1-based BIGINT rank
+    * of the event within its key under (tsCol, tieCol) order), v
+    * (the long input value), ewma (the smoothed level after this
+    * event). (tsCol, tieCol) must totally order each key's events.
+    *
+    * @param num     alpha numerator, 1 <= num <= 2^log2Den
+    * @param log2Den alpha denominator exponent (den = 2^log2Den)
+    */
+  def ewmaTrace(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                valCol: String, num: Int, log2Den: Int,
+                maxSeqLen: Int = 1 << 20): DataFrame = {
+    require(log2Den >= 1 && log2Den <= 30,
+      s"ewmaTrace: log2Den must be in [1,30], got $log2Den")
+    val den = 1L << log2Den
+    require(num >= 1 && num <= den,
+      s"ewmaTrace: num must be in [1, $den], got $num")
+    require(maxSeqLen > 0, "ewmaTrace: maxSeqLen must be positive")
+
+    val vGuard = when(col(valCol) < 0, raise_error(concat(
+        lit(s"ewmaTrace: negative $valCol for key "),
+        col(keyCol).cast("string"),
+        lit(" — floor vs truncate division diverges; shift values non-negative first"))))
+      .otherwise(col(valCol)).cast("long")
+    val e = struct(col(tsCol).as("ts"), col(tieCol).as("tie"), vGuard.as("v"))
+
+    val grouped = df
+      .select(col(keyCol), e.as("seq"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("seq"))).as("seq"))
+      .withColumn("seq",
+        when(size(col("seq")) > maxSeqLen, raise_error(concat(
+          lit(s"ewmaTrace: key "), col(keyCol).cast("string"),
+          lit(s" has "), size(col("seq")).cast("string"),
+          lit(s" events > maxSeqLen=$maxSeqLen — raise the cap or pre-bucket the history"))))
+        .otherwise(col("seq")))
+
+    val fold: Column = aggregate(
+      col("seq"),
+      typedLit(Seq.empty[Long]),
+      (acc, el) => concat(acc, array(
+        when(size(acc) === 0, el.getField("v"))
+          .otherwise(shiftright(
+            lit(num.toLong) * el.getField("v") +
+              lit(den - num) * element_at(acc, -1),
+            log2Den)))))
+
+    grouped
+      .withColumn("__s", fold)
+      .select(col(keyCol), posexplode(arrays_zip(col("seq"), col("__s"))))
+      .select(col(keyCol),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.seq.v").as("v"),
+        col("col.__s").as("ewma"))
+  }
+}

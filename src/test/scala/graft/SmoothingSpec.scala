@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.Smoothing
+import org.apache.spark.sql.functions._
+
+class SmoothingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+  test("ewmaTrace alpha=1/2 matches the hand-computed recurrence") {
+    // s1=100; s2=(30+100)>>1=65; s3=(7+65)>>1=36 (floor of 36.0)
+    val df = Seq((1L, ts(1), 1L, 100L), (1L, ts(2), 2L, 30L), (1L, ts(3), 3L, 7L))
+      .toDF("k", "ts", "tie", "v")
+    val got = Smoothing.ewmaTrace(df, "k", "ts", "tie", "v", 1, 1)
+      .orderBy("rn").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 100L, 100L), (1L, 2L, 30L, 65L), (1L, 3L, 7L, 36L)))
+  }
+
+  test("ewmaTrace truncation floors, never rounds") {
+    // s1=1; s2=(0+1)>>1 = 0 (0.5 floors to 0)
+    val df = Seq((1L, ts(1), 1L, 1L), (1L, ts(2), 2L, 0L)).toDF("k", "ts", "tie", "v")
+    val got = Smoothing.ewmaTrace(df, "k", "ts", "tie", "v", 1, 1)
+      .orderBy("rn").as[(Long, Long, Long, Long)].collect().map(_._4).toSeq
+    assert(got == Seq(1L, 0L))
+  }
+
+  test("ewmaTrace general alpha num/2^k (alpha=3/4)") {
+    // s1=40; s2=(3*8 + 1*40)>>2 = 64>>2 = 16
+    val df = Seq((1L, ts(1), 1L, 40L), (1L, ts(2), 2L, 8L)).toDF("k", "ts", "tie", "v")
+    val got = Smoothing.ewmaTrace(df, "k", "ts", "tie", "v", 3, 2)
+      .orderBy("rn").as[(Long, Long, Long, Long)].collect().map(_._4).toSeq
+    assert(got == Seq(40L, 16L))
+  }
+
+  test("ewmaTrace keys are independent and ties break by tieCol") {
+    val df = Seq(
+      (1L, ts(1), 2L, 10L), (1L, ts(1), 1L, 50L), // same ts: order by tie -> 50 then 10
+      (2L, ts(1), 1L, 7L)
+    ).toDF("k", "ts", "tie", "v")
+    val got = Smoothing.ewmaTrace(df, "k", "ts", "tie", "v", 1, 1)
+      .orderBy("k", "rn").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 50L, 50L), (1L, 2L, 10L, 30L), (2L, 1L, 7L, 7L)))
+  }
+
+  test("ewmaTrace rejects negative values loudly") {
+    val df = Seq((1L, ts(1), 1L, -5L)).toDF("k", "ts", "tie", "v")
+    val e = intercept[Exception] {
+      Smoothing.ewmaTrace(df, "k", "ts", "tie", "v", 1, 1).collect()
+    }
+    assert(e.getMessage.contains("negative") || e.getCause != null)
+  }
+
+  test("ewmaTrace enforces the per-key sequence cap loudly") {
+    val df = (1L to 10L).map(i => (1L, ts(1), i, i)).toDF("k", "ts", "tie", "v")
+    val e = intercept[Exception] {
+      Smoothing.ewmaTrace(df, "k", "ts", "tie", "v", 1, 1, maxSeqLen = 5).collect()
+    }
+    assert(e.getMessage.contains("maxSeqLen") || e.getCause != null)
+  }
+}
