@@ -78,6 +78,19 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- synchronous label-propagation communities (3 rounds,
+    // deterministic (count DESC, label ASC) votes) over the
+    // part<->supplier bipartite graph — replays as a 3x-unrolled
+    // SQL replica, the q_pagerank precedent ----
+    "q_labelprop" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.LabelProp.labels(edges, iters = 3)
+        .orderBy(col("id"))
+    }),
+
     // ---- per-user EWMA trace (alpha = 1/2) over click values in
     // exact integer cents: the >>1 recurrence replays bit-for-bit as
     // a recursive CTE's floor division ----
@@ -2242,6 +2255,50 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // synchronous LPA unrolls: each round is a vote count plus the
+    // (count DESC, label ASC) pick — row_number is the SQL spelling
+    // of the operator's struct arg-min, both total orders
+    "q_labelprop" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), l0 AS (
+        |  SELECT DISTINCT src AS id, src AS lab FROM e
+        |), v1 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l0 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l0
+        |  ) GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v1
+        |  ) WHERE rn = 1
+        |), v2 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l1 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l1
+        |  ) GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v2
+        |  ) WHERE rn = 1
+        |), v3 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l2 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l2
+        |  ) GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v3
+        |  ) WHERE rn = 1
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(lab AS BIGINT) AS lab
+        |FROM l3 ORDER BY id""".stripMargin,
 
     // the EWMA recurrence replays as a recursive CTE: DuckDB's `//`
     // on non-negative longs is the same floor division as Spark's
