@@ -78,6 +78,24 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Unicode normalization: accent folding (NFD + strip Mn,
+    // native codegen'd expressions) and NFC recomposition over an
+    // accent-injected corpus; md5 digests keep the compare exact
+    // and the output narrow ----
+    "q_normalize" -> ((s, dir) => {
+      val folded = graft.plans.Normalize.stripAccents(
+        translate(col("text"), "aeiou", "àéîøü"))
+      val recomposed = graft.plans.Normalize.nfc(
+        concat(substring(col("text"), 1, 40), lit("e\u0301"))) // decomposed e + combining acute
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          md5(folded.cast("binary")).as("fold_md5"),
+          length(folded).cast("long").as("fold_len"),
+          md5(recomposed.cast("binary")).as("nfc_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- synchronous label-propagation communities (3 rounds,
     // deterministic (count DESC, label ASC) votes) over the
     // part<->supplier bipartite graph — replays as a 3x-unrolled
@@ -2255,6 +2273,17 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // strip_accents/nfc_normalize are DuckDB's native pair; both
+    // engines canonically decompose, drop combining marks (fold) or
+    // recompose (nfc), and md5 the identical UTF-8 bytes
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  md5(strip_accents(translate(text, 'aeiou', 'àéîøü'))) AS fold_md5,
+        |  CAST(length(strip_accents(translate(text, 'aeiou', 'àéîøü'))) AS BIGINT) AS fold_len,
+        |  md5(nfc_normalize(substr(text, 1, 40) || 'e' || chr(769))) AS nfc_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // synchronous LPA unrolls: each round is a vote count plus the
     // (count DESC, label ASC) pick — row_number is the SQL spelling
