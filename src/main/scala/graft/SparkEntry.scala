@@ -78,6 +78,31 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- edit-distance ranking over the skeleton-blocked candidate
+    // pairs (the q_jaro_rank instance scored by Spark's built-in
+    // codegen'd levenshtein — unit costs, identical in DuckDB):
+    // exact integer distances, best-match-per-dirty-name via the
+    // (distance, catalog key) struct arg-min ----
+    "q_levenshtein" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val dirty = parts.where(col("p_partkey") % 11 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          regexp_replace(col("p_name"), "e", "").as("dirty_name"))
+        .withColumn("__blk", graft.ops.FuzzyJoin.skeletonBlock(col("dirty_name")))
+      val cat = parts
+        .select(col("p_partkey"), col("p_name"))
+        .withColumn("__blk", graft.ops.FuzzyJoin.skeletonBlock(col("p_name")))
+      dirty.join(cat, "__blk")
+        .select(col("dirty_id"),
+          levenshtein(col("dirty_name"), col("p_name")).cast("long").as("dist"),
+          col("p_partkey"))
+        .groupBy(col("dirty_id"))
+        .agg(min(struct(col("dist"), col("p_partkey").as("match_key"))).as("m"))
+        .select(col("dirty_id"), col("m.dist").as("dist"),
+          col("m.match_key").as("match_key"))
+        .orderBy(col("dirty_id"))
+    }),
+
     // ---- Unicode normalization: accent folding (NFD + strip Mn,
     // native codegen'd expressions) and NFC recomposition over an
     // accent-injected corpus; md5 digests keep the compare exact
@@ -2273,6 +2298,31 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // both engines implement the classic unit-cost Wagner-Fischer
+    // levenshtein; min over the (distance, key) pair is the same
+    // struct arg-min total order
+    "q_levenshtein" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS dirty_id, replace(p_name, 'e', '') AS dirty_name,
+        |    regexp_replace(lower(trim(replace(p_name, 'e', ''))), '[aeiou ]', '', 'g') AS blk
+        |  FROM part WHERE p_partkey % 11 = 0
+        |), cat AS (
+        |  SELECT p_partkey, p_name,
+        |    regexp_replace(lower(trim(p_name)), '[aeiou ]', '', 'g') AS blk
+        |  FROM part
+        |), scored AS (
+        |  SELECT d.dirty_id,
+        |    CAST(levenshtein(d.dirty_name, c.p_name) AS BIGINT) AS dist,
+        |    c.p_partkey
+        |  FROM dirty d JOIN cat c ON d.blk = c.blk
+        |), ranked AS (
+        |  SELECT dirty_id, dist, p_partkey AS match_key, row_number() OVER (
+        |    PARTITION BY dirty_id ORDER BY dist, p_partkey) AS rn
+        |  FROM scored
+        |)
+        |SELECT dirty_id, dist, match_key FROM ranked WHERE rn = 1
+        |ORDER BY dirty_id""".stripMargin,
 
     // strip_accents/nfc_normalize are DuckDB's native pair; both
     // engines canonically decompose, drop combining marks (fold) or
