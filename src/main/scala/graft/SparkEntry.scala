@@ -78,6 +78,18 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- HITS hubs & authorities (2 iterations) over the DIRECTED
+    // part -> supplier graph: integer half-step sums with a
+    // ceil(max/1e9) rescale div — replays as an unrolled SQL replica
+    // with scalar-subquery divisors ----
+    "q_hits" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Hits.scores(edges, iters = 2)
+        .orderBy(col("id"))
+    }),
+
     // ---- edit-distance ranking over the skeleton-blocked candidate
     // pairs (the q_jaro_rank instance scored by Spark's built-in
     // codegen'd levenshtein — unit costs, identical in DuckDB):
@@ -2298,6 +2310,50 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // each HITS half-step: gather-sum, then the integer rescale
+    // x // GREATEST(1, (max+1e9-1)//1e9) as a scalar subquery —
+    // DuckDB floor division on non-negative longs ≡ Spark `div`
+    "q_hits" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+        |), n AS (
+        |  SELECT src AS id FROM ed UNION SELECT dst FROM ed
+        |), h0 AS (
+        |  SELECT id, CAST(1 AS BIGINT) AS hub FROM n
+        |), a1r AS (
+        |  SELECT n.id, COALESCE(s.s, 0) AS auth FROM n LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS s
+        |    FROM ed e JOIN h0 h ON h.id = e.src GROUP BY 1) s ON s.id = n.id
+        |), a1 AS (
+        |  SELECT id, auth // GREATEST(1, ((SELECT max(auth) FROM a1r) + 999999999) // 1000000000) AS auth
+        |  FROM a1r
+        |), h1r AS (
+        |  SELECT n.id, COALESCE(s.s, 0) AS hub FROM n LEFT JOIN (
+        |    SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS s
+        |    FROM ed e JOIN a1 a ON a.id = e.dst GROUP BY 1) s ON s.id = n.id
+        |), h1 AS (
+        |  SELECT id, hub // GREATEST(1, ((SELECT max(hub) FROM h1r) + 999999999) // 1000000000) AS hub
+        |  FROM h1r
+        |), a2r AS (
+        |  SELECT n.id, COALESCE(s.s, 0) AS auth FROM n LEFT JOIN (
+        |    SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS s
+        |    FROM ed e JOIN h1 h ON h.id = e.src GROUP BY 1) s ON s.id = n.id
+        |), a2 AS (
+        |  SELECT id, auth // GREATEST(1, ((SELECT max(auth) FROM a2r) + 999999999) // 1000000000) AS auth
+        |  FROM a2r
+        |), h2r AS (
+        |  SELECT n.id, COALESCE(s.s, 0) AS hub FROM n LEFT JOIN (
+        |    SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS s
+        |    FROM ed e JOIN a2 a ON a.id = e.dst GROUP BY 1) s ON s.id = n.id
+        |), h2 AS (
+        |  SELECT id, hub // GREATEST(1, ((SELECT max(hub) FROM h2r) + 999999999) // 1000000000) AS hub
+        |  FROM h2r
+        |)
+        |SELECT CAST(h2.id AS BIGINT) AS id, CAST(h2.hub AS BIGINT) AS hub,
+        |  CAST(a2.auth AS BIGINT) AS auth
+        |FROM h2 JOIN a2 ON a2.id = h2.id
+        |ORDER BY id""".stripMargin,
 
     // both engines implement the classic unit-cost Wagner-Fischer
     // levenshtein; min over the (distance, key) pair is the same
