@@ -78,6 +78,22 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- count-min join-size estimation: the self-join cardinality
+    // of lineitem on l_partkey (= the second frequency moment F2)
+    // estimated from a 4x4096 grid's inner product, next to the
+    // exact answer — grid-sized work, zero input rescans; both
+    // numbers deterministic integers, so both are oracle-exact ----
+    "q_cm_joinsize" -> ((s, dir) => {
+      val keys = Tables.lineitem(s, dir).select(col("l_partkey"))
+      val grid = graft.operators.CountMin.build(keys, "l_partkey",
+        depth = 4, width = 4096)
+      val est = graft.operators.CountMin.joinSizeEstimate(grid, grid)
+      val exact = keys.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).cast("long").as("exact_size"))
+      est.crossJoin(broadcast(exact)) // two 1-row scalars
+    }),
+
     // ---- HITS hubs & authorities (2 iterations) over the DIRECTED
     // part -> supplier graph: integer half-step sums with a
     // ceil(max/1e9) rescale div — replays as an unrolled SQL replica
@@ -2310,6 +2326,29 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the grid construction replays on the q_countmin md5-hash
+    // formula; est = min over rows of the cell-wise dot, exact =
+    // sum of squared key frequencies
+    "q_cm_joinsize" ->
+      """WITH rows4 AS (
+        |  SELECT unnest(range(0, 4)) AS r
+        |), cells AS (
+        |  SELECT r,
+        |    CAST(concat('0x', substr(md5(concat(CAST(r AS VARCHAR), ':', CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT) % 4096 AS c,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem, rows4
+        |  WHERE l_partkey IS NOT NULL
+        |  GROUP BY 1, 2
+        |), dots AS (
+        |  SELECT r, sum(cnt * cnt) AS dot FROM cells GROUP BY r
+        |), est AS (
+        |  SELECT CAST(min(dot) AS BIGINT) AS join_size_est FROM dots
+        |), ex AS (
+        |  SELECT CAST(sum(f * f) AS BIGINT) AS exact_size FROM (
+        |    SELECT count(*) AS f FROM lineitem GROUP BY l_partkey)
+        |)
+        |SELECT est.join_size_est, ex.exact_size FROM est, ex""".stripMargin,
 
     // each HITS half-step: gather-sum, then the integer rescale
     // x // GREATEST(1, (max+1e9-1)//1e9) as a scalar subquery —

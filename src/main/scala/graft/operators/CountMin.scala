@@ -65,4 +65,29 @@ object CountMin {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Equi-join cardinality estimate from two cell grids built with
+    * the SAME (depth, width) over the join key of each side:
+    * |A ⋈ B| = Σ_v f_A(v)·f_B(v), and the sketch inner product
+    * min_r Σ_c cntA(r,c)·cntB(r,c) overestimates it by at most
+    * ε·N_A·N_B with probability 1−δ (Cormode & Muthukrishnan 2005,
+    * §4.2) — the query-optimizer primitive for sizing a join (pick
+    * broadcast vs shuffle, pre-provision skew handling) from
+    * kilobyte summaries WITHOUT scanning either input, e.g. against
+    * per-partition grids a pipeline already stores and merges.
+    *
+    * Like `estimate`, this is deterministic integer arithmetic end
+    * to end: the estimate itself replays exactly cross-engine.
+    * Output: one row, `join_size_est` BIGINT.
+    *
+    * Scale: the work is one equi-join of two depth×width grids plus
+    * two grid-sized aggregates — independent of either input's row
+    * count. Self inner product (a == b) gives the second frequency
+    * moment F₂, the skew statistic. */
+  def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("r"), col("c"), col("cnt").as("__ca"))
+      .join(b.select(col("r"), col("c"), col("cnt").as("__cb")), Seq("r", "c"))
+      .groupBy(col("r"))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"))
+      .agg(min(col("__dot")).cast("long").as("join_size_est"))
 }

@@ -48,4 +48,25 @@ class CountMinSpec extends SparkSpec {
     val cells13 = CountMin.build(big.repartition(13), "k", depth = 4, width = 32)
     assert(cells.exceptAll(cells13).isEmpty && cells13.exceptAll(cells).isEmpty)
   }
+
+  test("joinSizeEstimate is exact without collisions, cross and self") {
+    // A: {1:2, 2:3}, B: {1:4, 3:5} -> |A join B| = 2*4 = 8
+    val a = CountMin.build(keys(1L -> 2, 2L -> 3), "k", depth = 4, width = 1024)
+    val b = CountMin.build(keys(1L -> 4, 3L -> 5), "k", depth = 4, width = 1024)
+    val cross = CountMin.joinSizeEstimate(a, b).as[Long].head()
+    assert(cross == 8L)
+    // self inner product = F2 = 2^2 + 3^2 = 13
+    val self = CountMin.joinSizeEstimate(a, a).as[Long].head()
+    assert(self == 13L)
+  }
+
+  test("joinSizeEstimate under forced collisions only ever overestimates") {
+    val left = keys((1L to 40L).map(k => k -> 2): _*)
+    val right = keys((21L to 60L).map(k => k -> 3): _*)
+    val exact = 20L * 2 * 3 // keys 21..40 overlap
+    val a = CountMin.build(left, "k", depth = 3, width = 8)
+    val b = CountMin.build(right, "k", depth = 3, width = 8)
+    val est = CountMin.joinSizeEstimate(a, b).as[Long].head()
+    assert(est >= exact, s"est=$est exact=$exact")
+  }
 }

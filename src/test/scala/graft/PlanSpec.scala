@@ -117,9 +117,11 @@ class PlanSpec extends SparkSpec {
     // q_psi_bins its totals+bucket-count row over the bucket frame;
     // q_water_fill broadcasts the 1-row water level back over the
     // per-group frame)
+    // (q_cm_joinsize pairs its two 1-row scalars — the sketch
+    // estimate and the exact join size — with a broadcast cross)
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
       "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift",
-      "q_psi_bins", "q_water_fill")
+      "q_psi_bins", "q_water_fill", "q_cm_joinsize")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
