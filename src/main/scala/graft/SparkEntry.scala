@@ -78,6 +78,17 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Johnson-Lindenstrauss signed random projection: every
+    // embedding reduced to 8 exact-integer coordinates against the
+    // sign-LSH plane family — per-row map, no shuffle ----
+    "q_random_proj" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      emb.select(col("vec_id"),
+          graft.operators.Similarity.randomProject(
+            graft.operators.Similarity.quantize(col("embedding")), k = 8).as("proj"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- count-min join-size estimation: the self-join cardinality
     // of lineitem on l_partkey (= the second frequency moment F2)
     // estimated from a 4x4096 grid's inner product, next to the
@@ -2326,6 +2337,27 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the ±1 planes rebuild from the md5 hash-parity formula; each
+    // projected coordinate is an exact integer dot
+    "q_random_proj" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), planes AS (
+        |  SELECT j, list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS s
+        |  FROM range(0, 8) t(j)
+        |), dots AS (
+        |  SELECT q.vec_id, p.j,
+        |    CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+        |      ix -> q.v[ix] * p.s[ix])) AS BIGINT) AS d
+        |  FROM q, planes p
+        |)
+        |SELECT vec_id, array_agg(d ORDER BY j) AS proj
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // the grid construction replays on the q_countmin md5-hash
     // formula; est = min over rows of the cell-wise dot, exact =

@@ -163,6 +163,34 @@ object Similarity {
       .otherwise(bucket)
   }
 
+  /** Johnson-Lindenstrauss signed random projection: reduce a
+    * quantized vector to `k` integer coordinates, coordinate j the
+    * QDotLong dot with the SAME deterministic hash60-derived ±1
+    * plane family `lshBucket` signs against — sign-LSH is exactly
+    * this map followed by `>= 0`. With a ±1 projection matrix,
+    * E[‖P(a−b)‖²] = k·‖a−b‖² (Achlioptas 2003), so projected
+    * distances estimate originals at k/dim the storage and dot
+    * cost — the cheap pre-filter in front of an exact re-rank, or
+    * the compact sketch a 100 TB corpus ships instead of full
+    * vectors (the PQ alternative when an additive-error Euclidean
+    * sketch beats a codebook one).
+    *
+    * All-integer outputs: bit-exact at any partitioning and
+    * replayable in SQL from the md5 plane formula. Per-row map, no
+    * shuffle; k literal planes live in the codegen'd plan. */
+  def randomProject(vecQ: Column, k: Int, dim: Int = 64,
+                    firstPlane: Int = 0): Column = {
+    require(k >= 1, s"randomProject: k must be >= 1, got $k")
+    val proj = array((0 until k).map { j =>
+      val plane = typedLit((0 until dim).map(i => planeSign(firstPlane + j, i)))
+      qdot(vecQ, plane)
+    }: _*)
+    when(size(vecQ) > dim,
+      raise_error(concat(lit(s"randomProject: vector wider than the $dim-dim plane set: "),
+        size(vecQ).cast("string"))).cast("array<bigint>"))
+      .otherwise(proj)
+  }
+
   /** Scale-safe embedding near-dup: sign-LSH banded candidate
     * generation + exact quantized-cosine verification — the bucketed
     * replacement for `cosineNearDupPairs`' all-pairs crossJoin (which

@@ -288,4 +288,42 @@ class TrainingOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) != fps(2L))
   }
+
+  test("randomProject: integer coords match a per-plane hand fold and preserve distances in expectation") {
+    // deterministic vectors; projection j = sum_i v[i]*sign(hash60(j:i))
+    def sign(j: Int, i: Int): Long =
+      if ((graft.plans.Hash60Impl.hash(s"$j:$i".getBytes("UTF-8")) & 1L) == 1L) 1L else -1L
+    val raw = (0 until 6).map { r =>
+      (r.toLong, (0 until 64).map(i => ((r * 31 + i * 7) % 13 - 6).toDouble / 10.0).toArray)
+    }
+    val df = raw.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        Similarity.randomProject(Similarity.quantize(col("embedding")), k = 16).as("p"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // exact per-coordinate check against the JVM fold
+    raw.foreach { case (id, v) =>
+      val qv = v.map(x => math.round(x * 10000))
+      val expect = (0 until 16).map(j => (0 until 64).map(i => qv(i) * sign(j, i)).sum)
+      assert(got(id) == expect, s"vec $id")
+    }
+    // JL sanity: E[||P(a-b)||^2] = k*||a-b||^2 -> ratio near k=16
+    val pairs = for (a <- raw.indices; b <- raw.indices if a < b) yield (a, b)
+    val ratios = pairs.map { case (a, b) =>
+      val d = raw(a)._2.zip(raw(b)._2).map { case (x, y) => math.round(x * 10000) - math.round(y * 10000) }
+      val d2 = d.map(x => x * x).sum.toDouble
+      val pd = got(a.toLong).zip(got(b.toLong)).map { case (x, y) => (x - y).toDouble }
+      val pd2 = pd.map(x => x * x).sum
+      if (d2 == 0) 16.0 else pd2 / d2
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 8.0 && mean < 32.0, s"mean ratio $mean, expected ~16")
+  }
+
+  test("randomProject raises on vectors wider than the plane set") {
+    val wide = Seq((1L, (0 until 65).map(_.toDouble).toArray)).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      wide.select(Similarity.randomProject(Similarity.quantize(col("embedding")), k = 4)).collect()
+    }
+    assert(e.getMessage.contains("randomProject") || e.getCause != null)
+  }
 }
