@@ -627,6 +627,55 @@ object Profile {
           spark.sql(s"DROP TABLE IF EXISTS prof_pr_$n")
         }
 
+      case "r7ops" =>
+        // Late-round-7 additions at 1x and 10x: skyline (range-
+        // bucketed sort-scan), label propagation and HITS (iterative
+        // joins on the 10x-copies graph family), EWMA (per-key fold
+        // — 10x KEYS, constant per-key history), event funnel (k
+        // keyed reductions).
+        def edgesN(n: Int) = {
+          val ps = Tables.lineitem(spark, sfDir)
+            .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          val off = 100000000L
+          (0 until n).map(i => ps.select((col("src") + lit(i * off)).as("src"),
+            (col("dst") + lit(i * off)).as("dst"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10)) {
+          val pts = {
+            val p0 = Tables.lineitem(spark, sfDir)
+              .select(round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+                col("l_quantity").cast("long").as("qty"))
+            (0 until n).map(i => p0.select(
+              (col("price_cents") + lit(i * 20000000L)).as("price_cents"), col("qty")))
+              .reduce(_.unionByName(_)).localCheckpoint(true)
+          }
+          time(s"skyline x$n (${pts.count()} pts)")(
+            graft.ops.Skyline.frontier2D(pts, "price_cents", "qty").count())
+          val dir = edgesN(n).localCheckpoint(true)
+          val sym = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+            .localCheckpoint(true)
+          time(s"labelprop x$n (${sym.count()} sym edges)")(
+            graft.operators.LabelProp.labels(sym, iters = 3).count())
+          time(s"hits x$n (${dir.count()} dir edges)")(
+            graft.operators.Hits.scores(dir, iters = 2).count())
+          val ev = {
+            val e0 = Tables.events(spark, sfDir)
+              .where(col("user_id").isNotNull && col("value").isNotNull)
+              .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+                round(col("value") * 100).cast("long").as("cents"))
+            (0 until n).map(i => e0.select((col("user_id") + lit(i * 1000000L)).as("user_id"),
+              col("ts"), col("event_id"), col("event_type"), col("cents")))
+              .reduce(_.unionByName(_)).localCheckpoint(true)
+          }
+          time(s"ewma x$n (${ev.count()} events)")(
+            graft.ops.Smoothing.ewmaTrace(ev, "user_id", "ts", "event_id",
+              "cents", 1, 1).count())
+          time(s"funnel x$n")(
+            graft.ops.Journeys.eventFunnel(ev, "user_id", "ts", "event_type",
+              Seq("signup", "view", "purchase"), Some(7L * 24 * 3600)).count())
+        }
+
       case "triangles" =>
         // Wedge volume (the triangle join's true cost driver) under
         // degree orientation vs naive id orientation, and wall time,

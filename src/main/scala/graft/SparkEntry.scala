@@ -78,6 +78,29 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- CUSUM change-point traces per user over click cents:
+    // max(0, s + (v - target)) pure-integer recurrence, alarms above
+    // 50-dollar cumulative excess over a $1.00 target level ----
+    "q_cusum" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Smoothing.cusumTrace(ev, "user_id", "ts", "event_id",
+          "cents", target = 100L, threshold = 5000L)
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ---- pointwise mutual information between lang and source:
+    // one cell-count aggregate, marginals folded from the cell
+    // frame, nano-rounded ln contributions (the Drift.psi
+    // determinism contract) ----
+    "q_mutual_info" -> ((s, dir) => {
+      graft.ops.Association.mutualInformation(
+          Tables.documents(s, dir), "lang", "source")
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // ---- Johnson-Lindenstrauss signed random projection: every
     // embedding reduced to 8 exact-integer coordinates against the
     // sign-LSH plane family — per-row map, no shuffle ----
@@ -2336,6 +2359,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // CUSUM replays as a recursive CTE: greatest(0, s + v - target)
+    // is pure integer arithmetic, no division anywhere
+    "q_cusum" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, rn, v, GREATEST(0, v - 100) AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.v, GREATEST(0, r.s + e.v - 100)
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, rn, v, CAST(s AS BIGINT) AS cusum, s > 5000 AS alarm
+        |FROM r ORDER BY user_id, rn""".stripMargin,
+
+    // the MI expression tree mirrors the operator token for token:
+    // (c/N)·ln(c·N/(nx·ny)) in doubles over exact integer counts,
+    // nano-rounded per cell
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |), nx AS (
+        |  SELECT lang, CAST(sum(n_xy) AS BIGINT) AS nx FROM cells GROUP BY 1
+        |), ny AS (
+        |  SELECT source, CAST(sum(n_xy) AS BIGINT) AS ny FROM cells GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells
+        |)
+        |SELECT cells.lang, cells.source, n_xy,
+        |  CAST(round(1e9 * (CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |       (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) AS BIGINT) AS mi_nano
+        |FROM cells JOIN nx USING (lang) JOIN ny USING (source), t
         |ORDER BY 1, 2""".stripMargin,
 
     // the ±1 planes rebuild from the md5 hash-parity formula; each

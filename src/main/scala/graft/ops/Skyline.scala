@@ -51,9 +51,13 @@ object Skyline {
   def frontier2D(df: DataFrame, xCol: String, yCol: String,
                  buckets: Int = 64): DataFrame = {
     require(buckets > 0, "frontier2D: buckets must be positive")
+    // persist the reduced frame: the quantile-cut sampling pass and
+    // the main flow both consume it, and without a cache the per-x
+    // aggregate (the expensive data-sized step) runs twice
     val m = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol)).agg(max(col(yCol)).as(yCol))
+      .persist()
 
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     val cuts =

@@ -92,4 +92,57 @@ object Smoothing {
         col("col.seq.v").as("v"),
         col("col.__s").as("ewma"))
   }
+
+  /** One-sided upper CUSUM change-point trace (Page 1954): per key in
+    * event order,
+    *
+    *   s_0 = 0;  s_i = max(0, s_{i-1} + (v_i − target))
+    *
+    * with `alarm` set where s_i > threshold — the classic sequential
+    * detector for a sustained upward shift of the level (monitoring
+    * error rates, latencies, queue depths). Pure integer adds and a
+    * max: EXACT for any long values including negatives (unlike the
+    * EWMA there is no division), bit-identical across engines — the
+    * oracle replays it as a recursive CTE with greatest(0, …).
+    *
+    * Same per-key sorted-fold contract and loud `maxSeqLen` cap as
+    * [[ewmaTrace]]. Alarms do NOT reset the statistic: s keeps
+    * accumulating while the shift persists, the standard form; reset
+    * policy (if wanted) belongs to the consumer reading the trace.
+    *
+    * Output: keyCol, rn, v, cusum, alarm BOOLEAN.
+    */
+  def cusumTrace(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                 valCol: String, target: Long, threshold: Long,
+                 maxSeqLen: Int = 1 << 20): DataFrame = {
+    require(threshold >= 0, s"cusumTrace: threshold must be >= 0, got $threshold")
+    require(maxSeqLen > 0, "cusumTrace: maxSeqLen must be positive")
+    val e = struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+      col(valCol).cast("long").as("v"))
+    val grouped = df
+      .select(col(keyCol), e.as("seq"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("seq"))).as("seq"))
+      .withColumn("seq",
+        when(size(col("seq")) > maxSeqLen, raise_error(concat(
+          lit(s"cusumTrace: key "), col(keyCol).cast("string"),
+          lit(s" has "), size(col("seq")).cast("string"),
+          lit(s" events > maxSeqLen=$maxSeqLen — raise the cap or pre-bucket the history"))))
+        .otherwise(col("seq")))
+    val fold: Column = aggregate(
+      col("seq"),
+      typedLit(Seq.empty[Long]),
+      (acc, el) => concat(acc, array(
+        greatest(lit(0L),
+          when(size(acc) === 0, lit(0L)).otherwise(element_at(acc, -1)) +
+            el.getField("v") - lit(target)))))
+    grouped
+      .withColumn("__s", fold)
+      .select(col(keyCol), posexplode(arrays_zip(col("seq"), col("__s"))))
+      .select(col(keyCol),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.seq.v").as("v"),
+        col("col.__s").as("cusum"),
+        (col("col.__s") > threshold).as("alarm"))
+  }
 }

@@ -59,4 +59,22 @@ class SmoothingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxSeqLen") || e.getCause != null)
   }
+
+  test("cusumTrace accumulates excess over target and clamps at zero") {
+    // target 10: v=15 -> s=5; v=3 -> max(0, 5-7)=0; v=25 -> 15; v=12 -> 17
+    val df = Seq((1L, ts(1), 1L, 15L), (1L, ts(2), 2L, 3L),
+      (1L, ts(3), 3L, 25L), (1L, ts(4), 4L, 12L)).toDF("k", "ts", "tie", "v")
+    val got = graft.ops.Smoothing.cusumTrace(df, "k", "ts", "tie", "v",
+        target = 10L, threshold = 16L)
+      .orderBy("rn").as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._4) == Seq(5L, 0L, 15L, 17L))
+    assert(got.map(_._5) == Seq(false, false, false, true))
+  }
+
+  test("cusumTrace handles negative values exactly (no division)") {
+    val df = Seq((1L, ts(1), 1L, -5L), (1L, ts(2), 2L, 30L)).toDF("k", "ts", "tie", "v")
+    val got = graft.ops.Smoothing.cusumTrace(df, "k", "ts", "tie", "v", 0L, 100L)
+      .orderBy("rn").as[(Long, Long, Long, Long, Boolean)].collect().map(_._4).toSeq
+    assert(got == Seq(0L, 30L))
+  }
 }
