@@ -119,7 +119,13 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hilbert_key2"),
       new ExpressionInfo(classOf[HilbertKey2].getName, "graft_hilbert_key2"),
       (children: Seq[Expression]) => HilbertKey2(children.head, children(1),
-        intArg(children(2), "graft_hilbert_key2")))
+        intArg(children(2), "graft_hilbert_key2"))),
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => NfcNormalize(children.head)),
+    (FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+      (children: Seq[Expression]) => StripAccents(children.head))
   )
 
   /** Runtime registration on an existing session. */

@@ -34,6 +34,10 @@ class Hash60Spec extends SparkSpec {
         "graft_hilbert_key2(3L, 5L, 4) AS hk").head()
     assert(row.getDouble(0) == graft.plans.JaroWinklerImpl.jaroWinkler("martha", "marhta"))
     assert(row.getLong(1) == graft.plans.HilbertImpl.key2(3L, 5L, 4))
+    val nrm = spark.sql(
+      "SELECT graft_strip_accents('caf\u00e9') AS sa, graft_nfc('e\u0301') AS nf").head()
+    assert(nrm.getString(0) == "cafe")
+    assert(nrm.getString(1) == "\u00e9")
   }
 
   test("all graft_* SQL functions resolve and agree with their column forms") {
