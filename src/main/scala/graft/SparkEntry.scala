@@ -78,6 +78,17 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- winsorization at the exact discrete per-type [p05, p95]:
+    // tails clipped to values that actually occur, rows kept ----
+    "q_winsorize" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Outliers.winsorize(ev, Seq("event_type"), "cents", 0.05, 0.95)
+        .orderBy(col("event_id"))
+    }),
+
     // ---- CUSUM change-point traces per user over click cents:
     // max(0, s + (v - target)) pure-integer recurrence, alarms above
     // 50-dollar cumulative excess over a $1.00 target level ----
@@ -2360,6 +2371,27 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // same discrete ⌊p·(n−1)⌋ index as q_quantiles; clip is pure
+    // integer comparisons against bounds that occur in the data
+    "q_winsorize" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT event_type,
+        |    sorted[CAST(floor((n - 1) * 0.05) AS INT) + 1] AS lo,
+        |    sorted[CAST(floor((n - 1) * 0.95) AS INT) + 1] AS hi
+        |  FROM (
+        |    SELECT event_type, list_sort(list(cents)) AS sorted,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM v GROUP BY 1)
+        |)
+        |SELECT v.event_id, v.event_type, v.cents,
+        |  LEAST(GREATEST(v.cents, b.lo), b.hi) AS clipped,
+        |  (v.cents < b.lo OR v.cents > b.hi) AS was_clipped
+        |FROM v JOIN b USING (event_type)
+        |ORDER BY event_id""".stripMargin,
 
     // CUSUM replays as a recursive CTE: greatest(0, s + v - target)
     // is pure integer arithmetic, no division anywhere

@@ -46,6 +46,42 @@ object Outliers {
       .drop("__sorted", "__devs")
   }
 
+  /** Winsorization: clip each value to its group's exact discrete
+    * [pLo, pHi] quantiles — the tail treatment that KEEPS outlier
+    * rows (unlike a flag-and-drop) while bounding their leverage on
+    * downstream means/regressions. Quantile index = ⌊p·(n−1)⌋ on the
+    * sorted array, the `q_quantiles` discrete convention — no
+    * interpolation, so the clip bounds are values that actually
+    * occur and the whole operation is exact integer comparisons.
+    *
+    * Same plan/memory contract as [[groupStats]]: one sorted-array
+    * aggregate per group, broadcast bounds joined back, clip as a
+    * narrow projection. NULL values pass through NULL (missing, not
+    * extreme). Output: input columns + `clipped` (the winsorized
+    * value) + `was_clipped`.
+    */
+  def winsorize(df: DataFrame, keys: Seq[String], valCol: String,
+                pLo: Double, pHi: Double): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got [$pLo, $pHi]")
+    val v = col(valCol).cast("long")
+    def q(p: Double): Column =
+      element_at(col("__sorted"), (floor((col("__n") - 1) * p) + 1).cast("int"))
+    val bounds = df.where(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(v)).as("__sorted"), count(lit(1)).as("__n"))
+      .select(keys.map(col) :+ q(pLo).as("__lo") :+ q(pHi).as("__hi"): _*)
+    df.join(broadcast(bounds), keys, "left_outer")
+      // greatest/least IGNORE nulls (SQL semantics), so a NULL value
+      // must be passed through explicitly, not fed to the clamp
+      .withColumn("clipped",
+        when(v.isNull, lit(null).cast("long"))
+          .otherwise(least(greatest(v, col("__lo")), col("__hi"))))
+      .withColumn("was_clipped", v.isNotNull && (v < col("__lo") || v > col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Flag rows whose value deviates from its group's median by more
     * than `k`·MAD. Degenerate groups (MAD = 0 — at least half the
     * values identical) flag ANY deviation: with zero robust spread,

@@ -41,4 +41,28 @@ class OutliersSpec extends SparkSpec {
   implicit private class MapOps(rows: Array[(String, Long, Boolean)]) {
     def toMap2: Map[Long, Boolean] = rows.map(r => r._2 -> r._3).toMap
   }
+
+  test("winsorize clips to occurring values at the discrete quantile index") {
+    import spark.implicits._
+    // sorted: 1..10; p[0.1] idx floor(9*0.1)=0 -> lo=1... use p=0.2: idx floor(9*0.2)=1 -> lo=2; p=0.8: idx 7 -> hi=8
+    val df = (1L to 10L).map(v => ("g", v)).toDF("k", "v")
+    val got = graft.ops.Outliers.winsorize(df, Seq("k"), "v", 0.2, 0.8)
+      .orderBy("v").select("v", "clipped", "was_clipped")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._2) == Seq(2L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 8L, 8L))
+    assert(got.map(_._3) == Seq(true, false, false, false, false, false, false, false, true, true))
+  }
+
+  test("winsorize: NULL values pass through NULL and groups are independent") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(100L)), ("a", Some(50L)), ("a", None),
+      ("b", Some(7L))).toDF("k", "v")
+    val got = graft.ops.Outliers.winsorize(df, Seq("k"), "v", 0.0, 0.5)
+      .select("k", "v", "clipped").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // group a sorted [1,50,100]: lo idx 0 -> 1, hi idx floor(2*0.5)=1 -> 50
+    assert(got.contains(("a", Some(100L), Some(50L))))
+    assert(got.contains(("a", None, None)))
+    assert(got.contains(("b", Some(7L), Some(7L))))
+  }
 }
