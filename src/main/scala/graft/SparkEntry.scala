@@ -638,6 +638,35 @@ object SparkEntry {
         .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // ---- explicit GROUPING SETS (the cube/rollup generalization:
+    // exactly the requested grains, one pass): per-status, per-
+    // priority, and grand-total grains without the cube's cross ----
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // ---- UNPIVOT / melt (the pivot inverse): the per-user wide
+    // event-type count matrix back to long (user, event_type, n)
+    // triples — ids stay, value columns become rows ----
+    "q_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+          "event_type", "n")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // ---- semi-structured JSON parsing (the reference's raw payloads
     // are nested JSON; here: extract + type + aggregate) ----
     "q_json_extract" -> ((s, dir) => {
@@ -3509,6 +3538,36 @@ object SparkEntry {
         |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    // exactly the three requested grains; gid bits match the cube
+    // convention (1 = the column is aggregated away at this grain)
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+        |  CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    // melt replays as the explicit per-type UNION ALL over the same
+    // conditional-count wide frame
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT user_id, event_type, n FROM (
+        |  SELECT user_id, 'click' AS event_type, click AS n FROM wide
+        |  UNION ALL SELECT user_id, 'error', error FROM wide
+        |  UNION ALL SELECT user_id, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT user_id, 'signup', signup FROM wide
+        |  UNION ALL SELECT user_id, 'view', view FROM wide
+        |)
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type,
