@@ -78,6 +78,31 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Newman modularity of the labelprop partition: integer
+    // intra-edge and degree-mass sums per community, one IEEE
+    // formula per community row — grades the community structure
+    // the q_labelprop run found ----
+    "q_modularity" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = graft.operators.LabelProp.labels(edges, iters = 3)
+      graft.operators.GraphStats.modularity(edges, labels)
+        .orderBy(col("lab"))
+    }),
+
+    // ---- degree assortativity of the bipartite graph: exact
+    // integer moment sums over one degree join, Pearson formula as
+    // the only IEEE step ----
+    "q_assortativity" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.GraphStats.assortativity(edges)
+    }),
+
     // ---- winsorization at the exact discrete per-type [p05, p95]:
     // tails clipped to values that actually occur, rows kept ----
     "q_winsorize" -> ((s, dir) => {
@@ -2400,6 +2425,97 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // modularity rides the q_labelprop unroll: the partition is the
+    // same 3-round replica, then integer intra/mass sums and the
+    // mirrored Q_c formula per community
+    "q_modularity" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), l0 AS (
+        |  SELECT DISTINCT src AS id, src AS lab FROM e
+        |), v1 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l0 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l0
+        |  ) GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v1
+        |  ) WHERE rn = 1
+        |), v2 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l1 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l1
+        |  ) GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v2
+        |  ) WHERE rn = 1
+        |), v3 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l2 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l2
+        |  ) GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v3
+        |  ) WHERE rn = 1
+        |), deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+        |), m2t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2 FROM e
+        |), intra AS (
+        |  SELECT ls.lab AS lab, CAST(count(*) AS BIGINT) AS intra_edges
+        |  FROM e JOIN l3 ls ON ls.id = e.src JOIN l3 ld ON ld.id = e.dst
+        |  WHERE ls.lab = ld.lab GROUP BY 1
+        |), mass AS (
+        |  SELECT l3.lab, CAST(sum(deg.deg) AS BIGINT) AS degree_mass
+        |  FROM deg JOIN l3 ON l3.id = deg.id GROUP BY 1
+        |)
+        |SELECT CAST(mass.lab AS BIGINT) AS lab,
+        |  CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+        |  mass.degree_mass,
+        |  CAST(round(1e9 * (
+        |    CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / CAST(m2 AS DOUBLE) -
+        |    (CAST(degree_mass AS DOUBLE) / CAST(m2 AS DOUBLE)) *
+        |    (CAST(degree_mass AS DOUBLE) / CAST(m2 AS DOUBLE)))) AS BIGINT) AS q_nano
+        |FROM mass LEFT JOIN intra USING (lab), m2t
+        |ORDER BY lab""".stripMargin,
+
+    // one degree join then pure integer moment sums; the Pearson
+    // tree is mirrored: (m·sxy − sx·sy) / sqrt((m·sxx − sx²)(m·syy − sy²))
+    "q_assortativity" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+        |), xy AS (
+        |  SELECT dx.deg AS x, dy.deg AS y
+        |  FROM e JOIN deg dx ON dx.id = e.src JOIN deg dy ON dy.id = e.dst
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM xy
+        |)
+        |SELECT m2,
+        |  CASE WHEN (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+        |         OR (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0
+        |    THEN NULL
+        |    ELSE CAST(round((1e9 * (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+        |      sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |           (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT)
+        |  END AS r_nano
+        |FROM s""".stripMargin,
 
     // same discrete ⌊p·(n−1)⌋ index as q_quantiles; clip is pure
     // integer comparisons against bounds that occur in the data

@@ -55,13 +55,19 @@ object Hits {
       .persist()
 
     def rescaled(scored: DataFrame, c: String): DataFrame = {
-      // O(1)-row driver scalar: the rescale divisor ceil(max/SCALE)
-      val mx = scored.agg(max(col(c))).first() match {
+      // checkpoint FIRST: the divisor's max() is a driver action, and
+      // on the raw frame it would run the half-step pipeline once for
+      // the max and AGAIN when the next round consumes the frame —
+      // truncating up front materializes the gather-sum exactly once,
+      // and the rescale stays a narrow projection over the
+      // materialized scan (constant-size plans, no second job)
+      val t = graft.ops.Checkpoints.truncate(scored)
+      val mx = t.agg(max(col(c))).first() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
       val d = math.max(1L, (mx + Scale - 1L) / Scale)
-      scored.withColumn(c, expr(s"$c div ${d}L"))
+      t.withColumn(c, expr(s"$c div ${d}L"))
     }
 
     var hub = nodes.select(col("id"), lit(1L).as("hub"))
@@ -73,14 +79,14 @@ object Hits {
             .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-      auth = rescaled(aRaw, "auth").transform(graft.ops.Checkpoints.truncate)
+      auth = rescaled(aRaw, "auth")
       // hub pull: sum of authority scores over out-edges
       val hRaw = nodes
         .join(eByDst.join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
             .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
-      hub = rescaled(hRaw, "hub").transform(graft.ops.Checkpoints.truncate)
+      hub = rescaled(hRaw, "hub")
     }
     val out = hub.join(auth, Seq("id"))
     e.unpersist(blocking = false)

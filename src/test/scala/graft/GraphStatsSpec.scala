@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.GraphStats
+import org.apache.spark.sql.functions._
+
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sym(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+
+  test("modularity of two disjoint triangles under the perfect partition") {
+    // two triangles, perfect 2-community labels: m2 = 12,
+    // each community: intra = 6, mass = 6 -> Q_c = 6/12 - (6/12)^2 = 0.25
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (11L, 12L), (12L, 13L), (11L, 13L)))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (11L, 2L), (12L, 2L), (13L, 2L)).toDF("id", "lab")
+    val got = GraphStats.modularity(edges, labels)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(1L -> ((6L, 6L, 250000000L)), 2L -> ((6L, 6L, 250000000L))))
+  }
+
+  test("one-community partition of a connected graph has Q = 0") {
+    // Q = m2/m2 - (m2/m2)^2 = 0 whatever the graph
+    val edges = sym(Seq((1L, 2L), (2L, 3L)))
+    val labels = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("id", "lab")
+    val got = GraphStats.modularity(edges, labels)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, 4L, 4L, 0L)))
+  }
+
+  test("a community whose edges all leave it keeps a row with intra 0") {
+    // path 1-2 with labels {1 -> a, 2 -> b}: both communities intra 0
+    val edges = sym(Seq((1L, 2L)))
+    val labels = Seq((1L, 1L), (2L, 2L)).toDF("id", "lab")
+    val got = GraphStats.modularity(edges, labels)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("assortativity: star graph is perfectly disassortative (-1)") {
+    val edges = sym((2L to 6L).map(i => (1L, i)))
+    val got = GraphStats.assortativity(edges)
+      .as[(Long, Option[Long])].head()
+    assert(got._1 == 10L)
+    assert(got._2 == Some(-1000000000L))
+  }
+
+  test("assortativity is NULL on a degree-regular graph (zero variance)") {
+    val edges = sym(Seq((1L, 2L), (2L, 3L), (3L, 1L)))
+    val got = GraphStats.assortativity(edges).as[(Long, Option[Long])].head()
+    assert(got._2.isEmpty)
+  }
+
+  test("both are partitioning-invariant (exact integer sums)") {
+    val pairs = (1L to 200L).map(i => (i, i % 13 + 1000L))
+    val e1 = sym(pairs).repartition(1)
+    val e13 = sym(pairs).repartition(13)
+    val lab = (pairs.flatMap(p => Seq(p._1, p._2)).distinct.map(id => (id, id % 3)))
+      .toDF("id", "lab")
+    val a = GraphStats.modularity(e1, lab).as[(Long, Long, Long, Long)].collect().toSet
+    val b = GraphStats.modularity(e13, lab).as[(Long, Long, Long, Long)].collect().toSet
+    assert(a == b)
+    val ra = GraphStats.assortativity(e1).as[(Long, Option[Long])].head()
+    val rb = GraphStats.assortativity(e13).as[(Long, Option[Long])].head()
+    assert(ra == rb)
+  }
+}

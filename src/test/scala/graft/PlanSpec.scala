@@ -121,9 +121,11 @@ class PlanSpec extends SparkSpec {
     // estimate and the exact join size — with a broadcast cross)
     // (q_mutual_info broadcasts its 1-row total-count scalar over
     // the |X|·|Y|-bounded cell frame, the q_psi_bins shape)
+    // (q_modularity broadcasts its 1-row edge-count scalar over the
+    // per-community frame)
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
       "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift",
-      "q_psi_bins", "q_water_fill", "q_cm_joinsize", "q_mutual_info")
+      "q_psi_bins", "q_water_fill", "q_cm_joinsize", "q_mutual_info", "q_modularity")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
