@@ -78,6 +78,35 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- geofence: point-in-convex-polygon as a pure integer
+    // cross-product conjunction (no join, no shuffle) over the
+    // q_geo_radius hash-derived coordinates; diamond fence ----
+    "q_geofence" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        pmod(graft.plans.Hash60.hash60(
+          concat(lit("gx"), col("c_custkey").cast("string"))), lit(1000000L)).as("x"),
+        pmod(graft.plans.Hash60.hash60(
+          concat(lit("gy"), col("c_custkey").cast("string"))), lit(1000000L)).as("y"))
+      val diamond = Seq((500000L, 100000L), (900000L, 500000L),
+        (500000L, 900000L), (100000L, 500000L))
+      pts.select(col("id"), col("x"), col("y"),
+          graft.ops.Geo.inConvexPolygon(col("x"), col("y"), diamond).as("inside"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- robust median imputation: every 7th event's value nulled
+    // then refilled with the per-type exact lower median — a value
+    // that occurs, not a mean dragged by the tail ----
+    "q_impute" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(round(col("value") * 100).cast("long")).as("cents"))
+      graft.ops.Outliers.imputeMedian(ev, Seq("event_type"), "cents")
+        .orderBy(col("event_id"))
+    }),
+
     // ---- Newman modularity of the labelprop partition: integer
     // intra-edge and degree-mass sums per community, one IEEE
     // formula per community row — grades the community structure
@@ -2425,6 +2454,46 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the four edge cross products of the CCW diamond, verbatim
+    // integers — boundary inclusive (>= 0)
+    "q_geofence" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(concat('0x', substr(md5(concat('gx', CAST(c_custkey AS VARCHAR))), 1, 15))
+        |         AS BIGINT) % 1000000 AS x,
+        |    CAST(concat('0x', substr(md5(concat('gy', CAST(c_custkey AS VARCHAR))), 1, 15))
+        |         AS BIGINT) % 1000000 AS y
+        |  FROM customer
+        |)
+        |SELECT id, x, y,
+        |  (400000 * (y - 100000) - 400000 * (x - 500000) >= 0 AND
+        |   -400000 * (y - 500000) - 400000 * (x - 900000) >= 0 AND
+        |   -400000 * (y - 900000) - (-400000) * (x - 500000) >= 0 AND
+        |   400000 * (y - 500000) - (-400000) * (x - 100000) >= 0) AS inside
+        |FROM p ORDER BY id""".stripMargin,
+
+    // lower median at index ⌊(n−1)/2⌋ over the non-null sorted
+    // array, the groupStats convention
+    "q_impute" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |), med AS (
+        |  SELECT event_type,
+        |    sorted[CAST(floor((n - 1) / 2) AS INT) + 1] AS m
+        |  FROM (
+        |    SELECT event_type, list_sort(list(cents)) AS sorted,
+        |      CAST(count(cents) AS BIGINT) AS n
+        |    FROM v WHERE cents IS NOT NULL GROUP BY 1)
+        |)
+        |SELECT v.event_id, v.event_type, v.cents,
+        |  COALESCE(v.cents, med.m) AS filled,
+        |  (v.cents IS NULL AND med.m IS NOT NULL) AS was_imputed
+        |FROM v LEFT JOIN med USING (event_type)
+        |ORDER BY v.event_id""".stripMargin,
 
     // modularity rides the q_labelprop unroll: the partition is the
     // same 3-round replica, then integer intra/mass sums and the

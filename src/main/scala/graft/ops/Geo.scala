@@ -80,4 +80,38 @@ object Geo {
       .where(col("dist2") <= lit(radius * radius))
       .select(col("id_a"), col("id_b"), col("dist2"))
   }
+
+  /** Point-in-convex-polygon membership as a pure column predicate:
+    * for a counter-clockwise convex polygon, a point is inside
+    * (boundary inclusive) iff every edge's cross product
+    * (v₂−v₁) × (p−v₁) is ≥ 0. Integer cross products — exact, no
+    * epsilon, replayable verbatim in SQL — and the whole test is one
+    * codegen'd conjunction per row: no join, no shuffle, the
+    * geofence filter a 100 TB scan pushes down next to its other
+    * predicates. Polygon size is the constant factor (one cross
+    * product per edge); for many-vertex fences pre-simplify, or cut
+    * the plane into cells with [[radiusPairs]]' grid first.
+    *
+    * The polygon is validated ONCE at the driver: at least 3
+    * vertices, all consecutive-edge cross products ≥ 0 with at least
+    * one > 0 (convex, CCW, not degenerate) — a clockwise or concave
+    * ring would silently invert/garble the test, so it raises
+    * instead. Coordinate magnitude must keep |dx·dy| < 2⁶² (true for
+    * any sub-planetary integer grid).
+    */
+  def inConvexPolygon(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+                      poly: Seq[(Long, Long)]): org.apache.spark.sql.Column = {
+    require(poly.size >= 3, s"inConvexPolygon: need >= 3 vertices, got ${poly.size}")
+    val edges = poly.zip(poly.tail :+ poly.head)
+    val turns = edges.zip(edges.tail :+ edges.head).map {
+      case (((x1, y1), (x2, y2)), (_, (x3, y3))) =>
+        (x2 - x1) * (y3 - y2) - (y2 - y1) * (x3 - x2)
+    }
+    require(turns.forall(_ >= 0) && turns.exists(_ > 0),
+      "inConvexPolygon: polygon must be convex and counter-clockwise " +
+        s"(consecutive-edge cross products: $turns)")
+    edges.map { case ((x1, y1), (x2, y2)) =>
+      (lit(x2 - x1) * (y - lit(y1)) - lit(y2 - y1) * (x - lit(x1))) >= 0L
+    }.reduce(_ && _)
+  }
 }

@@ -46,6 +46,29 @@ object Outliers {
       .drop("__sorted", "__devs")
   }
 
+  /** Median imputation: fill NULL values with the group's exact
+    * lower median (the [[groupStats]] convention — a value that
+    * actually occurs, robust to the outliers that make mean
+    * imputation leak tail mass into the fill). Groups whose values
+    * are ALL null (no median exists) keep their NULLs — inventing a
+    * global fill silently couples unrelated groups; handle those
+    * explicitly upstream. Output: input columns + `filled` (the
+    * imputed value) + `was_imputed`.
+    *
+    * Same broadcast-stats plan as [[flag]]: one sorted-array
+    * aggregate per group, a broadcast join back, narrow projection.
+    */
+  def imputeMedian(df: DataFrame, keys: Seq[String], valCol: String): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val v = col(valCol).cast("long")
+    val stats = groupStats(df, keys, valCol).select(
+      keys.map(col) :+ col("median").as("__med"): _*)
+    df.join(broadcast(stats), keys, "left_outer")
+      .withColumn("filled", coalesce(v, col("__med")))
+      .withColumn("was_imputed", v.isNull && col("__med").isNotNull)
+      .drop("__med")
+  }
+
   /** Winsorization: clip each value to its group's exact discrete
     * [pLo, pHi] quantiles — the tail treatment that KEEPS outlier
     * rows (unlike a flag-and-drop) while bounding their leverage on

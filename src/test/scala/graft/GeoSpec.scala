@@ -67,4 +67,30 @@ class GeoSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 50L)))
   }
+
+  test("inConvexPolygon: inside, boundary, outside, and vertex cases") {
+    import spark.implicits._
+    val square = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+    val pts = Seq((1L, 5L, 5L), (2L, 0L, 5L), (3L, 10L, 10L), (4L, 11L, 5L),
+      (5L, 5L, -1L)).toDF("id", "x", "y")
+    val got = pts.select($"id",
+        graft.ops.Geo.inConvexPolygon($"x", $"y", square).as("in"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+  }
+
+  test("inConvexPolygon rejects clockwise and concave rings loudly") {
+    import org.apache.spark.sql.functions.col
+    val cw = Seq((0L, 0L), (0L, 10L), (10L, 10L), (10L, 0L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Geo.inConvexPolygon(col("x"), col("y"), cw)
+    }
+    val concave = Seq((0L, 0L), (10L, 0L), (5L, 2L), (5L, 10L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Geo.inConvexPolygon(col("x"), col("y"), concave)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Geo.inConvexPolygon(col("x"), col("y"), Seq((0L, 0L), (1L, 1L)))
+    }
+  }
 }

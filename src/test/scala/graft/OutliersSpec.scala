@@ -65,4 +65,16 @@ class OutliersSpec extends SparkSpec {
     assert(got.contains(("a", None, None)))
     assert(got.contains(("b", Some(7L), Some(7L))))
   }
+
+  test("imputeMedian fills NULLs with the group lower median, all-null groups stay NULL") {
+    import spark.implicits._
+    val df = Seq(("a", Some(10L)), ("a", Some(30L)), ("a", Some(20L)), ("a", None),
+      ("b", None)).toDF("k", "v")
+    val got = graft.ops.Outliers.imputeMedian(df, Seq("k"), "v")
+      .select("k", "v", "filled", "was_imputed").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toSet
+    assert(got.contains(("a", None, Some(20L), true)))   // lower median of [10,20,30]
+    assert(got.contains(("a", Some(10L), Some(10L), false)))
+    assert(got.contains(("b", None, None, false)))       // no median exists
+  }
 }
