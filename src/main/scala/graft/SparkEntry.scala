@@ -78,6 +78,34 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- weighted shortest paths: 4 Bellman-Ford relaxation
+    // rounds from the %202 seed parts, integer weights
+    // 1 + (src+dst)%7 — the union-min relaxation replays as 4
+    // unrolled SQL levels ----
+    "q_sssp" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val sym = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      val edges = sym.withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      val sources = ps.select(col("src").as("id")).distinct()
+        .where(col("id") % 202 === 0)
+      graft.operators.Sssp.distances(edges, sources, rounds = 4)
+        .orderBy(col("id"))
+    }),
+
+    // ---- Adamic-Adar link prediction: wedge pairs on the (eighth
+    // of parts) bipartite graph scored by shared-neighbor obscurity;
+    // wedge volume checked loudly before the join ----
+    "q_adamic_adar" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .where(col("l_partkey") % 8 === 0)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val sym = ps.unionByName(ps.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.GraphStats.adamicAdar(sym, k = 100)
+    }),
+
     // ---- geofence: point-in-convex-polygon as a pure integer
     // cross-product conjunction (no join, no shuffle) over the
     // q_geo_radius hash-derived coordinates; diamond fence ----
@@ -2454,6 +2482,65 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // each Bellman-Ford round is the union-min: relaxation
+    // candidates UNION ALL current distances, min() per node
+    "q_sssp" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+        |), sym AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), e AS (
+        |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM sym
+        |), s0 AS (
+        |  SELECT DISTINCT src AS id, CAST(0 AS BIGINT) AS dist FROM ed WHERE src % 202 = 0
+        |), d1 AS (
+        |  SELECT id, min(dist) AS dist FROM (
+        |    SELECT e.dst AS id, d.dist + e.w AS dist FROM e JOIN s0 d ON d.id = e.src
+        |    UNION ALL SELECT id, dist FROM s0
+        |  ) GROUP BY id
+        |), d2 AS (
+        |  SELECT id, min(dist) AS dist FROM (
+        |    SELECT e.dst AS id, d.dist + e.w AS dist FROM e JOIN d1 d ON d.id = e.src
+        |    UNION ALL SELECT id, dist FROM d1
+        |  ) GROUP BY id
+        |), d3 AS (
+        |  SELECT id, min(dist) AS dist FROM (
+        |    SELECT e.dst AS id, d.dist + e.w AS dist FROM e JOIN d2 d ON d.id = e.src
+        |    UNION ALL SELECT id, dist FROM d2
+        |  ) GROUP BY id
+        |), d4 AS (
+        |  SELECT id, min(dist) AS dist FROM (
+        |    SELECT e.dst AS id, d.dist + e.w AS dist FROM e JOIN d3 d ON d.id = e.src
+        |    UNION ALL SELECT id, dist FROM d3
+        |  ) GROUP BY id
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(dist AS BIGINT) AS dist
+        |FROM d4 ORDER BY id""".stripMargin,
+
+    // per-wedge nano rounding then exact integer sums; top-100 by
+    // the (score DESC, u, v) total order
+    "q_adamic_adar" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst
+        |  FROM lineitem WHERE l_partkey % 8 = 0
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+        |), w AS (
+        |  SELECT a.dst AS u, b.dst AS v, a.src AS z
+        |  FROM e a JOIN e b ON a.src = b.src WHERE a.dst < b.dst
+        |), sc AS (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(CAST(round(1e9 / ln(CAST(deg.deg AS DOUBLE))) AS BIGINT)) AS BIGINT) AS aa_nano
+        |  FROM w JOIN deg ON deg.id = w.z GROUP BY 1, 2
+        |)
+        |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+        |  common_neighbors, aa_nano
+        |FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = sc.u AND e.dst = sc.v)
+        |ORDER BY aa_nano DESC, u, v LIMIT 100""".stripMargin,
 
     // the four edge cross products of the CCW diamond, verbatim
     // integers — boundary inclusive (>= 0)

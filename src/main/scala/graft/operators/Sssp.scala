@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-source WEIGHTED shortest paths — synchronous Bellman-Ford
+  * relaxation rounds over a directed edge list with non-negative
+  * integer weights; the weighted companion to [[Bfs]] (hop counts)
+  * the way [[PageRank]] companions [[Components]]: road/latency
+  * distance from seed hubs, weighted citation depth, cost-to-reach
+  * from a trusted core.
+  *
+  * One round relaxes every edge once:
+  *
+  *   d_{t+1}(v) = min(d_t(v), min over edges (u,v,w) of d_t(u) + w)
+  *
+  * computed as ONE shape: candidates (edges ⋈ dist on src, projected
+  * to dst with d+w) UNION ALL the current dist frame, then a min()
+  * hash aggregate by node — no outer join, no null-juggling; the
+  * union-min IS the relaxation. After k rounds dist(v) is exactly
+  * the shortest path using ≤ k edges — a FIXED round count is a
+  * well-defined semantic (not an approximation), replays verbatim as
+  * k unrolled SQL levels (q_sssp), and [[toFixpoint]] runs the same
+  * step until no distance improves (failing loud at maxRounds, the
+  * Bfs/KCore policy).
+  *
+  * Exactness: distances are integer sums of integer weights — min is
+  * order-free, so any partitioning and any engine agree bit-for-bit.
+  * Negative weights are rejected loudly: under truncation-at-k they
+  * would silently report non-minimal paths (and with negative cycles
+  * no fixpoint exists).
+  *
+  * Scale shape per round: one equi-join of the cached src-partitioned
+  * edge list against the O(reached) dist frame + one hash aggregate
+  * keyed by node (partial min map-side). Work is Θ(edges out of
+  * reached nodes). Eager checkpoint per round (shared
+  * [[graft.ops.Checkpoints]] contract) keeps plans constant-size.
+  */
+object Sssp {
+
+  /** (id, dist) for every node reachable within `rounds` edges of
+    * the source set. Edge frame columns: src, dst, w. */
+  def distances(edges: DataFrame, sources: DataFrame, rounds: Int,
+                partitions: Int = 32): DataFrame =
+    run(edges, sources, rounds, fix = false, partitions)
+
+  /** The production fixpoint: relax until no distance improves;
+    * loud failure at `maxRounds`. */
+  def toFixpoint(edges: DataFrame, sources: DataFrame, maxRounds: Int = 64,
+                 partitions: Int = 32): DataFrame =
+    run(edges, sources, maxRounds, fix = true, partitions)
+
+  private def run(edges: DataFrame, sources: DataFrame, rounds: Int,
+                  fix: Boolean, partitions: Int = 32): DataFrame = {
+    require(rounds >= 1, s"Sssp: rounds must be >= 1, got $rounds")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val bad = e.where(col("src").isNull || col("dst").isNull ||
+      col("w").isNull || col("w") < 0).limit(1).collect()
+    require(bad.isEmpty,
+      "Sssp: NULL endpoint/weight or negative weight — truncated " +
+        "Bellman-Ford would silently report non-minimal paths; clean the edges")
+    val ec = e.repartition(partitions, col("src")).persist()
+    var dist = sources.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .transform(graft.ops.Checkpoints.truncate)
+    require(dist.limit(1).collect().nonEmpty,
+      "Sssp: empty source set — pass at least one seed id")
+    var r = 0
+    var done = false
+    var prevSum: Option[(Long, Long)] = None
+    while (!done && r < rounds) {
+      r += 1
+      val cand = ec
+        .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = cand.unionByName(dist)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .transform(graft.ops.Checkpoints.truncate)
+      if (fix) {
+        // distances only decrease and the reached set only grows, so
+        // the (count, sum) pair is a complete convergence witness
+        val row = dist.agg(count(lit(1)), sum(col("dist"))).first()
+        val sig = (row.getLong(0), row.getLong(1))
+        done = prevSum.contains(sig)
+        prevSum = Some(sig)
+      }
+    }
+    ec.unpersist(blocking = false)
+    if (fix && !done) throw new IllegalStateException(
+      s"Sssp did not converge in $rounds rounds — longest shortest path " +
+        "exceeds the bound; raise maxRounds")
+    dist
+  }
+}

@@ -68,4 +68,25 @@ class GraphStatsSpec extends SparkSpec {
     val rb = GraphStats.assortativity(e13).as[(Long, Option[Long])].head()
     assert(ra == rb)
   }
+
+  test("adamicAdar scores wedge pairs, excludes existing edges, weights obscure neighbors more") {
+    // z1 (deg 2) common to {1,2}; hub z2 (deg 4) common to {1,2} and {3,4};
+    // 3-4 are ALSO adjacent -> excluded
+    val edges = sym(Seq((1L, 101L), (2L, 101L),
+      (1L, 102L), (2L, 102L), (3L, 102L), (4L, 102L), (3L, 4L)))
+    val got = GraphStats.adamicAdar(edges, k = 50)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(!got.contains((3L, 4L))) // adjacent pair excluded
+    val c12 = math.round(1e9 / math.log(2)) + math.round(1e9 / math.log(4))
+    assert(got((1L, 2L)) == ((2L, c12)))
+    assert(got((1L, 2L))._2 > got((1L, 3L))._2) // shared obscure z1 outweighs hub-only
+  }
+
+  test("adamicAdar enforces the wedge-volume cap loudly") {
+    val hub = sym((1L to 60L).map(i => (i, 1000L)))
+    intercept[IllegalArgumentException] {
+      GraphStats.adamicAdar(hub, k = 10, maxWedgeVolume = 100L)
+    }
+  }
 }
