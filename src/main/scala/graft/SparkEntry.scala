@@ -78,6 +78,14 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- per-document character entropy (garbage/mojibake
+    // detector): alphabet-bounded shuffle, nano-rounded ln
+    // contributions summed order-free ----
+    "q_char_entropy" -> ((s, dir) => {
+      graft.ops.Entropy.charEntropy(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- weighted shortest paths: 4 Bellman-Ford relaxation
     // rounds from the %202 seed parts, integer weights
     // 1 + (src+dst)%7 — the union-min relaxation replays as 4
@@ -2482,6 +2490,28 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // same char histogram via string_split(text, ''); the −p·ln(p)
+    // tree is mirrored and nano-rounded per character
+    "q_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |), cnt AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS nc
+        |  FROM chars WHERE ch <> '' GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS distinct_chars
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT cnt.doc_id, first(tot.n) AS n_chars,
+        |  first(tot.distinct_chars) AS distinct_chars,
+        |  CAST(sum(CAST(round(-1e9 * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)) AS BIGINT) AS h_nano
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY cnt.doc_id
+        |ORDER BY cnt.doc_id""".stripMargin,
 
     // each Bellman-Ford round is the union-min: relaxation
     // candidates UNION ALL current distances, min() per node

@@ -125,7 +125,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => NfcNormalize(children.head)),
     (FunctionIdentifier("graft_strip_accents"),
       new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
-      (children: Seq[Expression]) => StripAccents(children.head))
+      (children: Seq[Expression]) => StripAccents(children.head)),
+    (FunctionIdentifier("graft_deflate_size"),
+      new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
+      (children: Seq[Expression]) => DeflateSize(children.head))
   )
 
   /** Runtime registration on an existing session. */
