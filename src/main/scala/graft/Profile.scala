@@ -674,6 +674,25 @@ object Profile {
           time(s"funnel x$n")(
             graft.ops.Journeys.eventFunnel(ev, "user_id", "ts", "event_type",
               Seq("signup", "view", "purchase"), Some(7L * 24 * 3600)).count())
+          val wEdges = sym.withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+          val seeds = dir.select(col("src").as("id")).distinct()
+            .where(col("id") % 202 === 0)
+          time(s"sssp 4r x$n")(
+            graft.operators.Sssp.distances(wEdges, seeds, rounds = 4).count())
+          val aaEdges = {
+            val ps8 = Tables.lineitem(spark, sfDir)
+              .where(col("l_partkey") % 8 === 0)
+              .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+              .distinct()
+            val s1 = ps8.unionByName(ps8.select(col("dst").as("src"), col("src").as("dst")))
+            val off = 100000000L
+            (0 until n).map(i => s1.select((col("src") + lit(i * off)).as("src"),
+              (col("dst") + lit(i * off)).as("dst"))).reduce(_.unionByName(_))
+              .localCheckpoint(true)
+          }
+          time(s"adamic_adar x$n (${aaEdges.count()} edges)")(
+            graft.operators.GraphStats.adamicAdar(aaEdges, k = 100,
+              maxWedgeVolume = 2000000000L).count())
         }
 
       case "triangles" =>
