@@ -75,7 +75,11 @@ object Bench {
     // more than it improves the numbers.
     val pass1 = onePass()
     val p1total = pass1.map(_._2).sum
-    val passes = if (p1total < 150.0) 2 else 1
+    // the contention cutoff scales with the suite: the healthy band
+    // is ~1 s/query (r6: 59 s / 117; r7: ~125 s / 172 two-pass), and
+    // measured contended runs hit 2.4+ s/query — a fixed 150 s
+    // stopped meaning "contended" once the suite passed 150 queries
+    val passes = if (p1total < math.max(150.0, pass1.size * 1.3)) 2 else 1
     val results =
       if (passes == 2) {
         val p2 = onePass().toMap

@@ -56,10 +56,18 @@ object Smoothing {
       s"ewmaTrace: num must be in [1, $den], got $num")
     require(maxSeqLen > 0, "ewmaTrace: maxSeqLen must be positive")
 
+    // overflow bound: num·v + (den−num)·s keeps every term under
+    // 2^63 when v, s <= Long.MaxValue/den (s never exceeds max v —
+    // the EWMA is a convex combination)
+    val vMax = Long.MaxValue / den
     val vGuard = when(col(valCol) < 0, raise_error(concat(
         lit(s"ewmaTrace: negative $valCol for key "),
         col(keyCol).cast("string"),
         lit(" — floor vs truncate division diverges; shift values non-negative first"))))
+      .when(col(valCol) > vMax, raise_error(concat(
+        lit(s"ewmaTrace: $valCol exceeds Long.MaxValue/den = $vMax for key "),
+        col(keyCol).cast("string"),
+        lit(" — the num*v term would overflow; rescale the input units"))))
       .otherwise(col(valCol)).cast("long")
     val e = struct(col(tsCol).as("ts"), col(tieCol).as("tie"), vGuard.as("v"))
 

@@ -77,4 +77,13 @@ class SmoothingSpec extends SparkSpec {
       .orderBy("rn").as[(Long, Long, Long, Long, Boolean)].collect().map(_._4).toSeq
     assert(got == Seq(0L, 30L))
   }
+
+  test("ewmaTrace rejects values that would overflow num*v loudly") {
+    val big = Long.MaxValue / 2 + 1
+    val df = Seq((1L, ts(1), 1L, big)).toDF("k", "ts", "tie", "v")
+    val e = intercept[Exception] {
+      graft.ops.Smoothing.ewmaTrace(df, "k", "ts", "tie", "v", 1, 1).collect()
+    }
+    assert(e.getMessage.contains("overflow") || e.getCause != null)
+  }
 }
