@@ -78,6 +78,17 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- exact distributed ROC-AUC (Mann-Whitney with midranks):
+    // the JL coordinate-0 score against the label<5 split —
+    // integer rank sums end to end, ties handled properly ----
+    "q_auc" -> ((s, dir) => {
+      val scored = Tables.embeddings(s, dir).select(col("vec_id"),
+        element_at(graft.operators.Similarity.randomProject(
+          graft.operators.Similarity.quantize(col("embedding")), k = 1), 1).as("score"),
+        when(col("label") < 5, 1L).otherwise(0L).as("y"))
+      graft.ops.Eval.aucFromScores(scored, "score", "y")
+    }),
+
     // ---- per-document character entropy (garbage/mojibake
     // detector): alphabet-bounded shuffle, nano-rounded ln
     // contributions summed order-free ----
@@ -2490,6 +2501,39 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // ranks via row_number, tie groups by score, the U2 identity in
+    // integers; one mirrored division at the end
+    "q_auc" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), plane AS (
+        |  SELECT list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS s
+        |), scored AS (
+        |  SELECT vec_id, y,
+        |    CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+        |      ix -> q.v[ix] * plane.s[ix])) AS BIGINT) AS score
+        |  FROM q, plane
+        |), r AS (
+        |  SELECT score, y, row_number() OVER (ORDER BY score, vec_id) AS rk FROM scored
+        |), g AS (
+        |  SELECT score, CAST(min(rk) AS BIGINT) AS st,
+        |    CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+        |  FROM r GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(c - p) AS BIGINT) AS nn,
+        |    CAST(sum(p * (2*st + c - 1)) AS BIGINT) AS u2
+        |  FROM g
+        |)
+        |SELECT np AS n_pos, nn AS n_neg,
+        |  CAST(round((1e9 * CAST(u2 - np*(np+1) AS DOUBLE)) /
+        |    (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))) AS BIGINT) AS auc_nano
+        |FROM s""".stripMargin,
 
     // same char histogram via string_split(text, ''); the −p·ln(p)
     // tree is mirrored and nano-rounded per character

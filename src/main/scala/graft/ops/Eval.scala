@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation metrics computed EXACTLY and distributed — the
+  * scoring loop a data pipeline runs over classifier outputs (the
+  * `HashedFeatures` scorer, a quality model, a reranker) without
+  * sampling to the driver or trusting float summation order.
+  *
+  * ROC-AUC via the Mann-Whitney U identity: AUC = P(score⁺ >
+  * score⁻) + ½·P(=), computed from rank sums. Ties are handled
+  * PROPERLY with midranks (not broken arbitrarily — arbitrary
+  * tie-breaks bias AUC by up to the tie mass): working in
+  * doubled-rank units keeps midranks integral, so everything up to
+  * the final division is exact integer arithmetic — order-free,
+  * partition-independent, engine-identical.
+  *
+  *   2·midrank(score s) = 2·(start rank of s) + count(s) − 1
+  *   U2 = Σ over positives of 2·midrank
+  *   AUC = (U2 − n⁺·(n⁺+1)) / (2·n⁺·n⁻)
+  *
+  * Scale shape: exact global ranks come from `Ids.globalRowNumber`
+  * (range-bucketed two-pass — NO single-task window); the per-score
+  * tie groups are one hash aggregate on the score; the three scalar
+  * sums reduce in one row. Cost is two passes over (score, label)
+  * pairs however large the eval set.
+  */
+object Eval {
+
+  /** One row: n_pos, n_neg, auc_nano (AUC × 10⁹, the only IEEE
+    * step). `labelCol` must be 0/1 (loud otherwise); NULL scores or
+    * labels are rejected loudly — silently dropping them would
+    * change the metric's denominator.
+    *
+    * Ascending score order: AUC > 0.5 means positives score HIGHER.
+    */
+  def aucFromScores(df: DataFrame, scoreCol: String, labelCol: String,
+                    buckets: Int = 64): DataFrame = {
+    val guarded = df.select(
+      when(col(scoreCol).isNull, raise_error(lit(
+          s"aucFromScores: NULL $scoreCol — a dropped row changes the denominator; filter explicitly")))
+        .otherwise(col(scoreCol)).cast("long").as("__s"),
+      when(col(labelCol).isNull || (col(labelCol) =!= 0 && col(labelCol) =!= 1),
+          raise_error(concat(lit(s"aucFromScores: $labelCol must be 0/1, got "),
+            col(labelCol).cast("string"))))
+        .otherwise(col(labelCol)).cast("long").as("__y"))
+    // exact global ranks under (score, tiebreak). The tiebreak is a
+    // partition-dependent id — fine HERE because the metric consumes
+    // only min(rank) and count per score group, both of which equal
+    // "#rows with smaller score (+1)" / "tie mass" whatever order
+    // ties landed in; individual ranks never leave this scope.
+    val ranked = graft.ops.Ids.globalRowNumber(
+      guarded.withColumn("__tb", monotonically_increasing_id()),
+      "__s", Seq("__tb", "__y"), buckets, out = "__r")
+    val groups = ranked.groupBy(col("__s"))
+      .agg(min(col("__r")).as("__start"), count(lit(1)).as("__c"),
+        sum(col("__y")).as("__pos"))
+    val sums = groups.agg(
+      sum(col("__pos")).as("n_pos"),
+      sum(col("__c") - col("__pos")).as("n_neg"),
+      // U2 = Σ_groups n_pos_in_group · (2·start + count − 1)
+      sum(col("__pos") * (lit(2) * col("__start") + col("__c") - 1)).as("__u2"))
+    sums.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("long"))
+        .otherwise(round(lit(1e9) *
+          (col("__u2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .cast("long"))
+        .as("auc_nano"))
+  }
+}
