@@ -78,6 +78,17 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- calibration bins / ECE: hash-percent confidences vs the
+    // long-document label; per-bin exact rational |100·Σy − Σp|
+    // over one division, summable to the ECE ----
+    "q_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        graft.ops.Sampling.hashBucket(col("doc_id")).cast("long").as("conf_pct"),
+        when(length(col("text")) > 500, 1L).otherwise(0L).as("y"))
+      graft.ops.Eval.calibrationBins(docs, "conf_pct", "y", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // ---- exact distributed ROC-AUC (Mann-Whitney with midranks):
     // the JL coordinate-0 score against the label<5 split —
     // integer rank sums end to end, ties handled properly ----
@@ -2501,6 +2512,25 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // hash-percent confidence, 10 integer-div bins; |100·Σy − Σp|
+    // exact, one mirrored division per bin
+    "q_calibration" ->
+      """WITH d AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS p,
+        |    CASE WHEN length(text) > 500 THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |), b AS (
+        |  SELECT LEAST((p * 10) // 100, 9) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS sum_label, CAST(sum(p) AS BIGINT) AS sum_pct
+        |  FROM d GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt FROM b
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, sum_label, sum_pct,
+        |  CAST(round((1e9 * CAST(abs(100*sum_label - sum_pct) AS DOUBLE)) /
+        |    (100.0 * CAST(nt AS DOUBLE))) AS BIGINT) AS ece_nano
+        |FROM b, t ORDER BY bin""".stripMargin,
 
     // ranks via row_number, tie groups by score, the U2 identity in
     // integers; one mirrored division at the end

@@ -35,6 +35,44 @@ object Eval {
     *
     * Ascending score order: AUC > 0.5 means positives score HIGHER.
     */
+  /** Calibration bins for Expected Calibration Error: confidences
+    * as integer PERCENT (0-100, loud otherwise), `bins` equal-width
+    * bins (bin = min(pct·bins div 100, bins−1) — integer division,
+    * engine-identical). Per bin the ECE contribution reduces to the
+    * exact rational |100·Σlabel − Σpct| / (100·N), so the only IEEE
+    * step is one division per bin, nano-rounded — Σ ece_nano/10⁹
+    * over the bins IS the ECE, order-free (the PSI/MI contract).
+    *
+    * Output per non-empty bin: bin, n, sum_label, sum_pct, ece_nano.
+    * Scale: one data-sized hash aggregate on the bin key + a 1-row
+    * broadcast total. */
+  def calibrationBins(df: DataFrame, confPctCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"calibrationBins: bins must be >= 2, got $bins")
+    val pct = when(col(confPctCol).isNull ||
+        col(confPctCol) < 0 || col(confPctCol) > 100,
+        raise_error(concat(lit(s"calibrationBins: $confPctCol must be 0..100, got "),
+          col(confPctCol).cast("string"))))
+      .otherwise(col(confPctCol)).cast("long")
+    val y = when(col(labelCol).isNull || (col(labelCol) =!= 0 && col(labelCol) =!= 1),
+        raise_error(concat(lit(s"calibrationBins: $labelCol must be 0/1, got "),
+          col(labelCol).cast("string"))))
+      .otherwise(col(labelCol)).cast("long")
+    val binned = df.select(pct.as("__p"), y.as("__y"))
+      .select(least(expr(s"(__p * $bins) div 100"), lit(bins - 1L)).as("bin"),
+        col("__p"), col("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sum_label"),
+        sum(col("__p")).as("sum_pct"))
+    val total = binned.agg(sum(col("n")).as("__nt"))
+    binned.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("sum_label"), col("sum_pct"),
+        round(lit(1e9) *
+          abs(lit(100L) * col("sum_label") - col("sum_pct")).cast("double") /
+          (lit(100.0) * col("__nt").cast("double")))
+          .cast("long").as("ece_nano"))
+  }
+
   def aucFromScores(df: DataFrame, scoreCol: String, labelCol: String,
                     buckets: Int = 64): DataFrame = {
     val guarded = df.select(

@@ -48,4 +48,24 @@ class EvalSpec extends SparkSpec {
       .as[(Long, Long, Option[Long])].head()
     assert(a == b)
   }
+
+  test("calibrationBins: hand ECE on a 2-bin split") {
+    // bins=2: pct<50 -> bin 0, >=50 -> bin 1 (50*2 div 100 = 1)
+    // bin0: pcts {10,30}, labels {0,1}: |100*1-40|/(100*4) = 0.15
+    // bin1: pcts {80,90}, labels {1,1}: |200-170|/400 = 0.075
+    val df = Seq((10L, 0L), (30L, 1L), (80L, 1L), (90L, 1L)).toDF("p", "y")
+    val got = graft.ops.Eval.calibrationBins(df, "p", "y", bins = 2)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 1L, 40L, 150000000L), (1L, 2L, 2L, 170L, 75000000L)))
+  }
+
+  test("calibrationBins: pct 100 lands in the top bin; out-of-range rejected") {
+    val df = Seq((100L, 1L)).toDF("p", "y")
+    val got = graft.ops.Eval.calibrationBins(df, "p", "y", bins = 10)
+      .select("bin").as[Long].head()
+    assert(got == 9L)
+    intercept[Exception] {
+      graft.ops.Eval.calibrationBins(Seq((101L, 1L)).toDF("p", "y"), "p", "y").collect()
+    }
+  }
 }
