@@ -78,6 +78,13 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- interpolated Kneser-Ney bigram table (D = 3/4): the real
+    // LM smoothing — continuation counts back off the discounted
+    // mass; top-100 bigrams with all five statistics ----
+    "q_kn_bigrams" -> ((s, dir) => {
+      graft.ops.Vocab.knBigramTable(Tables.documents(s, dir), "text", k = 100)
+    }),
+
     // ---- calibration bins / ECE: hash-percent confidences vs the
     // long-document label; per-bin exact rational |100·Σy − Σp|
     // over one division, summable to the ECE ----
@@ -2512,6 +2519,32 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // five exact integer statistics, one mirrored KN formula
+    "q_kn_bigrams" ->
+      """WITH tokarr AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), ' +'), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM tokarr, unnest(range(1, len(t))) AS u(i)
+        |), cb AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+        |), lft AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |    CAST(count(*) AS BIGINT) AS n1fw FROM cb GROUP BY 1
+        |), rgt AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM cb GROUP BY 1
+        |), ty AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS ntypes FROM cb
+        |)
+        |SELECT cb.w1, cb.w2, cb.c12, lft.c1, lft.n1fw, rgt.n1bw,
+        |  CAST(round(1e9 * (
+        |    (CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) +
+        |    (0.75 * CAST(n1fw AS DOUBLE) / CAST(c1 AS DOUBLE)) *
+        |      (CAST(n1bw AS DOUBLE) / CAST(ntypes AS DOUBLE)))) AS BIGINT) AS p_kn_nano
+        |FROM cb JOIN lft USING (w1) JOIN rgt USING (w2), ty
+        |ORDER BY c12 DESC, w1, w2 LIMIT 100""".stripMargin,
 
     // hash-percent confidence, 10 integer-div bins; |100·Σy − Σp|
     // exact, one mirrored division per bin

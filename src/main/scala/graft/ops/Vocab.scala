@@ -214,4 +214,59 @@ object Vocab {
           col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .otherwise(lit(0.0)))
   }
+
+  /** Interpolated Kneser-Ney bigram probabilities (Kneser & Ney
+    * 1995; Chen & Goodman 1998's interpolated form) — the real LM
+    * smoothing next to [[bigramPerplexity]]'s stupid backoff:
+    * absolute discount D = 3/4 off every observed bigram, the freed
+    * mass backed off to the CONTINUATION unigram (how many distinct
+    * contexts a word follows — why "Francisco" gets low weight
+    * despite high frequency):
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1·)/c1) · (N1+(·w2)/N1+(··))
+    *
+    * (observed bigrams have c12 ≥ 1 > D, so the max(·,0) clamp of
+    * the general form never binds on this table).
+    *
+    * Exactness: all five statistics are exact integer counts; the
+    * probability is ONE double expression over them, nano-rounded —
+    * the q_bm25 determinism contract. D = 3/4 is exactly
+    * representable, so the discount introduces no decimal noise.
+    *
+    * Scale shape: one corpus-sized bigram aggregate; left/right/type
+    * statistics fold from the BIGRAM-TYPE frame (vocab²-bounded, not
+    * corpus-bounded); two joins on its keys plus a 1-row broadcast;
+    * top-k is TakeOrderedAndProject under the (c12 DESC, w1, w2)
+    * total order.
+    *
+    * Output: w1, w2, c12, c1, n1fw, n1bw, p_kn_nano.
+    */
+  def knBigramTable(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"knBigramTable: k must be >= 1, got $k")
+    val toks = docs.select(
+      filter(graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+        t => length(t) > 0).as("__t"))
+    val bg = toks.select(explode(when(size(col("__t")) >= 2,
+        transform(sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("w1"),
+            element_at(col("__t"), i + 1).as("w2"))))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = cb.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val right = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val types = cb.agg(count(lit(1)).as("__ntypes"))
+    val d = col("c12").cast("double")
+    cb.join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1fw"), col("n1bw"),
+        round(lit(1e9) * (
+          (d - lit(0.75)) / col("c1").cast("double") +
+            (lit(0.75) * col("n1fw").cast("double") / col("c1").cast("double")) *
+              (col("n1bw").cast("double") / col("__ntypes").cast("double"))))
+          .cast("long").as("p_kn_nano"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -157,4 +157,25 @@ class VocabSpec extends SparkSpec {
     // scalar cross join); a corpus-sized cartesian would be a bug
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("knBigramTable: hand-checked interpolated Kneser-Ney on a tiny corpus") {
+    import spark.implicits._
+    // corpus: "a b a b", "c b" -> bigrams: (a,b)x2? doc1: a-b, b-a, a-b; doc2: c-b
+    // cb: (a,b):2, (b,a):1, (c,b):1; left a: c1=2 n1fw=1; b: c1=1 n1fw=1; c: c1=1 n1fw=1
+    // right b: n1bw=2 (after a, after c); a: n1bw=1; ntypes=3
+    val docs = Seq((1L, "a b a b"), (2L, "c b")).toDF("doc_id", "text")
+    val got = graft.ops.Vocab.knBigramTable(docs, "text", k = 10)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    val ab = got(("a", "b"))
+    assert((ab._3, ab._4, ab._5, ab._6) == ((2L, 2L, 1L, 2L)))
+    val pAb = (2.0 - 0.75) / 2.0 + (0.75 * 1.0 / 2.0) * (2.0 / 3.0)
+    assert(ab._7 == math.round(1e9 * pAb))
+    val ba = got(("b", "a"))
+    val pBa = (1.0 - 0.75) / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 3.0)
+    assert(ba._7 == math.round(1e9 * pBa))
+    // discounted+backed-off mass per context sums to 1 over observed
+    // w2 ONLY when the context saw every word; just sanity the range
+    assert(got.values.forall(r => r._7 > 0 && r._7 <= 1000000000L))
+  }
 }
