@@ -78,6 +78,22 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- one-pass dictionary tagging (Aho-Corasick): occurrence
+    // counts for a 6-term dictionary, overlapping matches included
+    // ("atat" in "atatat" twice) — one scan whatever the dictionary
+    // size, vs k scans of contains() ----
+    "q_multi_match" -> ((s, dir) => {
+      val pats = Seq("scan", "join", "data", "stream", "an", "atat")
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(
+          graft.plans.MultiMatch.multiMatchCounts(col("text"), pats)))
+        .select(col("doc_id"),
+          element_at(typedLit(pats), col("pos") + 1).as("pattern"),
+          col("col").as("n"))
+        .orderBy(col("doc_id"), col("pattern"))
+    }),
+
     // ---- interpolated Kneser-Ney bigram table (D = 3/4): the real
     // LM smoothing — continuation counts back off the discounted
     // mass; top-100 bigrams with all five statistics ----
@@ -2519,6 +2535,24 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // position-probe counting (NOT length(replace(...)) — that is
+    // non-overlapping and disagrees on self-overlapping patterns)
+    "q_multi_match" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, u.i
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+        |  WHERE text IS NOT NULL
+        |), pats(pattern) AS (
+        |  VALUES ('scan'), ('join'), ('data'), ('stream'), ('an'), ('atat')
+        |), hits AS (
+        |  SELECT pos.doc_id, pats.pattern,
+        |    CASE WHEN substr(pos.text, pos.i, length(pats.pattern)) = pats.pattern
+        |      THEN 1 ELSE 0 END AS h
+        |  FROM pos, pats
+        |)
+        |SELECT doc_id, pattern, CAST(sum(h) AS BIGINT) AS n
+        |FROM hits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // five exact integer statistics, one mirrored KN formula
     "q_kn_bigrams" ->
