@@ -695,6 +695,33 @@ object Profile {
               maxWedgeVolume = 2000000000L).count())
         }
 
+      case "multimatch" =>
+        // One-pass AC counting vs the k-pass replace-length trick
+        // (each pattern = one more scan+allocation over every text):
+        // the gap should track dictionary size. 100 corpus copies
+        // make the work measurable (the documents table is 500 rows).
+        val docs = (0 until 100)
+          .map(i => Tables.documents(spark, sfDir).where(col("text").isNotNull)
+            .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+          .reduce(_.unionByName(_)).localCheckpoint(true)
+        println(s"docs: ${docs.count()}")
+        val words = Seq("scan", "join", "data", "stream", "batch", "merge",
+          "window", "filter", "group", "sort", "hash", "spark", "table", "row",
+          "key", "line", "agg", "value", "slow", "fast", "big", "small",
+          "query", "customer", "part", "order", "the", "row ", "an", "at")
+        for (k <- Seq(6, 30, 120)) {
+          val pats = (0 until k).map(i =>
+            words(i % words.length) + (if (i >= words.length) s"_$i" else ""))
+          time(s"ac k=$k")(
+            docs.select(graft.plans.MultiMatch.multiMatchCounts(col("text"), pats).as("c"))
+              .agg(sum(element_at(col("c"), 1))).collect())
+          time(s"replace-count k=$k")(
+            docs.select(pats.map(p =>
+                sum((length(col("text")) - length(regexp_replace(col("text"),
+                  java.util.regex.Pattern.quote(p), ""))) / p.length).as(s"c_${p.hashCode}")): _*)
+              .collect())
+        }
+
       case "triangles" =>
         // Wedge volume (the triangle join's true cost driver) under
         // degree orientation vs naive id orientation, and wall time,
