@@ -78,6 +78,17 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Benford first-digit audit over order totals: string-head
+    // digits (never floor(log10)), zero-filled 1-9 spine, integer
+    // deviation of two nano-rounded shares ----
+    "q_benford" -> ((s, dir) => {
+      graft.ops.Drift.benford(
+          Tables.orders(s, dir)
+            .select(round(col("o_totalprice") * 100).cast("long").as("cents")),
+          "cents")
+        .orderBy(col("digit"))
+    }),
+
     // ---- one-pass dictionary tagging (Aho-Corasick): occurrence
     // counts for a 6-term dictionary, overlapping matches included
     // ("atat" in "atatat" twice) — one scan whatever the dictionary
@@ -2535,6 +2546,30 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // generate_series spine, string-head digit, mirrored log10 and
+    // share trees
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        |), d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM v WHERE cents > 0 GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(range(1, 10)) AS digit
+        |), f AS (
+        |  SELECT spine.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |  FROM spine LEFT JOIN d USING (digit)
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt FROM f
+        |)
+        |SELECT CAST(f.digit AS BIGINT) AS digit, f.n,
+        |  CAST(round(1e9 * CAST(f.n AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT) AS share_nano,
+        |  CAST(round(1e9 * log10((CAST(f.digit AS DOUBLE) + 1.0) / CAST(f.digit AS DOUBLE))) AS BIGINT) AS benford_nano,
+        |  abs(CAST(round(1e9 * CAST(f.n AS DOUBLE) / CAST(nt AS DOUBLE)) AS BIGINT) -
+        |      CAST(round(1e9 * log10((CAST(f.digit AS DOUBLE) + 1.0) / CAST(f.digit AS DOUBLE))) AS BIGINT)) AS dev_nano
+        |FROM f, t ORDER BY digit""".stripMargin,
 
     // position-probe counting (NOT length(replace(...)) — that is
     // non-overlapping and disagrees on self-overlapping patterns)

@@ -134,4 +134,43 @@ object Drift {
             log((an.cast("double") * bd.cast("double")) / (ad.cast("double") * bn.cast("double"))) *
             lit(1.0e9)).cast("long").as("psi_e9"))
   }
+
+  /** Benford first-digit audit — the fabricated-numbers detector:
+    * naturally-grown magnitudes (prices, populations, file sizes)
+    * put digit d first with probability log10(1 + 1/d), while
+    * invented or uniformly-synthesized figures do not. The audit the
+    * reference's recap tables never get but a 100 TB ingest should:
+    * a source whose amounts suddenly stop being Benford changed its
+    * generator, not its weather.
+    *
+    * Exactness: the first significant digit comes from the DECIMAL
+    * STRING head — not from floor(log10(v)), whose float rounding
+    * misassigns values near powers of ten. Counts are exact
+    * integers; observed share and the Benford reference are each one
+    * nano-rounded expression, and the deviation is an integer
+    * difference of those two longs — fully order-free.
+    *
+    * Output per digit 1-9 (zero-filled — a MISSING digit is the
+    * loudest deviation): n, share_nano, benford_nano, dev_nano.
+    * Only values > 0 have a first significant digit; others are
+    * excluded (count them upstream if zero-inflation matters).
+    * Scale: one data-sized hash aggregate onto <= 9 rows.
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val v = col(valCol).cast("long")
+    val digits = df.where(v > 0)
+      .select(substring(v.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val filled = spine.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+    val total = filled.agg(sum(col("n")).as("__nt"))
+    filled.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(lit(1e9) * col("n").cast("double") / col("__nt").cast("double"))
+          .cast("long").as("share_nano"),
+        round(lit(1e9) * log10((col("digit").cast("double") + 1.0) / col("digit").cast("double")))
+          .cast("long").as("benford_nano"))
+      .withColumn("dev_nano", abs(col("share_nano") - col("benford_nano")))
+  }
 }

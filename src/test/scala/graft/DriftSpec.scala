@@ -85,4 +85,18 @@ class DriftSpec extends SparkSpec {
     val e = intercept[Exception](Drift.psi(a, empty, "v", 10L).collect())
     assert(e.getMessage.contains("undefined"), e.getMessage)
   }
+
+  test("benford: string-head digits, zero-filled spine, hand shares") {
+    import spark.implicits._
+    // values: 1x digit-1 (10), 2x digit-2 (25, 299), 1x digit-9 (900); zeros/negatives dropped
+    val df = Seq(10L, 25L, 299L, 900L, 0L, -7L).toDF("v")
+    val got = graft.ops.Drift.benford(df, "v")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    assert(got(1L)._2 == 1L && got(2L)._2 == 2L && got(9L)._2 == 1L && got(3L)._2 == 0L)
+    assert(got(2L)._3 == math.round(1e9 * 2.0 / 4.0))
+    assert(got(1L)._4 == math.round(1e9 * math.log10(2.0)))
+    assert(got(3L)._5 == got(3L)._4) // missing digit: deviation = full benford mass
+  }
 }

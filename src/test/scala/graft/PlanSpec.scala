@@ -126,7 +126,7 @@ class PlanSpec extends SparkSpec {
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
       "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift",
       "q_psi_bins", "q_water_fill", "q_cm_joinsize", "q_mutual_info", "q_modularity",
-      "q_calibration", "q_kn_bigrams")
+      "q_calibration", "q_kn_bigrams", "q_benford")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
