@@ -78,6 +78,22 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Zipf rank-frequency slope over the top-500 tokens: micro
+    // log points, exact integer regression sums, one mirrored
+    // normal-equation division ----
+    "q_zipf" -> ((s, dir) => {
+      graft.ops.CorpusStats.zipfSlope(Tables.documents(s, dir), "text", k = 500)
+    }),
+
+    // ---- pairwise exact shingle-Jaccard between sources ("are my
+    // crawls the same content"): one distinct aggregate, hash-only
+    // self-join, metadata-sized pair frame ----
+    "q_source_overlap" -> ((s, dir) => {
+      graft.ops.CorpusStats.sourceOverlap(Tables.documents(s, dir),
+          "source", "text", n = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // ---- Benford first-digit audit over order totals: string-head
     // digits (never floor(log10)), zero-filled 1-9 spine, integer
     // deviation of two nano-rounded shares ----
@@ -2545,6 +2561,64 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // micro-unit log points then exact sums; the normal-equation
+    // products move to doubles (n·Σxy overflows longs at k≈10³)
+    "q_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(coalesce(text, ''), ' +'),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents
+        |), f AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS f FROM tok
+        |  GROUP BY 1 ORDER BY f DESC, tok LIMIT 500
+        |), pts AS (
+        |  SELECT
+        |    CAST(round(1e6 * ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE))) AS BIGINT) AS x,
+        |    CAST(round(1e6 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS y
+        |  FROM f
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx
+        |  FROM pts
+        |)
+        |SELECT n_tokens,
+        |  CASE WHEN (CAST(n_tokens AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0 THEN NULL
+        |  ELSE CAST(round((1e9 * (CAST(n_tokens AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |                          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+        |    (CAST(n_tokens AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT) END AS slope_nano
+        |FROM s""".stripMargin,
+
+    // the q_incr_neardup shingle conventions; distinct hashes per
+    // source, one hash self-join, Jaccard in one mirrored division
+    "q_source_overlap" ->
+      """WITH tok AS (
+        |  SELECT source, string_split_regex(text, ' +') AS toks
+        |  FROM documents WHERE source IS NOT NULL
+        |), sh AS (
+        |  SELECT source, unnest(list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2]))) AS g
+        |  FROM tok
+        |), hs AS (
+        |  SELECT DISTINCT source AS src,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+        |  FROM sh
+        |), sizes AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM hs GROUP BY 1
+        |), common AS (
+        |  SELECT a.src AS a, b.src AS b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src GROUP BY 1, 2
+        |)
+        |SELECT common.a, common.b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_common,
+        |  CAST(round(1e9 * CAST(n_common AS DOUBLE) /
+        |    CAST(n_a + n_b - n_common AS DOUBLE)) AS BIGINT) AS jaccard_nano
+        |FROM common
+        |JOIN sizes sa ON sa.src = common.a
+        |JOIN sizes sb ON sb.src = common.b
         |ORDER BY 1, 2""".stripMargin,
 
     // generate_series spine, string-head digit, mirrored log10 and

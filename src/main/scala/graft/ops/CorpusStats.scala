@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level health statistics: the Zipf rank-frequency exponent
+  * and pairwise source overlap — the two numbers a curation run
+  * reads to answer "does this corpus look like natural language"
+  * and "are my sources secretly the same crawl".
+  *
+  * Determinism: both follow the nano-rounding ladder — logs and
+  * divisions are single mirrored expressions over exact integers,
+  * rounded to fixed-point longs BEFORE any summation, so totals are
+  * order-free. Zipf's regression sums use MICRO units (10⁶): two
+  * micro factors multiply to 10¹² per term, keeping thousands of
+  * summed terms far under 2⁶³ (nano factors would overflow at ~10
+  * terms).
+  */
+object CorpusStats {
+
+  /** Least-squares slope of ln(freq) on ln(rank) over the top-k
+    * tokens — natural text sits near −1 (Zipf); machine-generated
+    * or template-heavy corpora drift flat (head too even) or steep
+    * (vocabulary collapse). Output one row: n_tokens (the k actually
+    * available), slope_nano.
+    *
+    *   x = round(10⁶·ln rank), y = round(10⁶·ln freq)  (exact longs)
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx·Σx)       (one division)
+    *
+    * Ranks come from the (freq DESC, token ASC) total order over the
+    * top-k frame — k rows, so the rank window is bounded by the
+    * parameter, not the vocabulary. The corpus-sized work is one
+    * token-count hash aggregate + a TakeOrderedAndProject top-k. */
+  def zipfSlope(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"zipfSlope: need k >= 2 points, got $k")
+    val toks = docs.select(explode(
+        filter(graft.functions.TextFunctions.tokens(coalesce(col(textCol), lit(""))),
+          t => length(t) > 0)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok"))
+      .limit(k)
+    // k rows: the rank window is parameter-bounded (single partition
+    // of <= k rows, same contract as Skyline's bucket frame)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("tok"))
+    val pts = toks
+      .withColumn("r", row_number().over(w).cast("long"))
+      .select(
+        round(lit(1e6) * log(col("r").cast("double"))).cast("long").as("x"),
+        round(lit(1e6) * log(col("f").cast("double"))).cast("long").as("y"))
+    val s = pts.agg(count(lit(1)).as("n_tokens"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    // the normal-equation PRODUCTS move to doubles: n·Σxy overflows
+    // longs at k ≈ 10³ (Σxy itself stays an exact long; each double
+    // product is one correctly-rounded op, mirrored in the oracle)
+    val m = col("n_tokens").cast("double")
+    val num = m * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val den = m * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    s.select(col("n_tokens"),
+      when(den === 0.0, lit(null).cast("long"))
+        .otherwise(round(lit(1e9) * num / den).cast("long"))
+        .as("slope_nano"))
+  }
+
+  /** Pairwise exact shingle-set Jaccard between corpus sources — the
+    * "are these two crawls the same content" report. Each source
+    * collapses to its DISTINCT n-gram hash set (one aggregate; longs
+    * only, text never shuffles); intersections come from one
+    * self-equi-join on the hash, sizes from the same frame. Output
+    * per unordered source pair (a < b): n_a, n_b, n_common,
+    * jaccard_nano. Pair count is |sources|² — a metadata-sized
+    * frame; the data-sized work is the one distinct aggregate. */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val sh = docs
+      .where(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("src"), explode(
+        graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("g"))
+      .select(col("src"), graft.plans.Hash60.hash60(col("g")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("src").as("a"), col("h"))
+      .join(sh.select(col("src").as("b"), col("h")), Seq("h"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("src").as("a"), col("n_sh").as("n_a")), Seq("a"))
+      .join(sizes.select(col("src").as("b"), col("n_sh").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_common"),
+        round(lit(1e9) * col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .cast("long").as("jaccard_nano"))
+  }
+}
