@@ -78,6 +78,36 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- A/B reading: user_id parity as the variant, any purchase
+    // as conversion; 2x2 counts, lift, closed-form chi-square ----
+    "q_ab_test" -> ((s, dir) => {
+      val users = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+        .select((col("user_id") % 2).as("variant"), col("conv"))
+      graft.ops.Experiment.abTest(users, "variant", "conv")
+    }),
+
+    // ---- Kaplan-Meier time-to-purchase (hours), censored at the
+    // user's last observed event: log-space survival as order-free
+    // nano sums over the duration histogram ----
+    "q_kaplan_meier" -> ((s, dir) => {
+      val per = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+          max(col("ts")).as("tl"))
+        .select(
+          (unix_micros(coalesce(col("tp"), col("tl"))) - unix_micros(col("t0")))
+            .as("__us"),
+          col("tp").isNotNull.cast("long").as("event"))
+        // integer div, not double / + cast: a correctly-rounded double
+        // quotient can land ON the next integer and mis-bucket an hour
+        .select(expr("__us div 3600000000").as("dur_hours"), col("event"))
+      graft.ops.Survival.kaplanMeier(per, "dur_hours", "event")
+        .orderBy(col("t"))
+    }),
+
     // ---- Zipf rank-frequency slope over the top-500 tokens: micro
     // log points, exact integer regression sums, one mirrored
     // normal-equation division ----
@@ -2562,6 +2592,76 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // 2x2 counts exact; lift and the closed-form chi-square each one
+    // mirrored double tree
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS v,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN v = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN v = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN v = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN v = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u
+        |)
+        |SELECT a + b AS n_control, c + d AS n_treatment,
+        |  b AS conv_control, d AS conv_treatment,
+        |  CASE WHEN a + b = 0 OR c + d = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (CAST(d AS DOUBLE) / (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) -
+        |      CAST(b AS DOUBLE) / (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)))) AS BIGINT) END AS lift_nano,
+        |  CASE WHEN (CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) *
+        |            (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)) = 0 THEN NULL
+        |    ELSE CAST(round(1e9 *
+        |      (CAST(a AS DOUBLE) + CAST(b AS DOUBLE) + CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) *
+        |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+        |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) /
+        |      ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE)) * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE)) *
+        |       (CAST(a AS DOUBLE) + CAST(c AS DOUBLE)) * (CAST(b AS DOUBLE) + CAST(d AS DOUBLE)))) AS BIGINT)
+        |  END AS chi2_nano
+        |FROM c""".stripMargin,
+
+    // the KM product as order-free log-space nano sums; the
+    // cumulative runs over the duration HISTOGRAM (the ks-drift
+    // contract), at-risk by prefix subtraction
+    "q_kaplan_meier" ->
+      """WITH per AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS tp,
+        |    max(CAST(ts AS TIMESTAMP)) AS tl
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), d AS (
+        |  SELECT (epoch_us(coalesce(tp, tl)) - epoch_us(t0)) // 3600000000 AS t,
+        |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+        |  FROM per
+        |), hist AS (
+        |  SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+        |    CAST(sum(1 - e) AS BIGINT) AS n_censored
+        |  FROM d GROUP BY 1
+        |), risk AS (
+        |  SELECT t, n_events, n_censored,
+        |    CAST(sum(n_events + n_censored) OVER () -
+        |      coalesce(sum(n_events + n_censored) OVER (
+        |        ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM hist
+        |), step AS (
+        |  SELECT t, n_risk, n_events, n_censored,
+        |    CASE WHEN n_events = 0 THEN 0
+        |         WHEN n_events = n_risk THEN NULL
+        |         ELSE CAST(round(1e9 * ln(1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE))) AS BIGINT)
+        |    END AS l
+        |  FROM risk
+        |)
+        |SELECT t, n_risk, n_events, n_censored,
+        |  CASE WHEN max(CASE WHEN l IS NULL THEN 1 ELSE 0 END) OVER (
+        |         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN NULL
+        |       ELSE CAST(sum(l) OVER (
+        |         ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  END AS log_s_nano
+        |FROM step ORDER BY t""".stripMargin,
 
     // micro-unit log points then exact sums; the normal-equation
     // products move to doubles (n·Σxy overflows longs at k≈10³)
