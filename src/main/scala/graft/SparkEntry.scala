@@ -78,6 +78,44 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- interval×interval overlap join: per-(user, day) activity
+    // spans × 1-hour error windows, bucketed equi-join with
+    // meeting-bucket exactly-once emission; per-incident exposure ----
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val act = ev
+        .groupBy(col("user_id"), to_date(col("ts")))
+        .agg(min(unix_micros(col("ts"))).as("a_start"),
+          (max(unix_micros(col("ts"))) + 1).as("a_end"))
+        .select(col("user_id"), col("a_start"), col("a_end"))
+      val inc = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          unix_micros(col("ts")).as("b_start"),
+          (unix_micros(col("ts")) + 3600000000L).as("b_end"))
+      graft.ops.Joins.intervalOverlapJoin(act, inc,
+          "a_start", "a_end", "b_start", "b_end", bucketWidth = 3600000000L)
+        .groupBy(col("error_id"))
+        .agg(count(lit(1)).as("n_active_intervals"),
+          sum(col("overlap_end") - col("overlap_start")).as("overlap_us"))
+        .orderBy(col("error_id"))
+    }),
+
+    // ---- CUPED variance reduction: pre-period click spend adjusts
+    // the post-period purchase spend; θ and both lifts fold from
+    // exact integer moment sums ----
+    "q_cuped" -> ((s, dir) => {
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      val users = Tables.events(s, dir).where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "click" && col("ts") < cut,
+            round(col("value") * 100).cast("long"))), lit(0L)).as("pre"),
+          coalesce(sum(when(col("event_type") === "purchase" && col("ts") >= cut,
+            round(col("value") * 100).cast("long"))), lit(0L)).as("post"))
+        .select((col("user_id") % 2).as("variant"), col("pre"), col("post"))
+      graft.ops.Experiment.cuped(users, "variant", "pre", "post")
+    }),
+
     // ---- A/B reading: user_id parity as the variant, any purchase
     // as conversion; 2x2 counts, lift, closed-form chi-square ----
     "q_ab_test" -> ((s, dir) => {
@@ -2592,6 +2630,72 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the oracle is the BRUTE overlap join (the bucketed machinery
+    // is engine-side; JoinsSpec proves its exactly-once parity)
+    "q_interval_join" ->
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE user_id IS NOT NULL
+        |), act AS (
+        |  SELECT user_id,
+        |    CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) + 1 AS BIGINT) AS e
+        |  FROM ev GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |), inc AS (
+        |  SELECT event_id AS error_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS bs,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS BIGINT) AS be
+        |  FROM ev WHERE event_type = 'error'
+        |)
+        |SELECT error_id, CAST(count(*) AS BIGINT) AS n_active_intervals,
+        |  CAST(sum(least(e, be) - greatest(s, bs)) AS BIGINT) AS overlap_us
+        |FROM act JOIN inc ON s < be AND bs < e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // θ = (nΣxy − ΣxΣy)/(nΣxx − Σx²), lifts from per-variant sums;
+    // every tree mirrored over exact integer moments
+    "q_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id % 2 AS v,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |      AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        |), m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN v = 0 THEN x ELSE 0 END) AS BIGINT) AS sxc,
+        |    CAST(sum(CASE WHEN v = 0 THEN y ELSE 0 END) AS BIGINT) AS syc,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |    CAST(sum(CASE WHEN v = 1 THEN x ELSE 0 END) AS BIGINT) AS sxt,
+        |    CAST(sum(CASE WHEN v = 1 THEN y ELSE 0 END) AS BIGINT) AS syt
+        |  FROM u
+        |)
+        |SELECT nc AS n_control, nt AS n_treatment,
+        |  CASE WHEN nc = 0 OR nt = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) -
+        |      CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT) END AS lift_nano,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+        |         OR nc = 0 OR nt = 0 THEN NULL
+        |    ELSE CAST(round(1e9 *
+        |      ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))) AS BIGINT) END AS theta_nano,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+        |         OR nc = 0 OR nt = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * ((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE) -
+        |        CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)) -
+        |      ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+        |      (CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) -
+        |       CAST(sxc AS DOUBLE) / CAST(nc AS DOUBLE)))) AS BIGINT) END AS cuped_lift_nano
+        |FROM m""".stripMargin,
 
     // 2x2 counts exact; lift and the closed-form chi-square each one
     // mirrored double tree

@@ -136,4 +136,57 @@ object Joins {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval OVERLAP join — "which A ranges intersect
+    * which B ranges" (sessions × incidents, validity windows ×
+    * maintenance windows) — as a bucketed EQUI-join, the
+    * `rangeJoinByBucket` construction on both sides: each half-open
+    * [start, end) interval replicates to the buckets it covers, pairs
+    * meet on the bucket key, and the exact predicate
+    * `aStart < bEnd && bStart < aEnd` post-filters.
+    *
+    * Exactly-once emission without a distinct: an overlapping pair
+    * is live in every shared bucket, so only the MEETING bucket —
+    * the bucket of max(aStart, bStart), the first where both are
+    * live (which both sides provably cover: it holds the later
+    * interval's start, and the earlier interval spans it since its
+    * end > later start lands in or beyond it) — emits the pair.
+    *
+    * Same loud replication cap as `rangeJoinByBucket` on BOTH sides
+    * (an open-ended sentinel interval would otherwise replicate to
+    * every bucket of the domain). Column names of `a` and `b` must
+    * be disjoint (loud). Output: a's columns ++ b's columns ++
+    * overlap_start/overlap_end (the intersection).
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          bucketWidth: Long,
+                          maxReplication: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxReplication > 0, "maxReplication must be positive")
+    val clash = a.columns.toSet.intersect(b.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalOverlapJoin: column name collision between sides: $clash")
+    require(!(a.columns ++ b.columns).exists(_.startsWith("__")),
+      "intervalOverlapJoin reserves the __-prefixed namespace")
+    def spread(df: DataFrame, s: String, e: String): DataFrame = {
+      val first = floor(col(s) / bucketWidth)
+      val last = floor((col(e) - 1) / bucketWidth)
+      df.where(col(e) > col(s))
+        .withColumn("__bucket",
+          explode(when(last - first >= maxReplication,
+            raise_error(concat(
+              lit(s"intervalOverlapJoin: interval spans more than $maxReplication buckets "),
+              lit(s"of width $bucketWidth: ["), col(s).cast("string"),
+              lit(", "), col(e).cast("string"), lit(")"))).cast("array<bigint>"))
+            .otherwise(sequence(first, last))))
+    }
+    spread(a, aStart, aEnd).join(spread(b, bStart, bEnd), Seq("__bucket"))
+      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        col("__bucket") === floor(greatest(col(aStart), col(bStart)) / bucketWidth))
+      .drop("__bucket")
+      .withColumn("overlap_start", greatest(col(aStart), col(bStart)))
+      .withColumn("overlap_end", least(col(aEnd), col(bEnd)))
+  }
 }

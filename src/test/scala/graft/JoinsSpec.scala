@@ -113,4 +113,39 @@ class JoinsSpec extends SparkSpec {
     }
     assert(allMessages(e).contains("duplicate (key, t, quote_id)"), allMessages(e))
   }
+
+  test("intervalOverlapJoin: exactly-once pairs equal to brute force") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 50L), (2L, 40L, 60L), (3L, 100L, 101L))
+      .toDF("aid", "a_start", "a_end")
+    val b = Seq((10L, 45L, 55L), (20L, 49L, 120L), (30L, 200L, 210L))
+      .toDF("bid", "b_start", "b_end")
+    val got = graft.ops.Joins.intervalOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", bucketWidth = 7L)
+      .select("aid", "bid", "overlap_start", "overlap_end")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // brute force
+    val av = Seq((1L, 0L, 50L), (2L, 40L, 60L), (3L, 100L, 101L))
+    val bv = Seq((10L, 45L, 55L), (20L, 49L, 120L), (30L, 200L, 210L))
+    val brute = for {
+      (ai, as_, ae) <- av; (bi, bs, be) <- bv
+      if as_ < be && bs < ae
+    } yield (ai, bi, math.max(as_, bs), math.min(ae, be))
+    assert(got.sorted == brute.sorted)
+    assert(got.size == got.distinct.size) // exactly once, no dup buckets
+  }
+
+  test("intervalOverlapJoin: bucket-width invariance and guards") {
+    import spark.implicits._
+    val a = (1L to 40L).map(i => (i, i * 3, i * 3 + 10)).toDF("aid", "a_start", "a_end")
+    val b = (1L to 40L).map(i => (i + 100, i * 5, i * 5 + 4)).toDF("bid", "b_start", "b_end")
+    def run(w: Long) = graft.ops.Joins.intervalOverlapJoin(a, b,
+        "a_start", "a_end", "b_start", "b_end", w)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(run(3L) == run(50L))
+    intercept[IllegalArgumentException] {
+      graft.ops.Joins.intervalOverlapJoin(a,
+        b.withColumnRenamed("bid", "aid"), "a_start", "a_end", "b_start", "b_end", 5L)
+    }
+  }
 }

@@ -52,4 +52,23 @@ class SurvivalSpec extends SparkSpec {
       Experiment.abTest(Seq((2L, 1L)).toDF("v", "y"), "v", "y").collect()
     }
   }
+
+  test("cuped: a perfectly pre-explained difference adjusts to zero") {
+    // post = 2 * pre exactly; treatment got bigger PRE draws, so raw
+    // lift is non-zero but cuped lift must vanish (theta = 2)
+    val rows = Seq((0L, 10L, 20L), (0L, 20L, 40L), (1L, 30L, 60L), (1L, 40L, 80L))
+    val got = Experiment.cuped(rows.toDF("v", "x", "y"), "v", "x", "y")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(got._3.get > 0)             // raw lift 40
+    assert(got._4 == Some(2000000000L)) // theta exactly 2
+    assert(got._5 == Some(0L))          // adjusted lift exactly 0
+  }
+
+  test("cuped: zero pre-variance yields NULL theta and adjusted lift") {
+    val rows = Seq((0L, 5L, 1L), (1L, 5L, 9L))
+    val got = Experiment.cuped(rows.toDF("v", "x", "y"), "v", "x", "y")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].head()
+    assert(got._3 == Some(8000000000L))
+    assert(got._4.isEmpty && got._5.isEmpty)
+  }
 }
