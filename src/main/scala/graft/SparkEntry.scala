@@ -78,6 +78,30 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Holt level+trend smoothing (alpha = beta = 1/2) per user:
+    // two-state integer recurrence, floor shifts both signs ----
+    "q_holt" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Smoothing.holtTrace(ev, "user_id", "ts", "event_id", "cents")
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ---- rendezvous (HRW) shard routing: argmax of 16 keyed
+    // hashes — minimal-disruption resharding vs modulo; per-shard
+    // population + id envelope as the balance check ----
+    "q_rendezvous" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.Sampling.rendezvousShard(col("doc_id"), k = 16).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("shard"))
+    }),
+
     // ---- interval×interval overlap join: per-(user, day) activity
     // spans × 1-hour error windows, bucketed equi-join with
     // meeting-bucket exactly-once emission; per-incident exposure ----
@@ -2630,6 +2654,49 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // the two-state recurrence inlines l's formula into b's. The
+    // halving is a FLOOR for both signs (Spark's arithmetic shift);
+    // DuckDB's // truncates toward zero, so negatives subtract 1
+    // first — (x−1)//2 is floor(x/2) for x < 0
+    "q_holt" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, rn, v, v AS l, CAST(0 AS BIGINT) AS b FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.v,
+        |    CASE WHEN e.v + r.l + r.b < 0 THEN (e.v + r.l + r.b - 1) // 2
+        |         ELSE (e.v + r.l + r.b) // 2 END,
+        |    CASE WHEN (CASE WHEN e.v + r.l + r.b < 0 THEN (e.v + r.l + r.b - 1) // 2
+        |                    ELSE (e.v + r.l + r.b) // 2 END) - r.l + r.b < 0
+        |      THEN ((CASE WHEN e.v + r.l + r.b < 0 THEN (e.v + r.l + r.b - 1) // 2
+        |                  ELSE (e.v + r.l + r.b) // 2 END) - r.l + r.b - 1) // 2
+        |      ELSE ((CASE WHEN e.v + r.l + r.b < 0 THEN (e.v + r.l + r.b - 1) // 2
+        |                  ELSE (e.v + r.l + r.b) // 2 END) - r.l + r.b) // 2 END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, rn, v, l AS level, b AS trend FROM r
+        |ORDER BY user_id, rn""".stripMargin,
+
+    // the same 16 keyed md5 hashes; argmax = first position of the
+    // list max, identical tie rule
+    "q_rendezvous" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CAST(list_position(l, list_max(l)) - 1 AS INT) AS shard
+        |  FROM (
+        |    SELECT doc_id, list_transform(range(0, 16), s ->
+        |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(s AS VARCHAR))), 1, 15)) AS BIGINT)) AS l
+        |    FROM documents)
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle is the BRUTE overlap join (the bucketed machinery
     // is engine-side; JoinsSpec proves its exactly-once parity)

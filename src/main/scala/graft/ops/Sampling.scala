@@ -44,6 +44,24 @@ object Sampling {
     pmod(graft.plans.Hash60.hash60(key.cast("string")), lit(buckets.toLong))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): shard = argmax over s of hash(key ":" s) —
+    * the routing hash with MINIMAL-DISRUPTION resharding, unlike
+    * `hashBucket`'s modulo: removing one shard moves ONLY that
+    * shard's keys (their argmax falls to their second-highest),
+    * while `pmod(h, k±1)` reshuffles nearly everything. Use it to
+    * pin documents/users to processing shards that must survive
+    * cluster resizes. Pure per-row expression, k hashes inside one
+    * codegen span; same portable-key contract as [[hashBucket]].
+    * Ties (2⁻⁶⁰ likely) break to the FIRST max position — the same
+    * rule in both engines. */
+  def rendezvousShard(key: Column, k: Int): Column = {
+    require(k >= 1, s"rendezvousShard: k must be >= 1, got $k")
+    val hashes = array((0 until k).map(s =>
+      graft.plans.Hash60.hash60(concat(key.cast("string"), lit(s":$s")))): _*)
+    (array_position(hashes, array_max(hashes)) - 1).cast("int")
+  }
+
   /** Cross-engine-reproducible key types: integral or string. */
   private[ops] def requirePortableKey(df: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types._

@@ -101,6 +101,69 @@ object Smoothing {
         col("col.__s").as("ewma"))
   }
 
+  /** Holt double-exponential smoothing (level + trend), α = β = ½,
+    * in exact integers:
+    *
+    *   l_1 = v_1, b_1 = 0
+    *   l_i = (v_i + l_{i−1} + b_{i−1}) >> 1
+    *   b_i = (l_i − l_{i−1} + b_{i−1}) >> 1
+    *
+    * — the trend-aware big sibling of [[ewmaTrace]]: a plain EWMA
+    * lags a ramping series forever; Holt's trend term closes the
+    * gap, and `l + b` is the classic one-step-ahead forecast.
+    *
+    * Negative values and trends are FINE here (unlike ewmaTrace's
+    * general-alpha contract): the recurrence semantic is FLOOR
+    * halving (arithmetic shift) for both signs. Engines disagree on
+    * negative integer division — DuckDB's `//` truncates toward
+    * zero — so the oracle spells the floor explicitly
+    * ((x−1)//2 when x < 0); the q_holt gate pins that both
+    * renderings are the same function. Same sorted-fold + loud cap
+    * contract as the siblings.
+    *
+    * Output: keyCol, rn, v, level, trend.
+    */
+  def holtTrace(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                valCol: String, maxSeqLen: Int = 1 << 20): DataFrame = {
+    require(maxSeqLen > 0, "holtTrace: maxSeqLen must be positive")
+    val e = struct(col(tsCol).as("ts"), col(tieCol).as("tie"),
+      when(col(valCol).isNull, raise_error(concat(
+          lit(s"holtTrace: NULL $valCol for key "), col(keyCol).cast("string"),
+          lit(" — a skipped step would silently shift the whole trace"))))
+        .otherwise(col(valCol)).cast("long").as("v"))
+    val grouped = df
+      .select(col(keyCol), e.as("seq"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("seq"))).as("seq"))
+      .withColumn("seq",
+        when(size(col("seq")) > maxSeqLen, raise_error(concat(
+          lit(s"holtTrace: key "), col(keyCol).cast("string"),
+          lit(s" has "), size(col("seq")).cast("string"),
+          lit(s" events > maxSeqLen=$maxSeqLen — raise the cap or pre-bucket the history"))))
+        .otherwise(col("seq")))
+    val fold: Column = aggregate(
+      col("seq"),
+      typedLit(Seq.empty[(Long, Long)]).cast("array<struct<l:bigint,b:bigint>>"),
+      (acc, el) => {
+        val prev = element_at(acc, -1)
+        val l = when(size(acc) === 0, el.getField("v"))
+          .otherwise(shiftright(
+            el.getField("v") + prev.getField("l") + prev.getField("b"), 1))
+        val b = when(size(acc) === 0, lit(0L))
+          .otherwise(shiftright(
+            l - prev.getField("l") + prev.getField("b"), 1))
+        concat(acc, array(struct(l.as("l"), b.as("b"))))
+      })
+    grouped
+      .withColumn("__s", fold)
+      .select(col(keyCol), posexplode(arrays_zip(col("seq"), col("__s"))))
+      .select(col(keyCol),
+        (col("pos") + 1).cast("long").as("rn"),
+        col("col.seq.v").as("v"),
+        col("col.__s.l").as("level"),
+        col("col.__s.b").as("trend"))
+  }
+
   /** One-sided upper CUSUM change-point trace (Page 1954): per key in
     * event order,
     *

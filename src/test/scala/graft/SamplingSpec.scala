@@ -182,4 +182,20 @@ class SamplingSpec extends SparkSpec {
     assert(simple.where($"id".isNull && $"sel_rank" === 1).count() == 2L)
     assert(pruned.where($"id".isNull && $"sel_rank" === 1).count() == 2L)
   }
+
+  test("rendezvousShard: stable under resharding except the removed shard's keys") {
+    import spark.implicits._
+    val keys = (1L to 400L).toDF("k")
+    val s16 = keys.select($"k", graft.ops.Sampling.rendezvousShard($"k", 16).as("s"))
+      .as[(Long, Int)].collect().toMap
+    val s15 = keys.select($"k", graft.ops.Sampling.rendezvousShard($"k", 15).as("s"))
+      .as[(Long, Int)].collect().toMap
+    // shards 0..14: keys not on shard 15 keep their assignment
+    val moved = s16.count { case (k, s) => s != 15 && s15(k) != s }
+    assert(moved == 0, s"$moved keys moved despite their shard surviving")
+    // every reassigned key came from the removed shard
+    assert(s16.filter(_._2 == 15).keys.forall(k => s15(k) != 15))
+    // rough balance: no empty shard across 400 keys
+    assert(s16.values.toSet.size == 16)
+  }
 }

@@ -86,4 +86,24 @@ class SmoothingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("overflow") || e.getCause != null)
   }
+
+  test("holtTrace: hand two-state recurrence including negative trend") {
+    // v: 100, 60, 20 -> l1=100,b1=0; l2=(60+100+0)>>1=80, b2=(80-100+0)>>1=-10
+    // l3=(20+80-10)>>1=45, b3=(45-80-10)>>1=floor(-45/2)=-23
+    val df = Seq((1L, ts(1), 1L, 100L), (1L, ts(2), 2L, 60L), (1L, ts(3), 3L, 20L))
+      .toDF("k", "ts", "tie", "v")
+    val got = graft.ops.Smoothing.holtTrace(df, "k", "ts", "tie", "v")
+      .orderBy("rn").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._4, r._5)) == Seq((100L, 0L), (80L, -10L), (45L, -23L)))
+  }
+
+  test("holtTrace tracks a perfect ramp with converging trend") {
+    // steady +10 ramp: trend should home in near 10 and level near v
+    val df = (1L to 12L).map(i => (1L, ts(i.toInt), i, 100L + 10L * i))
+      .toDF("k", "ts", "tie", "v")
+    val last = graft.ops.Smoothing.holtTrace(df, "k", "ts", "tie", "v")
+      .orderBy("rn").as[(Long, Long, Long, Long, Long)].collect().last
+    assert(math.abs(last._5 - 10L) <= 3, last)   // trend near +10
+    assert(math.abs(last._4 - last._3) <= 15, last) // level near value
+  }
 }
