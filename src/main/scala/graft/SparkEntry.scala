@@ -78,6 +78,15 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- class separability: pairwise centroid distances over the
+    // labeled embeddings — cross-scaled integer sums, one division;
+    // the (label, dim) cell shuffle never carries vectors ----
+    "q_class_sep" -> ((s, dir) => {
+      graft.operators.ClassSep.centroidDistances(
+          Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label_a"), col("label_b"))
+    }),
+
     // ---- Holt level+trend smoothing (alpha = beta = 1/2) per user:
     // two-state integer recurrence, floor shifts both signs ----
     "q_holt" -> ((s, dir) => {
@@ -2653,6 +2662,32 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // ||s_a·n_b − s_b·n_a||² exact integer fold, then the two
+    // mirrored divisions by (n_a·n_b)
+    "q_class_sep" ->
+      """WITH q AS (
+        |  SELECT label, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |), cells AS (
+        |  SELECT label AS lab, i, CAST(sum(v[i]) AS BIGINT) AS s
+        |  FROM q, unnest(range(1, len(v)+1)) AS u(i)
+        |  GROUP BY 1, 2
+        |), sums AS (
+        |  SELECT lab, array_agg(s ORDER BY i) AS sv FROM cells GROUP BY 1
+        |), counts AS (
+        |  SELECT label AS lab, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1
+        |), c AS (
+        |  SELECT sums.lab, sv, n FROM sums JOIN counts USING (lab)
+        |)
+        |SELECT CAST(a.lab AS BIGINT) AS label_a, CAST(b.lab AS BIGINT) AS label_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  CAST(round(1e9 * CAST(list_sum(list_transform(range(1, len(a.sv)+1),
+        |      i -> (a.sv[i]*b.n - b.sv[i]*a.n) * (a.sv[i]*b.n - b.sv[i]*a.n))) AS DOUBLE) /
+        |    CAST(a.n * b.n AS DOUBLE) / CAST(a.n * b.n AS DOUBLE)) AS BIGINT) AS dist2_nano
+        |FROM c a JOIN c b ON a.lab < b.lab
         |ORDER BY 1, 2""".stripMargin,
 
     // the two-state recurrence inlines l's formula into b's. The
