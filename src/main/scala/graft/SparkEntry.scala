@@ -78,6 +78,33 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Flesch readability battery: exact word/sentence/syllable
+    // counts (vowel-group heuristic), one mirrored formula ----
+    "q_readability" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.readability(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+          col("r.n_syllables"), col("r.flesch_nano"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- 7-day rolling click/purchase correlation over the daily
+    // volume frame: six exact window sums, one Pearson tree ----
+    "q_rolling_corr" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .where(col("value").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          coalesce(sum(when(col("event_type") === "click",
+            round(col("value") * 100).cast("long"))), lit(0L)).as("click_cents"),
+          coalesce(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long"))), lit(0L)).as("purchase_cents"))
+      graft.ops.Association.rollingCorrelation(daily, "day",
+          "click_cents", "purchase_cents", windowRows = 7)
+        .orderBy(col("day"))
+    }),
+
     // ---- class separability: pairwise centroid distances over the
     // labeled embeddings — cross-scaled integer sums, one division;
     // the (label, dim) cell shuffle never carries vectors ----
@@ -2663,6 +2690,59 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // same [aeiouy]+ groups, vowel-less word floor, [.!?]+ sentence
+    // runs floored at 1, mirrored Flesch tree
+    "q_readability" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(coalesce(text, ''), ' +'),
+        |      t -> len(t) > 0)) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(coalesce(text, ''), '[aeiouy]+')) +
+        |      len(list_filter(string_split_regex(coalesce(text, ''), ' +'),
+        |        t -> len(t) > 0 AND NOT regexp_matches(t, '[aeiouy]'))) AS BIGINT) AS y,
+        |    GREATEST(CAST(1 AS BIGINT),
+        |      CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS BIGINT)) AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+        |  CASE WHEN w = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (206.835 -
+        |      1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE)) -
+        |      84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE)))) AS BIGINT) END AS flesch_nano
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // identical trailing-7-row window sums, mirrored Pearson tree
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS x,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), win AS (
+        |  SELECT day,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_rows,
+        |    CAST(sum(x) OVER w AS BIGINT) AS sx, CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(x*y) OVER w AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) OVER w AS BIGINT) AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT day, n_rows,
+        |  CASE WHEN (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |             CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) = 0
+        |         OR (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |             CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 THEN NULL
+        |    ELSE CAST(round((1e9 * (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+        |      sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |           (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |            CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS BIGINT) END AS r_nano
+        |FROM win ORDER BY day""".stripMargin,
 
     // ||s_a·n_b − s_b·n_a||² exact integer fold, then the two
     // mirrored divisions by (n_a·n_b)

@@ -132,4 +132,31 @@ object TextFunctions {
     val punctScore = lit(1.0) - least(punctRatio * 4.0, lit(1.0))
     lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.3
   }
+
+  /** Readability battery (Flesch reading ease on the standard
+    * vowel-group syllable heuristic): words = nonempty " +" tokens,
+    * syllables = vowel-group runs [aeiouy]+ across the text (groups
+    * cannot span a space, so the whole-text count equals the
+    * per-word sum) plus one for each vowel-less word (every word
+    * counts at least one syllable), sentences = [.!?]+ runs floored
+    * at 1. All three are exact integers;
+    * flesch = 206.835 − 1.015·(W/S) − 84.6·(Y/W) is one mirrored
+    * double tree (NULL for word-less text). Pure per-row map. */
+  def readability(text: Column): Column = {
+    val words = filter(tokens(coalesce(text, lit(""))), t => length(t) > 0)
+    val w = size(words).cast("long")
+    val vowelGroups = size(regexp_extract_all(coalesce(text, lit("")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val voiceless = size(filter(words, t => !t.rlike("[aeiouy]"))).cast("long")
+    val y = vowelGroups + voiceless
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(coalesce(text, lit("")), lit("[.!?]+"), lit(0))).cast("long"))
+    struct(w.as("n_words"), s.as("n_sentences"), y.as("n_syllables"),
+      when(w === 0, lit(null).cast("long"))
+        .otherwise(round(lit(1e9) * (lit(206.835) -
+          lit(1.015) * (w.cast("double") / s.cast("double")) -
+          lit(84.6) * (y.cast("double") / w.cast("double"))))
+          .cast("long"))
+        .as("flesch_nano"))
+  }
 }

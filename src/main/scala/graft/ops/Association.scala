@@ -35,6 +35,43 @@ import org.apache.spark.sql.functions._
   */
 object Association {
 
+  /** Rolling Pearson correlation between two exact-integer daily
+    * series over a trailing window of `windowRows` rows — the
+    * co-movement monitor ("do clicks still predict purchases this
+    * week?"). All six moment sums are window sums of exact integers
+    * (order-free); r is ONE mirrored double tree per row, NULL when
+    * either variance is zero in the window. The window runs over
+    * the per-key frame (one row per key — the histogram contract:
+    * bounded by distinct keys, never by events). Product sums bound
+    * ≈ 2⁶² for cent-scale daily volumes; DECIMAL past that.
+    *
+    * Output per key: keyCol, n_rows (window population), r_nano. */
+  def rollingCorrelation(df: DataFrame, keyCol: String, xCol: String,
+                         yCol: String, windowRows: Int): DataFrame = {
+    require(windowRows >= 2, s"rollingCorrelation: windowRows must be >= 2, got $windowRows")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(keyCol))
+      .rowsBetween(-(windowRows - 1), 0)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = df.select(col(keyCol), x.as("__x"), y.as("__y"))
+      .withColumn("n_rows", count(lit(1)).over(w))
+      .withColumn("__sx", sum(col("__x")).over(w))
+      .withColumn("__sy", sum(col("__y")).over(w))
+      .withColumn("__sxy", sum(col("__x") * col("__y")).over(w))
+      .withColumn("__sxx", sum(col("__x") * col("__x")).over(w))
+      .withColumn("__syy", sum(col("__y") * col("__y")).over(w))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n_rows")
+    val cov = n * d("__sxy") - d("__sx") * d("__sy")
+    val vx = n * d("__sxx") - d("__sx") * d("__sx")
+    val vy = n * d("__syy") - d("__sy") * d("__sy")
+    base.select(col(keyCol), col("n_rows"),
+      when(vx === 0.0 || vy === 0.0, lit(null).cast("long"))
+        .otherwise(round(lit(1e9) * cov / sqrt(vx * vy)).cast("long"))
+        .as("r_nano"))
+  }
+
   def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val cells = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)

@@ -36,4 +36,18 @@ class AssociationSpec extends SparkSpec {
     def toMap2: Map[(String, String), (Long, Long)] =
       rows.map { case (x, y, n, mi) => (x, y) -> ((n, mi)) }.toMap
   }
+
+  test("rollingCorrelation: perfect linear windows give +1/-1, flat gives NULL") {
+    val df = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 6L),   // y = 2x -> r = 1
+      (4L, 4L, 1L), (5L, 5L, 0L)).toDF("k", "x", "y")
+    val got = Association.rollingCorrelation(df, "k", "x", "y", windowRows = 3)
+      .orderBy("k").as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got(0)._3.isEmpty)                   // single point: zero variance
+    assert(got(2)._3 == Some(1000000000L))      // window {1,2,3}: exact +1
+    assert(got(4)._3.get < -800000000L)         // window {3,4,5}: y falls (6,1,0) -> strongly negative
+    val flat = Seq((1L, 5L, 9L), (2L, 5L, 9L), (3L, 5L, 9L)).toDF("k", "x", "y")
+    val g2 = Association.rollingCorrelation(flat, "k", "x", "y", 3)
+      .orderBy("k").as[(Long, Long, Option[Long])].collect()
+    assert(g2.forall(_._3.isEmpty))
+  }
 }
