@@ -78,6 +78,28 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- Gini coefficient of per-user spend: exact global ranks
+    // (no single-task window), one mirrored tree ----
+    "q_gini" -> ((s, dir) => {
+      val spend = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      graft.ops.Inequality.gini(spend, "cents", "user_id")
+    }),
+
+    // ---- Herfindahl index per event type: how concentrated is
+    // each type's value mass across users ----
+    "q_hhi" -> ((s, dir) => {
+      graft.ops.Inequality.hhi(
+          Tables.events(s, dir)
+            .where(col("user_id").isNotNull && col("value").isNotNull)
+            .select(col("event_type"), col("user_id"),
+              round(col("value") * 100).cast("long").as("cents")),
+          "event_type", "user_id", "cents")
+        .orderBy(col("event_type"))
+    }),
+
     // ---- Flesch readability battery: exact word/sentence/syllable
     // counts (vowel-group heuristic), one mirrored formula ----
     "q_readability" -> ((s, dir) => {
@@ -2690,6 +2712,48 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // ranks via row_number(v, tie); G = (2Σiv − (n+1)Σv)/(nΣv)
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id
+        |), r AS (
+        |  SELECT cents, CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rk
+        |  FROM spend
+        |), s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total,
+        |    CAST(sum(rk * cents) AS BIGINT) AS rx
+        |  FROM r
+        |)
+        |SELECT n, total,
+        |  CASE WHEN total = 0 THEN NULL
+        |    ELSE CAST(round((1e9 * (2.0 * CAST(rx AS DOUBLE) -
+        |      (CAST(n AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))) /
+        |      (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))) AS BIGINT) END AS gini_nano
+        |FROM s""".stripMargin,
+
+    // per-member nano share², summed order-free per group
+    "q_hhi" ->
+      """WITH m AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mv
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(sum(mv) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_members
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT m.event_type, first(t.n_members) AS n_members,
+        |  first(t.total) AS total,
+        |  CAST(sum(CAST(round(1e9 *
+        |    (CAST(mv AS DOUBLE) / CAST(total AS DOUBLE)) *
+        |    (CAST(mv AS DOUBLE) / CAST(total AS DOUBLE))) AS BIGINT)) AS BIGINT) AS hhi_nano
+        |FROM m JOIN t USING (event_type)
+        |GROUP BY m.event_type
+        |ORDER BY m.event_type""".stripMargin,
 
     // same [aeiouy]+ groups, vowel-less word floor, [.!?]+ sentence
     // runs floored at 1, mirrored Flesch tree
