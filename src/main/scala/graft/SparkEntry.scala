@@ -78,6 +78,22 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- URL tree rollup: synthetic 3-level paths exploded to
+    // their prefixes, one hash aggregate — per-subtree page counts
+    // without recursion ----
+    "q_path_rollup" -> ((s, dir) => {
+      val path = concat(lit("/s"), pmod(col("doc_id"), lit(5)),
+        lit("/c"), pmod(col("doc_id"), lit(17)), lit("/p"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.ops.Urls.pathPrefixes(path, maxDepth = 3)).as("prefix"))
+        .groupBy(col("prefix"))
+        .agg(count(lit(1)).as("n_pages"))
+        .withColumn("level",
+          size(filter(split(col("prefix"), "/"), s => length(s) > 0)))
+        .orderBy(col("prefix"))
+    }),
+
     // ---- Gini coefficient of per-user spend: exact global ranks
     // (no single-task window), one mirrored tree ----
     "q_gini" -> ((s, dir) => {
@@ -2712,6 +2728,25 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // prefixes built from the same segment list; level = segment
+    // count of the prefix
+    "q_path_rollup" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    concat('/s', doc_id % 5, '/c', doc_id % 17, '/p', doc_id) AS path
+        |  FROM documents
+        |), segs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(path, '/'), s -> len(s) > 0) AS t
+        |  FROM p
+        |), pref AS (
+        |  SELECT doc_id, '/' || array_to_string(t[1:i], '/') AS prefix
+        |  FROM segs, unnest(range(1, least(len(t), 3) + 1)) AS u(i)
+        |)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(len(list_filter(string_split(prefix, '/'), s -> len(s) > 0)) AS INT) AS level
+        |FROM pref GROUP BY 1 ORDER BY prefix""".stripMargin,
 
     // ranks via row_number(v, tie); G = (2Σiv − (n+1)Σv)/(nΣv)
     "q_gini" ->

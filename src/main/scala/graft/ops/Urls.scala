@@ -75,4 +75,23 @@ object Urls {
     * `host + pathQuery` — scheme deliberately dropped (http/https
     * duplicates are the same document in crawl data). */
   def canonicalKey(url: Column): Column = concat(host(url), pathQuery(url))
+
+  /** Hierarchical path prefixes for URL-tree rollups: "/a/b/c" →
+    * ["/a", "/a/b", "/a/b/c"] (up to `maxDepth` levels — deeper
+    * segments fold into their depth-maxDepth ancestor, keeping the
+    * explode bounded by a constant per URL). Exploding these and
+    * aggregating gives the per-subtree traffic/count rollup a crawl
+    * frontier or robots audit reads ("which sections carry the
+    * corpus"), without a recursive query: the hierarchy is
+    * materialized as ≤ maxDepth extra rows per URL, aggregated by
+    * one hash aggregate. Empty paths yield an empty array. */
+  def pathPrefixes(path: org.apache.spark.sql.Column, maxDepth: Int): org.apache.spark.sql.Column = {
+    require(maxDepth >= 1, s"pathPrefixes: maxDepth must be >= 1, got $maxDepth")
+    val segs = filter(split(path, "/"), s => length(s) > 0)
+    // sequence() steps DOWNWARD for start > stop (the wordShingles
+    // guard): an empty segment list must short-circuit to []
+    when(size(segs) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), least(size(segs), lit(maxDepth))),
+        i => concat(lit("/"), array_join(slice(segs, lit(1), i), "/"))))
+  }
 }

@@ -75,4 +75,16 @@ class UrlsSpec extends SparkSpec {
     assert(survivors.count() == 2)
     assert(survivors.orderBy($"keep").as[(String, Long)].collect().map(_._2).toSeq == Seq(1L, 4L))
   }
+
+  test("pathPrefixes: every ancestor once, depth-capped, empty-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Seq("/a/b/c/d", "/x", "", "/a//b").toDF("p")
+      .select($"p", graft.ops.Urls.pathPrefixes($"p", 3).as("pre"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("/a/b/c/d") == Seq("/a", "/a/b", "/a/b/c")) // capped at 3
+    assert(got("/x") == Seq("/x"))
+    assert(got("") == Seq.empty)
+    assert(got("/a//b") == Seq("/a", "/a/b")) // empty segment dropped
+  }
 }
