@@ -73,13 +73,22 @@ object CorpusStats {
     * frame; the data-sized work is the one distinct aggregate. */
   def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
                     n: Int): DataFrame = {
+    // Parallelism guard: a small-file corpus arrives as ONE input
+    // partition, and the shingle transform then runs on one core
+    // (measured: 8.8 of the query's 9.2 s at sf0.1). Widening costs
+    // one narrow shuffle of (source, text) rows — cheap next to the
+    // O(text) shingle work it parallelizes — and is skipped when the
+    // input is already wide (a real corpus with many files).
+    val base = docs.where(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("src"), col(textCol).as("__t"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val wide = if (base.rdd.getNumPartitions < par) base.repartition(par) else base
     // truncate: both self-join sides AND the size aggregate consume
     // this frame — un-materialized, the data-sized shingle distinct
-    // ran three times (measured 9.4 s -> the dominant cost)
-    val sh = docs
-      .where(col(sourceCol).isNotNull)
-      .select(col(sourceCol).as("src"), explode(
-        graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("g"))
+    // ran three times
+    val sh = wide
+      .select(col("src"), explode(
+        graft.functions.TextFunctions.wordShingles(col("__t"), n)).as("g"))
       .select(col("src"), graft.plans.Hash60.hash60(col("g")).as("h"))
       .distinct()
       .transform(Checkpoints.truncate)
