@@ -78,6 +78,30 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    // ---- TRUE Damerau-Levenshtein (unrestricted transpositions —
+    // native expression) ranking the skeleton-blocked candidates;
+    // both engines implement Lowrance-Wagner exactly ----
+    "q_damerau" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      val dirty = parts.where(col("p_partkey") % 11 === 0)
+        .select(col("p_partkey").as("dirty_id"),
+          regexp_replace(col("p_name"), "e", "").as("dirty_name"))
+        .withColumn("__blk", graft.ops.FuzzyJoin.skeletonBlock(col("dirty_name")))
+      val cat = parts
+        .select(col("p_partkey"), col("p_name"))
+        .withColumn("__blk", graft.ops.FuzzyJoin.skeletonBlock(col("p_name")))
+      dirty.join(cat, "__blk")
+        .select(col("dirty_id"),
+          graft.plans.Damerau.damerau(col("dirty_name"), col("p_name"))
+            .cast("long").as("dist"),
+          col("p_partkey"))
+        .groupBy(col("dirty_id"))
+        .agg(min(struct(col("dist"), col("p_partkey").as("match_key"))).as("m"))
+        .select(col("dirty_id"), col("m.dist").as("dist"),
+          col("m.match_key").as("match_key"))
+        .orderBy(col("dirty_id"))
+    }),
+
     // ---- URL tree rollup: synthetic 3-level paths exploded to
     // their prefixes, one hash aggregate — per-subtree page counts
     // without recursion ----
@@ -2728,6 +2752,30 @@ object SparkEntry {
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB's damerau_levenshtein is the UNRESTRICTED form too
+    // (verified 'ca'->'abc' = 2) — exact integer equality
+    "q_damerau" ->
+      """WITH dirty AS (
+        |  SELECT p_partkey AS dirty_id, replace(p_name, 'e', '') AS dirty_name,
+        |    regexp_replace(lower(trim(replace(p_name, 'e', ''))), '[aeiou ]', '', 'g') AS blk
+        |  FROM part WHERE p_partkey % 11 = 0
+        |), cat AS (
+        |  SELECT p_partkey, p_name,
+        |    regexp_replace(lower(trim(p_name)), '[aeiou ]', '', 'g') AS blk
+        |  FROM part
+        |), scored AS (
+        |  SELECT d.dirty_id,
+        |    CAST(damerau_levenshtein(d.dirty_name, c.p_name) AS BIGINT) AS dist,
+        |    c.p_partkey
+        |  FROM dirty d JOIN cat c ON d.blk = c.blk
+        |), ranked AS (
+        |  SELECT dirty_id, dist, p_partkey AS match_key, row_number() OVER (
+        |    PARTITION BY dirty_id ORDER BY dist, p_partkey) AS rn
+        |  FROM scored
+        |)
+        |SELECT dirty_id, dist, match_key FROM ranked WHERE rn = 1
+        |ORDER BY dirty_id""".stripMargin,
 
     // prefixes built from the same segment list; level = segment
     // count of the prefix

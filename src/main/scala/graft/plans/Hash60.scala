@@ -128,7 +128,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => StripAccents(children.head)),
     (FunctionIdentifier("graft_deflate_size"),
       new ExpressionInfo(classOf[DeflateSize].getName, "graft_deflate_size"),
-      (children: Seq[Expression]) => DeflateSize(children.head))
+      (children: Seq[Expression]) => DeflateSize(children.head)),
+    (FunctionIdentifier("graft_damerau"),
+      new ExpressionInfo(classOf[DamerauLevenshtein].getName, "graft_damerau"),
+      (children: Seq[Expression]) => DamerauLevenshtein(children.head, children(1)))
   )
 
   /** Runtime registration on an existing session. */
