@@ -118,6 +118,29 @@ object SparkEntry {
         .orderBy(col("prefix"))
     }),
 
+    // ---- Reciprocal Rank Fusion: two per-nation customer rankings
+    // (account balance vs order spend) fused on exact integer
+    // 10^9 div (k + rank) contributions — rank-only, so score scales
+    // never need calibration; top-5 fused per nation ----
+    "q_rrf" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val bal = cust.select(lit("bal").as("lst"),
+        col("c_nationkey").cast("long").as("qid"),
+        col("c_custkey").as("item"),
+        round(col("c_acctbal") * 100).cast("long").as("score"))
+      val spend = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("score"))
+        .join(cust.select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(lit("spend").as("lst"),
+          col("c_nationkey").cast("long").as("qid"),
+          col("o_custkey").as("item"), col("score"))
+      graft.ops.Fusion.topFused(
+        graft.ops.Fusion.rrf(bal.unionByName(spend),
+          "lst", "qid", "item", "score", k = 60), 5)
+    }),
+
     // ---- Gini coefficient of per-user spend: exact global ranks
     // (no single-task window), one mirrored tree ----
     "q_gini" -> ((s, dir) => {
@@ -2795,6 +2818,36 @@ object SparkEntry {
         |SELECT prefix, CAST(count(*) AS BIGINT) AS n_pages,
         |  CAST(len(list_filter(string_split(prefix, '/'), s -> len(s) > 0)) AS INT) AS level
         |FROM pref GROUP BY 1 ORDER BY prefix""".stripMargin,
+
+    // rank-only fusion: 10^9 // (60 + rank) exact integer votes;
+    // DuckDB // truncates = Spark div on the positive domain
+    "q_rrf" ->
+      """WITH bal AS (
+        |  SELECT 'bal' AS lst, CAST(c_nationkey AS BIGINT) AS qid,
+        |    c_custkey AS item, CAST(round(c_acctbal * 100) AS BIGINT) AS score
+        |  FROM customer
+        |), spend AS (
+        |  SELECT 'spend' AS lst, CAST(c.c_nationkey AS BIGINT) AS qid,
+        |    o.o_custkey AS item,
+        |    CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS score
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2, 3
+        |), u AS (
+        |  SELECT * FROM bal UNION ALL SELECT * FROM spend
+        |), r AS (
+        |  SELECT qid, item, CAST(row_number() OVER (
+        |    PARTITION BY lst, qid ORDER BY score DESC, item) AS BIGINT) AS rk
+        |  FROM u
+        |), f AS (
+        |  SELECT qid, item, CAST(count(*) AS BIGINT) AS n_lists,
+        |    CAST(min(rk) AS BIGINT) AS best_rank,
+        |    CAST(sum(1000000000 // (60 + rk)) AS BIGINT) AS rrf_nano
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT qid, item, n_lists, best_rank, rrf_nano FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY qid ORDER BY rrf_nano DESC, item) AS fr FROM f)
+        |WHERE fr <= 5""".stripMargin,
 
     // ranks via row_number(v, tie); G = (2Σiv − (n+1)Σv)/(nΣv)
     "q_gini" ->
