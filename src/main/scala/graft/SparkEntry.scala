@@ -39,6 +39,28 @@ object SparkEntry {
     Recap.pipeline(obs, Tables.customer(spark, sfDir))
   }
 
+  /** Shared retrieval-eval fixture: results = top-10 customers per
+    * nation by balance cents (deterministic total order), judgments
+    * = rel ∈ [0,2] from order counts (least(2, n div 4)). */
+  private def rankEvalFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, dir)
+    val results = cust.select(col("c_nationkey").cast("long").as("qid"),
+        col("c_custkey").as("item"),
+        round(col("c_acctbal") * 100).cast("long").as("__sc"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("__sc").desc, col("item"))).cast("long"))
+      .where(col("rank") <= 10).drop("__sc")
+    val judged = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("__n"))
+      .join(cust.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("qid"),
+        col("o_custkey").as("item"),
+        least(lit(2L), expr("__n div 4")).as("rel"))
+    (results, judged)
+  }
+
   private def obs(s: SparkSession, dir: String): DataFrame =
     Observations.guardValid(Observations.fromEvents(Tables.events(s, dir)))
 
@@ -139,6 +161,21 @@ object SparkEntry {
       graft.ops.Fusion.topFused(
         graft.ops.Fusion.rrf(bal.unionByName(spend),
           "lst", "qid", "item", "score", k = 60), 5)
+    }),
+
+    // ---- nDCG@10 per nation: balance-ranked customer lists graded
+    // against order-count relevance; per-term nano gains on the
+    // mirrored ln tree, ideal drawn from the full judgment pool ----
+    "q_ndcg" -> ((s, dir) => {
+      val (results, judged) = rankEvalFixture(s, dir)
+      graft.ops.RankEval.ndcg(results, judged, 10)
+    }),
+
+    // ---- MRR per nation: 10^9 div first-relevant-rank, fully
+    // integer ----
+    "q_mrr" -> ((s, dir) => {
+      val (results, judged) = rankEvalFixture(s, dir)
+      graft.ops.RankEval.reciprocalRank(results, judged)
     }),
 
     // ---- Gini coefficient of per-user spend: exact global ranks
@@ -2818,6 +2855,72 @@ object SparkEntry {
         |SELECT prefix, CAST(count(*) AS BIGINT) AS n_pages,
         |  CAST(len(list_filter(string_split(prefix, '/'), s -> len(s) > 0)) AS INT) AS level
         |FROM pref GROUP BY 1 ORDER BY prefix""".stripMargin,
+
+    // per-term nano gains; log2 rendered ln2/ln on BOTH engines
+    // (Spark log2 = log/log(2), DuckDB log2 = libm — not mirrored)
+    "q_ndcg" ->
+      """WITH res AS (
+        |  SELECT qid, item, rank FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS qid, c_custkey AS item,
+        |      CAST(row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey)
+        |        AS BIGINT) AS rank
+        |    FROM customer)
+        |  WHERE rank <= 10
+        |), judged AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS qid, o.o_custkey AS item,
+        |    CAST(least(2, count(*) // 4) AS BIGINT) AS rel
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2
+        |), dcg AS (
+        |  SELECT r.qid,
+        |    CAST(sum(CAST(round(1e9 * (pow(2, coalesce(j.rel, 0)) - 1) *
+        |      0.6931471805599453 / ln(CAST(r.rank + 1 AS DOUBLE))) AS BIGINT))
+        |      AS BIGINT) AS dcg_nano
+        |  FROM res r LEFT JOIN judged j ON j.qid = r.qid AND j.item = r.item
+        |  GROUP BY 1
+        |), ideal AS (
+        |  SELECT qid,
+        |    CAST(sum(CAST(round(1e9 * (pow(2, rel) - 1) *
+        |      0.6931471805599453 / ln(CAST(pos + 1 AS DOUBLE))) AS BIGINT))
+        |      AS BIGINT) AS idcg_nano
+        |  FROM (
+        |    SELECT qid, rel, CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, item) AS BIGINT) AS pos
+        |    FROM judged WHERE rel > 0)
+        |  WHERE pos <= 10
+        |  GROUP BY 1
+        |)
+        |SELECT d.qid, d.dcg_nano,
+        |  CAST(coalesce(i.idcg_nano, 0) AS BIGINT) AS idcg_nano,
+        |  CASE WHEN coalesce(i.idcg_nano, 0) = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(d.dcg_nano AS DOUBLE) /
+        |      CAST(i.idcg_nano AS DOUBLE)) AS BIGINT) END AS ndcg_nano
+        |FROM dcg d LEFT JOIN ideal i ON i.qid = d.qid""".stripMargin,
+
+    // fully integer: 10^9 // first relevant rank
+    "q_mrr" ->
+      """WITH res AS (
+        |  SELECT qid, item, rank FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS qid, c_custkey AS item,
+        |      CAST(row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey)
+        |        AS BIGINT) AS rank
+        |    FROM customer)
+        |  WHERE rank <= 10
+        |), judged AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS qid, o.o_custkey AS item,
+        |    CAST(least(2, count(*) // 4) AS BIGINT) AS rel
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, first_rel_rank,
+        |  CAST(coalesce(1000000000 // first_rel_rank, 0) AS BIGINT) AS rr_nano
+        |FROM (
+        |  SELECT r.qid, CAST(min(CASE WHEN coalesce(j.rel, 0) > 0
+        |    THEN r.rank END) AS BIGINT) AS first_rel_rank
+        |  FROM res r LEFT JOIN judged j ON j.qid = r.qid AND j.item = r.item
+        |  GROUP BY 1)""".stripMargin,
 
     // rank-only fusion: 10^9 // (60 + rank) exact integer votes;
     // DuckDB // truncates = Spark div on the positive domain
