@@ -145,9 +145,12 @@ object TextFunctions {
   def readability(text: Column): Column = {
     val words = filter(tokens(coalesce(text, lit(""))), t => length(t) > 0)
     val w = size(words).cast("long")
-    val vowelGroups = size(regexp_extract_all(coalesce(text, lit("")),
+    // syllables count case-insensitively: over the raw text a
+    // capitalized vowel breaks (or drops) its group — 'Every' would
+    // count only 'very''s groups, undercounting sentence-initial words
+    val vowelGroups = size(regexp_extract_all(lower(coalesce(text, lit(""))),
       lit("[aeiouy]+"), lit(0))).cast("long")
-    val voiceless = size(filter(words, t => !t.rlike("[aeiouy]"))).cast("long")
+    val voiceless = size(filter(words, t => !lower(t).rlike("[aeiouy]"))).cast("long")
     val y = vowelGroups + voiceless
     val s = greatest(lit(1L),
       size(regexp_extract_all(coalesce(text, lit("")), lit("[.!?]+"), lit(0))).cast("long"))

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared lineitem-derived graph frames for the graph-analytics query
+  * family (PageRank/TrustRank/BFS/SSSP/label propagation/modularity/
+  * assortativity/HITS on the part<->supplier bipartite graph;
+  * triangles/clustering/k-core on the quarter-orders co-occurrence
+  * graph; HyperBall/harmonic on the quarter-orders bipartite graph).
+  *
+  * Why this exists: each of the ~13 graph queries used to rebuild the
+  * same edge frame from scratch — a full lineitem scan plus a
+  * `distinct()` shuffle per query (~29% of the whole bench suite was
+  * this family, and a large slice of that was N identical edge
+  * builds). The frames here are built ONCE per (session, sfDir) and
+  * persisted, mirroring the near-dup family's shared-shingle-cache
+  * pattern (NearDup.cacheBounded): every consumer then starts from an
+  * in-memory scan instead of re-paying the parquet scan + distinct
+  * exchange.
+  *
+  * Bounded lifecycle, same contract as NearDup's cache: at most one
+  * persisted frame per kind; a call with a different (session, sfDir)
+  * key unpersists the previous frame (advisory — a concurrent query
+  * still running on the old frame just falls back to recompute).
+  * The cache holds edge LISTS (distinct long pairs), not operator
+  * state: at 100 TB the bipartite frame is |distinct(part,supp)|
+  * rows of two longs — the same frame every iterative operator
+  * already materializes internally per call; sharing it across
+  * queries adds no new memory class, it deduplicates an existing one.
+  *
+  * Symmetrization is NOT persisted: it is a narrow union of two
+  * projections over the cached base frame (no exchange), so caching
+  * it would double resident memory to save only a projection.
+  */
+object Graphs {
+
+  private final case class Slot(key: String, df: DataFrame)
+  private val slots = new java.util.concurrent.ConcurrentHashMap[String, Slot]()
+
+  private def cacheBounded(kind: String, spark: SparkSession, sfDir: String)
+                          (build: => DataFrame): DataFrame = {
+    val key = System.identityHashCode(spark).toString + "|" + sfDir
+    slots.compute(kind, (_, prev) => {
+      if (prev != null && prev.key == key) prev
+      else {
+        val df = build
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (prev != null) {
+          // the previous session may already be stopped; unpersist is
+          // best-effort bookkeeping, never a correctness step
+          try prev.df.unpersist(blocking = false) catch { case _: Throwable => () }
+        }
+        Slot(key, df)
+      }
+    }).df
+  }
+
+  /** Directed part->supplier bipartite edges: node id = 2*partkey for
+    * parts, 2*suppkey+1 for suppliers; one distinct edge per
+    * (part, supplier) that ever co-occur on a lineitem row. */
+  def bipartite(spark: SparkSession, sfDir: String): DataFrame =
+    cacheBounded("bipartite", spark, sfDir) {
+      graft.Tables.lineitem(spark, sfDir)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    }
+
+  /** Quarter-orders (l_orderkey % 4 == 0) directed bipartite edges —
+    * the HyperBall/harmonic gate-instance sizing. */
+  def bipartiteQuarter(spark: SparkSession, sfDir: String): DataFrame =
+    cacheBounded("bipartiteQuarter", spark, sfDir) {
+      graft.Tables.lineitem(spark, sfDir)
+        .where(col("l_orderkey") % 4 === 0)
+        .select((col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    }
+
+  /** Quarter-orders parts-bought-together co-occurrence edges
+    * (u < v, distinct) — the triangles/clustering/k-core instance.
+    * This is the family's most expensive shared build (self-join on
+    * order key + distinct), so sharing it pays the most. */
+  def coocQuarter(spark: SparkSession, sfDir: String): DataFrame =
+    cacheBounded("coocQuarter", spark, sfDir) {
+      val li = graft.Tables.lineitem(spark, sfDir)
+        .where(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val a = li.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+      a.join(b, Seq("k")).where(col("u") < col("v"))
+        .select(col("u").as("src"), col("v").as("dst")).distinct()
+    }
+
+  /** Undirected view of a directed edge frame: both orientations of
+    * every edge. Narrow (no exchange) over its input, so consumers of
+    * a cached base frame get symmetry for free. */
+  def symmetrize(edges: DataFrame): DataFrame =
+    edges.unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+
+  /** Symmetrized full bipartite graph — the PageRank/TrustRank/BFS/
+    * SSSP/labelprop/modularity/assortativity instance. */
+  def bipartiteSym(spark: SparkSession, sfDir: String): DataFrame =
+    symmetrize(bipartite(spark, sfDir))
+
+  /** Symmetrized quarter-orders bipartite graph — the HyperBall/
+    * harmonic instance. */
+  def bipartiteQuarterSym(spark: SparkSession, sfDir: String): DataFrame =
+    symmetrize(bipartiteQuarter(spark, sfDir))
+}

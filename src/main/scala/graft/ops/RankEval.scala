@@ -60,10 +60,17 @@ object RankEval {
   def ndcg(results: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"ndcg: k must be >= 1, got $k")
     val j = relCol(judgments)
+    // Both result-side dup guards live INSIDE the consumed pos column
+    // (the relCol precedent): a duplicate rank would be two items at
+    // one position, a duplicate item would double-count one item's
+    // gain against a single judgment — each silently inflates dcg.
     val res = results.select(col("qid"), col("item"),
       when(count(lit(1)).over(Window.partitionBy(col("qid"), col("rank"))) > 1,
         raise_error(concat(lit("rankeval: duplicate rank in results for qid "),
           col("qid").cast("string"))))
+      .when(count(lit(1)).over(Window.partitionBy(col("qid"), col("item"))) > 1,
+        raise_error(concat(lit("rankeval: duplicate item in results for "),
+          col("qid").cast("string"), lit("/"), col("item").cast("string"))))
       .otherwise(col("rank")).cast("long").as("pos"))
     def gainTerm(pos: org.apache.spark.sql.Column,
                  rel: org.apache.spark.sql.Column) =

@@ -60,7 +60,14 @@ object Smoothing {
     // 2^63 when v, s <= Long.MaxValue/den (s never exceeds max v —
     // the EWMA is a convex combination)
     val vMax = Long.MaxValue / den
-    val vGuard = when(col(valCol) < 0, raise_error(concat(
+    // NULL raises loudly (the holtTrace contract): left to fall
+    // through the when-chain it would silently NULL this event's ewma
+    // AND poison the whole trace tail through the recurrence
+    val vGuard = when(col(valCol).isNull, raise_error(concat(
+        lit(s"ewmaTrace: NULL $valCol for key "),
+        col(keyCol).cast("string"),
+        lit(" — the recurrence would NULL the trace tail; filter or impute first"))))
+      .when(col(valCol) < 0, raise_error(concat(
         lit(s"ewmaTrace: negative $valCol for key "),
         col(keyCol).cast("string"),
         lit(" — floor vs truncate division diverges; shift values non-negative first"))))

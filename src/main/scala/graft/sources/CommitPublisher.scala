@@ -1,0 +1,48 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+/** The atomic publish primitive of the snapshot commit protocol —
+  * the ONLY step whose atomicity depends on the storage system, so
+  * it lives behind this interface: the rest of the protocol (staging,
+  * manifests, retries, conflict detection) is storage-agnostic.
+  *
+  * Contract: `publish` makes `body` durably readable at `target` if
+  * and only if no manifest exists there yet, and throws
+  * `java.nio.file.FileAlreadyExistsException` otherwise. The
+  * check-and-publish MUST be atomic — two racing publishers for one
+  * target see exactly one winner; the loser's exception is the
+  * optimistic-concurrency signal [[Snapshots]] retries or aborts on.
+  *
+  * Implementations map to what each store can do atomically:
+  *  - POSIX filesystems: hard-link no-clobber ([[LinkCommitPublisher]],
+  *    the default) — link() fails with EEXIST where rename() would
+  *    silently replace the race winner.
+  *  - S3-style object stores: conditional PUT (`If-None-Match: *`) —
+  *    the HTTP 412 maps to the same exception. Out of scope in this
+  *    zero-egress build; the spec exercises a compare-and-swap test
+  *    double with injected races to prove the protocol needs nothing
+  *    beyond this interface.
+  */
+trait CommitPublisher {
+  def publish(target: Path, body: String): Unit
+}
+
+/** Default single-filesystem publisher: stage the body to a temp file
+  * in the manifest directory, then hard-link it to the final name.
+  * The link is the commit point — atomic no-clobber on every POSIX
+  * filesystem (EEXIST when a racing writer already won the version).
+  * The temp file is always removed: on the win path after linking,
+  * on the loss path before rethrowing. */
+object LinkCommitPublisher extends CommitPublisher {
+  def publish(target: Path, body: String): Unit = {
+    val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}-", ".tmp")
+    Files.writeString(tmp, body)
+    try Files.createLink(target, tmp)
+    catch { case e: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      throw e
+    }
+    Files.delete(tmp)
+  }
+}

@@ -33,12 +33,16 @@ import scala.jdk.CollectionConverters._
   * the operation that doesn't scale; manifests make reads O(files
   * actually live)). Appends write only new files; overwrites write
   * new files and drop references (old bytes stay until `vacuum`,
-  * which is what makes time travel free). Caveat vs the real
-  * formats, stated honestly: single-filesystem link atomicity (no
-  * lock service — on S3-style stores the publish needs a conditional
-  * PUT), and schema evolution is ADDITIVE-only (`read(mergeSchema =
-  * true)` resolves the union schema; renames/drops/retypes are not
-  * tracked — that needs per-manifest schema records). Manifests CAN
+  * which is what makes time travel free). The publish step is the
+  * one storage-dependent piece and lives behind [[CommitPublisher]]:
+  * hard-link no-clobber by default (single-filesystem), a
+  * conditional-PUT adapter on S3-style stores (HTTP 412 maps to the
+  * same EEXIST signal — the spec proves the protocol against a CAS
+  * test double with injected races). Schema evolution is
+  * ADDITIVE-only and now ENFORCED: each manifest records its writer
+  * schema, and an append that retypes or drops a parent column fails
+  * loud naming the offense ([[requireAdditive]]); `read(mergeSchema =
+  * true)` resolves the resulting union schema. Manifests CAN
   * carry
   * per-file integral column envelopes (`commit(statsCols = …)`), and
   * `readPruned` turns them into zone-map file skipping — skipped
@@ -66,7 +70,7 @@ object Snapshots {
   // header lines are exactly these keys — file PATHS may legally
   // contain '=' (hive-style bin=0/ dirs), so discrimination must be
   // by known key, never by "contains a '='"
-  private val HeaderKeys = Seq("version", "parent", "op", "tag", "ts")
+  private val HeaderKeys = Seq("version", "parent", "op", "tag", "ts", "schema")
 
   /** Raw file lines of `version`'s manifest: `<path>` optionally
     * followed by tab-separated `<col>=<min>:<max>` integral stats.
@@ -118,6 +122,11 @@ object Snapshots {
     Files.createDirectories(snapPath(tableDir))
     val prev = currentVersion(tableDir)
     val v = prev + 1
+    // schema gate BEFORE the data write — a rejected commit leaves no
+    // orphan bytes. Appends only: they carry the parent's files, so a
+    // retype/rename would poison the union read; an overwrite replaces
+    // every live file and may legitimately reshape the table.
+    if (mode == "append" && prev > 0) checkAdditiveAgainst(tableDir, prev, df.schema)
     // data lands under a nonce'd dir so a racing loser's files never
     // collide with the winner's; unreferenced ones are vacuum fodder
     val nonce = java.util.UUID.randomUUID.toString.take(8)
@@ -135,7 +144,8 @@ object Snapshots {
     // append carries the previous version's full lines — stats travel
     // with their files
     val carried = if (mode == "append" && prev > 0) fileLines(tableDir, prev) else Seq.empty
-    writeManifest(tableDir, v, prev, mode, carried ++ newLines, tag)
+    writeManifest(tableDir, v, prev, mode, carried ++ newLines, tag,
+      schema = Some(df.schema.json))
     v
   }
 
@@ -359,35 +369,96 @@ object Snapshots {
     val lines = fileLines(tableDir, version) // loud if missing; stats travel
     val prev = currentVersion(tableDir)
     val v = prev + 1
-    writeManifest(tableDir, v, prev, s"rollback($version)", lines)
+    // the restored version's OWN schema record travels with its file
+    // list — carrying the parent's would mislabel the rollback when
+    // HEAD was a reshaping overwrite
+    writeManifest(tableDir, v, prev, s"rollback($version)", lines,
+      schema = manifestSchema(tableDir, version))
     v
   }
 
+  /** The active publish primitive — swappable because it is the one
+    * storage-dependent step of the protocol ([[CommitPublisher]]):
+    * hard-link no-clobber by default, a conditional-PUT adapter on
+    * object stores, a race-injecting test double in the spec. */
+  @volatile private var commitPublisher: CommitPublisher = LinkCommitPublisher
+
+  /** Swap the commit publisher; returns the previous one so callers
+    * (tests, an object-store deployment's init) can restore it. */
+  def setCommitPublisher(p: CommitPublisher): CommitPublisher = {
+    val prev = commitPublisher
+    commitPublisher = p
+    prev
+  }
+
   /** The atomic commit primitive: publish version `v`'s manifest via
-    * no-clobber rename. Package-private so the spec can drive the
-    * version race directly (two writers racing for the same v — the
-    * window `commit` itself cannot reopen deterministically). */
+    * the active [[CommitPublisher]] (no-clobber — EEXIST when a
+    * racing writer already won `v`). Package-private so the spec can
+    * drive the version race directly (two writers racing for the
+    * same v — the window `commit` itself cannot reopen
+    * deterministically). `schema` records the writer schema (json) in
+    * the manifest; when None, the parent's record is carried so
+    * schema history survives rollback/optimize/COW rewrites that
+    * never change it. */
   private[graft] def writeManifest(tableDir: String, v: Int, parent: Int,
                                    op: String, files: Seq[String],
-                                   tag: Option[String] = None): Unit = {
+                                   tag: Option[String] = None,
+                                   schema: Option[String] = None): Unit = {
     tag.foreach(t => require(!t.contains("\n") && t.nonEmpty, s"bad tag: '$t'"))
+    val sch = schema.orElse(if (parent > 0) manifestSchema(tableDir, parent) else None)
+    sch.foreach(s => require(!s.contains("\n"), "schema record must be single-line json"))
     val body = (Seq(s"version=$v", s"parent=$parent", s"op=$op",
       s"ts=${System.currentTimeMillis}") ++
-      tag.map(t => s"tag=$t").toSeq ++ files)
+      tag.map(t => s"tag=$t").toSeq ++
+      sch.map(s => s"schema=$s").toSeq ++ files)
       .mkString("", "\n", "\n")
-    val tmp = Files.createTempFile(snapPath(tableDir), s".v$v-", ".tmp")
-    Files.writeString(tmp, body)
-    // POSIX rename() REPLACES an existing target, so ATOMIC_MOVE
-    // cannot express "publish unless someone beat me" — link() can:
-    // creating a hard link at the final name fails with EEXIST
-    // atomically when a racing writer already won this version
-    try Files.createLink(manifestPath(tableDir, v), tmp)
-    catch { case e: java.nio.file.FileAlreadyExistsException =>
-      Files.deleteIfExists(tmp)
-      throw e
-    }
-    Files.delete(tmp)
+    commitPublisher.publish(manifestPath(tableDir, v), body)
   }
+
+  /** Recorded writer schema (json) of `version`'s manifest, if any —
+    * manifests from before schema records carry none, and every check
+    * degrades to the old unchecked behavior for them. */
+  def manifestSchema(tableDir: String, version: Int): Option[String] = {
+    val p = manifestPath(tableDir, version)
+    if (!Files.exists(p)) None
+    else headerValue(Files.readAllLines(p).asScala.toSeq, "schema")
+  }
+
+  /** Additive-evolution gate for appends: every column shared with
+    * the parent schema must keep its exact type (a retype would make
+    * the carried old files and the new ones disagree under the union
+    * read — fail loud naming both types), and no parent column may
+    * disappear (a rename looks like drop+add; additive-only evolution
+    * tracks neither — write NULLs for a retired column instead).
+    * Adding new columns is the additive path and passes untouched. */
+  private[graft] def requireAdditive(parent: org.apache.spark.sql.types.StructType,
+                                     next: org.apache.spark.sql.types.StructType,
+                                     tableDir: String): Unit = {
+    val pTypes = parent.fields.map(f => f.name -> f.dataType).toMap
+    next.fields.foreach { f =>
+      pTypes.get(f.name).filter(_ != f.dataType).foreach { pt =>
+        throw new IllegalArgumentException(
+          s"Snapshots: column '${f.name}' retyped ${pt.catalogString} -> " +
+            s"${f.dataType.catalogString} in append to $tableDir — schema evolution " +
+            "is ADDITIVE-only (new columns); cast explicitly or start a new table")
+      }
+    }
+    val dropped = parent.fieldNames.filterNot(next.fieldNames.contains)
+    if (dropped.nonEmpty) throw new IllegalArgumentException(
+      s"Snapshots: append to $tableDir drops parent column(s) " +
+        dropped.mkString("'", "', '", "'") +
+        " — additive-only evolution tracks no renames/drops; keep the column " +
+        "(NULLs are fine) or start a new table")
+  }
+
+  /** Run the additive gate against `parentV`'s recorded schema; a
+    * record-less parent (pre-schema-record manifest) checks nothing. */
+  private def checkAdditiveAgainst(tableDir: String, parentV: Int,
+                                   next: org.apache.spark.sql.types.StructType): Unit =
+    manifestSchema(tableDir, parentV).foreach { pj =>
+      requireAdditive(org.apache.spark.sql.types.DataType.fromJson(pj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType], next, tableDir)
+    }
 
   /** Read a committed snapshot: HEAD by default, any retained
     * `version` for time travel. `mergeSchema = true` resolves the
@@ -916,10 +987,14 @@ object Snapshots {
     var attempt = 0
     while (true) {
       val prev = currentVersion(tableDir)
+      // re-checked per attempt: a lost race rebases onto a NEW parent
+      // whose schema may differ from the one attempt 0 checked
+      if (prev > 0) checkAdditiveAgainst(tableDir, prev, df.schema)
       val carried = if (prev > 0) fileLines(tableDir, prev) else Seq.empty
       beforePublish(attempt)
       try {
-        writeManifest(tableDir, prev + 1, prev, "append", carried ++ newLines, tag)
+        writeManifest(tableDir, prev + 1, prev, "append", carried ++ newLines, tag,
+          schema = Some(df.schema.json))
         return prev + 1
       } catch { case _: java.nio.file.FileAlreadyExistsException =>
         attempt += 1

@@ -334,4 +334,127 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, version = 1).count() ==
       docs.where("doc_id % 2 = 0").count())
   }
+
+  // ---- CommitPublisher: the protocol against BOTH publish primitives ----
+
+  /** 8 writers race for one version through the ACTIVE publisher;
+    * returns (wins, losses) and asserts the winner's manifest is the
+    * only one readable. */
+  private def raceOnce(t: String): (Int, Int) = {
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        latch.await()
+        try {
+          Snapshots.writeManifest(t, 2, 1, "append", Seq(s"w$i.parquet"))
+          wins.incrementAndGet()
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => losses.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); latch.countDown(); threads.foreach(_.join())
+    assert(Snapshots.liveFiles(t, 2).size == 1) // exactly the winner's line
+    (wins.get, losses.get)
+  }
+
+  test("publisher race: 8 concurrent writers, exactly one winner (link publisher)") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    assert(raceOnce(t) == ((1, 7)))
+  }
+
+  test("publisher race: a compare-and-swap publisher drives the same protocol (object-store plug)") {
+    // test double for an object store whose ONLY atomic primitive is
+    // a conditional PUT (If-None-Match): modeled as putIfAbsent in a
+    // CAS ledger. The byte write after the CAS is deliberately
+    // non-atomic — the ledger IS the atomicity, exactly as the HTTP
+    // 412 is on S3 — so this passing proves the protocol needs
+    // nothing from the store beyond the CommitPublisher contract.
+    val ledger = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    val cas: graft.sources.CommitPublisher = (target, body) => {
+      if (ledger.putIfAbsent(target.toString, java.lang.Boolean.TRUE) != null)
+        throw new java.nio.file.FileAlreadyExistsException(target.toString)
+      java.nio.file.Files.writeString(target, body)
+    }
+    val prev = Snapshots.setCommitPublisher(cas)
+    try {
+      val t = freshTable()
+      Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t) // full commit path through CAS
+      assert(ids(Snapshots.read(spark, t)) == Seq(1L))
+      assert(raceOnce(t) == ((1, 7)))
+      // and commitWithRetry rebases past the interloper as usual
+      val v = Snapshots.commitWithRetry(Seq((3L, "c")).toDF("id", "s"), t)
+      assert(v == 3)
+    } finally Snapshots.setCommitPublisher(prev)
+  }
+
+  // ---- per-manifest schema records: the additive gate ----
+
+  test("schema gate: a retyped column append is rejected naming both types, before any bytes land") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    val dataDirs = java.nio.file.Paths.get(t, "data")
+    val before = java.nio.file.Files.list(dataDirs).count()
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(("2", "b")).toDF("id", "s"), t) // id bigint -> string
+    }
+    assert(e.getMessage.contains("'id'") && e.getMessage.contains("retyped"))
+    assert(e.getMessage.contains("bigint") && e.getMessage.contains("string"))
+    assert(Snapshots.currentVersion(t) == 1)
+    // the gate fires BEFORE the data write — no orphan staged bytes
+    assert(java.nio.file.Files.list(dataDirs).count() == before)
+  }
+
+  test("schema gate: dropping or renaming a parent column is rejected; additive append unchanged") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    val drop = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(2L).toDF("id"), t) // drops s
+    }
+    assert(drop.getMessage.contains("drops") && drop.getMessage.contains("'s'"))
+    // a rename is drop+add and trips the same guard
+    val ren = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((2L, "b")).toDF("id", "s2"), t)
+    }
+    assert(ren.getMessage.contains("'s'"))
+    // the additive path is untouched: new column appends fine
+    Snapshots.commit(Seq((2L, "b", 9L)).toDF("id", "s", "extra"), t)
+    assert(Snapshots.currentVersion(t) == 2)
+  }
+
+  test("schema gate: overwrite may reshape; later appends are gated on the NEW schema; rollback restores the old record") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq(("x", 9L)).toDF("s", "n"), t, mode = "overwrite") // v2 reshapes
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), t) // old shape vs new schema
+    }
+    assert(e.getMessage.contains("'n'")) // missing the new column
+    Snapshots.commit(Seq(("y", 10L)).toDF("s", "n"), t) // v3, new shape appends
+    // rollback to v1 carries v1's OWN schema record, so the old shape
+    // appends again and the new shape is now the rejected one
+    Snapshots.rollback(t, 1) // v4
+    Snapshots.commit(Seq((4L, "d")).toDF("id", "s"), t) // v5
+    assert(ids(Snapshots.read(spark, t)) == Seq(1L, 4L))
+  }
+
+  test("schema records survive pre-record manifests: checks degrade to unchecked, then resume") {
+    val t = freshTable()
+    // simulate a legacy manifest with no schema record
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "_snapshots"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_snapshots", "v00000001.txt"),
+      "version=1\nparent=0\nop=append\nts=0\n")
+    assert(Snapshots.manifestSchema(t, 1).isEmpty)
+    // append against a record-less parent is unchecked (old behavior)…
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    // …and the new manifest records its schema, re-arming the gate
+    assert(Snapshots.manifestSchema(t, 2).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(("2", "b")).toDF("id", "s"), t)
+    }
+  }
 }
