@@ -834,6 +834,63 @@ object Profile {
             facts, "b", "i", ms, maxBasketItems = 100000).count())
         }
 
+      case "ivfpqscale" =>
+        // The composed IVF->PQ->ADC path (the q_ivfpq_topk shape) at
+        // 1x/10x corpus with a FIXED 50-query set, so growth isolates
+        // the corpus side: model build, ad-hoc query (codes rebuilt
+        // in-query), persisted partitionBy(list_id) index build, and
+        // the probe-pruned indexed query. The law being verified:
+        // ad-hoc cost tracks the corpus (full re-encode per run);
+        // indexed query cost tracks nProbe/nLists of the corpus in
+        // ~8-byte code rows — the part a 100 TB deployment pays per
+        // query batch.
+        import graft.operators.{ProductQuantizer, Similarity}
+        def embN(n: Int) = {
+          val e1 = Tables.embeddings(spark, sfDir)
+          val off = 100000000L
+          (0 until n).map(i => e1.select((col("vec_id") + lit(i * off)).as("vec_id"),
+            col("embedding"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10)) {
+          val emb = embN(n).localCheckpoint(true)
+          val cnt = emb.count()
+          val q = emb.where(col("vec_id") < 50).localCheckpoint(true)
+          val mdl = time(s"ivfpq model x$n ($cnt vecs)")(
+            ProductQuantizer.model(emb, m = 4, k = 16))
+          time(s"ivfpq adhoc x$n")(
+            Similarity.ivfPqTopK(emb, q, 3, nLists = 8, nProbe = 2, mdl).count())
+          val idx = s"${System.getProperty("java.io.tmpdir")}/prof_ivfpq_$n"
+          time(s"ivfpq writeIndex x$n")(
+            Similarity.writeIvfPqIndex(emb, idx, nLists = 8, mdl))
+          time(s"ivfpq indexed x$n")(
+            Similarity.ivfPqTopKIndexed(spark, idx, q, 3, nProbe = 2).count())
+          time(s"ivfpq indexed warm x$n")(
+            Similarity.ivfPqTopKIndexed(spark, idx, q, 3, nProbe = 2).count())
+        }
+
+      case "basketvol" =>
+        // The registered q_freq_pairs/q_item_cosine instances' true
+        // cost driver: the post-prune pair volume (= the self-join's
+        // exact output rows, the quantity the new maxPairVolume cap
+        // bounds) at 1x and 10x baskets.
+        def basketsN(n: Int) = {
+          val li = Tables.lineitem(spark, sfDir)
+          val off = 100000000L
+          (0 until n).map(i => li.select((col("l_orderkey") + lit(i * off)).as("b"),
+            col("l_partkey").as("i"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10)) {
+          val f = basketsN(n).localCheckpoint(true)
+          val cnt = f.count()
+          val vol = f.distinct().groupBy(col("b")).agg(count(lit(1)).as("k"))
+            .agg(sum(expr("k * (k - 1) div 2"))).head().getLong(0)
+          println(s"PROF basketvol x$n: $cnt facts, pair volume $vol")
+          time(s"frequentPairs x$n")(graft.ops.Baskets.frequentPairs(
+            f, "b", "i", minSupport = 3).count())
+          time(s"cosinePairs x$n")(graft.ops.Baskets.cosinePairs(
+            f, "b", "i", minSupport = 3).count())
+        }
+
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

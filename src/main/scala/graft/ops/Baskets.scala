@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *    the FuzzyJoin block-cap policy): a basket still quadratic
   *    after pruning fails the job with the basket named, instead of
   *    silently detonating a task.
+  *  - a loud TOTAL pair-volume cap (`maxPairVolume`, the Adamic-Adar
+  *    wedge-volume policy): Σ k·(k−1)/2 over post-prune baskets IS
+  *    the self-join's exact output cardinality, computed from the
+  *    same per-basket count frame before the join runs — many
+  *    medium baskets can be quadratic in aggregate without any one
+  *    tripping the per-basket cap.
   *
   * Plan shape: distinct (one shuffle on (basket, item)) → item
   * counts (shuffle on item) + semi-join prune → per-basket
@@ -31,27 +37,39 @@ import org.apache.spark.sql.functions._
   */
 object Baskets {
 
-  /** Distinct (basket, item) facts with the apriori prune and the
-    * loud basket cap applied — the shared front half. */
+  /** Distinct (basket, item) facts with the apriori prune and BOTH
+    * loud caps applied — the shared front half. One aggregate over
+    * the per-basket count frame answers the hottest basket AND the
+    * exact total pair volume (single 1-row collect, no extra scan). */
   private def prunedFacts(df: DataFrame, basketCol: String, itemCol: String,
-                          minSupport: Long, maxBasketItems: Int): DataFrame = {
+                          minSupport: Long, maxBasketItems: Int,
+                          maxPairVolume: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasketItems >= 2, s"maxBasketItems must be >= 2, got $maxBasketItems")
+    require(maxPairVolume >= 1, s"maxPairVolume must be >= 1, got $maxPairVolume")
     val facts = df.select(col(basketCol).as("__basket"), col(itemCol).as("__item"))
       .where(col("__basket").isNotNull && col("__item").isNotNull)
       .distinct()
     val frequent = facts.groupBy(col("__item")).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minSupport).select(col("__item"))
     val pruned = facts.join(frequent, Seq("__item"), "left_semi")
-    val hot = pruned.groupBy(col("__basket")).agg(count(lit(1)).as("__k"))
-      .where(col("__k") > maxBasketItems)
-      .orderBy(col("__k").desc).limit(1).collect()
-    require(hot.isEmpty, {
-      val r = hot.head
-      s"Baskets: basket ${r.get(0)} still holds ${r.get(1)} frequent items " +
-        s"(cap $maxBasketItems) - its pair expansion is quadratic; raise " +
-        "minSupport, cap the basket upstream, or raise maxBasketItems deliberately"
-    })
+    val probe = pruned.groupBy(col("__basket")).agg(count(lit(1)).as("__k"))
+      .agg(max(col("__k")).as("kmax"),
+        max_by(col("__basket"), col("__k")).as("hot"),
+        sum(expr("__k * (__k - 1) div 2")).as("vol"))
+      .head()
+    if (!probe.isNullAt(0)) { // null ⇔ nothing survived the prune
+      val (kmax, vol) = (probe.getLong(0), probe.getLong(2))
+      require(kmax <= maxBasketItems,
+        s"Baskets: basket ${probe.get(1)} still holds $kmax frequent items " +
+          s"(cap $maxBasketItems) - its pair expansion is quadratic; raise " +
+          "minSupport, cap the basket upstream, or raise maxBasketItems deliberately")
+      require(vol <= maxPairVolume,
+        s"Baskets: total pair volume $vol (= the self-join's exact output rows) " +
+          s"exceeds maxPairVolume=$maxPairVolume - the aggregate expansion is " +
+          "quadratic even though no single basket trips the per-basket cap; " +
+          "raise minSupport or raise maxPairVolume deliberately")
+    }
     pruned
   }
 
@@ -67,8 +85,10 @@ object Baskets {
     * item_a < item_b and support = #baskets containing BOTH, for
     * every pair at or above `minSupport`. */
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
-                    minSupport: Long, maxBasketItems: Int = 10000): DataFrame =
-    pairsFrom(prunedFacts(df, basketCol, itemCol, minSupport, maxBasketItems), minSupport)
+                    minSupport: Long, maxBasketItems: Int = 10000,
+                    maxPairVolume: Long = 1000000000L): DataFrame =
+    pairsFrom(prunedFacts(df, basketCol, itemCol, minSupport, maxBasketItems,
+      maxPairVolume), minSupport)
 
   /** Item-item cosine similarity over basket membership vectors:
     * cos(a,b) = support(a,b) / sqrt(count(a)·count(b)), reported in
@@ -79,8 +99,10 @@ object Baskets {
     * Output: (item_a, item_b, support, cos_e9) for pairs at or
     * above `minSupport`, item_a < item_b. */
   def cosinePairs(df: DataFrame, basketCol: String, itemCol: String,
-                  minSupport: Long, maxBasketItems: Int = 10000): DataFrame = {
-    val pruned = prunedFacts(df, basketCol, itemCol, minSupport, maxBasketItems)
+                  minSupport: Long, maxBasketItems: Int = 10000,
+                  maxPairVolume: Long = 1000000000L): DataFrame = {
+    val pruned = prunedFacts(df, basketCol, itemCol, minSupport, maxBasketItems,
+      maxPairVolume)
     val counts = pruned.groupBy(col("__item")).agg(count(lit(1)).as("__cnt"))
     val pairs = pairsFrom(pruned, minSupport)
     pairs

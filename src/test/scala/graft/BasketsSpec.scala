@@ -64,6 +64,20 @@ class BasketsSpec extends SparkSpec {
       maxBasketItems = 10).count() == 0L)
   }
 
+  test("aggregate pair volume fails loud when many medium baskets are quadratic in total") {
+    // 40 baskets x 10 items: no basket trips a per-basket cap of 10,
+    // but the total volume is 40 * 45 = 1800 exact self-join rows
+    val medium = (for (b <- 1L to 40L; i <- 1L to 10L) yield (b, b * 100 + i))
+      .toDF("basket", "item")
+    val e = intercept[IllegalArgumentException](
+      Baskets.frequentPairs(medium, "basket", "item", minSupport = 1,
+        maxBasketItems = 10, maxPairVolume = 1000L))
+    assert(e.getMessage.contains("1800") && e.getMessage.contains("maxPairVolume=1000"))
+    // the reported volume is exact: capping at it passes
+    assert(Baskets.frequentPairs(medium, "basket", "item", minSupport = 1,
+      maxBasketItems = 10, maxPairVolume = 1800L).count() == 1800L)
+  }
+
   test("results are partitioning-independent") {
     val big = (1L to 600L).map(i => (i % 40, (i * 7) % 25)).toDF("basket", "item")
     val a = Baskets.cosinePairs(big.repartition(13), "basket", "item", 3)
