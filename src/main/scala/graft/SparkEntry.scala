@@ -66,7 +66,74 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries ++ temporalQueries ++ journeyQueries
+    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries ++ temporalQueries ++ journeyQueries ++ roundEightQueries
+
+  // ==== round 8: autocorrelation, symmetric drift, privacy audit,
+  // corpus novelty, ER survivorship, association rules ====
+  private def roundEightQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- sample ACF at lags 1..10 over the daily click-dollar
+    // series: exact integer moments (the n²-scaled mean-clearing
+    // identity in ops/Autocorr), one IEEE division per lag ----
+    "q_acf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .where(col("value").isNotNull && col("event_type") === "click")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(expr("sum(cents) div 100").as("x"))
+      graft.ops.Autocorr.acf(daily, "day", "x", maxLag = 10)
+        .orderBy(col("lag"))
+    }),
+
+    // ---- Jensen-Shannon divergence over the q_psi_bins month
+    // halves: the symmetric, ln2-bounded companion to PSI — same
+    // histogram, same smoothing, nano-rounded per-bucket terms ----
+    "q_js_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+      graft.ops.Drift.jsd(
+          ev.where(col("ts") < cut), ev.where(col("ts") >= cut), "cents", width = 500L)
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- k-anonymity / l-diversity audit of the customer table
+    // under (nation, market-segment) quasi-identifiers with account
+    // balance as the sensitive attribute — exact class counting ----
+    "q_kanon" -> ((s, dir) => {
+      graft.ops.Privacy.kAnonymity(Tables.customer(s, dir),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10L)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // ---- per-document 3-gram novelty in doc_id (ingestion) order:
+    // the share of a doc's distinct grams it introduced to the
+    // corpus — string grams for cross-engine exactness (production
+    // swaps in ShingleHashes and shuffles longs) ----
+    "q_gram_novelty" -> ((s, dir) => {
+      graft.ops.CorpusStats.gramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- ER survivorship: the near-dup clusters of
+    // q_dup_components re-resolved to QUALITY-best golden records
+    // (longest text, ties to smallest id) instead of id-min ----
+    "q_survivorship" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = graft.operators.NearDup
+        .minhashDuplicateClusters(docs, "text", 3, 0.8)
+      graft.operators.Components.survivors(clusters, docs, "doc_id", "text")
+        .orderBy(col("cluster_id"))
+    }),
+
+    // ---- directed association rules over the q_freq_pairs basket
+    // instance: confidence + lift in exact nano-units, N = all
+    // baskets (pre-prune — the prune must not inflate lift) ----
+    "q_assoc_rules" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 0)
+      graft.ops.Baskets.rules(li, "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy(col("antecedent"), col("consequent"))
+    })
+  )
 
   // ==== batch 7: global sequence numbers, journey analytics, and
   // snapshot CDC — the remaining whole-corpus bookkeeping ops ====
@@ -2728,7 +2795,131 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles
+
+  private def roundEightOracles: Map[String, String] = Map(
+    // the n²-scaled mean-clearing identity: all moments exact BIGINTs
+    // (guarded against overflow on the Spark side), ONE double
+    // division per lag; the rn+lag self-join replays the explode/join
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) // 100 AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+        |  GROUP BY 1
+        |), s AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn, x FROM daily
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS S,
+        |         CAST(sum(x*x) AS BIGINT) AS Q FROM s
+        |), per AS (
+        |  SELECT CAST(tl.rn - h.rn AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(h.x * tl.x) AS BIGINT) AS C,
+        |    CAST(sum(h.x) AS BIGINT) AS Sh, CAST(sum(tl.x) AS BIGINT) AS St
+        |  FROM s h JOIN s tl ON tl.rn - h.rn BETWEEN 1 AND 10
+        |  GROUP BY 1
+        |)
+        |SELECT p.lag, p.n_pairs,
+        |  CAST(round(1e9 *
+        |    CAST(t.n*t.n*p.C - t.n*t.S*(p.Sh+p.St) + (t.n - p.lag)*t.S*t.S AS DOUBLE)
+        |    / CAST(t.n*(t.n*t.Q - t.S*t.S) AS DOUBLE)) AS BIGINT) AS acf_nano
+        |FROM per p, t ORDER BY p.lag""".stripMargin,
+
+    // identical histogram + smoothing to q_psi_bins; p and q are the
+    // same two divisions, then one mirrored 0.5e9·(p·ln(2p/(p+q)) +
+    // q·ln(2q/(p+q))) tree per bucket
+    "q_js_drift" ->
+      """WITH av AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |), bv AS (
+        |  SELECT CAST(round(value*100) AS BIGINT) AS v FROM events
+        |  WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |), h AS (
+        |  SELECT CAST(floor(v / 500) AS BIGINT) AS bucket,
+        |         CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+        |  FROM (SELECT v, 1 AS na, 0 AS nb FROM av
+        |        UNION ALL SELECT v, 0, 1 FROM bv)
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb,
+        |         CAST(count(*) AS BIGINT) AS nbk
+        |  FROM h
+        |), pq AS (
+        |  SELECT h.bucket, h.n_a, h.n_b,
+        |    CAST(h.n_a + 1 AS DOUBLE) / CAST(t.ta + t.nbk AS DOUBLE) AS p,
+        |    CAST(h.n_b + 1 AS DOUBLE) / CAST(t.tb + t.nbk AS DOUBLE) AS q
+        |  FROM h, t
+        |)
+        |SELECT bucket, n_a, n_b,
+        |  CAST(round(0.5e9 * (p * ln(2.0*p/(p+q)) + q * ln(2.0*q/(p+q)))) AS BIGINT) AS jsd_e9
+        |FROM pq ORDER BY bucket""".stripMargin,
+
+    // exact class counting; NULL quasi-identifiers group as values
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS class_size,
+        |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS distinct_sensitive,
+        |  count(*) >= 10 AS k_ok
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same '_'-joined distinct trigram convention as the dedup
+    // oracles; first-introducer = min doc_id per gram
+    "q_gram_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+        |    i -> toks[i] || '_' || toks[i+1] || '_' || toks[i+2])) AS shingles
+        |  FROM tok
+        |), ex AS (
+        |  SELECT doc_id, unnest(shingles) AS g FROM sh
+        |), fs AS (
+        |  SELECT g, min(doc_id) AS first_id FROM ex GROUP BY 1
+        |), per AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN f.first_id = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM ex e JOIN fs f USING (g) GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+        |  coalesce(p.n_new, 0) AS n_new,
+        |  CASE WHEN coalesce(p.n_grams, 0) = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(p.n_new AS DOUBLE) / CAST(p.n_grams AS DOUBLE)) AS BIGINT)
+        |  END AS novelty_nano
+        |FROM documents d LEFT JOIN per p USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // the q_freq_pairs front half; N = all quarter-instance baskets
+    // (pre-prune), both rule directions
+    "q_assoc_rules" ->
+      """WITH f AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+        |  WHERE l_orderkey % 4 = 0
+        |), freq AS (
+        |  SELECT i FROM f GROUP BY i HAVING count(*) >= 2
+        |), pf AS (
+        |  SELECT f.b, f.i FROM f JOIN freq USING (i)
+        |), cnt AS (
+        |  SELECT i, CAST(count(*) AS BIGINT) AS c FROM pf GROUP BY i
+        |), nb AS (
+        |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS N FROM lineitem
+        |  WHERE l_orderkey % 4 = 0 AND l_orderkey IS NOT NULL
+        |), pairs AS (
+        |  SELECT a.i AS item_a, b2.i AS item_b, CAST(count(*) AS BIGINT) AS support
+        |  FROM pf a JOIN pf b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |), directed AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, support FROM pairs
+        |  UNION ALL SELECT item_b, item_a, support FROM pairs
+        |)
+        |SELECT d.antecedent, d.consequent, d.support,
+        |  CAST(round(1e9 * CAST(d.support AS DOUBLE) / CAST(ca.c AS DOUBLE)) AS BIGINT) AS conf_nano,
+        |  CAST(round(1e9 * CAST(d.support * nb.N AS DOUBLE)
+        |    / CAST(ca.c * cb.c AS DOUBLE)) AS BIGINT) AS lift_nano
+        |FROM directed d
+        |JOIN cnt ca ON ca.i = d.antecedent
+        |JOIN cnt cb ON cb.i = d.consequent, nb
+        |ORDER BY 1, 2""".stripMargin
+  )
 
   private def journeyOracles: Map[String, String] = Map(
     // The cuts/buckets are internal; the output is the plain global
@@ -5187,10 +5378,28 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(CAST(group_key AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         |  FROM keyed
         |)""".stripMargin
+    // Same closure, then the survivorship pick: quality-best member
+    // (longest text, ties to smallest id) per cluster instead of the
+    // id-min canonical.
+    val survivorshipSql =
+      s"""$closurePrefix, clusters AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        |), scored AS (
+        |  SELECT c.cluster_id, c.doc_id, CAST(coalesce(len(d.text), 0) AS BIGINT) AS tlen
+        |  FROM clusters c JOIN documents d USING (doc_id)
+        |), ranked AS (
+        |  SELECT cluster_id, doc_id, tlen,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY tlen DESC, doc_id ASC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |  FROM scored
+        |)
+        |SELECT cluster_id, n_members, doc_id AS survivor_id, tlen AS survivor_len
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
     Map(
       "q_dup_components" -> componentsSql,
       "q_dedup_pipeline" -> dedupPipelineSql,
       "q_leak_split" -> leakSplitSql,
+      "q_survivorship" -> survivorshipSql,
 
       // Same md5 hash order (hash, then doc_id tie-break), ranked
       // per lang, cut at the quota.

@@ -116,4 +116,30 @@ object Components {
     connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
         (col("id") === col("comp")).as("is_canonical"))
+
+  /** Survivorship (golden-record selection): per duplicate cluster,
+    * keep the QUALITY-best member instead of [[duplicateClusters]]'
+    * id-min convention — the ER step after clustering, where "best"
+    * is a deterministic policy, here (longest `textCol`, ties to the
+    * smallest id; NULL text sorts as length 0). One window over the
+    * cluster-keyed join — partitions are cluster-sized, never the
+    * corpus. Output per cluster: (cluster_id, n_members, survivor_id,
+    * survivor_len). */
+  def survivors(clusters: DataFrame, records: DataFrame,
+                idCol: String, textCol: String): DataFrame = {
+    val scored = clusters.select(col("doc_id").as("__id"), col("cluster_id"))
+      .join(records.select(col(idCol).as("__id"),
+        coalesce(length(col(textCol)).cast("long"), lit(0L)).as("__len")), Seq("__id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__len").desc, col("__id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .where(col("__rn") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("__id").as("survivor_id"), col("__len").as("survivor_len"))
+  }
 }

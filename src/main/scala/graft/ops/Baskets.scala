@@ -98,6 +98,49 @@ object Baskets {
     * anywhere (the co-occurrence counts do the accumulating).
     * Output: (item_a, item_b, support, cos_e9) for pairs at or
     * above `minSupport`, item_a < item_b. */
+  /** Directed association rules from the frequent pairs: for every
+    * frequent unordered pair, BOTH rules a→b and b→a with
+    *
+    *   confidence(a→b) = support(a,b) / count(a)          (direction-
+    *     dependent — the asymmetric half of the report)
+    *   lift(a→b) = support(a,b)·N / (count(a)·count(b))   (symmetric;
+    *     >1 = attraction, <1 = repulsion)
+    *
+    * N = total distinct baskets in the ORIGINAL facts (pre-prune —
+    * lift is relative to all transactions, not the pruned survivor
+    * set; the prune only removes items that cannot form frequent
+    * pairs, it must not inflate every lift). All inputs exact
+    * integers; conf/lift are each one mirrored IEEE tree,
+    * nano-rounded. Output: (antecedent, consequent, support,
+    * conf_nano, lift_nano). */
+  def rules(df: DataFrame, basketCol: String, itemCol: String,
+            minSupport: Long, maxBasketItems: Int = 10000,
+            maxPairVolume: Long = 1000000000L): DataFrame = {
+    val pruned = prunedFacts(df, basketCol, itemCol, minSupport, maxBasketItems,
+      maxPairVolume)
+    val counts = pruned.groupBy(col("__item")).agg(count(lit(1)).as("__cnt"))
+    val nBaskets = df.select(col(basketCol).as("__basket"))
+      .where(col("__basket").isNotNull)
+      .agg(count_distinct(col("__basket")).as("__N"))
+    val pairs = pairsFrom(pruned, minSupport)
+    val directed = pairs.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("support")))
+    directed
+      .join(counts.select(col("__item").as("antecedent"), col("__cnt").as("__ca")),
+        "antecedent")
+      .join(counts.select(col("__item").as("consequent"), col("__cnt").as("__cb")),
+        "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        round(lit(1e9) * col("support").cast("double") / col("__ca").cast("double"))
+          .cast("long").as("conf_nano"),
+        round(lit(1e9) * (col("support") * col("__N")).cast("double") /
+          (col("__ca") * col("__cb")).cast("double"))
+          .cast("long").as("lift_nano"))
+  }
+
   def cosinePairs(df: DataFrame, basketCol: String, itemCol: String,
                   minSupport: Long, maxBasketItems: Int = 10000,
                   maxPairVolume: Long = 1000000000L): DataFrame = {

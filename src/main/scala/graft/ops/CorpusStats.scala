@@ -106,4 +106,46 @@ object CorpusStats {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
           .cast("long").as("jaccard_nano"))
   }
+
+  /** Per-document n-gram NOVELTY in arrival order (`idCol` ascending
+    * = ingestion order): the fraction of a document's distinct
+    * n-grams that no earlier document used. The curation signal
+    * between exact dup (novelty 0 for the later copy) and fully
+    * fresh (novelty 1): boilerplate-heavy feeds trend toward 0 as
+    * the crawl progresses, so the per-source novelty TREND is the
+    * "this feed stopped adding information" alarm.
+    *
+    * One grouped aggregate finds each gram's first-introducing doc
+    * (min id — ties resolved by the minimum, so a gram's first
+    * appearance is unique by construction), one join back counts how
+    * many of a doc's grams it introduced itself. Exact integers;
+    * novelty_nano is the single mirrored IEEE division. Shuffles are
+    * keyed on the gram then the doc id — both data-sized, no
+    * quadratic anything. Distinct STRING grams (not the engine-
+    * private 64-bit shingle hashes) so the DuckDB oracle replays
+    * bit-for-bit; a production run at corpus scale would swap in
+    * [[graft.plans.ShingleHashes]] and shuffle longs instead
+    * (collision odds ≈ |grams|²/2⁶⁴ — the NearDup argument).
+    *
+    * Output: (idCol, n_grams, n_new, novelty_nano); documents with
+    * fewer than n tokens carry n_grams = 0 and NULL novelty
+    * (undefined, not zero — the A4/A7 null-semantics split). */
+  def gramNovelty(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("__id"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("g"))
+    val firstSeen = grams.groupBy(col("g")).agg(min(col("__id")).as("first_id"))
+    val perDoc = grams.join(firstSeen, Seq("g"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("__id"), 1L).otherwise(0L)).as("n_new"))
+    docs.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e9) * col("n_new").cast("double") /
+            col("n_grams").cast("double")).cast("long")).as("novelty_nano"))
+  }
 }

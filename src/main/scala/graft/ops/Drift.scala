@@ -135,6 +135,41 @@ object Drift {
             lit(1.0e9)).cast("long").as("psi_e9"))
   }
 
+  /** Jensen-Shannon divergence per bucket, in integer nano-units —
+    * the SYMMETRIC, always-finite drift score that complements
+    * [[psi]] (whose asymmetric log-ratio terms blow up on one-sided
+    * buckets and need Laplace smoothing to stay finite; JSD is
+    * bounded by ln 2 by construction). Same equi-width histogram
+    * front ([[histogramCompare]]), same smoothing so the two scores
+    * are computed over the identical share vectors:
+    *
+    *   jsd_e9 = round(1e9 · ½·(p·ln(2p/(p+q)) + q·ln(2q/(p+q))))
+    *
+    * p, q are the two correctly-rounded divisions of exact integer
+    * counts; each bucket term is one mirrored IEEE tree, nano-rounded
+    * then summed order-free (JSD(total) = SUM(jsd_e9)/1e9 against
+    * the ln 2 ≈ 0.693 ceiling). Either side empty fails loud, the
+    * psi contract. Output: (bucket, n_a, n_b, jsd_e9). */
+  def jsd(a: DataFrame, b: DataFrame, valCol: String, width: Long): DataFrame = {
+    val hist = histogramCompare(a, b, valCol, width)
+    val totals = hist
+      .agg(sum(col("n_a")).as("__ta"), sum(col("n_b")).as("__tb"),
+        count(lit(1)).as("__nb"))
+      .select(
+        when(col("__ta").isNull || col("__ta") === 0 || col("__tb").isNull || col("__tb") === 0,
+          raise_error(lit("Drift.jsd: a side has no bucketable values — " +
+            "JSD against an empty side is undefined")).cast("long"))
+          .otherwise(col("__ta")).as("__ta"),
+        col("__tb"), col("__nb"))
+    val p = (col("n_a") + lit(1L)).cast("double") / (col("__ta") + col("__nb")).cast("double")
+    val q = (col("n_b") + lit(1L)).cast("double") / (col("__tb") + col("__nb")).cast("double")
+    hist.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round(lit(0.5e9) *
+          (p * log(lit(2.0) * p / (p + q)) + q * log(lit(2.0) * q / (p + q))))
+          .cast("long").as("jsd_e9"))
+  }
+
   /** Benford first-digit audit — the fabricated-numbers detector:
     * naturally-grown magnitudes (prices, populations, file sizes)
     * put digit d first with probability log10(1 + 1/d), while

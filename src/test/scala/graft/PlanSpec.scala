@@ -123,10 +123,14 @@ class PlanSpec extends SparkSpec {
     // the |X|·|Y|-bounded cell frame, the q_psi_bins shape)
     // (q_modularity broadcasts its 1-row edge-count scalar over the
     // per-community frame)
+    // (q_acf broadcasts its 1-row (n, S, Q) moment scalars over the
+    // 10-row per-lag frame; q_js_drift its totals row over the bucket
+    // frame, the q_psi_bins shape; q_assoc_rules its 1-row basket
+    // count N over the frequent-pair frame)
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
       "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift",
       "q_psi_bins", "q_water_fill", "q_cm_joinsize", "q_mutual_info", "q_modularity",
-      "q_calibration", "q_kn_bigrams", "q_benford")
+      "q_calibration", "q_kn_bigrams", "q_benford", "q_acf", "q_js_drift", "q_assoc_rules")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

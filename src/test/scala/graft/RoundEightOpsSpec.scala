@@ -1,0 +1,172 @@
+package graft
+
+import graft.ops.{Autocorr, Baskets, Drift, Privacy}
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+/** Round-8 operator batch: autocorrelation, Jensen-Shannon drift,
+  * k-anonymity audit, corpus gram novelty, ER survivorship,
+  * association rules. */
+class RoundEightOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Autocorr.acf ----
+
+  test("acf: hand-computed lags on 1..5 (exact integer identity)") {
+    val s = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L)).toDF("t", "x")
+    val r = Autocorr.acf(s, "t", "x", maxLag = 2)
+      .orderBy($"lag").as[(Long, Long, Option[Long])].collect().toSeq
+    // μ=3, den=10; lag1: Σ(xt−μ)(xt+1−μ)=4 → 0.4; lag2: −1 → −0.1
+    assert(r == Seq((1L, 4L, Some(400000000L)), (2L, 3L, Some(-100000000L))))
+  }
+
+  test("acf: an alternating series is negative at lag 1, positive at lag 2") {
+    val s = (1L to 40L).map(i => (i, i % 2)).toDF("t", "x")
+    val m = Autocorr.acf(s, "t", "x", maxLag = 2)
+      .as[(Long, Long, Option[Long])].collect().map(r => r._1 -> r._3.get).toMap
+    assert(m(1L) < -900000000L && m(2L) > 900000000L)
+  }
+
+  test("acf: zero-variance series yields NULL, not a crash") {
+    val s = (1L to 10L).map(i => (i, 7L)).toDF("t", "x")
+    val r = Autocorr.acf(s, "t", "x", maxLag = 3)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(r.length == 3 && r.forall(_._3.isEmpty))
+  }
+
+  test("acf guards fail loud: duplicate order key, NULL value, series cap, overflow") {
+    val dup = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("t", "x")
+    val e1 = intercept[Exception](Autocorr.acf(dup, "t", "x", 1).collect())
+    assert(e1.getMessage.contains("duplicate order key"))
+    val withNull = Seq((1L, Some(1L)), (2L, None), (3L, Some(3L))).toDF("t", "x")
+    val e2 = intercept[Exception](Autocorr.acf(withNull, "t", "x", 1).collect())
+    assert(e2.getMessage.contains("NULL value"))
+    val long = (1L to 100L).map(i => (i, i)).toDF("t", "x")
+    val e3 = intercept[Exception](Autocorr.acf(long, "t", "x", 1, maxN = 50L).collect())
+    assert(e3.getMessage.contains("maxN=50"))
+    val huge = (1L to 100L).map(i => (i, 3000000000L + i)).toDF("t", "x")
+    val e4 = intercept[Exception](Autocorr.acf(huge, "t", "x", 1).collect())
+    assert(e4.getMessage.contains("overflow"))
+  }
+
+  // ---- Drift.jsd ----
+
+  test("jsd: identical sides score exactly zero in every bucket") {
+    val a = Seq(1L, 2L, 501L, 502L, 1003L).toDF("v")
+    val r = Drift.jsd(a, a, "v", width = 500L)
+      .select($"jsd_e9").as[Long].collect()
+    assert(r.length == 3 && r.forall(_ == 0L))
+  }
+
+  test("jsd: hand-computed disjoint buckets; symmetric under side swap; bounded by ln 2") {
+    val a = Seq(1L, 2L).toDF("v")   // bucket 0 only
+    val b = Seq(501L, 502L).toDF("v") // bucket 1 only
+    val got = Drift.jsd(a, b, "v", 500L)
+      .orderBy($"bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    // smoothed: ta=tb=2, nbk=2 → bucket0: p=3/4, q=1/4 (bucket1 mirrored)
+    def term(p: Double, q: Double): Long =
+      math.round(0.5e9 * (p * math.log(2.0 * p / (p + q)) + q * math.log(2.0 * q / (p + q))))
+    val e0 = term(0.75, 0.25)
+    assert(got == Seq((0L, 2L, 0L, e0), (1L, 0L, 2L, e0)))
+    assert(got.forall(r => r._4 > 0 && r._4 < math.round(math.log(2.0) * 1e9)))
+    val swapped = Drift.jsd(b, a, "v", 500L)
+      .orderBy($"bucket").select($"jsd_e9").as[Long].collect().toSeq
+    assert(swapped == got.map(_._4))
+  }
+
+  test("jsd: an empty side fails loud") {
+    val a = Seq(1L).toDF("v")
+    val empty = spark.emptyDataset[Long].toDF("v")
+    val e = intercept[Exception](Drift.jsd(a, empty, "v", 500L).collect())
+    assert(e.getMessage.contains("empty side is undefined"))
+  }
+
+  // ---- Privacy ----
+
+  test("kAnonymity: class sizes, l-diversity, and the k flag; NULL QI is its own class") {
+    val df = Seq(
+      (Some("us"), "a", 100.0), (Some("us"), "a", 100.0), (Some("us"), "a", 200.0),
+      (Some("us"), "b", 300.0),
+      (None, "a", 400.0), (None, "a", 500.0)
+    ).toDF("country", "seg", "bal")
+    val got = Privacy.kAnonymity(df, Seq("country", "seg"), "bal", k = 2L)
+      .orderBy($"country".asc_nulls_first, $"seg")
+      .as[(Option[String], String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (None, "a", 2L, 2L, true),        // NULL country groups as a value
+      (Some("us"), "a", 3L, 2L, true),  // 3 rows, balances {100, 200}
+      (Some("us"), "b", 1L, 1L, false)))
+  }
+
+  test("kAnonymitySummary: the release-gate scalar row") {
+    val df = Seq(
+      ("us", "a", 1.0), ("us", "a", 2.0), ("us", "b", 3.0),
+      ("de", "a", 4.0), ("de", "a", 4.0), ("de", "a", 4.0)
+    ).toDF("country", "seg", "bal")
+    val r = Privacy.kAnonymitySummary(df, Seq("country", "seg"), "bal", k = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    // classes: (us,a)=2, (us,b)=1, (de,a)=3 → anonymity 1, 1 row at
+    // risk, min l-diversity 1 (de/a has one distinct balance)
+    assert(r == ((6L, 3L, 1L, 1L, 1L)))
+  }
+
+  // ---- CorpusStats.gramNovelty ----
+
+  test("gramNovelty: first introduction, partial reuse, short doc, exact copy") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams a_b_c, b_c_d — both new → 1.0
+      (2L, "a b c x"),   // a_b_c old, b_c_x new → 0.5
+      (3L, "a b"),       // < 3 tokens → 0 grams, NULL novelty
+      (4L, "a b c d")    // exact copy of doc 1 → 0.0
+    ).toDF("doc_id", "text")
+    val got = graft.ops.CorpusStats.gramNovelty(docs, "doc_id", "text", 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 2L, Some(1000000000L)),
+      (2L, 2L, 1L, Some(500000000L)),
+      (3L, 0L, 0L, None),
+      (4L, 2L, 0L, Some(0L))))
+  }
+
+  // ---- Components.survivors ----
+
+  test("survivors: quality-best golden record per cluster (longest text, id tiebreak)") {
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L), (21L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val records = Seq(
+      (10L, "short"), (11L, "long text"), (12L, "also long"), // 11 ties 12 at 9 → min id 11
+      (20L, Option.empty[String].orNull), (21L, "x")          // NULL text → len 0
+    ).toDF("doc_id", "text")
+    val got = Components.survivors(clusters, records, "doc_id", "text")
+      .orderBy($"cluster_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 3L, 11L, 9L), (20L, 2L, 21L, 1L)))
+  }
+
+  // ---- Baskets.rules ----
+
+  test("rules: hand-computed confidence and lift, both directions, pre-prune N") {
+    // baskets: {1,2}, {1,2}, {1,3}, {2}, {9} → N=5; counts (pruned
+    // facts at minSupport 2): 1→3, 2→3; pair (1,2) support 2
+    val tx = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L), (14L, 9L)).toDF("basket", "item")
+    val got = Baskets.rules(tx, "basket", "item", minSupport = 2)
+      .orderBy($"antecedent", $"consequent")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // conf(1→2) = 2/3; lift = 2·5/(3·3) = 10/9 — both directions
+    val conf = math.round(1e9 * 2.0 / 3.0)
+    val lift = math.round(1e9 * 10.0 / 9.0)
+    assert(got == Seq((1L, 2L, 2L, conf, lift), (2L, 1L, 2L, conf, lift)))
+  }
+
+  test("rules: lift detects repulsion (items that avoid each other) below 1e9") {
+    // 1 and 2 co-occur once in 6 baskets though each appears 3 times:
+    // lift = 1·6/(3·3) = 2/3 < 1
+    val tx = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (3L, 2L), (4L, 2L), (5L, 2L), (6L, 7L)
+    ).toDF("basket", "item")
+    val got = Baskets.rules(tx, "basket", "item", minSupport = 1)
+      .where($"antecedent" === 1L && $"consequent" === 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got._5 == math.round(1e9 * 2.0 / 3.0) && got._5 < 1000000000L)
+  }
+}
