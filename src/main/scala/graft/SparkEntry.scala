@@ -165,6 +165,20 @@ object SparkEntry {
     "q_pca_power" -> ((s, dir) => {
       graft.operators.Pca.topComponent(Tables.embeddings(s, dir), iters = 3)
         .orderBy(col("dim"))
+    }),
+
+    // ---- DBSCAN density clustering over the q_geo_radius point
+    // cloud: grid-bucketed radius join → core points → components
+    // over core-core edges → deterministic min-cluster border
+    // assignment. Exact integers end to end ----
+    "q_dbscan" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(col("c_custkey").as("id"),
+        pmod(graft.plans.Hash60.hash60(
+          concat(lit("gx"), col("c_custkey").cast("string"))), lit(1000000L)).as("x"),
+        pmod(graft.plans.Hash60.hash60(
+          concat(lit("gy"), col("c_custkey").cast("string"))), lit(1000000L)).as("y"))
+      graft.operators.Dbscan.cluster(pts, "id", "x", "y", eps = 20000L, minPts = 3)
+        .orderBy(col("id"))
     })
   )
 
@@ -3048,7 +3062,52 @@ object SparkEntry {
         |u3 AS (SELECT m.i AS j, CAST(sum(m.m * w2.w) AS BIGINT) AS u FROM m JOIN w2 USING (j) GROUP BY 1),
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
-        |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin
+        |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // brute-force neighbor graph + the recursive min-label closure
+    // (the componentsSql pattern); border = min core-neighbor cluster
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT c_custkey AS id,
+        |    CAST(concat('0x', substr(md5(concat('gx', CAST(c_custkey AS VARCHAR))), 1, 15))
+        |         AS BIGINT) % 1000000 AS x,
+        |    CAST(concat('0x', substr(md5(concat('gy', CAST(c_custkey AS VARCHAR))), 1, 15))
+        |         AS BIGINT) % 1000000 AS y
+        |  FROM customer
+        |), pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM p a JOIN p b ON a.id < b.id
+        |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400000000
+        |), sym AS (
+        |  SELECT id_a AS id, id_b AS nb FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), core AS (
+        |  SELECT id FROM sym GROUP BY id HAVING count(*) >= 2
+        |), ce AS (
+        |  SELECT s.id AS src, s.nb AS dst FROM sym s
+        |  JOIN core c1 ON c1.id = s.id JOIN core c2 ON c2.id = s.nb
+        |), reach(id, r) AS (
+        |  SELECT src, src FROM ce
+        |  UNION
+        |  SELECT e.src, r.r FROM ce e JOIN reach r ON r.id = e.dst
+        |), comp AS (
+        |  SELECT id, min(r) AS cluster_id FROM reach GROUP BY 1
+        |), core_clusters AS (
+        |  SELECT c.id, coalesce(m.cluster_id, c.id) AS cluster_id
+        |  FROM core c LEFT JOIN comp m USING (id)
+        |), border AS (
+        |  SELECT s.id, min(cc.cluster_id) AS cluster_id
+        |  FROM sym s JOIN core_clusters cc ON cc.id = s.nb
+        |  WHERE s.id NOT IN (SELECT id FROM core)
+        |  GROUP BY 1
+        |)
+        |SELECT p.id,
+        |  CASE WHEN cc.id IS NOT NULL THEN 'core'
+        |       WHEN b.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        |  coalesce(cc.cluster_id, b.cluster_id) AS cluster_id
+        |FROM p LEFT JOIN core_clusters cc ON cc.id = p.id
+        |LEFT JOIN border b ON b.id = p.id
+        |ORDER BY p.id""".stripMargin
   )
 
   private def journeyOracles: Map[String, String] = Map(

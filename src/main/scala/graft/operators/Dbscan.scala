@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DBSCAN (Ester et al., KDD 1996) as a composition of two operators
+  * this engine already scales: the grid-bucketed radius self-join
+  * ([[graft.ops.Geo.radiusPairs]] — each point meets only its 3×3
+  * neighbor cells, with the loud hot-cell cap) and min-label
+  * connected components ([[Components.connectedComponents]]). No new
+  * distributed machinery — density clustering falls out of the
+  * neighbor graph:
+  *
+  *  - CORE: |N_eps(p)| ≥ minPts (neighborhood includes p itself).
+  *  - clusters: connected components over core–core edges; an
+  *    isolated core (all its neighbors border) is its own singleton
+  *    cluster.
+  *  - BORDER: non-core within eps of ≥1 core, assigned the MINIMUM
+  *    cluster id among its core neighbors. Textbook DBSCAN leaves
+  *    border assignment scan-order-dependent; a distributed engine
+  *    cannot have order, so the min rule makes it deterministic
+  *    (and oracle-exact) — a documented strengthening, not a
+  *    deviation.
+  *  - NOISE: everything else (cluster NULL).
+  *
+  * Everything is exact integer arithmetic (squared distances on the
+  * integer plane), so the full labeling replays in SQL.
+  */
+object Dbscan {
+
+  /** Output: (id, role core|border|noise, cluster_id — NULL for
+    * noise; cluster id = min member id, the components convention). */
+  def cluster(points: DataFrame, idCol: String, xCol: String, yCol: String,
+              eps: Long, minPts: Int, maxCellPoints: Int = 10000): DataFrame = {
+    require(minPts >= 2, s"Dbscan: minPts must be >= 2, got $minPts")
+    val pairs = graft.ops.Geo.radiusPairs(points, idCol, xCol, yCol, eps, maxCellPoints)
+      .select(col("id_a"), col("id_b"))
+      .transform(graft.ops.Checkpoints.truncate) // feeds degree + edges + border
+    val ids = points.select(col(idCol).cast("long").as("id"))
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val core = sym.groupBy(col("id")).agg(count(lit(1)).as("n_nb"))
+      .where(col("n_nb") >= minPts - 1).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("d1"), col("id_b").as("d2"))
+    val comp = Components.connectedComponents(coreEdges)
+    val coreClusters = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
+      .transform(graft.ops.Checkpoints.truncate) // consumed by border + final
+    val borders = sym.join(core, Seq("id"), "left_anti")
+      .join(coreClusters.select(col("id").as("nb"), col("cluster_id")), Seq("nb"))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    ids
+      .join(coreClusters.select(col("id"), col("cluster_id").as("__cc")), Seq("id"), "left")
+      .join(borders.select(col("id"), col("cluster_id").as("__bc")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__bc")).as("cluster_id"))
+  }
+}

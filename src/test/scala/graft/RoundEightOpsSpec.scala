@@ -251,6 +251,51 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(wa == wb)
   }
 
+  // ---- Dbscan.cluster ----
+
+  test("dbscan: hand-built cloud — two dense blobs, a border point, and noise") {
+    // blob A at (0..2, 0): ids 1,2,3 spaced 10 apart; blob B at
+    // (1000, 0..20): ids 4,5,6; border id 7 hangs 15 from id 3 only
+    // (1 core neighbor, itself degree 1 < minPts); id 9 isolated
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 10L, 0L), (3L, 20L, 0L),
+      (4L, 1000L, 0L), (5L, 1000L, 10L), (6L, 1000L, 20L),
+      (7L, 35L, 0L),
+      (9L, 5000L, 5000L)
+    ).toDF("id", "x", "y")
+    val got = graft.operators.Dbscan.cluster(pts, "id", "x", "y", eps = 20L, minPts = 3)
+      .orderBy($"id").as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, "core", Some(1L)), (2L, "core", Some(1L)), (3L, "core", Some(1L)),
+      (4L, "core", Some(4L)), (5L, "core", Some(4L)), (6L, "core", Some(4L)),
+      (7L, "border", Some(1L)),
+      (9L, "noise", None)))
+  }
+
+  test("dbscan: border ties resolve to the MIN cluster; isolated cores are singletons") {
+    // minPts = 4 (≥3 neighbors). Two 4-cliques 40 apart, one border
+    // point 9 exactly 20 from ONE core of each (degree 2 → border of
+    // both → min cluster wins); plus a star whose center has 3 leaf
+    // neighbors (core) but no CORE neighbor (isolated-core singleton),
+    // leaves degree 1 (borders of the singleton).
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 5L, 0L), (3L, 10L, 0L), (4L, 15L, 0L),     // clique → cluster 1
+      (11L, 55L, 0L), (12L, 60L, 0L), (13L, 65L, 0L), (14L, 70L, 0L), // clique → cluster 11
+      (9L, 35L, 0L),                                                  // 20 from id 4 AND id 11
+      (20L, 200L, 0L), (21L, 180L, 0L), (22L, 220L, 0L), (23L, 200L, 20L) // star
+    ).toDF("id", "x", "y")
+    val got = graft.operators.Dbscan.cluster(pts, "id", "x", "y", eps = 20L, minPts = 4)
+      .orderBy($"id").as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, "core", Some(1L)), (2L, "core", Some(1L)), (3L, "core", Some(1L)),
+      (4L, "core", Some(1L)),
+      (9L, "border", Some(1L)), // equidistant from clusters 1 and 11 → MIN rule
+      (11L, "core", Some(11L)), (12L, "core", Some(11L)), (13L, "core", Some(11L)),
+      (14L, "core", Some(11L)),
+      (20L, "core", Some(20L)), // isolated core: a singleton cluster of its own id
+      (21L, "border", Some(20L)), (22L, "border", Some(20L)), (23L, "border", Some(20L))))
+  }
+
   test("rules: lift detects repulsion (items that avoid each other) below 1e9") {
     // 1 and 2 co-occur once in 6 baskets though each appears 3 times:
     // lift = 1·6/(3·3) = 2/3 < 1
