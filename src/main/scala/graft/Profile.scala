@@ -891,6 +891,42 @@ object Profile {
             f, "b", "i", minSupport = 3).count())
         }
 
+      case "r8ops" =>
+        // Round-8 batch: the two data-sized new ops at 1x/10x.
+        // gram novelty: the gram->min-id aggregate + join-back is the
+        // whole cost — both shuffles keyed on the gram then the doc.
+        def docsN(n: Int) = {
+          val d1 = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+          val off = 100000000L
+          (0 until n).map(i => d1.select((col("doc_id") + lit(i * off)).as("doc_id"),
+            col("text"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10)) {
+          val d = docsN(n).localCheckpoint(true)
+          val cnt = d.count()
+          time(s"gram_novelty x$n ($cnt docs)")(
+            graft.ops.CorpusStats.gramNovelty(d, "doc_id", "text", 3).count())
+        }
+        // dbscan: grid radius join + components; points replicated on
+        // a SHIFTED plane (density constant, area grows) so the grid
+        // join's per-cell work stays fixed — the 100 TB shape
+        def ptsN(n: Int) = {
+          val p1 = Tables.customer(spark, sfDir).select(col("c_custkey").as("id"),
+            pmod(graft.plans.Hash60.hash60(
+              concat(lit("gx"), col("c_custkey").cast("string"))), lit(1000000L)).as("x"),
+            pmod(graft.plans.Hash60.hash60(
+              concat(lit("gy"), col("c_custkey").cast("string"))), lit(1000000L)).as("y"))
+          val off = 100000000L
+          (0 until n).map(i => p1.select((col("id") + lit(i * 10000000L)).as("id"),
+            (col("x") + lit(i * off)).as("x"), col("y"))).reduce(_.unionByName(_))
+        }
+        for (n <- Seq(1, 10)) {
+          val p = ptsN(n).localCheckpoint(true)
+          val cnt = p.count()
+          time(s"dbscan x$n ($cnt pts)")(
+            graft.operators.Dbscan.cluster(p, "id", "x", "y", 20000L, 3).count())
+        }
+
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

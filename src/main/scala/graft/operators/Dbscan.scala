@@ -45,7 +45,12 @@ object Dbscan {
       .join(core.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(core.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
       .select(col("id_a").as("d1"), col("id_b").as("d2"))
-    val comp = Components.connectedComponents(coreEdges)
+    // star-contraction components, NOT min-label propagation: a dense
+    // point cloud percolates into one giant component whose regional
+    // minima stall the propagation wave (measured — see
+    // connectedComponentsStars' scaladoc); star rounds are O(log² n)
+    // on any topology
+    val comp = Components.connectedComponentsStars(coreEdges)
     val coreClusters = core.join(comp, Seq("id"), "left")
       .select(col("id"), coalesce(col("comp"), col("id")).as("cluster_id"))
       .transform(graft.ops.Checkpoints.truncate) // consumed by border + final

@@ -114,11 +114,50 @@ class TrainingOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents: throws instead of emitting unconverged labels") {
-    // path of diameter 4 with maxIter 2: must fail loudly
-    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    // pointer jumping covers ~2^k hops in k rounds, so forcing
+    // non-convergence needs a LONG path against a tiny cap: diameter
+    // 60 with maxIter 2 must still fail loudly
+    val chain = (1L to 60L).map(i => (i, i + 1)).toDF("d1", "d2")
     intercept[IllegalStateException] {
       graft.operators.Components.connectedComponents(chain, maxIter = 2).count()
     }
+  }
+
+  test("connectedComponents: pointer jumping converges a diameter-200 path in O(log) rounds") {
+    // plain min-label propagation would need ~200 rounds (> the
+    // default 20 cap); path doubling gets there in ~8 — the round
+    // budget that makes DBSCAN's percolated geometric graphs feasible
+    val chain = (1L to 200L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = graft.operators.Components.connectedComponents(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 201 && labels.forall(_._2 == 1L))
+  }
+
+  test("connectedComponentsStars ≡ propagation on random multi-component graphs") {
+    // 3 seeds: ring + chains + random extra edges; both algorithms
+    // must label every node with its component minimum
+    for (seed <- Seq(7, 23, 91)) {
+      val edges = (1 to 120).map { i =>
+        val a = 1L + (i * seed) % 60
+        val b = 1L + (i * i * seed + 13) % 60
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).toDF("d1", "d2")
+      val viaStars = graft.operators.Components.connectedComponentsStars(edges)
+        .as[(Long, Long)].collect().toMap
+      val viaProp = graft.operators.Components.connectedComponents(edges, maxIter = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(viaStars == viaProp, s"seed $seed")
+    }
+  }
+
+  test("connectedComponentsStars: decreasing-id long path (the regional-minimum killer)") {
+    // ids DECREASE along the path so every node's local min is just
+    // its next neighbor — the shape where min-propagation crawls;
+    // star contraction must still converge within its default cap
+    val chain = (1L to 300L).map(i => (302L - i, 301L - i)).toDF("d1", "d2")
+    val labels = graft.operators.Components.connectedComponentsStars(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 301 && labels.forall(_._2 == 1L))
   }
 
   test("connectedComponents: chain graph needs multi-round propagation") {
