@@ -167,6 +167,31 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ---- weekly seasonality strength of the daily click-dollar
+    // series: one-way variance decomposition over day-of-week
+    // groups — η² = SSB/SST with per-group nano-rounded exact
+    // within-terms (the PSI ladder in ANOVA form) ----
+    "q_seasonality" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .where(col("value").isNotNull && col("event_type") === "click")
+        .select(to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("day")).agg(expr("sum(cents) div 100").as("x"))
+        .select((datediff(col("day"),
+          lit(java.sql.Date.valueOf("2024-01-01"))) % 7).as("dow"), col("x"))
+      graft.ops.Anova.decompose(daily, "dow", "x")
+    }),
+
+    // ---- one-way ANOVA across event types (do the segments
+    // differ?): same decomposition, classical F over the exact nano
+    // sums ----
+    "q_anova" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("cast(round(value * 100) as long) div 100").as("x"))
+      graft.ops.Anova.decompose(ev, "event_type", "x")
+    }),
+
     // ---- DBSCAN density clustering over the q_geo_radius point
     // cloud: grid-bucketed radius join → core points → components
     // over core-core edges → deterministic min-cluster border
@@ -3063,6 +3088,72 @@ object SparkEntry {
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
         |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // the ANOVA identity on exact integer moments, per-group terms
+    // nano-rounded BEFORE the cross-group sum (order-free longs)
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) // 100 AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+        |  GROUP BY 1
+        |), obs AS (
+        |  SELECT CAST(date_diff('day', DATE '2024-01-01', day) AS BIGINT) % 7 AS g, x
+        |  FROM daily
+        |), pg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+        |    CAST(sum(x*x) AS BIGINT) AS qg
+        |  FROM obs GROUP BY 1
+        |), gg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+        |    CAST(sum(CAST(round(1e9 * CAST(ng*qg - sg*sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_nano
+        |  FROM pg
+        |), t AS (
+        |  SELECT n, k,
+        |    CAST(round(1e9 * CAST(n*q - s*s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS sst_nano,
+        |    ssw_nano
+        |  FROM gg
+        |)
+        |SELECT n, k, sst_nano, ssw_nano, sst_nano - ssw_nano AS ssb_nano,
+        |  CASE WHEN k < 2 OR sst_nano = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(sst_nano - ssw_nano AS DOUBLE)
+        |      / CAST(sst_nano AS DOUBLE)) AS BIGINT) END AS eta2_nano,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_nano = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (CAST(sst_nano - ssw_nano AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |      / (CAST(ssw_nano AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT) END AS f_nano
+        |FROM t""".stripMargin,
+
+    // same decomposition, groups = event types, per-event dollars
+    "q_anova" ->
+      """WITH obs AS (
+        |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) // 100 AS x
+        |  FROM events WHERE value IS NOT NULL
+        |), pg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS ng, CAST(sum(x) AS BIGINT) AS sg,
+        |    CAST(sum(x*x) AS BIGINT) AS qg
+        |  FROM obs GROUP BY 1
+        |), gg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
+        |    CAST(sum(CAST(round(1e9 * CAST(ng*qg - sg*sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_nano
+        |  FROM pg
+        |), t AS (
+        |  SELECT n, k,
+        |    CAST(round(1e9 * CAST(n*q - s*s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS sst_nano,
+        |    ssw_nano
+        |  FROM gg
+        |)
+        |SELECT n, k, sst_nano, ssw_nano, sst_nano - ssw_nano AS ssb_nano,
+        |  CASE WHEN k < 2 OR sst_nano = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(sst_nano - ssw_nano AS DOUBLE)
+        |      / CAST(sst_nano AS DOUBLE)) AS BIGINT) END AS eta2_nano,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_nano = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (CAST(sst_nano - ssw_nano AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |      / (CAST(ssw_nano AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT) END AS f_nano
+        |FROM t""".stripMargin,
 
     // brute-force neighbor graph + the recursive min-label closure
     // (the componentsSql pattern); border = min core-neighbor cluster

@@ -251,6 +251,38 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(wa == wb)
   }
 
+  // ---- Anova.decompose ----
+
+  test("anova: hand-computed decomposition; flat groups give eta2 = 1 exactly") {
+    // groups: a = {1,3}, b = {5,7} → means 2, 6; grand mean 4
+    // SSW = (1+1) + (1+1) = 4; SST = 9+1+1+9 = 20; SSB = 16
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 7L)).toDF("g", "x")
+    val r = graft.ops.Anova.decompose(df, "g", "x")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r._1 == 4L && r._2 == 2L)
+    assert(r._3 == 20000000000L && r._4 == 4000000000L && r._5 == 16000000000L)
+    assert(r._6.contains(800000000L)) // η² = 16/20
+    assert(r._7.contains(math.round(1e9 * (16.0 / 1.0) / (4.0 / 2.0)))) // F = 8
+    // constant within groups → SSW 0 → η² = 1, F undefined (NULL)
+    val flat = Seq(("a", 2L), ("a", 2L), ("b", 9L), ("b", 9L)).toDF("g", "x")
+    val r2 = graft.ops.Anova.decompose(flat, "g", "x")
+      .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(r2._6.contains(1000000000L) && r2._7.isEmpty)
+  }
+
+  test("anova: partitioning-invariant; NULL observations and moment overflow fail loud") {
+    val df = (1L to 300L).map(i => (s"g${i % 5}", (i * 13) % 40)).toDF("g", "x")
+    val a = graft.ops.Anova.decompose(df, "g", "x").collect().head
+    val b2 = graft.ops.Anova.decompose(df.repartition(17), "g", "x").collect().head
+    assert(a == b2)
+    val withNull = Seq(("a", Some(1L)), ("a", None)).toDF("g", "x")
+    val e = intercept[Exception](graft.ops.Anova.decompose(withNull, "g", "x").collect())
+    assert(e.getMessage.contains("NULL"))
+    val huge = (1L to 100L).map(i => ("a", 3000000000L + i)).toDF("g", "x")
+    val e2 = intercept[Exception](graft.ops.Anova.decompose(huge, "g", "x").collect())
+    assert(e2.getMessage.contains("overflow"))
+  }
+
   // ---- Dbscan.cluster ----
 
   test("dbscan: hand-built cloud — two dense blobs, a border point, and noise") {
