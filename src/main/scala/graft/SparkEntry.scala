@@ -167,6 +167,27 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ---- energy-threshold VAD segments over longer synthesized
+    // WAVs (16 samples → 8 frames at frameLen 2): voiced frames
+    // merge into maximal runs — the speech-curation step between
+    // decode and ASR. Exact integer energies and rank-arithmetic
+    // islands replay arithmetically from the sample formula ----
+    "q_vad" -> ((s, dir) => {
+      val mults = Seq(7, 31, 131, 8191, 3, 5, 11, 13, 17, 19, 23, 29, 37, 41, 43, 47)
+      val header = "52494646" + "44000000" + "57415645" + "666d7420" +
+        "10000000" + "0100" + "0100" + "401f0000" + "803e0000" + "0200" + "1000" +
+        "64617461" + "20000000"
+      def u(mult: Int) = pmod(col("doc_id") * mult, lit(65536L))
+      def hx(c: Column) = lpad(lower(hex(c)), 2, "0")
+      def le16(c: Column) = concat(hx(pmod(c, lit(256L))), hx(shiftright(c, 8)))
+      val payload = unhex(concat((lit(header) +: mults.map(m => le16(u(m)))): _*))
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"), lit("audio").as("kind"), payload.as("payload"))
+      val frames = graft.multimodal.Multimodal.audioFrames(media, frameLen = 2)
+      graft.multimodal.Multimodal.vadSegments(frames, energyThreshold = 500000000L)
+        .orderBy(col("media_id"), col("seg"))
+    }),
+
     // ---- weekly seasonality strength of the daily click-dollar
     // series: one-way variance decomposition over day-of-week
     // groups — η² = SSB/SST with per-group nano-rounded exact
@@ -3088,6 +3109,39 @@ object SparkEntry {
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
         |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // the q_audio_frames sample formula over 16 samples; voiced
+    // islands via the lag/running-sum rank arithmetic
+    "q_vad" ->
+      """WITH sv AS (
+        |  SELECT d.doc_id, m.k,
+        |    CASE WHEN ((d.doc_id * m.p) % 65536) < 32768
+        |         THEN ((d.doc_id * m.p) % 65536)
+        |         ELSE ((d.doc_id * m.p) % 65536) - 65536 END AS s
+        |  FROM documents d,
+        |    (VALUES (0,7),(1,31),(2,131),(3,8191),(4,3),(5,5),(6,11),(7,13),
+        |            (8,17),(9,19),(10,23),(11,29),(12,37),(13,41),(14,43),(15,47)) m(k, p)
+        |), fr AS (
+        |  SELECT doc_id, k // 2 AS frame_idx, CAST(SUM(s * s) AS BIGINT) AS energy
+        |  FROM sv GROUP BY 1, 2
+        |), voiced AS (
+        |  SELECT doc_id, frame_idx, energy,
+        |    CASE WHEN lag(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx) IS NULL
+        |           OR frame_idx - lag(frame_idx) OVER (PARTITION BY doc_id ORDER BY frame_idx) > 1
+        |         THEN 1 ELSE 0 END AS nw
+        |  FROM fr WHERE energy >= 500000000
+        |), segs AS (
+        |  SELECT doc_id, frame_idx, energy,
+        |    CAST(SUM(nw) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        |  FROM voiced
+        |)
+        |SELECT doc_id AS media_id, seg,
+        |  CAST(min(frame_idx) AS INT) AS start_frame,
+        |  CAST(max(frame_idx) AS INT) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS sum_energy
+        |FROM segs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the ANOVA identity on exact integer moments, per-group terms
     // nano-rounded BEFORE the cross-group sum (order-free longs)

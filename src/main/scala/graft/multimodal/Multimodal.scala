@@ -171,6 +171,35 @@ object Multimodal {
       }(enc)
   }
 
+  /** Energy-threshold voice-activity segments over [[audioFrames]]
+    * output — the speech-curation step between raw audio and an ASR
+    * pipeline ("keep the voiced spans, drop the silence"): frames at
+    * or above `energyThreshold` are voiced; maximal runs of
+    * consecutive voiced frame indices merge into segments (the
+    * interval-islands pattern from ops.Intervals, per media id).
+    *
+    * Exact integers end to end — frame energies are exact sums of
+    * squares, the threshold is integral, islands are rank arithmetic
+    * — so segmentation replays in any engine. Scale: one window +
+    * one aggregate keyed by media_id; partitions are per-recording
+    * frame counts, never the corpus. Output: (media_id, seg,
+    * start_frame, end_frame, n_frames, sum_energy). */
+  def vadSegments(frames: DataFrame, energyThreshold: Long): DataFrame = {
+    require(energyThreshold >= 0, s"energyThreshold must be >= 0, got $energyThreshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames.where(col("energy") >= energyThreshold)
+      .withColumn("__prev", lag(col("frame_idx"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("frame_idx") - col("__prev") > 1, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("media_id"), col("seg"))
+      .agg(min(col("frame_idx")).as("start_frame"), max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"), sum(col("energy")).as("sum_energy"))
+  }
+
   private val dhashSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),

@@ -251,6 +251,26 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(wa == wb)
   }
 
+  // ---- Multimodal.vadSegments ----
+
+  test("vadSegments: voiced runs merge, silence splits, per-recording isolation") {
+    // recording 1: frames 0,1 voiced | 2 silent | 3,4,5 voiced
+    // recording 2: all silent except frame 7
+    val frames = Seq(
+      (1L, 0, 900L), (1L, 1, 800L), (1L, 2, 10L), (1L, 3, 700L), (1L, 4, 750L), (1L, 5, 900L),
+      (2L, 0, 5L), (2L, 7, 999L)
+    ).toDF("media_id", "frame_idx", "energy")
+    val got = graft.multimodal.Multimodal.vadSegments(frames, energyThreshold = 500L)
+      .orderBy($"media_id", $"seg")
+      .as[(Long, Long, Int, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0, 1, 2L, 1700L),
+      (1L, 2L, 3, 5, 3L, 2350L),
+      (2L, 1L, 7, 7, 1L, 999L)))
+    // threshold above everything → no segments, never a crash
+    assert(graft.multimodal.Multimodal.vadSegments(frames, 100000L).count() == 0L)
+  }
+
   // ---- Anova.decompose ----
 
   test("anova: hand-computed decomposition; flat groups give eta2 = 1 exactly") {
