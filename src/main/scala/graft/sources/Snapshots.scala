@@ -665,6 +665,74 @@ object Snapshots {
                mergeSchema: Boolean = false): DataFrame =
     read(spark, tableDir, versionAt(tableDir, epochMillis), mergeSchema)
 
+  /** Commit history as a DataFrame (DESCRIBE HISTORY): one row per
+    * RETAINED version — (version, parent, op, ts_millis, tag,
+    * n_files, has_schema). Reads manifests only (listing-sized);
+    * vacuumed-away versions simply do not appear. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val head = currentVersion(tableDir)
+    val rows = (1 to head).filter(v => Files.exists(manifestPath(tableDir, v))).map { v =>
+      val lines = Files.readAllLines(manifestPath(tableDir, v)).asScala.toSeq
+      (v, headerValue(lines, "parent").map(_.toInt).getOrElse(0),
+        headerValue(lines, "op").getOrElse(""),
+        headerValue(lines, "ts").map(_.toLong).getOrElse(0L),
+        headerValue(lines, "tag").orNull,
+        fileLines(tableDir, v).size.toLong,
+        headerValue(lines, "schema").isDefined)
+    }
+    import spark.implicits._
+    rows.toDF("version", "parent", "op", "ts_millis", "tag", "n_files", "has_schema")
+  }
+
+  /** Schema drift report between two versions, from the per-manifest
+    * schema records: one row per changed column — change ∈
+    * added | removed | retyped, with both types for retypes. Versions
+    * without a record fail loud (a silent empty diff would read as
+    * "no drift"). Together with the additive commit gate this closes
+    * the evolution story: the gate blocks accidents at write time,
+    * the diff EXPLAINS history after the fact (an overwrite may
+    * legitimately reshape — the diff is how its consumers find out
+    * what changed). */
+  def schemaDiff(spark: SparkSession, tableDir: String, fromV: Int, toV: Int): DataFrame = {
+    def schemaOf(v: Int): org.apache.spark.sql.types.StructType = {
+      val j = manifestSchema(tableDir, v).getOrElse(throw new IllegalArgumentException(
+        s"Snapshots: version $v of $tableDir carries no schema record " +
+          "(pre-record manifest) — a silent empty diff would read as 'no drift'"))
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    val from = schemaOf(fromV).fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val to = schemaOf(toV).fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val added = (to.keySet -- from.keySet).toSeq.sorted
+      .map(c => (c, "added", null: String, to(c)))
+    val removed = (from.keySet -- to.keySet).toSeq.sorted
+      .map(c => (c, "removed", from(c), null: String))
+    val retyped = (from.keySet & to.keySet).toSeq.sorted
+      .filter(c => from(c) != to(c)).map(c => (c, "retyped", from(c), to(c)))
+    import spark.implicits._
+    (added ++ removed ++ retyped).toDF("column", "change", "from_type", "to_type")
+  }
+
+  /** Shallow clone (Delta's CLONE): a NEW table whose v1 manifest
+    * references the SOURCE version's data files by path — zero bytes
+    * copied, metadata-only, O(manifest) work. The clone is
+    * immediately readable and independently appendable; its history
+    * starts fresh. The caveat is the same as the real feature's and
+    * stated loudly: the clone borrows the source's files, so a
+    * `vacuum` on the SOURCE that expires the referenced version can
+    * orphan the clone — deep-copy (read + commit) when the source's
+    * retention is not under your control. */
+  def shallowClone(srcDir: String, dstDir: String, version: Int = -1): Int = {
+    val v = if (version >= 0) version else currentVersion(srcDir)
+    require(v > 0, s"Snapshots: $srcDir has no committed versions")
+    require(currentVersion(dstDir) == 0,
+      s"Snapshots: clone target $dstDir already has commits — refusing to mix histories")
+    Files.createDirectories(snapPath(dstDir))
+    writeManifest(dstDir, 1, 0, s"clone($srcDir@v$v)", fileLines(srcDir, v),
+      schema = manifestSchema(srcDir, v))
+    1
+  }
+
   /** Lakehouse OPTIMIZE ZORDER BY: rewrite the live data clustered
     * on the interleaved-bit key of `cols` and commit with per-file
     * zone maps on those same columns — after which a range predicate

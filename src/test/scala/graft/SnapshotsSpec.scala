@@ -441,6 +441,62 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(Snapshots.read(spark, t)) == Seq(1L, 4L))
   }
 
+  test("history: one row per retained version with op, file count, and schema flag") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), t, tag = Some("batch-2"))
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), t, mode = "overwrite")
+    val h = Snapshots.history(spark, t).orderBy($"version")
+      .as[(Int, Int, String, Long, Option[String], Long, Boolean)].collect().toSeq
+    assert(h.map(r => (r._1, r._2, r._3, r._5, r._7)) == Seq(
+      (1, 0, "append", None, true),
+      (2, 1, "append", Some("batch-2"), true),
+      (3, 2, "overwrite", None, true)))
+    assert(h.map(_._6) == Seq(1L, 2L, 1L)) // file counts: 1, 1+1 carried, overwrite 1
+    assert(h.forall(_._4 > 0L)) // commit timestamps recorded
+  }
+
+  test("schemaDiff: added / removed / retyped columns between versions; record-less versions fail loud") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)                     // v1
+    Snapshots.commit(Seq((2L, "b", 9L)).toDF("id", "s", "extra"), t)        // v2 additive
+    Snapshots.commit(Seq(("x", 7.5)).toDF("s", "id"), t, mode = "overwrite") // v3 reshapes
+    val d12 = Snapshots.schemaDiff(spark, t, 1, 2)
+      .as[(String, String, Option[String], Option[String])].collect().toSeq
+    assert(d12 == Seq(("extra", "added", None, Some("bigint"))))
+    val d13 = Snapshots.schemaDiff(spark, t, 1, 3)
+      .orderBy($"column").as[(String, String, Option[String], Option[String])].collect().toSeq
+    assert(d13 == Seq(("id", "retyped", Some("bigint"), Some("double"))))
+    assert(Snapshots.schemaDiff(spark, t, 2, 2).count() == 0) // self-diff empty
+    // a hand-written record-less manifest refuses to diff
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(t, "_snapshots", "v00000009.txt"),
+      "version=9\nparent=3\nop=append\nts=0\n")
+    val e = intercept[IllegalArgumentException](Snapshots.schemaDiff(spark, t, 1, 9))
+    assert(e.getMessage.contains("no schema record"))
+  }
+
+  test("shallowClone: metadata-only copy reads identically, appends independently") {
+    val src = freshTable()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src)
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), src)
+    val dst = freshTable()
+    assert(Snapshots.shallowClone(src, dst) == 1)
+    assert(ids(Snapshots.read(spark, dst)) == Seq(1L, 2L, 3L))
+    // no bytes copied: the clone's manifest references the SOURCE paths
+    assert(Snapshots.liveFiles(dst, 1).forall(_.contains(src)))
+    // independent histories: appending to the clone leaves the source alone
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), dst)
+    assert(ids(Snapshots.read(spark, dst)) == Seq(1L, 2L, 3L, 9L))
+    assert(ids(Snapshots.read(spark, src)) == Seq(1L, 2L, 3L))
+    // the schema record traveled: a retyped append to the clone is rejected
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(("bad", "b")).toDF("id", "s"), dst)
+    }
+    // refusing to clone over an existing table
+    intercept[IllegalArgumentException](Snapshots.shallowClone(src, dst))
+  }
+
   test("schema records survive pre-record manifests: checks degrade to unchecked, then resume") {
     val t = freshTable()
     // simulate a legacy manifest with no schema record
