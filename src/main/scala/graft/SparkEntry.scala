@@ -167,6 +167,29 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ---- tokenizer fertility per language: BPE tokens per
+    // whitespace word under the trained merge table — the metric
+    // that decides whether a tokenizer punishes a language (fertility
+    // ≫ 1 → more compute per word). Reuses the q_bpe_encode
+    // closed-form-checkable merges ----
+    "q_fertility" -> ((s, dir) => {
+      val merges = Seq(("t", "h"), ("e", graft.ops.Bpe.EndOfWord))
+      val per = Tables.documents(s, dir)
+        .select(col("lang"),
+          graft.ops.Bpe.bpeTokenCount(col("text"), merges).as("n_tokens"),
+          size(filter(graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))),
+            t => length(t) > 0)).cast("long").as("n_words"))
+      per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_words")).as("total_words"))
+        .select(col("lang"), col("n_docs"), col("total_tokens"), col("total_words"),
+          when(col("total_words") === 0, lit(null).cast("long"))
+            .otherwise(round(lit(1e9) * col("total_tokens").cast("double") /
+              col("total_words").cast("double")).cast("long")).as("fertility_nano"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- energy-threshold VAD segments over longer synthesized
     // WAVs (16 samples → 8 frames at frameLen 2): voiced frames
     // merge into maximal runs — the speech-curation step between
@@ -3109,6 +3132,30 @@ object SparkEntry {
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
         |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // the q_bpe_encode closed-form token count, rolled up per lang
+    "q_fertility" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, ' +')) AS word FROM documents
+        |), t AS (
+        |  SELECT doc_id,
+        |    CAST(len(word) + 1
+        |      - (len(word) - len(replace(word, 'th', ''))) // 2
+        |      - CASE WHEN word LIKE '%e' THEN 1 ELSE 0 END AS BIGINT) AS n
+        |  FROM w WHERE len(word) > 0
+        |), per AS (
+        |  SELECT d.doc_id, d.lang, CAST(COALESCE(sum(t.n), 0) AS BIGINT) AS n_tokens,
+        |    CAST(count(t.n) AS BIGINT) AS n_words
+        |  FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_words) AS BIGINT) AS total_words,
+        |  CASE WHEN sum(n_words) = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(sum(n_tokens) AS DOUBLE)
+        |      / CAST(sum(n_words) AS DOUBLE)) AS BIGINT) END AS fertility_nano
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the q_audio_frames sample formula over 16 samples; voiced
     // islands via the lag/running-sum rank arithmetic
