@@ -167,6 +167,36 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ---- precision/recall@10 per nation over the rankEvalFixture
+    // lists — the set-based complement to q_ndcg's graded metric ----
+    "q_precision_k" -> ((s, dir) => {
+      val (results, judged) = rankEvalFixture(s, dir)
+      graft.ops.RankEval.precisionRecallAtK(results, judged, 10)
+        .orderBy(col("qid"))
+    }),
+
+    // ---- Brier score over the q_calibration fixture: the proper
+    // scoring rule that grades calibration AND discrimination in
+    // one number — exact integer (pct − 100y)² terms, one mirrored
+    // division ----
+    "q_brier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(
+        graft.ops.Sampling.hashBucket(col("doc_id")).cast("long").as("conf_pct"),
+        when(length(col("text")) > 500, 1L).otherwise(0L).as("y"))
+      graft.ops.Eval.brierFromPercent(docs, "conf_pct", "y")
+    }),
+
+    // ---- per-community conductance of the labelprop partition:
+    // the boundary-leakiness score modularity misses (Cheeger's
+    // quantity); exact integer cut/volume sums over the shared
+    // cached graph ----
+    "q_conductance" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.bipartiteSym(s, dir)
+      val labels = graft.operators.LabelProp.labels(edges, iters = 3)
+      graft.operators.GraphStats.conductance(edges, labels)
+        .orderBy(col("lab"))
+    }),
+
     // ---- tokenizer fertility per language: BPE tokens per
     // whitespace word under the trained merge table — the metric
     // that decides whether a tokenizer punishes a language (fertility
@@ -3132,6 +3162,106 @@ object SparkEntry {
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
         |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // the rankEvalFixture lists; precision divides by k, recall by
+    // the full relevant pool (NULL when empty)
+    "q_precision_k" ->
+      """WITH res AS (
+        |  SELECT qid, item, rank FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS qid, c_custkey AS item,
+        |      CAST(row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC, c_custkey)
+        |        AS BIGINT) AS rank
+        |    FROM customer)
+        |  WHERE rank <= 10
+        |), judged AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS qid, o.o_custkey AS item,
+        |    CAST(least(2, count(*) // 4) AS BIGINT) AS rel
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1, 2
+        |), hits AS (
+        |  SELECT r.qid,
+        |    CAST(sum(CASE WHEN coalesce(j.rel, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM res r LEFT JOIN judged j ON j.qid = r.qid AND j.item = r.item
+        |  GROUP BY 1
+        |), pool AS (
+        |  SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM judged WHERE rel > 0 GROUP BY 1
+        |)
+        |SELECT h.qid, h.n_hits, CAST(coalesce(p.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(round(1e9 * CAST(h.n_hits AS DOUBLE) / 10.0) AS BIGINT) AS p_nano,
+        |  CASE WHEN coalesce(p.n_rel, 0) = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(h.n_hits AS DOUBLE) / CAST(p.n_rel AS DOUBLE)) AS BIGINT)
+        |  END AS r_nano
+        |FROM hits h LEFT JOIN pool p ON p.qid = h.qid
+        |ORDER BY h.qid""".stripMargin,
+
+    // the q_calibration fixture; per-row (pct − 100y)² exact, one
+    // division by n·10⁴
+    "q_brier" ->
+      """WITH d AS (
+        |  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS p,
+        |    CASE WHEN length(text) > 500 THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((p - 100*y) * (p - 100*y)) AS BIGINT) AS sum_sq_err,
+        |  CAST(round(1e9 * CAST(sum((p - 100*y) * (p - 100*y)) AS DOUBLE)
+        |    / CAST(count(*) * 10000 AS DOUBLE)) AS BIGINT) AS brier_nano
+        |FROM d""".stripMargin,
+
+    // rides the q_labelprop unroll, then per-community cut/volume
+    // sums and the mirrored φ division
+    "q_conductance" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), l0 AS (
+        |  SELECT DISTINCT src AS id, src AS lab FROM e
+        |), v1 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l0 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l0
+        |  ) GROUP BY 1, 2
+        |), l1 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v1
+        |  ) WHERE rn = 1
+        |), v2 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l1 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l1
+        |  ) GROUP BY 1, 2
+        |), l2 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v2
+        |  ) WHERE rn = 1
+        |), v3 AS (
+        |  SELECT id, lab, count(*) AS c FROM (
+        |    SELECT e.dst AS id, l.lab FROM e JOIN l2 l ON l.id = e.src
+        |    UNION ALL SELECT id, lab FROM l2
+        |  ) GROUP BY 1, 2
+        |), l3 AS (
+        |  SELECT id, lab FROM (
+        |    SELECT id, lab, row_number() OVER (
+        |      PARTITION BY id ORDER BY c DESC, lab) AS rn FROM v3
+        |  ) WHERE rn = 1
+        |), parts AS (
+        |  SELECT ls.lab AS lab, CAST(count(*) AS BIGINT) AS vol,
+        |    CAST(sum(CASE WHEN ls.lab <> ld.lab THEN 1 ELSE 0 END) AS BIGINT) AS cut
+        |  FROM e JOIN l3 ls ON ls.id = e.src JOIN l3 ld ON ld.id = e.dst
+        |  GROUP BY 1
+        |), m2t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2 FROM e
+        |)
+        |SELECT CAST(lab AS BIGINT) AS lab, vol, cut,
+        |  CASE WHEN least(vol, m2 - vol) = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(cut AS DOUBLE)
+        |      / CAST(least(vol, m2 - vol) AS DOUBLE)) AS BIGINT)
+        |  END AS phi_nano
+        |FROM parts, m2t ORDER BY lab""".stripMargin,
 
     // the q_bpe_encode closed-form token count, rolled up per lang
     "q_fertility" ->

@@ -67,6 +67,36 @@ object GraphStats {
           .cast("long").as("q_nano"))
   }
 
+  /** Per-community CONDUCTANCE φ(C) = cut(C) / min(vol(C), vol(V∖C))
+    * — the boundary-quality score modularity misses (modularity
+    * rewards dense-vs-random; conductance measures how LEAKY the
+    * boundary is, the quantity spectral partitioning bounds via
+    * Cheeger's inequality). Over the symmetric directed edge list:
+    * vol(C) = #edges with src ∈ C (= Σ degrees), cut(C) = those
+    * whose endpoints disagree on the label. Exact integers; one
+    * IEEE division per community; whole-graph communities
+    * (min volume 0) yield NULL — φ is undefined, not zero.
+    * Output: (lab, vol, cut, phi_nano). */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("lab").cast("long").as("lab"))
+    val labeled = e
+      .join(lab.select(col("id").as("src"), col("lab").as("__ls")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("lab").as("__ld")), Seq("dst"))
+    val per = labeled.groupBy(col("__ls").as("lab"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("__ls") =!= col("__ld"), 1L).otherwise(0L)).as("cut"))
+    val total = e.agg(count(lit(1)).as("__m2"))
+    per.crossJoin(broadcast(total))
+      .select(col("lab"), col("vol"), col("cut"),
+        when(least(col("vol"), col("__m2") - col("vol")) === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e9) * col("cut").cast("double") /
+            least(col("vol"), col("__m2") - col("vol")).cast("double")).cast("long"))
+          .as("phi_nano"))
+  }
+
   /** Adamic-Adar link prediction over a SYMMETRIC edge list: score
     * every non-adjacent wedge pair (u, v) by Σ over common neighbors
     * z of 1/ln(deg z) — shared obscure neighbors predict a future

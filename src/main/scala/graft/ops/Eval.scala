@@ -107,4 +107,28 @@ object Eval {
           .cast("long"))
         .as("auc_nano"))
   }
+
+  /** Brier score from INTEGER-percent confidences — the proper
+    * scoring rule companion to [[calibrationBins]] (ECE says where
+    * the model is miscalibrated; Brier scores calibration AND
+    * discrimination in one number): mean((p − y)²) with p = pct/100.
+    * Every per-row term (pct − 100·y)² is an exact integer, summed
+    * order-free; brier_nano = round(1e9 · Σ/(n·10⁴)) — one mirrored
+    * division. Guards (NULL, pct range, 0/1 label) raise inside the
+    * consumed column. Output 1 row: (n, sum_sq_err, brier_nano). */
+  def brierFromPercent(df: DataFrame, confPctCol: String, labelCol: String): DataFrame = {
+    val term = when(col(confPctCol).isNull || col(confPctCol) < 0 || col(confPctCol) > 100,
+        raise_error(concat(lit(s"brier: $confPctCol must be an integer percent in [0,100], got "),
+          col(confPctCol).cast("string"))))
+      .when(col(labelCol).isNull || (col(labelCol) =!= 0 && col(labelCol) =!= 1),
+        raise_error(concat(lit(s"brier: $labelCol must be 0/1, got "),
+          col(labelCol).cast("string"))))
+      .otherwise((col(confPctCol).cast("long") - lit(100L) * col(labelCol).cast("long")) *
+        (col(confPctCol).cast("long") - lit(100L) * col(labelCol).cast("long")))
+    df.agg(count(lit(1)).as("n"), sum(term).as("sum_sq_err"))
+      .select(col("n"), coalesce(col("sum_sq_err"), lit(0L)).as("sum_sq_err"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e9) * col("sum_sq_err").cast("double") /
+            (col("n") * lit(10000L)).cast("double")).cast("long")).as("brier_nano"))
+  }
 }

@@ -48,6 +48,47 @@ object RankEval {
       .otherwise(col("rel")).cast("long").as("rel"))
   }
 
+  /** Result-side dup guards, INSIDE the consumed pos column (the
+    * relCol precedent): a duplicate rank would be two items at one
+    * position, a duplicate item would double-count one item against
+    * a single judgment — each silently inflates every metric here. */
+  private def guardedResults(results: DataFrame): DataFrame =
+    results.select(col("qid"), col("item"),
+      when(count(lit(1)).over(Window.partitionBy(col("qid"), col("rank"))) > 1,
+        raise_error(concat(lit("rankeval: duplicate rank in results for qid "),
+          col("qid").cast("string"))))
+      .when(count(lit(1)).over(Window.partitionBy(col("qid"), col("item"))) > 1,
+        raise_error(concat(lit("rankeval: duplicate item in results for "),
+          col("qid").cast("string"), lit("/"), col("item").cast("string"))))
+      .otherwise(col("rank")).cast("long").as("pos"))
+
+  /** Per-query precision@k and recall@k — the set-based complement
+    * to the graded [[ndcg]]: hits = top-k retrieved items with
+    * rel > 0; precision divides by k (the standard fixed-denominator
+    * form — a query that retrieved fewer than k items is penalized
+    * for it), recall by the query's FULL relevant pool (NULL when
+    * the pool is empty — undefined, not zero). Exact integer counts,
+    * two mirrored divisions. Output: (qid, n_hits, n_rel, p_nano,
+    * r_nano). */
+  def precisionRecallAtK(results: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"precisionRecallAtK: k must be >= 1, got $k")
+    val j = relCol(judgments)
+    val hits = guardedResults(results).where(col("pos") <= k)
+      .join(j, Seq("qid", "item"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(when(coalesce(col("rel"), lit(0L)) > 0, 1L).otherwise(0L)).as("n_hits"))
+    val pool = j.where(col("rel") > 0)
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    hits.join(pool, Seq("qid"), "left")
+      .select(col("qid"), col("n_hits"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        round(lit(1e9) * col("n_hits").cast("double") / lit(k.toDouble))
+          .cast("long").as("p_nano"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e9) * col("n_hits").cast("double") /
+            col("n_rel").cast("double")).cast("long")).as("r_nano"))
+  }
+
   /** Per-query nDCG@k. `results`: (qid, item, rank) with rank
     * 1-based and unique per qid (duplicates raise); `judgments`:
     * (qid, item, rel) with rel in [0, 16]. The ideal ranking draws
@@ -60,18 +101,7 @@ object RankEval {
   def ndcg(results: DataFrame, judgments: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"ndcg: k must be >= 1, got $k")
     val j = relCol(judgments)
-    // Both result-side dup guards live INSIDE the consumed pos column
-    // (the relCol precedent): a duplicate rank would be two items at
-    // one position, a duplicate item would double-count one item's
-    // gain against a single judgment — each silently inflates dcg.
-    val res = results.select(col("qid"), col("item"),
-      when(count(lit(1)).over(Window.partitionBy(col("qid"), col("rank"))) > 1,
-        raise_error(concat(lit("rankeval: duplicate rank in results for qid "),
-          col("qid").cast("string"))))
-      .when(count(lit(1)).over(Window.partitionBy(col("qid"), col("item"))) > 1,
-        raise_error(concat(lit("rankeval: duplicate item in results for "),
-          col("qid").cast("string"), lit("/"), col("item").cast("string"))))
-      .otherwise(col("rank")).cast("long").as("pos"))
+    val res = guardedResults(results)
     def gainTerm(pos: org.apache.spark.sql.Column,
                  rel: org.apache.spark.sql.Column) =
       round(lit(1e9) * (pow(lit(2.0), rel.cast("double")) - 1.0) * lit(Ln2) /

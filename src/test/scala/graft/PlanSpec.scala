@@ -128,12 +128,14 @@ class PlanSpec extends SparkSpec {
     // frame, the q_psi_bins shape; q_assoc_rules its 1-row basket
     // count N over the frequent-pair frame; q_theil_sen its 1-row
     // point count and then its 1-row median slope; q_bootstrap_ci its
-    // 1-row (n, Σx) totals twice — sample fan-out and the final line)
+    // 1-row (n, Σx) totals twice — sample fan-out and the final line;
+    // q_conductance its 1-row edge-count scalar over the per-community
+    // frame, the q_modularity shape)
     val allowCross = Set("q_cosine_topk", "q_pq_adc", "q_tfidf_terms", "q_vocab_coverage",
       "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift",
       "q_psi_bins", "q_water_fill", "q_cm_joinsize", "q_mutual_info", "q_modularity",
       "q_calibration", "q_kn_bigrams", "q_benford", "q_acf", "q_js_drift", "q_assoc_rules",
-      "q_theil_sen", "q_bootstrap_ci")
+      "q_theil_sen", "q_bootstrap_ci", "q_conductance")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

@@ -1,3 +1,4 @@
+// (precisionRecallAtK tests live at the bottom of this suite)
 package graft
 
 import graft.ops.RankEval
@@ -68,5 +69,29 @@ class RankEvalSpec extends SparkSpec {
         judged, 3).collect()
     }
     intercept[IllegalArgumentException] { RankEval.ndcg(results, judged, 0) }
+  }
+
+  test("precisionRecallAtK: hand counts; P divides by k, R by the full pool, empty pool NULL") {
+    // q1: top-3 = A(rel 2), B(0), C(1) of a pool {A, C, D} → hits 2,
+    // P@3 = 2/3, R = 2/3; q2 has no relevant judgments at all
+    val results = Seq((1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L), (1L, "D", 4L),
+      (2L, "X", 1L)).toDF("qid", "item", "rank")
+    val judged = Seq((1L, "A", 2L), (1L, "C", 1L), (1L, "D", 1L),
+      (2L, "X", 0L)).toDF("qid", "item", "rel")
+    val got = RankEval.precisionRecallAtK(results, judged, 3)
+      .orderBy($"qid").as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    val twoThirds = math.round(1e9 * 2.0 / 3.0)
+    assert(got == Seq(
+      (1L, 2L, 3L, twoThirds, Some(twoThirds)),
+      (2L, 0L, 0L, 0L, None)))
+    // retrieving the whole pool inside k ⇒ recall exactly 1
+    val full = RankEval.precisionRecallAtK(results, judged, 4)
+      .where($"qid" === 1L).as[(Long, Long, Long, Long, Option[Long])].collect().head
+    assert(full._2 == 3L && full._5.contains(1000000000L))
+    // the shared dup guard fires here too
+    intercept[Exception] {
+      RankEval.precisionRecallAtK(
+        results.union(Seq((1L, "A", 9L)).toDF("qid", "item", "rank")), judged, 3).collect()
+    }
   }
 }

@@ -251,6 +251,49 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(wa == wb)
   }
 
+  // ---- Eval.brierFromPercent ----
+
+  test("brier: hand case, perfect and worst calibration, loud guards") {
+    // p=80,y=1 → 400; p=30,y=0 → 900; mean/1e4 = 1300/2e4 = 0.065
+    val df = Seq((80L, 1L), (30L, 0L)).toDF("p", "y")
+    val r = graft.ops.Eval.brierFromPercent(df, "p", "y")
+      .as[(Long, Long, Option[Long])].collect().head
+    assert(r == ((2L, 1300L, Some(65000000L))))
+    val perfect = Seq((100L, 1L), (0L, 0L)).toDF("p", "y")
+    assert(graft.ops.Eval.brierFromPercent(perfect, "p", "y")
+      .as[(Long, Long, Option[Long])].collect().head._3.contains(0L))
+    val worst = Seq((0L, 1L), (100L, 0L)).toDF("p", "y")
+    assert(graft.ops.Eval.brierFromPercent(worst, "p", "y")
+      .as[(Long, Long, Option[Long])].collect().head._3.contains(1000000000L))
+    intercept[Exception](graft.ops.Eval.brierFromPercent(
+      Seq((101L, 1L)).toDF("p", "y"), "p", "y").collect())
+    intercept[Exception](graft.ops.Eval.brierFromPercent(
+      Seq((50L, 2L)).toDF("p", "y"), "p", "y").collect())
+  }
+
+  // ---- GraphStats.conductance ----
+
+  test("conductance: hand graph — a leaky pair vs a tight clique; whole-graph community NULL") {
+    // clique {1,2,3} + pair {10,11}, ONE bridge 3-10.
+    // labels: clique → 1, pair → 10
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (3L, 10L))
+    val edges = und.map(e => (e._1, e._2)).toDF("src", "dst")
+      .unionByName(und.map(e => (e._2, e._1)).toDF("src", "dst"))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "lab")
+    val got = graft.operators.GraphStats.conductance(edges, labels)
+      .orderBy($"lab").as[(Long, Long, Long, Option[Long])].collect().toSeq
+    // m2 = 10; clique: vol 7 (deg 2+2+3), cut 1 → φ = 1/min(7,3) = 1/3
+    // pair: vol 3, cut 1 → φ = 1/3
+    val third = math.round(1e9 / 3.0)
+    assert(got == Seq((1L, 7L, 1L, Some(third)), (10L, 3L, 1L, Some(third))))
+    // one community covering everything → min side 0 → NULL
+    val one = labels.select($"id", lit(1L).as("lab"))
+    val whole = graft.operators.GraphStats.conductance(edges, one)
+      .as[(Long, Long, Long, Option[Long])].collect().head
+    assert(whole == ((1L, 10L, 0L, None)))
+  }
+
   // ---- Multimodal.vadSegments ----
 
   test("vadSegments: voiced runs merge, silence splits, per-recording isolation") {
