@@ -167,6 +167,22 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ---- degree distribution of the shared bipartite graph — the
+    // first graph audit anyone runs (hub detection, power-law tail):
+    // one degree aggregate folded to (degree, n_nodes) plus each
+    // row's share of nodes in exact nano-units ----
+    "q_degree_dist" -> ((s, dir) => {
+      val edges = graft.ops.Graphs.bipartiteSym(s, dir)
+      val deg = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val dist = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+      val total = deg.agg(count(lit(1)).as("n_total"))
+      dist.crossJoin(broadcast(total))
+        .select(col("deg"), col("n_nodes"),
+          round(lit(1e9) * col("n_nodes").cast("double") /
+            col("n_total").cast("double")).cast("long").as("share_nano"))
+        .orderBy(col("deg"))
+    }),
+
     // ---- precision/recall@10 per nation over the rankEvalFixture
     // lists — the set-based complement to q_ndcg's graded metric ----
     "q_precision_k" -> ((s, dir) => {
@@ -3162,6 +3178,23 @@ object SparkEntry {
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
         |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // one degree aggregate over the symmetric edge replica
+    "q_degree_dist" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1
+        |), dist AS (
+        |  SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_total FROM deg
+        |)
+        |SELECT deg, n_nodes,
+        |  CAST(round(1e9 * CAST(n_nodes AS DOUBLE) / CAST(n_total AS DOUBLE)) AS BIGINT) AS share_nano
+        |FROM dist, t ORDER BY deg""".stripMargin,
 
     // the rankEvalFixture lists; precision divides by k, recall by
     // the full relevant pool (NULL when empty)

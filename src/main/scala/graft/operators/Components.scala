@@ -174,6 +174,9 @@ object Components {
         .select(col("u"), least(col("u"), col("__mv")).as("m"))
     var converged = false
     var i = 0
+    // the previous round's edge-set fingerprint carries forward so
+    // each round pays ONE fingerprint job, not two
+    var prevTrip = edges.agg(count(lit(1)), sum(col("a")), sum(col("b"))).first()
     while (!converged && i < maxIter) {
       // large-star: (v, m(u)) for every neighbor v > u
       val s1 = sym(edges)
@@ -190,9 +193,9 @@ object Components {
         .repartition(partitions, col("a"))
         .transform(graft.ops.Checkpoints.truncate)
       // convergence: the canonical edge set is unchanged
-      val trip = edges.agg(count(lit(1)), sum(col("a")), sum(col("b"))).first()
       val trip2 = ss.agg(count(lit(1)), sum(col("a")), sum(col("b"))).first()
-      if (trip == trip2 && ss.exceptAll(edges).isEmpty) converged = true
+      if (trip2 == prevTrip && ss.exceptAll(edges).isEmpty) converged = true
+      prevTrip = trip2
       edges = ss
       i += 1
     }

@@ -135,7 +135,7 @@ class PlanSpec extends SparkSpec {
       "q_boilerplate", "q_oov_rate", "q_surprisal", "q_bigram_ppl", "q_bm25", "q_ks_drift",
       "q_psi_bins", "q_water_fill", "q_cm_joinsize", "q_mutual_info", "q_modularity",
       "q_calibration", "q_kn_bigrams", "q_benford", "q_acf", "q_js_drift", "q_assoc_rules",
-      "q_theil_sen", "q_bootstrap_ci", "q_conductance")
+      "q_theil_sen", "q_bootstrap_ci", "q_conductance", "q_degree_dist")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {
