@@ -167,6 +167,18 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ---- kNN weak labeling: every 4th vector's label predicted by
+    // a 5-NN majority vote from the labeled three quarters —
+    // deterministic vote (votes desc, best rank, smallest label),
+    // so the PREDICTION replays exactly in SQL ----
+    "q_knn_label" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.Similarity.knnLabel(
+          emb.where(col("vec_id") % 4 =!= 0),
+          emb.where(col("vec_id") % 4 === 0 && col("vec_id") < 200), k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- degree distribution of the shared bipartite graph — the
     // first graph audit anyone runs (hub detection, power-law tail):
     // one degree aggregate folded to (degree, n_nodes) plus each
@@ -3178,6 +3190,39 @@ object SparkEntry {
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
         |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // the q_cosine_topk brute-force replica restricted to the
+    // labeled/unlabeled split, then the deterministic majority vote
+    "q_knn_label" ->
+      """WITH qz AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*c.v[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*q.v[i])) AS BIGINT) AS nq,
+        |    CAST(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i]*c.v[i])) AS BIGINT) AS nc
+        |  FROM qz q, qz c
+        |  WHERE q.vec_id % 4 = 0 AND q.vec_id < 200 AND c.vec_id % 4 <> 0
+        |), top AS (
+        |  SELECT query_id, corpus_id, rnk FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        CAST(dot AS DOUBLE)/(sqrt(CAST(nq AS DOUBLE))*sqrt(CAST(nc AS DOUBLE))) DESC,
+        |        corpus_id ASC) AS rnk
+        |    FROM s)
+        |  WHERE rnk <= 5
+        |), votes AS (
+        |  SELECT t.query_id, e.label, CAST(count(*) AS BIGINT) AS votes,
+        |    min(t.rnk) AS best_rnk
+        |  FROM top t JOIN embeddings e ON e.vec_id = t.corpus_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id AS vec_id, label AS pred_label, votes
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, best_rnk ASC, label ASC) AS r FROM votes)
+        |WHERE r = 1 ORDER BY vec_id""".stripMargin,
 
     // one degree aggregate over the symmetric edge replica
     "q_degree_dist" ->

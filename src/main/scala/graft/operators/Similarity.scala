@@ -64,6 +64,30 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** kNN weak labeling — nearest-neighbor majority vote from a
+    * LABELED pool onto unlabeled vectors: the cheap first labeler of
+    * a data-annotation pipeline (semi-supervised label spreading,
+    * the 1-NN end of it). Deterministic vote: most votes, ties to
+    * the label with the BEST (lowest) neighbor rank, then to the
+    * smallest label — so the prediction replays exactly in any
+    * engine (the bruteForceTopK tie order feeds it). Swap the
+    * brute-force neighbor stage for `ivfPqTopKIndexed` at corpus
+    * scale; the vote is unchanged. Output: (vec_id, pred_label,
+    * votes). */
+  def knnLabel(labeled: DataFrame, unlabeled: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"knnLabel: k must be >= 1, got $k")
+    val nn = bruteForceTopK(labeled, unlabeled, k)
+    val lab = labeled.select(col("vec_id").as("corpus_id"), col("label"))
+    nn.join(lab, Seq("corpus_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rnk")).as("__best"))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("votes").desc, col("__best").asc, col("label").asc)))
+      .where(col("__r") === 1)
+      .select(col("query_id").as("vec_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
     * threshold. Brute-force form (corpus × corpus) — at 100 TB use
     * the `lshTopK` bucketing to generate candidates first; this exact

@@ -251,6 +251,35 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(wa == wb)
   }
 
+  // ---- Similarity.knnLabel ----
+
+  test("knnLabel: majority vote, best-rank tiebreak, smallest-label tiebreak") {
+    // 2-dim embeddings: labeled pool along two directions; query 100
+    // points toward label-1 territory, query 104 sits EXACTLY between
+    // (2-2 vote split at k=4 → best-rank tiebreak picks the nearest
+    // neighbor's label)
+    val labeled = Seq(
+      (1L, Array(1.0f, 0.0f), 1L), (2L, Array(0.9f, 0.1f), 1L),
+      (3L, Array(0.0f, 1.0f), 2L), (4L, Array(0.1f, 0.9f), 2L)
+    ).toDF("vec_id", "embedding", "label")
+    val unlabeled = Seq(
+      (100L, Array(0.8f, 0.2f)), (104L, Array(0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.knnLabel(labeled, unlabeled, k = 4)
+      .orderBy($"vec_id").as[(Long, Long, Long)].collect().toSeq
+    // 100: all 4 vote but 1-labels are closer… votes tie 2-2, best
+    // rank goes to label 1 (nearest neighbor is vec 2)
+    assert(got.head == ((100L, 1L, 2L)))
+    // 104 equidistant: 2-2 votes; cosine ties broken by corpus_id →
+    // rank 1 is vec 1 (label 1) → label 1 wins via best-rank
+    assert(got(1) == ((104L, 1L, 2L)))
+    // k=1: pure nearest neighbor
+    val nn1 = graft.operators.Similarity.knnLabel(labeled,
+      Seq((200L, Array(0.05f, 0.95f))).toDF("vec_id", "embedding"), 1)
+      .as[(Long, Long, Long)].collect().head
+    assert(nn1 == ((200L, 2L, 1L)))
+  }
+
   // ---- Eval.brierFromPercent ----
 
   test("brier: hand case, perfect and worst calibration, loud guards") {
