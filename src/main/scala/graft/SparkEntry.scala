@@ -167,6 +167,19 @@ object SparkEntry {
         .orderBy(col("dim"))
     }),
 
+    // ---- cumulative-gains / lift deciles over the q_auc scored
+    // fixture: deterministic (score desc, id) decile boundaries via
+    // the bucketed two-pass ranks — the campaign-targeting table the
+    // AUC summarizes ----
+    "q_lift_curve" -> ((s, dir) => {
+      val scored = Tables.embeddings(s, dir).select(col("vec_id"),
+        element_at(graft.operators.Similarity.randomProject(
+          graft.operators.Similarity.quantize(col("embedding")), k = 1), 1).as("score"),
+        when(col("label") < 5, 1L).otherwise(0L).as("y"))
+      graft.ops.Eval.liftCurve(scored, "vec_id", "score", "y")
+        .orderBy(col("bin"))
+    }),
+
     // ---- kNN weak labeling: every 4th vector's label predicted by
     // a 5-NN majority vote from the labeled three quarters —
     // deterministic vote (votes desc, best rank, smallest label),
@@ -3190,6 +3203,43 @@ object SparkEntry {
         |e3 AS (SELECT greatest(CAST(1 AS BIGINT), max(abs(u)) // 1048576) AS d FROM u3),
         |w3 AS (SELECT j, u // d AS w FROM u3, e3)
         |SELECT CAST(j AS BIGINT) AS dim, w FROM w3 ORDER BY dim""".stripMargin,
+
+    // the q_auc score formula; (score DESC, vec_id) ranks, exact
+    // integer decile counts, one mirrored lift tree per bin
+    "q_lift_curve" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v,
+        |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |), plane AS (
+        |  SELECT list_transform(range(0, 64), i ->
+        |    CASE WHEN CAST(concat('0x', substr(md5(concat('0', ':', CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS s
+        |), scored AS (
+        |  SELECT vec_id, y,
+        |    CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+        |      ix -> q.v[ix] * plane.s[ix])) AS BIGINT) AS score
+        |  FROM q, plane
+        |), r AS (
+        |  SELECT y, row_number() OVER (ORDER BY score DESC, vec_id) AS rk FROM scored
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos FROM r
+        |), b AS (
+        |  SELECT ((rk - 1) * 10) // t.n AS bin, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM r, t GROUP BY 1
+        |), c AS (
+        |  SELECT bin, n_rows, n_pos,
+        |    CAST(sum(n_rows) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+        |    CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM b
+        |)
+        |SELECT CAST(bin AS BIGINT) AS bin, n_rows, n_pos, cum_pos,
+        |  CASE WHEN t.pos = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (CAST(cum_pos AS DOUBLE) / CAST(cum_rows AS DOUBLE))
+        |      / (CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE))) AS BIGINT) END AS lift_nano
+        |FROM c, t ORDER BY bin""".stripMargin,
 
     // the q_cosine_topk brute-force replica restricted to the
     // labeled/unlabeled split, then the deterministic majority vote

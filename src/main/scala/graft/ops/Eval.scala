@@ -108,6 +108,55 @@ object Eval {
         .as("auc_nano"))
   }
 
+  /** Cumulative-gains / lift table — "how much better than random is
+    * the top decile" — the campaign-targeting reading of a score the
+    * AUC summarizes in one number: rows rank by (score DESC, id ASC)
+    * — the id tiebreak makes decile boundaries DETERMINISTIC, which
+    * [[aucFromScores]] deliberately does not need (its tie groups
+    * aggregate out) but a decile table does, so the caller provides a
+    * unique id (duplicates raise). Ranks come from the bucketed
+    * two-pass (no single-task global window); per-bin counts are
+    * exact integers; the only windows after that run over the nBins
+    * rows. lift = (cum_pos/cum_rows)/(pos/n), one mirrored tree;
+    * NULL when the dataset has no positives. Output per bin:
+    * (bin, n_rows, n_pos, cum_pos, lift_nano). */
+  def liftCurve(df: DataFrame, idCol: String, scoreCol: String, labelCol: String,
+                nBins: Int = 10, buckets: Int = 64): DataFrame = {
+    require(nBins >= 2, s"liftCurve: nBins must be >= 2, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(
+      when(col(idCol).isNull, raise_error(lit("liftCurve: NULL id")))
+        .when(count(lit(1)).over(Window.partitionBy(col(idCol))) > 1,
+          raise_error(concat(lit("liftCurve: duplicate id "), col(idCol).cast("string"),
+            lit(" — decile boundaries need a deterministic total order"))))
+        .otherwise(col(idCol)).cast("long").as("__id"),
+      when(col(scoreCol).isNull, raise_error(lit(
+          s"liftCurve: NULL $scoreCol — a dropped row changes every decile; filter explicitly")))
+        .otherwise(col(scoreCol)).cast("long").as("__s"),
+      when(col(labelCol).isNull || (col(labelCol) =!= 0 && col(labelCol) =!= 1),
+          raise_error(concat(lit(s"liftCurve: $labelCol must be 0/1, got "),
+            col(labelCol).cast("string"))))
+        .otherwise(col(labelCol)).cast("long").as("__y"))
+    val ranked = graft.ops.Ids.globalRowNumber(
+      g.withColumn("__ns", -col("__s")), "__ns", Seq("__id"), buckets, out = "__r")
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val per = ranked.crossJoin(broadcast(tot))
+      .withColumn("bin", expr(s"((__r - 1) * $nBins) div n"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"),
+        max(col("n")).as("__n"), max(col("pos")).as("__p"))
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow) // ≤ nBins rows
+    per.withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("cum_pos", sum(col("n_pos")).over(w))
+      .select(col("bin"), col("n_rows"), col("n_pos"), col("cum_pos"),
+        when(col("__p") === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e9) *
+            (col("cum_pos").cast("double") / col("cum_rows").cast("double")) /
+            (col("__p").cast("double") / col("__n").cast("double"))).cast("long"))
+          .as("lift_nano"))
+  }
+
   /** Brier score from INTEGER-percent confidences — the proper
     * scoring rule companion to [[calibrationBins]] (ECE says where
     * the model is miscalibrated; Brier scores calibration AND

@@ -136,7 +136,8 @@ class PlanSpec extends SparkSpec {
       "q_psi_bins", "q_water_fill", "q_cm_joinsize", "q_mutual_info", "q_modularity",
       "q_calibration", "q_kn_bigrams", "q_benford", "q_acf", "q_js_drift", "q_assoc_rules",
       "q_theil_sen", "q_bootstrap_ci", "q_conductance", "q_degree_dist",
-      "q_knn_label") // knn inherits bruteForceTopK's corpus x broadcast-query cross, the q_cosine_topk shape
+      "q_knn_label", // knn inherits bruteForceTopK's corpus x broadcast-query cross, the q_cosine_topk shape
+      "q_lift_curve") // 1-row (n, pos) totals broadcast over the ranked frame, the q_ks_drift shape
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

@@ -251,6 +251,33 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(wa == wb)
   }
 
+  // ---- Eval.liftCurve ----
+
+  test("liftCurve: a perfect score ranks all positives first; random-ish score lifts ~1") {
+    // 20 rows, 5 positives, perfect separation → decile lifts:
+    // bins 0,1 all-positive (lift 4), dilution after
+    val perfect = (1L to 20L).map(i => (i, 100L - i, if (i <= 5) 1L else 0L))
+      .toDF("id", "score", "y")
+    val got = graft.ops.Eval.liftCurve(perfect, "id", "score", "y", nBins = 10)
+      .orderBy($"bin").as[(Long, Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got.length == 10 && got.forall(_._2 == 2L))
+    assert(got.head == ((0L, 2L, 2L, 2L, Some(4000000000L)))) // 1.0/0.25 = 4x
+    assert(got(2)._4 == 5L) // all 5 positives inside the top 3 bins
+    assert(got.last._5.contains(1000000000L)) // full-population lift is exactly 1
+    // ties across a bin boundary are split deterministically by id
+    val tied = (1L to 20L).map(i => (i, 7L, i % 2)).toDF("id", "score", "y")
+    val a = graft.ops.Eval.liftCurve(tied, "id", "score", "y").orderBy($"bin").collect()
+    val b2 = graft.ops.Eval.liftCurve(tied.repartition(7), "id", "score", "y")
+      .orderBy($"bin").collect()
+    assert(a.sameElements(b2))
+    // no positives → NULL lifts; dup ids raise
+    val nopos = (1L to 20L).map(i => (i, i, 0L)).toDF("id", "score", "y")
+    assert(graft.ops.Eval.liftCurve(nopos, "id", "score", "y")
+      .select($"lift_nano").as[Option[Long]].collect().forall(_.isEmpty))
+    intercept[Exception](graft.ops.Eval.liftCurve(
+      Seq((1L, 1L, 0L), (1L, 2L, 1L)).toDF("id", "score", "y"), "id", "score", "y").collect())
+  }
+
   // ---- Similarity.knnLabel ----
 
   test("knnLabel: majority vote, best-rank tiebreak, smallest-label tiebreak") {
