@@ -232,9 +232,8 @@ object SparkEntry {
     // quantity); exact integer cut/volume sums over the shared
     // cached graph ----
     "q_conductance" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.bipartiteSym(s, dir)
-      val labels = graft.operators.LabelProp.labels(edges, iters = 3)
-      graft.operators.GraphStats.conductance(edges, labels)
+      graft.operators.GraphStats.conductance(
+          graft.ops.Graphs.bipartiteSym(s, dir), graft.ops.Graphs.labelsBipartite(s, dir))
         .orderBy(col("lab"))
     }),
 
@@ -722,9 +721,8 @@ object SparkEntry {
     // formula per community row — grades the community structure
     // the q_labelprop run found ----
     "q_modularity" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.bipartiteSym(s, dir)
-      val labels = graft.operators.LabelProp.labels(edges, iters = 3)
-      graft.operators.GraphStats.modularity(edges, labels)
+      graft.operators.GraphStats.modularity(
+          graft.ops.Graphs.bipartiteSym(s, dir), graft.ops.Graphs.labelsBipartite(s, dir))
         .orderBy(col("lab"))
     }),
 
@@ -858,8 +856,7 @@ object SparkEntry {
     // part<->supplier bipartite graph — replays as a 3x-unrolled
     // SQL replica, the q_pagerank precedent ----
     "q_labelprop" -> ((s, dir) => {
-      val edges = graft.ops.Graphs.bipartiteSym(s, dir)
-      graft.operators.LabelProp.labels(edges, iters = 3)
+      graft.ops.Graphs.labelsBipartite(s, dir)
         .orderBy(col("id"))
     }),
 

@@ -106,4 +106,35 @@ object Graphs {
     * harmonic instance. */
   def bipartiteQuarterSym(spark: SparkSession, sfDir: String): DataFrame =
     symmetrize(bipartiteQuarter(spark, sfDir))
+
+  /** Memoize WITHOUT persist: for frames whose build already ends on
+    * an eager checkpoint (LabelProp's final round), the checkpoint IS
+    * the materialization — re-consuming the same DataFrame re-reads
+    * its stored blocks, never re-runs the rounds. Persisting on top
+    * would only wrap the plan in an InMemoryRelation (and embed the
+    * checkpointed scan in every consumer's plan text) for zero
+    * saved work. Superseded checkpoints are ContextCleaner-reclaimed,
+    * the Components bookkeeping precedent. */
+  private def memoBounded(kind: String, spark: SparkSession, sfDir: String)
+                         (build: => DataFrame): DataFrame = {
+    val key = System.identityHashCode(spark).toString + "|" + sfDir
+    slots.compute(kind, (_, prev) => {
+      if (prev != null && prev.key == key) prev else Slot(key, build)
+    }).df
+  }
+
+  /** The 3-round label-propagation partition of [[bipartiteSym]] —
+    * shared by q_labelprop, q_modularity (which grades it), and
+    * q_conductance (which measures its boundaries): without the
+    * memo the synchronous LPA rounds re-ran once PER CONSUMER
+    * (r7's verdict called this out for modularity alone; conductance
+    * would have made it three). The labels frame is O(|V|) rows of
+    * two longs — same memory class as the edge frames above. The
+    * deterministic vote (count DESC, label ASC) makes the shared
+    * result bit-identical to a fresh run, so every oracle is
+    * unchanged. */
+  def labelsBipartite(spark: SparkSession, sfDir: String): DataFrame =
+    memoBounded("labelsBipartite", spark, sfDir) {
+      graft.operators.LabelProp.labels(bipartiteSym(spark, sfDir), iters = 3)
+    }
 }
