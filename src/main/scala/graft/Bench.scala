@@ -70,11 +70,15 @@ object Bench {
     // query is added, silently reassigning shared first-touch costs
     // (page-cache, codegen, the near-dup shingle cache) to a different
     // query and making rounds incomparable
-    def onePass(): Seq[(String, Double)] =
+    def onePass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     // two passes, per-query MIN: transient host-level contention (a
     // measured failure mode — see SCALE_NOTES' bench-validity caveat:
@@ -94,8 +98,7 @@ object Bench {
     val passes = if (contended) 1 else 2
     val results =
       if (!contended) {
-        val p2 = onePass().toMap
-        pass1.map { case (k, v) => k -> math.min(v, p2(k)) }
+        merge(pass1, onePass().map(r => r._1 -> (r._2, r._3)).toMap)
       } else {
         // contended run: a full second pass risks the harness timeout,
         // but the published artifact was previously cold AND unflagged
@@ -105,12 +108,13 @@ object Bench {
         // queries — they dominate the total, so a min-of-2 there
         // recovers most of a clean second pass at ~1/10 the cost.
         val slow = pass1.sortBy(-_._2).take(20).map(_._1).toSet
-        val p2 = pass1.collect { case (name, _) if slow(name) =>
+        val p2 = pass1.collect { case (name, _, _) if slow(name) =>
           val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          name -> ((System.nanoTime() - t0) / 1e9, ok)
         }.toMap
-        pass1.map { case (k, v) => k -> math.min(v, p2.getOrElse(k, v)) }
+        merge(pass1, p2)
       }
     // 3-decimal formatting (Locale.ROOT: no grouping/comma surprises):
     // at ~100 queries a full-precision line is ~3.6 KB and overflows the
@@ -119,8 +123,13 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","warmup_shared_sec":${f3(warmShared)},"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"queries":$qs,"sf":"$sfDir"}""")
+    val nFailed = results.count(_._2 < 0)
+    // failed queries publish -1 and contribute 0 to the total: a
+    // duration can never be negative, so -1 is an unambiguous error
+    // marker, and a gate artifact must not hide a failure class by
+    // timing the throw (round-8 verdict, "what's wrong" #1)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"queries":$qs,"sf":"$sfDir"}""")
     // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
     // per-query line above has been truncated mid-line two rounds
@@ -129,7 +138,24 @@ object Bench {
     // for humans and for tails wide enough to hold it. Deliberately
     // NOT keyed "metric":"total" — one line per metric name, so a
     // grep for the detailed line never double-counts.
-    println(s"""{"total_sec":${f3(total)},"n_queries":${results.size},"passes":$passes,"contended":$contended,"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
+    println(s"""{"total_sec":${f3(total)},"n_queries":${results.size},"n_failed":$nFailed,"passes":$passes,"contended":$contended,"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Combine pass-1 measurements with a (possibly partial) second
+    * pass: the published per-query value is the MIN over passes in
+    * which the query SUCCEEDED; a pass where the query threw never
+    * contributes its time-to-failure (the round-8 advice bug: a throw
+    * in the contended re-run could publish an understated
+    * min(pass1, timeToFailure) with no sign of the failure). A query
+    * that succeeded in NO pass publishes -1.0 — the error marker the
+    * summary lines count as `n_failed`. Pure and public so
+    * BenchMergeSpec can prove all four ok/fail combinations. */
+  def merge(pass1: Seq[(String, Double, Boolean)],
+            pass2: Map[String, (Double, Boolean)]): Seq[(String, Double)] =
+    pass1.map { case (name, t1, ok1) =>
+      val cands = (if (ok1) Seq(t1) else Nil) ++
+        pass2.get(name).collect { case (t2, true) => t2 }
+      name -> (if (cands.isEmpty) -1.0 else cands.min)
+    }
 }

@@ -33,10 +33,21 @@ object Dbscan {
   def cluster(points: DataFrame, idCol: String, xCol: String, yCol: String,
               eps: Long, minPts: Int, maxCellPoints: Int = 10000): DataFrame = {
     require(minPts >= 2, s"Dbscan: minPts must be >= 2, got $minPts")
-    val pairs = graft.ops.Geo.radiusPairs(points, idCol, xCol, yCol, eps, maxCellPoints)
+    // duplicate-id guard (the theilSen contract: loud, inside the
+    // CONSUMED id column so Catalyst cannot prune it away): a repeated
+    // id would silently merge two points' neighborhoods, inflating
+    // core counts and mislabeling roles. One hash-window count over
+    // the points frame — points-sized, dwarfed by the radius join.
+    val idGuard = when(count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))) > 1,
+      raise_error(concat(lit(s"Dbscan: duplicate $idCol = "), col(idCol).cast("string"),
+        lit(" — two points under one id merge their neighborhoods"))))
+      .otherwise(col(idCol))
+    val pts = points.select(idGuard.as(idCol), col(xCol), col(yCol))
+    val pairs = graft.ops.Geo.radiusPairs(pts, idCol, xCol, yCol, eps, maxCellPoints)
       .select(col("id_a"), col("id_b"))
       .transform(graft.ops.Checkpoints.truncate) // feeds degree + edges + border
-    val ids = points.select(col(idCol).cast("long").as("id"))
+    val ids = pts.select(col(idCol).cast("long").as("id"))
     val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
     val core = sym.groupBy(col("id")).agg(count(lit(1)).as("n_nb"))

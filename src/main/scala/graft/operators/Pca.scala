@@ -44,7 +44,8 @@ object Pca {
     val cells = ei.select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
       .groupBy(col("i"), col("j")).agg(sum(col("vi") * col("vj")).as("g"))
       .collect() // dim² rows — model-sized (the centroidModel precedent)
-    val sums = ei.groupBy(col("i")).agg(sum(col("vi")).as("s"), count(lit(1)).as("n"))
+    val sums = ei.groupBy(col("i"))
+      .agg(sum(col("vi")).as("s"), count(lit(1)).as("n"), max(abs(col("vi"))).as("mx"))
       .collect() // dim rows
     require(sums.nonEmpty, "topComponent: empty corpus")
     val dim = sums.length
@@ -53,6 +54,23 @@ object Pca {
       s"topComponent: mixed vector widths — every embedding must have $dim dims")
     val s = Array.ofDim[Long](dim)
     sums.foreach(r => s(r.getInt(0)) = r.getLong(1))
+    // moment-overflow guards (the Autocorr/Anova contract: exact means
+    // loud, never silently wrapped). Three products can wrap Long:
+    //  (1) the executor-side Σ vᵢvⱼ itself — bounded by n·max|v|²;
+    //  (2) n·g in the centered cell n·g − sᵢsⱼ;
+    //  (3) sᵢsⱼ (|s| ≤ n·max|v| so this trips first on biased data).
+    // BigInt comparisons, so the guard itself cannot wrap; /4 head-
+    // room keeps the DIFFERENCE of the two guarded terms exact too.
+    val maxV = sums.iterator.map(_.getLong(3)).max
+    require(BigInt(n) * BigInt(maxV) * BigInt(maxV) <= BigInt(Long.MaxValue) / 4,
+      s"topComponent: n·max|v|² = ${n}·${maxV}² would overflow the exact scatter sums Σvᵢvⱼ — " +
+        "rescale the quantization units (e.g. lower Similarity.quantize's scale)")
+    val maxAbsG = cells.iterator.map(r => math.abs(r.getLong(2))).max
+    val maxAbsS = s.iterator.map(math.abs).max
+    require(BigInt(n) * BigInt(maxAbsG) <= BigInt(Long.MaxValue) / 4 &&
+        BigInt(maxAbsS) * BigInt(maxAbsS) <= BigInt(Long.MaxValue) / 4,
+      s"topComponent: the centered scatter cell n·g − sᵢsⱼ would overflow exact Long " +
+        s"arithmetic (n=$n, max|g|=$maxAbsG, max|s|=$maxAbsS) — rescale the quantization units")
     val m = Array.ofDim[Long](dim, dim)
     cells.foreach(r => m(r.getInt(0))(r.getInt(1)) = n * r.getLong(2) - s(r.getInt(0)) * s(r.getInt(1)))
     // pre-scale M to 30 bits so u = M'·w (w ≤ ~2²¹ after its own

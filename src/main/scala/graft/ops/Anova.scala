@@ -55,8 +55,18 @@ object Anova {
       .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
         sum(col("sg")).as("s"), sum(col("qg")).as("q"),
         sum(col("ssw_g_nano")).as("ssw_nano"))
+    // total-product guard: the per-group guard bounds ng·qg, but the
+    // totals n = Σng, q = Σqg multiply to up to ~k² times that bound
+    // and would wrap silently in non-ANSI Long arithmetic; s² ≤ n·q
+    // (Cauchy–Schwarz on integer observations), so the one guard
+    // covers both products in SST. Rides the consumed q column.
+    val qTot = when(col("n").cast("double") * col("q").cast("double") >
+        lit(Long.MaxValue.toDouble / 2.0),
+      raise_error(lit("Anova: n·Σx² (global totals) would overflow the exact moments — " +
+        "rescale the value units (e.g. cents → dollars)")))
+      .otherwise(col("q"))
     groups.select(col("n"), col("k"),
-        round(lit(1e9) * (col("n") * col("q") - col("s") * col("s")).cast("double") /
+        round(lit(1e9) * (col("n") * qTot - col("s") * col("s")).cast("double") /
           col("n").cast("double")).cast("long").as("sst_nano"),
         col("ssw_nano"))
       .select(col("n"), col("k"), col("sst_nano"), col("ssw_nano"),

@@ -458,4 +458,37 @@ class RoundEightOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().head
     assert(got._5 == math.round(1e9 * 2.0 / 3.0) && got._5 < 1000000000L)
   }
+
+  // ---- round-9 loud-guard closures (ADVICE r8) ----
+
+  test("pca: scatter moment overflow fails loud instead of wrapping (r8 advice)") {
+    // magnitudes chosen to PASS exact executor arithmetic (ANSI mode
+    // already raises on a wrapped product/sum) but trip the DRIVER
+    // side, where n·g − sᵢsⱼ is plain Java Long math and pre-guard
+    // wrapped silently into a wrong 'bit-replayable' eigenvector:
+    // components 1e4 quantize to 1e8 → per-cell products 1e16,
+    // Σ over 300 rows = 3e18 < Long.Max, but n·max|v|² = 3e18 and
+    // sᵢsⱼ = 9e20 both blow the Long.Max/4 headroom bound
+    val huge = (1L to 300L).map(i => (i, Array(1e4f, 1e4f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Pca.topComponent(huge, iters = 2))
+    assert(e.getMessage.contains("overflow"))
+  }
+
+  test("anova: GLOBAL totals overflow fails loud even when every group passes (r8 advice)") {
+    // one observation of 1.5e9 per group: ng·qg = 2.25e18 < Long.Max/2
+    // per group, but n·q = 3·6.75e18 ≈ 2e19 wraps the SST product —
+    // the k²-amplified hole the per-group guard left open
+    val df = Seq(("a", 1500000000L), ("b", 1500000000L), ("c", 1500000000L)).toDF("g", "x")
+    val e = intercept[Exception](graft.ops.Anova.decompose(df, "g", "x").collect())
+    assert(e.getMessage.contains("global totals"))
+  }
+
+  test("dbscan: duplicate point id fails loud instead of merging neighborhoods (r8 advice)") {
+    val pts = Seq((1L, 0L, 0L), (1L, 1000L, 0L), (2L, 10L, 0L)).toDF("id", "x", "y")
+    val e = intercept[Exception](
+      graft.operators.Dbscan.cluster(pts, "id", "x", "y", eps = 20L, minPts = 2).collect())
+    assert(e.getMessage.contains("duplicate id"))
+  }
 }
