@@ -19,10 +19,14 @@ import java.nio.file.{Files, Path}
   *    the default) — link() fails with EEXIST where rename() would
   *    silently replace the race winner.
   *  - S3-style object stores: conditional PUT (`If-None-Match: *`) —
-  *    the HTTP 412 maps to the same exception. Out of scope in this
-  *    zero-egress build; the spec exercises a compare-and-swap test
-  *    double with injected races to prove the protocol needs nothing
-  *    beyond this interface.
+  *    the HTTP 412 maps to the same exception. Implemented as
+  *    [[ObjectStoreCommitPublisher]] over the staged-upload protocol
+  *    of [[DirObjectStore]] (bytes travel before the conditional
+  *    commit; the conflict surface is a typed 412 result, translated
+  *    to this exception only at the publisher boundary). The store
+  *    emulation is a local directory — the HTTP client itself stays
+  *    out of this zero-egress build — and the spec races it with
+  *    writers in separate threads AND separate JVMs.
   */
 trait CommitPublisher {
   def publish(target: Path, body: String): Unit

@@ -37,12 +37,16 @@ import scala.jdk.CollectionConverters._
   * one storage-dependent piece and lives behind [[CommitPublisher]]:
   * hard-link no-clobber by default (single-filesystem), a
   * conditional-PUT adapter on S3-style stores (HTTP 412 maps to the
-  * same EEXIST signal — the spec proves the protocol against a CAS
-  * test double with injected races). Schema evolution is
-  * ADDITIVE-only and now ENFORCED: each manifest records its writer
-  * schema, and an append that retypes or drops a parent column fails
-  * loud naming the offense ([[requireAdditive]]); `read(mergeSchema =
-  * true)` resolves the resulting union schema. Manifests CAN
+  * same EEXIST signal — the spec proves the protocol against the
+  * staged conditional-PUT publisher [[ObjectStoreCommitPublisher]]
+  * with racing writers in separate threads and separate JVMs).
+  * Schema evolution is ADDITIVE-plus-RENAME and ENFORCED: each
+  * manifest records its writer schema WITH stable column ids, an
+  * append that retypes or drops a parent column fails loud naming
+  * the offense ([[requireAdditive]]), and [[rename]] is a
+  * metadata-only commit (same id, new name) that the read path
+  * reconciles across old files' physical names; `read(mergeSchema =
+  * true)` resolves the additive union schema. Manifests CAN
   * carry
   * per-file integral column envelopes (`commit(statsCols = …)`), and
   * `readPruned` turns them into zone-map file skipping — skipped
@@ -127,6 +131,9 @@ object Snapshots {
     // retype/rename would poison the union read; an overwrite replaces
     // every live file and may legitimately reshape the table.
     if (mode == "append" && prev > 0) checkAdditiveAgainst(tableDir, prev, df.schema)
+    // both modes: a new column may never reuse a renamed-away name
+    // (it would alias into the WRONG id under read reconciliation)
+    if (prev > 0) requireNoAliasReuse(tableDir, prev, df.schema)
     // data lands under a nonce'd dir so a racing loser's files never
     // collide with the winner's; unreferenced ones are vacuum fodder
     val nonce = java.util.UUID.randomUUID.toString.take(8)
@@ -144,8 +151,13 @@ object Snapshots {
     // append carries the previous version's full lines — stats travel
     // with their files
     val carried = if (mode == "append" && prev > 0) fileLines(tableDir, prev) else Seq.empty
+    // the recorded schema carries stable column ids (parent's by
+    // name, fresh above-max for new columns) — the identity rename()
+    // and read reconciliation key on
+    val recordSchema = schemaWithIds(
+      if (prev > 0) manifestSchema(tableDir, prev) else None, df.schema)
     writeManifest(tableDir, v, prev, mode, carried ++ newLines, tag,
-      schema = Some(df.schema.json))
+      schema = Some(recordSchema.json))
     v
   }
 
@@ -447,8 +459,144 @@ object Snapshots {
     if (dropped.nonEmpty) throw new IllegalArgumentException(
       s"Snapshots: append to $tableDir drops parent column(s) " +
         dropped.mkString("'", "', '", "'") +
-        " — additive-only evolution tracks no renames/drops; keep the column " +
-        "(NULLs are fine) or start a new table")
+        " — drops are rejected (keep the column; NULLs are fine) and a rename " +
+        "looks like drop+add from here: use Snapshots.rename(), the metadata-only " +
+        "verb that tracks the column id across names")
+  }
+
+  // ---- column ids: rename-capable schema evolution (r8 item #4) ----
+  //
+  // Every schema record now carries a stable per-column id in the
+  // field metadata (the Iceberg idea: names are labels, ids are
+  // identity). Ids make RENAME a metadata-only commit — same files,
+  // same id, new name — and make the read path reconcile old files'
+  // physical names onto the current name. Retype and drop stay
+  // rejected-with-message: retype would poison the union read
+  // (requireAdditive), drop loses data silently. Scope note: zone-map
+  // stats and bloom parts key on PHYSICAL column names inside
+  // manifest lines; a rename does not rewrite history, so pruned
+  // reads keep working on files written before the rename only via
+  // their old physical names — readPruned predicates therefore take
+  // the CURRENT name and are documented to skip alias-era stats.
+
+  private val ColIdKey = "graft.col_id"
+
+  private def colIdOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(ColIdKey)) Some(f.metadata.getLong(ColIdKey)) else None
+
+  private def parseStruct(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** Assign column ids for the next schema record: columns sharing a
+    * name with the parent record keep the parent's id; new columns
+    * get fresh ids above the parent's max. A parent without ids
+    * (pre-upgrade manifest) initializes ids 1..n — upgrades are one
+    * commit away, never a migration. */
+  private[graft] def schemaWithIds(parentJson: Option[String],
+                                   next: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val pIds: Map[String, Long] = parentJson.map(parseStruct)
+      .map(_.fields.flatMap(f => colIdOf(f).map(f.name -> _)).toMap)
+      .getOrElse(Map.empty)
+    var nextId = (pIds.values ++ Seq(0L)).max
+    org.apache.spark.sql.types.StructType(next.fields.map { f =>
+      val id = pIds.getOrElse(f.name, { nextId += 1; nextId })
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong(ColIdKey, id).build())
+    })
+  }
+
+  /** Every name each column id has carried, walking the manifest
+    * chain from `fromV` to the root — one small manifest read per
+    * version, listing-sized like every other metadata op. */
+  private def idNameHistory(tableDir: String, fromV: Int): Map[Long, Set[String]] = {
+    val acc = scala.collection.mutable.Map[Long, Set[String]]()
+    var v = fromV
+    while (v > 0 && Files.exists(manifestPath(tableDir, v))) {
+      val lines = Files.readAllLines(manifestPath(tableDir, v)).asScala.toSeq
+      headerValue(lines, "schema").foreach { j =>
+        parseStruct(j).fields.foreach { f =>
+          colIdOf(f).foreach(id => acc(id) = acc.getOrElse(id, Set.empty) + f.name)
+        }
+      }
+      v = headerValue(lines, "parent").map(_.toInt).getOrElse(0)
+    }
+    acc.toMap
+  }
+
+  /** current name → its historical aliases (old physical names) at
+    * `version`; empty when no live column has ever been renamed. */
+  private def renameAliases(tableDir: String, version: Int): Map[String, Seq[String]] =
+    manifestSchema(tableDir, version) match {
+      case None => Map.empty
+      case Some(j) =>
+        lazy val hist = idNameHistory(tableDir, version)
+        parseStruct(j).fields.flatMap { f =>
+          colIdOf(f).flatMap { id =>
+            val aliases = hist.getOrElse(id, Set.empty) - f.name
+            if (aliases.isEmpty) None else Some(f.name -> aliases.toSeq.sorted)
+          }
+        }.toMap
+    }
+
+  /** A NEW column may not reuse a name some other column id carried
+    * earlier: read reconciliation coalesces a column with its
+    * historical aliases, and a reused name would silently mix two
+    * columns' values. Loud, at commit time, before any bytes land. */
+  private def requireNoAliasReuse(tableDir: String, prev: Int,
+                                  next: org.apache.spark.sql.types.StructType): Unit =
+    manifestSchema(tableDir, prev).map(parseStruct).foreach { pst =>
+      val pNames = pst.fieldNames.toSet
+      val fresh = next.fieldNames.filterNot(pNames.contains)
+      if (fresh.nonEmpty) {
+        val hist = idNameHistory(tableDir, prev)
+        fresh.foreach { n =>
+          hist.collectFirst { case (id, names) if names.contains(n) => id }.foreach { id =>
+            throw new IllegalArgumentException(
+              s"Snapshots: new column '$n' reuses a historical name of column id $id " +
+                s"(renamed away) in $tableDir — rename reconciliation would mix the two " +
+                "columns; pick a fresh name")
+          }
+        }
+      }
+    }
+
+  /** Metadata-only column rename: commits a new version with the SAME
+    * file list and the same column id under the new name. Reads at or
+    * after this version surface the column as `newName` even from
+    * files written under `oldName` (coalesce over the id's aliases);
+    * time travel before it still shows `oldName`. Retype and drop
+    * remain rejected-with-message — rename is the only supported
+    * non-additive evolution, because it is the only one that loses
+    * nothing. */
+  def rename(tableDir: String, oldName: String, newName: String): Int = {
+    require(oldName != newName, s"Snapshots: rename to the same name '$oldName'")
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val j = manifestSchema(tableDir, head).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: version $head of $tableDir carries no schema record — " +
+        "rename needs one (commit once with this library version first)"))
+    val st = parseStruct(j)
+    require(st.fieldNames.contains(oldName),
+      s"Snapshots: no column '$oldName' in $tableDir (have: ${st.fieldNames.mkString(", ")})")
+    require(!st.fieldNames.contains(newName),
+      s"Snapshots: column '$newName' already exists in $tableDir")
+    val oldId = colIdOf(st(oldName)).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: column '$oldName' carries no column id (pre-upgrade record) — " +
+        "commit once with this library version first"))
+    idNameHistory(tableDir, head).collectFirst {
+      case (id, names) if id != oldId && names.contains(newName) => id
+    }.foreach { id =>
+      throw new IllegalArgumentException(
+        s"Snapshots: '$newName' was a historical name of column id $id — reusing it " +
+          "would corrupt rename reconciliation; pick a fresh name")
+    }
+    val renamed = org.apache.spark.sql.types.StructType(
+      st.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+    writeManifest(tableDir, head + 1, head, "rename", fileLines(tableDir, head),
+      schema = Some(renamed.json))
+    head + 1
   }
 
   /** Run the additive gate against `parentV`'s recorded schema; a
@@ -471,7 +619,26 @@ object Snapshots {
     val v = if (version >= 0) version else currentVersion(tableDir)
     require(v > 0, s"Snapshots: $tableDir has no committed versions")
     val files = liveFiles(tableDir, v)
+    val aliases = renameAliases(tableDir, v)
     if (files.isEmpty) spark.emptyDataFrame
+    else if (aliases.nonEmpty) {
+      // rename reconciliation: live files written before a rename
+      // carry the OLD physical name; the union read surfaces both
+      // names and each row has a value under exactly one of them
+      // (ids never share names — the commit-time alias-reuse gate),
+      // so coalesce(current, aliases…) IS the column. Output columns
+      // and order come from the version's recorded schema.
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val present = df.columns.toSet
+      val record = parseStruct(manifestSchema(tableDir, v).get)
+      df.select(record.fields.map { f =>
+        val alts = (f.name +: aliases.getOrElse(f.name, Seq.empty)).filter(present)
+        if (alts.isEmpty) lit(null).cast(f.dataType).as(f.name)
+        else if (alts.size == 1) col(alts.head).as(f.name)
+        else coalesce(alts.map(col): _*).as(f.name)
+      }.toIndexedSeq: _*)
+    }
     else if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
     else spark.read.parquet(files: _*)
   }
@@ -701,16 +868,33 @@ object Snapshots {
       org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
-    val from = schemaOf(fromV).fields.map(f => f.name -> f.dataType.catalogString).toMap
-    val to = schemaOf(toV).fields.map(f => f.name -> f.dataType.catalogString).toMap
-    val added = (to.keySet -- from.keySet).toSeq.sorted
+    val fromSt = schemaOf(fromV)
+    val toSt = schemaOf(toV)
+    // column-id matching upgrades the report: a rename (same id, new
+    // name) is one "renamed" row, not a misleading added+removed pair;
+    // id-less records (pre-upgrade) keep the name-keyed classification
+    val fromIds = fromSt.fields.flatMap(f => colIdOf(f).map(_ -> f)).toMap
+    val toIds = toSt.fields.flatMap(f => colIdOf(f).map(_ -> f)).toMap
+    val renamed = (fromIds.keySet & toIds.keySet).toSeq.sorted.flatMap { id =>
+      val (a, b) = (fromIds(id), toIds(id))
+      if (a.name != b.name)
+        Some((s"${a.name}->${b.name}", "renamed",
+          a.dataType.catalogString, b.dataType.catalogString))
+      else None
+    }
+    val renamedOld = renamed.map(_._1.split("->")(0)).toSet
+    val renamedNew = renamed.map(_._1.split("->")(1)).toSet
+    val from = fromSt.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val to = toSt.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val added = (to.keySet -- from.keySet -- renamedNew).toSeq.sorted
       .map(c => (c, "added", null: String, to(c)))
-    val removed = (from.keySet -- to.keySet).toSeq.sorted
+    val removed = (from.keySet -- to.keySet -- renamedOld).toSeq.sorted
       .map(c => (c, "removed", from(c), null: String))
     val retyped = (from.keySet & to.keySet).toSeq.sorted
       .filter(c => from(c) != to(c)).map(c => (c, "retyped", from(c), to(c)))
     import spark.implicits._
-    (added ++ removed ++ retyped).toDF("column", "change", "from_type", "to_type")
+    (added ++ removed ++ retyped ++ renamed)
+      .toDF("column", "change", "from_type", "to_type")
   }
 
   /** Shallow clone (Delta's CLONE): a NEW table whose v1 manifest
@@ -727,6 +911,14 @@ object Snapshots {
     require(v > 0, s"Snapshots: $srcDir has no committed versions")
     require(currentVersion(dstDir) == 0,
       s"Snapshots: clone target $dstDir already has commits — refusing to mix histories")
+    // rename history does not cross a clone boundary (the clone's v1
+    // has no parent chain to walk), so a source whose live files span
+    // a rename cannot be read correctly through a shallow clone —
+    // loud, with the alternative named
+    require(renameAliases(srcDir, v).isEmpty,
+      s"Snapshots: $srcDir@v$v has rename history its shallow clone could not " +
+        "reconcile (alias walk stops at the clone boundary) — deep-copy instead: " +
+        "commit(read(spark, src), dst)")
     Files.createDirectories(snapPath(dstDir))
     writeManifest(dstDir, 1, 0, s"clone($srcDir@v$v)", fileLines(srcDir, v),
       schema = manifestSchema(srcDir, v))

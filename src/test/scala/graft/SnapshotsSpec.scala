@@ -391,6 +391,125 @@ class SnapshotsSpec extends SparkSpec {
     } finally Snapshots.setCommitPublisher(prev)
   }
 
+  test("publisher race: staged conditional-PUT publisher — threads ladder + full protocol (r8 item #3)") {
+    // the PRODUCTION-shaped second publisher: bytes staged first,
+    // then one conditional-PUT commit whose conflict surface is a
+    // typed 412 result (translated to the protocol signal at the
+    // publisher boundary), not a POSIX errno. Same ladder, same
+    // retry/rebase path as the link publisher.
+    val t = freshTable()
+    val prev = Snapshots.setCommitPublisher(
+      graft.sources.ObjectStoreCommitPublisher.rooted(t))
+    try {
+      Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+      assert(ids(Snapshots.read(spark, t)) == Seq(1L))
+      assert(raceOnce(t) == ((1, 7)))
+      // and commitWithRetry rebases past the interloper as usual
+      val v = Snapshots.commitWithRetry(Seq((3L, "c")).toDF("id", "s"), t)
+      assert(v == 3)
+    } finally Snapshots.setCommitPublisher(prev)
+  }
+
+  test("publisher race: separate JVMs — exactly one conditional-PUT winner (r8 item #3)") {
+    // four OS processes, not threads: proves the emulated store's
+    // atomic primitive holds across JVM boundaries (a real S3 race is
+    // always cross-process) and that the loser JVM sees the 412 path
+    val t = freshTable()
+    val pub = graft.sources.ObjectStoreCommitPublisher.rooted(t)
+    pub.publish(java.nio.file.Paths.get(t, "_snapshots",
+      f"${1}%012d.manifest"), "version=1\nparent=0\nop=append\nts=0\n")
+    val barrier = java.nio.file.Files.createTempDirectory("raceput").resolve("go")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val procs = (1 to 4).map { _ =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.RacePutMain", t, barrier.toString)
+        .redirectErrorStream(true).start()
+    }
+    Thread.sleep(500) // let the JVMs reach the spin barrier
+    java.nio.file.Files.createFile(barrier)
+    val outs = procs.map { p =>
+      val done = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(done, "race JVM did not finish")
+      new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+    }
+    assert(outs.count(_.endsWith("WIN")) == 1, outs.toString)
+    assert(outs.count(_.endsWith("LOSE")) == 3, outs.toString)
+    assert(Snapshots.liveFiles(t, 2).size == 1) // exactly the winner's line
+  }
+
+  test("object store emulation: 412 carries the winner etag; losers read the winner via GET") {
+    val root = java.nio.file.Files.createTempDirectory("dirstore")
+    val store = new graft.sources.DirObjectStore(root)
+    val a = "first-body".getBytes("UTF-8")
+    val b = "second-body".getBytes("UTF-8")
+    val r1 = store.putIfNoneMatch("ns/key1", a)
+    assert(r1 == graft.sources.DirObjectStore.Created(
+      graft.sources.DirObjectStore.etagOf(a)))
+    val r2 = store.putIfNoneMatch("ns/key1", b)
+    assert(r2 == graft.sources.DirObjectStore.PreconditionFailed(
+      graft.sources.DirObjectStore.etagOf(a)))
+    // read-your-conflict: the loser fetches the WINNER's content
+    assert(store.get("ns/key1").map(new String(_, "UTF-8")).contains("first-body"))
+    assert(store.get("ns/missing").isEmpty && store.head("ns/missing").isEmpty)
+    // keys cannot escape the store root
+    intercept[IllegalArgumentException](store.putIfNoneMatch("../../escape", a))
+  }
+
+  // ---- column ids + rename: the identity-tracking evolution (r8 item #4) ----
+
+  test("rename: a renamed column round-trips reads across the rename") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t) // v1: files under 's'
+    assert(Snapshots.rename(t, "s", "label") == 2) // v2: metadata-only
+    // old files reconcile onto the new name
+    val head = Snapshots.read(spark, t)
+    assert(head.columns.toSeq == Seq("id", "label"))
+    assert(head.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // appends under the NEW name mix with pre-rename files
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "label"), t) // v3
+    assert(Snapshots.read(spark, t).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel BEFORE the rename still shows the old name
+    assert(Snapshots.read(spark, t, version = 1).columns.toSeq == Seq("id", "s"))
+    // schemaDiff reports ONE renamed row, not a misleading added+removed pair
+    val d = Snapshots.schemaDiff(spark, t, 1, 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(d == Seq(("s->label", "renamed")))
+  }
+
+  test("rename guards: retype still loud with both types; alias reuse and stale names rejected") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.rename(t, "s", "label")
+    // an append still using the OLD name is loud (drop + alias reuse)
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((9L, "x")).toDF("id", "s"), t))
+    assert(e1.getMessage.contains("label") || e1.getMessage.contains("historical"))
+    // retype of the renamed column fails naming both types
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((9L, 5L)).toDF("id", "label"), t))
+    assert(e2.getMessage.contains("retyped") &&
+      e2.getMessage.contains("string") && e2.getMessage.contains("bigint"))
+    // rename to an existing name / of an unknown column
+    intercept[IllegalArgumentException](Snapshots.rename(t, "id", "label"))
+    intercept[IllegalArgumentException](Snapshots.rename(t, "nope", "x"))
+    // a SECOND rename; then reusing the retired alias anywhere is loud
+    Snapshots.rename(t, "label", "title")
+    val e3 = intercept[IllegalArgumentException](Snapshots.rename(t, "id", "s"))
+    assert(e3.getMessage.contains("historical"))
+    val e4 = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((9L, "x", "y")).toDF("id", "title", "s"), t))
+    assert(e4.getMessage.contains("reuses a historical name"))
+    // reads chase the id across BOTH renames
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "title"))
+    assert(Snapshots.read(spark, t).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+    // shallow clone across rename history is loud, naming the alternative
+    val e5 = intercept[IllegalArgumentException](Snapshots.shallowClone(t, freshTable()))
+    assert(e5.getMessage.contains("deep-copy"))
+  }
+
   // ---- per-manifest schema records: the additive gate ----
 
   test("schema gate: a retyped column append is rejected naming both types, before any bytes land") {
