@@ -61,23 +61,31 @@ object Bench {
     // "regressions" were exactly this). Pay it here, ONCE, and report
     // it as its own JSON field instead of hiding it in a query.
     val tw = System.nanoTime()
-    SparkEntry.queries("q_minhash_lsh")(spark, sfDir).count()
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val wNearDup = timed(SparkEntry.queries("q_minhash_lsh")(spark, sfDir).count())
     // the graph family shares three cached edge frames the same way
     // (ops/Graphs.scala) — build them here so the one-time distinct +
     // persist cost is this reported field, not whichever of the 13
     // graph queries happens to run first in name order
-    graft.ops.Graphs.bipartite(spark, sfDir).count()
-    graft.ops.Graphs.bipartiteQuarter(spark, sfDir).count()
-    graft.ops.Graphs.coocQuarter(spark, sfDir).count()
+    val wGraphs = timed {
+      graft.ops.Graphs.bipartite(spark, sfDir).count()
+      graft.ops.Graphs.bipartiteQuarter(spark, sfDir).count()
+      graft.ops.Graphs.coocQuarter(spark, sfDir).count()
+    }
     // the shared LPA partition (q_labelprop + q_modularity +
     // q_conductance) is cached the same way — pay the 3 synchronous
     // rounds here, once
-    graft.ops.Graphs.labelsBipartite(spark, sfDir).count()
+    val wLpa = timed(graft.ops.Graphs.labelsBipartite(spark, sfDir).count())
     // ...and the DBSCAN labeling (q_dbscan): its star-contraction
     // loop was the suite's single most expensive per-query cost
     // (8.8 s, r8 verdict item #5) for a deterministic rebuildable
-    // partition — pay it once here too
-    graft.ops.Graphs.dbscanCustomerGrid(spark, sfDir).count()
+    // partition — pay it once here too. Per-stage times ride the
+    // detailed JSON line (`warmup_detail`) because the sf1 run showed
+    // warmup_shared growing 26.7 → 118.7 s and an unbroken total
+    // can't say WHICH shared artifact grew.
+    val wDbscan = timed(graft.ops.Graphs.dbscanCustomerGrid(spark, sfDir).count())
     val warmShared = (System.nanoTime() - tw) / 1e9
     // deterministic name order: Map iteration order shifts whenever a
     // query is added, silently reassigning shared first-touch costs
@@ -106,8 +114,14 @@ object Bench {
     // the contention cutoff scales with the suite: the healthy band
     // is ~1 s/query (r6: 59 s / 117; r7: ~125 s / 172 two-pass), and
     // measured contended runs hit 2.4+ s/query — a fixed 150 s
-    // stopped meaning "contended" once the suite passed 150 queries
-    val contended = p1total >= math.max(150.0, pass1.size * 1.3)
+    // stopped meaning "contended" once the suite passed 150 queries.
+    // SPARK_GRAFT_BENCH_CUTOFF overrides it: the band is calibrated
+    // for the driver's sf0.1 runs, and a legitimately-heavier SF
+    // (the GenScale sf1 10× runs) would otherwise be mislabeled
+    // "contended" just for being big
+    val cutoff = sys.env.get("SPARK_GRAFT_BENCH_CUTOFF").map(_.toDouble)
+      .getOrElse(math.max(150.0, pass1.size * 1.3))
+    val contended = p1total >= cutoff
     val passes = if (contended) 1 else 2
     val results =
       if (!contended) {
@@ -142,7 +156,8 @@ object Bench {
     // marker, and a gate artifact must not hide a failure class by
     // timing the throw (round-8 verdict, "what's wrong" #1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"queries":$qs,"sf":"$sfDir"}""")
+    val wd = s"""{"neardup":${f3(wNearDup)},"graphs":${f3(wGraphs)},"lpa":${f3(wLpa)},"dbscan":${f3(wDbscan)}}"""
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wd,"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"queries":$qs,"sf":"$sfDir"}""")
     // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
     // per-query line above has been truncated mid-line two rounds

@@ -103,27 +103,40 @@ object GenScale {
       val up = upper.drop(k) + upper.take(k)
       translate(col(c), lower + upper, lo + up)
     }
-    // per-copy cyclic rotation of embedding components: preserves the
-    // norm and all within-copy dot products exactly, while cross-copy
-    // cosines decorrelate — the ANN index sees 10× genuinely distinct
-    // vectors with the same intrinsic geometry
-    def rotateEmb(copy: Int) = {
-      val k = copy % 8 // driver embeddings are 8-dim+; small rotation suffices
-      if (k == 0) col("embedding")
-      else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-        s"slice(embedding, 1, $k))")
-    }
+    // per-copy deterministic SIGN-FLIP pattern on embedding
+    // components: dot(s∘a, s∘b) = Σ sᵢ²·aᵢbᵢ = dot(a,b), so every
+    // within-copy dot product — hence the copy's entire cosine
+    // geometry — is preserved EXACTLY, while cross-copy cosines
+    // collapse toward 0 (Σ ±aᵢbᵢ with xxhash-derived signs cancels)
+    // even for biased all-positive vectors. The first cut used a
+    // cyclic component ROTATION, which preserves norms but NOT
+    // cross-copy decorrelation on biased data: measured, it
+    // manufactured 6,012 cosine≥0.5 near-dup pairs at sf1 where the
+    // volume law predicts ~140 — a generator artifact, not corpus
+    // structure. Copy 0 is the identity.
+    def signFlip(copy: Int) =
+      if (copy == 0) col("embedding")
+      else expr(s"transform(embedding, (x, i) -> x * CAST(1 - 2 * pmod(" +
+        s"xxhash64(concat('sf$copy', '_', CAST(i AS STRING))), 2) AS FLOAT))")
 
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
     // fixed dims: 1×, verbatim (the TPC-H convention)
     counts += "region" -> write(tbl("region"), "region", 1)
     counts += "nation" -> write(tbl("nation"), "nation", 1)
+    // identity-LIKE string columns (names) rotate with their keys:
+    // 10 exact clones of every name would make fuzzy-join/ER blocks
+    // quadratic — the clone-corpus shape this generator's contract
+    // rules out. Categorical columns (segment, brand, type, status)
+    // stay verbatim so group-by cardinalities are unchanged.
     counts += "customer" -> write(
-      replicate(tbl("customer"), Map("c_custkey" -> sCust)), "customer", 8)
+      replicate(tbl("customer"), Map("c_custkey" -> sCust),
+        extra = Map("c_name" -> caesar("c_name"))), "customer", 8)
     counts += "supplier" -> write(
-      replicate(tbl("supplier"), Map("s_suppkey" -> sSupp)), "supplier", 2)
+      replicate(tbl("supplier"), Map("s_suppkey" -> sSupp),
+        extra = Map("s_name" -> caesar("s_name"))), "supplier", 2)
     counts += "part" -> write(
-      replicate(tbl("part"), Map("p_partkey" -> sPart)), "part", 8)
+      replicate(tbl("part"), Map("p_partkey" -> sPart),
+        extra = Map("p_name" -> caesar("p_name"))), "part", 8)
     counts += "orders" -> write(
       replicate(tbl("orders"), Map("o_orderkey" -> sOrder, "o_custkey" -> sCust)),
       "orders", 16)
@@ -142,7 +155,7 @@ object GenScale {
         extra = Map("text" -> caesar("text"))), "documents", 8)
     counts += "embeddings" -> write(
       replicate(tbl("embeddings"), Map("vec_id" -> sVec),
-        extra = Map("embedding" -> rotateEmb)), "embeddings", 4)
+        extra = Map("embedding" -> signFlip)), "embeddings", 4)
 
     val js = counts.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"gen":"$out","copies":$copies,"src":"$src","rows":$js}""")
