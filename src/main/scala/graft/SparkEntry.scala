@@ -110,6 +110,56 @@ object SparkEntry {
             .cast("long").as("mean_align_nano"),
           col("min_align_nano"), col("max_align_nano"), col("n_misaligned"))
         .orderBy(col("source"))
+    }),
+
+    // ---- duplication-aware training weights: dedup by DOWNWEIGHTING
+    // instead of dropping — each doc's sampling weight is 1/|its
+    // near-dup cluster| (unclustered docs weigh 1), so a 10-clone
+    // boilerplate family contributes ONE doc's worth of gradient
+    // while unique text is untouched. Reuses the shared clustered-
+    // shingle cache; one size aggregate + two narrow left joins on
+    // top of the components frame — nothing new shuffles ----
+    "q_dedup_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = graft.operators.NearDup
+        .minhashDuplicateClusters(docs, "text", 3, 0.8)
+        .select(col("doc_id"), col("cluster_id"))
+      val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(clusters, Seq("doc_id"), "left")
+        .join(sizes, Seq("cluster_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("__n"), lit(1L)).as("n_members"),
+          // `div`, not `/`: Column./ is always DOUBLE division; div is
+          // the truncating integer form that mirrors DuckDB's `//`
+          expr("1000000000L div coalesce(__n, 1L)").as("weight_nano"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- shard-packing audit: the fill/waste report over the
+    // q_pack_budget bins — per lang: bin count, exact token mass,
+    // utilization in nano (1e9·Σtok/(bins·budget)), and the worst
+    // bin's overflow (a doc straddling a boundary lands in its start
+    // bin, so fill can exceed the budget — the audit is where that
+    // becomes visible). One window (the pack itself) + one hash
+    // aggregate ----
+    "q_pack_audit" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => TF}
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TF.bpeishTokenCount(col("text")).cast("long").as("n_tok"))
+      val packed = graft.ops.Packing.packByBudget(docs, "doc_id", "n_tok", 2048, Seq("lang"))
+      packed.groupBy(col("lang"), col("bin"))
+        .agg(sum(col("n_tok")).as("fill"), count(lit(1)).as("n_docs"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bins"), sum(col("fill")).as("sum_tok"),
+          max(col("fill")).as("max_fill"), min(col("fill")).as("min_fill"),
+          sum(col("n_docs")).as("n_docs"))
+        .select(col("lang"), col("n_bins"), col("sum_tok"), col("max_fill"),
+          col("min_fill"), col("n_docs"),
+          round(lit(1e9) * col("sum_tok").cast("double") /
+            (col("n_bins") * lit(2048L)).cast("double")).cast("long").as("util_nano"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -3049,7 +3099,32 @@ object SparkEntry {
         |  max(a.align_nano) AS max_align_nano,
         |  CAST(sum(CASE WHEN a.align_nano < 100000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_misaligned
         |FROM a JOIN documents d ON d.doc_id = a.vec_id
-        |GROUP BY d.source""".stripMargin
+        |GROUP BY d.source""".stripMargin,
+
+    "q_pack_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         CAST(coalesce(sum(n_tok) OVER (
+        |           PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        |  FROM d
+        |), bins AS (
+        |  SELECT lang, cumb // 2048 AS bin,
+        |         CAST(sum(n_tok) AS BIGINT) AS fill,
+        |         count(*) AS n_docs
+        |  FROM c GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS n_bins,
+        |  CAST(sum(fill) AS BIGINT) AS sum_tok,
+        |  max(fill) AS max_fill, min(fill) AS min_fill,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(round(1e9 * CAST(CAST(sum(fill) AS BIGINT) AS DOUBLE) /
+        |       CAST(count(*) * 2048 AS DOUBLE)) AS BIGINT) AS util_nano
+        |FROM bins GROUP BY 1""".stripMargin
   )
 
   private def roundEightOracles: Map[String, String] = Map(
@@ -6102,11 +6177,27 @@ object SparkEntry {
         |)
         |SELECT cluster_id, n_members, doc_id AS survivor_id, tlen AS survivor_len
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    // Same closure, then cluster sizes become per-doc sampling
+    // weights (1e9 // size; unclustered docs weigh 1e9) — the
+    // round-9 dedup-by-downweighting audit.
+    val dedupWeightsSql =
+      s"""$closurePrefix, clusters AS (
+        |  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1
+        |), sizes AS (
+        |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM clusters GROUP BY 1
+        |)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(coalesce(s.n, 1) AS BIGINT) AS n_members,
+        |  CAST(1000000000 // coalesce(s.n, 1) AS BIGINT) AS weight_nano
+        |FROM documents d
+        |LEFT JOIN clusters c USING (doc_id)
+        |LEFT JOIN sizes s USING (cluster_id)""".stripMargin
     Map(
       "q_dup_components" -> componentsSql,
       "q_dedup_pipeline" -> dedupPipelineSql,
       "q_leak_split" -> leakSplitSql,
       "q_survivorship" -> survivorshipSql,
+      "q_dedup_weights" -> dedupWeightsSql,
 
       // Same md5 hash order (hash, then doc_id tie-break), ranked
       // per lang, cut at the quota.
