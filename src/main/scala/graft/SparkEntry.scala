@@ -160,6 +160,31 @@ object SparkEntry {
           round(lit(1e9) * col("sum_tok").cast("double") /
             (col("n_bins") * lit(2048L)).cast("double")).cast("long").as("util_nano"))
         .orderBy(col("lang"))
+    }),
+
+    // ---- label-noise audit (confident-learning-lite): leave-one-out
+    // kNN over the LABELED pool — a point whose 5 nearest labeled
+    // neighbors vote against its own label is a mislabeling
+    // candidate; the per-class flag rate is the audit a labeling
+    // vendor gets graded on. Pure composition: knnLabel's neighbor
+    // stage already excludes self (query_id ≠ corpus_id), the vote is
+    // unchanged, one broadcast label join + one hash aggregate on
+    // top. Swap the brute-force scorer for the partitioned IVF-PQ
+    // index at corpus scale; everything downstream is identical ----
+    "q_knn_noise" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val pred = graft.operators.Similarity.knnLabel(
+        emb, emb.where(col("vec_id") < 200), k = 5)
+      pred.join(emb.select(col("vec_id"),
+          col("label").cast("long").as("true_label")), Seq("vec_id"))
+        .groupBy(col("true_label"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("pred_label").cast("long") =!= col("true_label"), 1L)
+            .otherwise(0L)).as("n_flagged"))
+        .select(col("true_label"), col("n_checked"), col("n_flagged"),
+          round(lit(1e9) * col("n_flagged").cast("double") /
+            col("n_checked").cast("double")).cast("long").as("flag_rate_nano"))
+        .orderBy(col("true_label"))
     })
   )
 
@@ -3124,7 +3149,47 @@ object SparkEntry {
         |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
         |  CAST(round(1e9 * CAST(CAST(sum(fill) AS BIGINT) AS DOUBLE) /
         |       CAST(count(*) * 2048 AS DOUBLE)) AS BIGINT) AS util_nano
-        |FROM bins GROUP BY 1""".stripMargin
+        |FROM bins GROUP BY 1""".stripMargin,
+
+    "q_knn_noise" ->
+      """WITH qz AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*c.v[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i]*q.v[i])) AS BIGINT) AS nq,
+        |    CAST(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i]*c.v[i])) AS BIGINT) AS nc
+        |  FROM qz q, qz c
+        |  WHERE q.vec_id < 200 AND c.vec_id <> q.vec_id
+        |), top AS (
+        |  SELECT query_id, corpus_id, rnk FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY
+        |        CAST(dot AS DOUBLE)/(sqrt(CAST(nq AS DOUBLE))*sqrt(CAST(nc AS DOUBLE))) DESC,
+        |        corpus_id ASC) AS rnk
+        |    FROM s)
+        |  WHERE rnk <= 5
+        |), votes AS (
+        |  SELECT t.query_id, e.label, CAST(count(*) AS BIGINT) AS votes,
+        |    min(t.rnk) AS best_rnk
+        |  FROM top t JOIN embeddings e ON e.vec_id = t.corpus_id
+        |  GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id AS vec_id, label AS pred_label
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |          ORDER BY votes DESC, best_rnk ASC, label ASC) AS r FROM votes)
+        |  WHERE r = 1
+        |)
+        |SELECT CAST(e.label AS BIGINT) AS true_label,
+        |  count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN CAST(p.pred_label AS BIGINT) <> CAST(e.label AS BIGINT)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(round(1e9 * CAST(CAST(sum(CASE WHEN CAST(p.pred_label AS BIGINT) <> CAST(e.label AS BIGINT)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS flag_rate_nano
+        |FROM pred p JOIN embeddings e USING (vec_id)
+        |GROUP BY 1""".stripMargin
   )
 
   private def roundEightOracles: Map[String, String] = Map(

@@ -137,6 +137,7 @@ class PlanSpec extends SparkSpec {
       "q_calibration", "q_kn_bigrams", "q_benford", "q_acf", "q_js_drift", "q_assoc_rules",
       "q_theil_sen", "q_bootstrap_ci", "q_conductance", "q_degree_dist",
       "q_knn_label", // knn inherits bruteForceTopK's corpus x broadcast-query cross, the q_cosine_topk shape
+      "q_knn_noise", // same inherited scorer cross (leave-one-out audit over the labeled pool)
       "q_lift_curve") // 1-row (n, pos) totals broadcast over the ranked frame, the q_ks_drift shape
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
