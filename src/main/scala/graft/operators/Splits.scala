@@ -35,12 +35,19 @@ object Splits {
     * or the doc's own id for singletons. */
   def leakageSafeSplit(docs: DataFrame, textCol: String, n: Int, threshold: Double,
                        trainPct: Int = 80, validPct: Int = 10,
-                       k: Int = 96, b: Int = 24): DataFrame = {
-    val clusters = NearDup
-      .minhashDuplicateClusters(docs, textCol, n, threshold, k, b)
-      .select(col("doc_id"), col("cluster_id"))
+                       k: Int = 96, b: Int = 24): DataFrame =
+    leakageSafeSplitFrom(
+      NearDup.minhashDuplicateClusters(docs, textCol, n, threshold, k, b),
+      docs, trainPct, validPct)
+
+  /** Same split, but over a PRE-BUILT clusters frame — so a memoized
+    * clustering (NearDup.documentClusters) is consumed instead of
+    * re-running the component loop per caller. */
+  def leakageSafeSplitFrom(clusters: DataFrame, docs: DataFrame,
+                           trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val c = clusters.select(col("doc_id"), col("cluster_id"))
     val keyed = docs.select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
+      .join(c, Seq("doc_id"), "left")
       .withColumn("group_key", coalesce(col("cluster_id"), col("doc_id")))
       .select(col("doc_id"), col("group_key"))
     Sampling.assignSplit(keyed, "group_key", trainPct, validPct)
