@@ -650,6 +650,32 @@ object SparkEntry {
         .orderBy(col("error_id"))
     }),
 
+    // ---- the KEYED interval overlap: each error meets only ITS OWN
+    // user's activity windows — the pre-keying the unkeyed form's
+    // measured ×100 volume law (SCALE_NOTES round-9) prescribes at
+    // production scale. One shuffled equi-join on the user key with
+    // the range predicate as its residual; pair volume is linear in
+    // concurrency by construction ----
+    "q_interval_join_user" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id").isNotNull)
+      val act = ev
+        .groupBy(col("user_id"), to_date(col("ts")))
+        .agg(min(unix_micros(col("ts"))).as("a_start"),
+          (max(unix_micros(col("ts"))) + 1).as("a_end"))
+        .select(col("user_id"), col("a_start"), col("a_end"))
+      val inc = ev.where(col("event_type") === "error")
+        .select(col("user_id").as("b_user"), col("event_id").as("error_id"),
+          unix_micros(col("ts")).as("b_start"),
+          (unix_micros(col("ts")) + 3600000000L).as("b_end"))
+      act.join(inc, col("user_id") === col("b_user") &&
+          col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        .groupBy(col("error_id"))
+        .agg(count(lit(1)).as("n_active_intervals"),
+          sum(least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+        .orderBy(col("error_id"))
+    }),
+
     // ---- CUPED variance reduction: pre-period click spend adjusts
     // the post-period purchase spend; θ and both lifts fold from
     // exact integer moment sums ----
@@ -4128,6 +4154,25 @@ object SparkEntry {
         |SELECT error_id, CAST(count(*) AS BIGINT) AS n_active_intervals,
         |  CAST(sum(least(e, be) - greatest(s, bs)) AS BIGINT) AS overlap_us
         |FROM act JOIN inc ON s < be AND bs < e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_join_user" ->
+      """WITH ev AS (
+        |  SELECT * FROM events WHERE user_id IS NOT NULL
+        |), act AS (
+        |  SELECT user_id,
+        |    CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |    CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) + 1 AS BIGINT) AS e
+        |  FROM ev GROUP BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |), inc AS (
+        |  SELECT user_id AS b_user, event_id AS error_id,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS bs,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) + 3600000000 AS BIGINT) AS be
+        |  FROM ev WHERE event_type = 'error'
+        |)
+        |SELECT error_id, CAST(count(*) AS BIGINT) AS n_active_intervals,
+        |  CAST(sum(least(e, be) - greatest(s, bs)) AS BIGINT) AS overlap_us
+        |FROM act JOIN inc ON act.user_id = inc.b_user AND s < be AND bs < e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // θ = (nΣxy − ΣxΣy)/(nΣxx − Σx²), lifts from per-variant sums;
