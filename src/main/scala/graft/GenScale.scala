@@ -48,7 +48,11 @@ object GenScale {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else "testdata/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
-    require(copies >= 1 && copies <= 100, s"copies in [1,100], got $copies")
+    // <= 26: the per-copy Caesar rotation is injective only within one
+    // alphabet cycle — copy 26 would reproduce copy 0's text/names
+    // verbatim and recreate exactly the quadratic clone-corpus
+    // near-dup shape design rule 3 promises to rule out (r9 advice)
+    require(copies >= 1 && copies <= 26, s"copies in [1,26], got $copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()

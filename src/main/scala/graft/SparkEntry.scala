@@ -1500,7 +1500,14 @@ object SparkEntry {
     // + exact quantized verify (the crossJoin baseline lives only in
     // TrainingOpsSpec's equality check — no all-pairs plan ships) ----
     "q_embed_neardup" -> ((s, dir) => {
-      graft.operators.Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.5)
+      // the DEGENERATE-REFERENCE regime, kept registered as the
+      // measured scale receipts (sf1 exponent 1.64 — a volume law of
+      // threshold-0.5 banding, not a plan defect). The explicit
+      // raised budget opts this receipts instance out of the default
+      // candidate-volume guard; any caller using the DEFAULTS on a
+      // dense corpus now fails loud instead (r9 verdict item #2).
+      graft.operators.Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.5,
+          maxCandidatePairs = Long.MaxValue)
         .orderBy(col("a_id"), col("b_id"))
     }),
     // ---- tuned high-threshold near-dup: the config banding theory

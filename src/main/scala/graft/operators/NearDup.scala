@@ -186,14 +186,17 @@ object NearDup {
     * exact-Jaccard verification — the full sub-quadratic near-dup
     * operator. */
   def minhashNearDupPairs(docs: DataFrame, textCol: String, n: Int, threshold: Double,
-                          k: Int = 96, b: Int = 24): DataFrame =
-    minhashNearDupPairsFrom(cacheBounded(clusteredSets(shingled(docs, textCol, n))), threshold, k, b)
+                          k: Int = 96, b: Int = 24,
+                          maxCandidatePairs: Long = 100000000L): DataFrame =
+    minhashNearDupPairsFrom(cacheBounded(clusteredSets(shingled(docs, textCol, n))),
+      threshold, k, b, maxCandidatePairs)
 
   /** As `minhashNearDupPairs`, over a pre-built (optionally
     * caller-persisted) `clusteredSets` frame. */
   def minhashNearDupPairsFrom(sh: DataFrame, threshold: Double,
-                              k: Int = 96, b: Int = 24): DataFrame =
-    expandClusters(minhashRepPairsFrom(sh, threshold, k, b), sh)
+                              k: Int = 96, b: Int = 24,
+                              maxCandidatePairs: Long = 100000000L): DataFrame =
+    expandClusters(minhashRepPairsFrom(sh, threshold, k, b, maxCandidatePairs), sh)
 
   /** Verified REPRESENTATIVE pairs (one row per pair of distinct
     * shingle SETS, not per doc pair) from LSH banding + exact
@@ -212,8 +215,21 @@ object NearDup {
       .join(sh.select(col("doc_id"), col("n_shingles")), Seq("doc_id"))
 
   def minhashRepPairsFrom(sh: DataFrame, threshold: Double,
-                          k: Int = 96, b: Int = 24): DataFrame = {
+                          k: Int = 96, b: Int = 24,
+                          maxCandidatePairs: Long = 100000000L): DataFrame = {
     val banded = bandTable(sh, k, b)
+    // loud candidate-volume pre-check (shared helper; the Baskets
+    // maxPairVolume policy brought to the minhash band join). The
+    // count runs over REPRESENTATIVE space — near-clone cliques were
+    // already contracted by clusteredSets — so a dup-heavy corpus
+    // does not inflate the guard. Upper bound: the length filter
+    // below can only shrink the joined volume.
+    graft.operators.Similarity.requireBandVolume(
+      banded, Seq("band", "bucket"), maxCandidatePairs,
+      what = s"minhashRepPairsFrom(k=$k, b=$b)",
+      remedy = "use more rows per band (smaller b for fixed k: r = k/b drives " +
+        "selectivity ~(1/2^r per band) on non-dup content) or raise " +
+        "maxCandidatePairs deliberately")
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("d1"), col("n_shingles").as("n1"))
     val rt = banded.select(col("band"), col("bucket"), col("doc_id").as("d2"), col("n_shingles").as("n2"))
     val cand = l.join(rt, Seq("band", "bucket"))
@@ -261,9 +277,6 @@ object NearDup {
         (col("doc_id") === col("cluster_id")).as("is_canonical"))
   }
 
-  private val clustersSlot =
-    new java.util.concurrent.atomic.AtomicReference[(String, DataFrame)](null)
-
   /** Memoized [[minhashDuplicateClusters]] over the standard
     * documents table of (session, sfDir) — the Graphs.labelsBipartite
     * / dbscanCustomerGrid pattern brought home: FIVE registered
@@ -277,17 +290,14 @@ object NearDup {
     * class. Every step is deterministic, so the shared result is
     * bit-identical to a fresh run and all five oracles are unchanged.
     * A benign build race (two first consumers) produces the same
-    * frame twice; last write wins, superseded checkpoints are
-    * ContextCleaner-reclaimed. */
-  def documentClusters(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
-    val key = System.identityHashCode(spark).toString + "|" + sfDir
-    val cur = clustersSlot.get()
-    if (cur != null && cur._1 == key) cur._2
-    else {
-      val df = graft.ops.Checkpoints.truncate(
+    * frame twice; first write wins, superseded checkpoints are
+    * ContextCleaner-reclaimed. Lifecycle lives in the shared
+    * [[graft.ops.BoundedMemo]] (round-9 verdict: this was the third
+    * hand-rolled copy of the memo pattern, and its identityHashCode
+    * key could be reused by a post-GC session). */
+  def documentClusters(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    graft.ops.BoundedMemo.memo("nearDupDocumentClusters", spark, sfDir) {
+      graft.ops.Checkpoints.truncate(
         minhashDuplicateClusters(graft.Tables.documents(spark, sfDir), "text", 3, 0.8))
-      clustersSlot.set((key, df))
-      df
     }
-  }
 }

@@ -242,9 +242,12 @@ object Similarity {
     * rebuilds the same bands; equality with the exhaustive baseline
     * is spec-checked on the test corpora at every SF). */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
-                            bands: Int = 16, planesPerBand: Int = 4): DataFrame = {
+                            bands: Int = 16, planesPerBand: Int = 4,
+                            maxCandidatePairs: Long = 100000000L): DataFrame = {
     require(bands > 0 && planesPerBand > 0 && planesPerBand <= 62,
       "bands and planesPerBand must be positive (bucket bits fit a long)")
+    require(maxCandidatePairs >= 1,
+      s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
     // narrow banded signatures: (vec_id, band, bucket) — vectors stay
@@ -258,6 +261,22 @@ object Similarity {
     val sigs = q.select(col("vec_id"),
       posexplode(graft.plans.SignBands.signBands(col("v"), bands, planesPerBand)))
       .toDF("vec_id", "band", "bucket")
+    // loud candidate-volume pre-check (the Baskets `maxPairVolume` /
+    // Adamic-Adar wedge-volume policy, extended to banded LSH after
+    // the sf1 run measured exactly the detonation this prevents:
+    // the threshold-0.5 default config produced 217x the true output
+    // at 10x data — output-quadratic by PARAMETER choice, and nothing
+    // engine-side stopped the config from running on a huge corpus).
+    // Σ m·(m−1)/2 over (band, bucket) groups IS the band join's exact
+    // pre-distinct output cardinality, computed from a count frame
+    // (metadata-sized: one row per non-singleton bucket) before any
+    // wide work runs. Decimal arithmetic so a hot bucket can never
+    // overflow the check itself.
+    requireBandVolume(sigs, Seq("band", "bucket"), maxCandidatePairs,
+      what = s"cosineNearDupPairsLsh(bands=$bands, planesPerBand=$planesPerBand)",
+      remedy = "raise planesPerBand (selectivity: candidate volume scales ~bands/2^r) " +
+        "— the tuned 28x12 regime is measured sub-linear where the 16x4 default " +
+        "detonates — or raise maxCandidatePairs deliberately for a receipts run")
     val cand = sigs.as("x").join(sigs.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -597,5 +616,31 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Loud banded-LSH candidate-volume pre-check, shared by the
+    * embedding sign-LSH join above and the minhash band join
+    * ([[graft.operators.NearDup.minhashRepPairsFrom]]): the exact
+    * pre-distinct candidate cardinality is Σ m·(m−1)/2 over the
+    * bucket-group counts — one count aggregate + one 1-row collect,
+    * metadata-sized — and a degenerate parameter regime (bands too
+    * coarse for the corpus density) is rejected BEFORE the wide join,
+    * naming the config and the remedy. DECIMAL accumulation: a single
+    * 3e9-row bucket would overflow Long in m·(m−1), and ANSI mode
+    * turning that into a crash of the GUARD would be the wrong loud. */
+  private[graft] def requireBandVolume(bandTable: DataFrame, groupCols: Seq[String],
+                                       budget: Long, what: String,
+                                       remedy: String): Unit = {
+    val volRow = bandTable.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("m")).where(col("m") > 1)
+      .agg(sum((col("m").cast("decimal(38,0)") * (col("m") - 1)) / 2).as("vol"))
+      .head()
+    val vol = Option(volRow.getAs[java.math.BigDecimal]("vol"))
+      .map(_.toBigInteger).getOrElse(java.math.BigInteger.ZERO)
+    if (vol.compareTo(java.math.BigInteger.valueOf(budget)) > 0)
+      throw new IllegalArgumentException(
+        s"$what: banded candidate volume $vol pairs (exact, from the bucket count " +
+          s"frame) exceeds maxCandidatePairs=$budget — this parameter regime is " +
+          s"degenerate for this corpus density; $remedy")
   }
 }

@@ -35,26 +35,11 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  private final case class Slot(key: String, df: DataFrame)
-  private val slots = new java.util.concurrent.ConcurrentHashMap[String, Slot]()
-
+  // lifecycle extracted to the shared BoundedMemo (round-9 verdict:
+  // this was one of three hand-rolled copies of the same memo)
   private def cacheBounded(kind: String, spark: SparkSession, sfDir: String)
-                          (build: => DataFrame): DataFrame = {
-    val key = System.identityHashCode(spark).toString + "|" + sfDir
-    slots.compute(kind, (_, prev) => {
-      if (prev != null && prev.key == key) prev
-      else {
-        val df = build
-        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        if (prev != null) {
-          // the previous session may already be stopped; unpersist is
-          // best-effort bookkeeping, never a correctness step
-          try prev.df.unpersist(blocking = false) catch { case _: Throwable => () }
-        }
-        Slot(key, df)
-      }
-    }).df
-  }
+                          (build: => DataFrame): DataFrame =
+    BoundedMemo.persisted(kind, spark, sfDir)(build)
 
   /** Directed part->supplier bipartite edges: node id = 2*partkey for
     * parts, 2*suppkey+1 for suppliers; one distinct edge per
@@ -116,12 +101,8 @@ object Graphs {
     * saved work. Superseded checkpoints are ContextCleaner-reclaimed,
     * the Components bookkeeping precedent. */
   private def memoBounded(kind: String, spark: SparkSession, sfDir: String)
-                         (build: => DataFrame): DataFrame = {
-    val key = System.identityHashCode(spark).toString + "|" + sfDir
-    slots.compute(kind, (_, prev) => {
-      if (prev != null && prev.key == key) prev else Slot(key, build)
-    }).df
-  }
+                         (build: => DataFrame): DataFrame =
+    BoundedMemo.memo(kind, spark, sfDir)(build)
 
   /** The 3-round label-propagation partition of [[bipartiteSym]] —
     * shared by q_labelprop, q_modularity (which grades it), and

@@ -74,7 +74,7 @@ object Snapshots {
   // header lines are exactly these keys — file PATHS may legally
   // contain '=' (hive-style bin=0/ dirs), so discrimination must be
   // by known key, never by "contains a '='"
-  private val HeaderKeys = Seq("version", "parent", "op", "tag", "ts", "schema")
+  private val HeaderKeys = Seq("version", "parent", "op", "tag", "ts", "schema", "retired")
 
   /** Raw file lines of `version`'s manifest: `<path>` optionally
     * followed by tab-separated `<col>=<min>:<max>` integral stats.
@@ -150,15 +150,42 @@ object Snapshots {
         withBloomParts(df.sparkSession, l, bloomCols, bloomExpectedItems, bloomFpp))
     // append carries the previous version's full lines — stats travel
     // with their files
-    val carried = if (mode == "append" && prev > 0) fileLines(tableDir, prev) else Seq.empty
+    val carried0 = if (mode == "append" && prev > 0) fileLines(tableDir, prev) else Seq.empty
     // the recorded schema carries stable column ids (parent's by
-    // name, fresh above-max for new columns) — the identity rename()
-    // and read reconciliation key on
-    val recordSchema = schemaWithIds(
-      if (prev > 0) manifestSchema(tableDir, prev) else None, df.schema)
+    // name, fresh above-max — live AND retired — for new columns)
+    // with the full alias history folded in, so the record is
+    // self-contained across vacuum
+    val parentJson = if (prev > 0) manifestSchema(tableDir, prev) else None
+    val retiredJson = if (prev > 0) manifestRetired(tableDir, prev) else None
+    val recordSchema = foldAliases(tableDir, prev,
+      schemaWithIds(parentJson, df.schema, retiredJson))
+    val carried = rebirthMarked(carried0, recordSchema, parentJson, retiredJson)
     writeManifest(tableDir, v, prev, mode, carried ++ newLines, tag,
       schema = Some(recordSchema.json))
     v
+  }
+
+  /** Stamp `null:<id>` markers for REBORN columns — fresh ids whose
+    * name matches a RETIRED column's name history — onto every
+    * carried line: those files predate the rebirth, and whatever
+    * physical bytes they hold under that name belong to the dropped
+    * column, so reads must surface NULL (fresh column, NULL history).
+    * Lines travel whole through later commits, so the markers are as
+    * vacuum-proof as the stats. */
+  private def rebirthMarked(carried: Seq[String],
+                            record: org.apache.spark.sql.types.StructType,
+                            parentJson: Option[String],
+                            retiredJson: Option[String]): Seq[String] = {
+    if (carried.isEmpty || retiredJson.isEmpty) return carried
+    val parentNames = parentJson.map(parseStruct).map(_.fieldNames.toSet).getOrElse(Set.empty)
+    val retiredNames = retiredJson.map(parseStruct)
+      .map(_.fields.flatMap(f => aliasesOf(f).toSet + f.name).toSet)
+      .getOrElse(Set.empty[String])
+    val rebornIds = record.fields
+      .filter(f => !parentNames.contains(f.name) && retiredNames.contains(f.name))
+      .flatMap(colIdOf)
+    if (rebornIds.isEmpty) carried
+    else carried.map(l => (l +: rebornIds.map(id => s"null:$id").toSeq).mkString("\t"))
   }
 
   /** Append per-file Bloom parts (`bloom:<col>=<base64>`) to a
@@ -242,7 +269,7 @@ object Snapshots {
     val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduce(_ && _)
     val files = prunedFilesBox(tableDir, v, box)
     if (files.isEmpty) read(spark, tableDir, v).where(pred).limit(0)
-    else spark.read.parquet(files: _*).where(pred)
+    else reconciledScan(spark, tableDir, v, files).where(pred) // alias-safe (see readPruned)
   }
 
   /** Point-lookup read with Bloom file skipping: reads only files
@@ -256,7 +283,7 @@ object Snapshots {
     require(v > 0, s"Snapshots: $tableDir has no committed versions")
     val files = prunedFilesEq(tableDir, v, c, value)
     if (files.isEmpty) read(spark, tableDir, v).where(col(c) === value).limit(0)
-    else spark.read.parquet(files: _*).where(col(c) === value)
+    else reconciledScan(spark, tableDir, v, files).where(col(c) === value) // alias-safe
   }
 
   /** Per-file min/max manifest lines for the just-written files —
@@ -359,7 +386,13 @@ object Snapshots {
     require(v > 0, s"Snapshots: $tableDir has no committed versions")
     val files = prunedFiles(tableDir, v, c, lo, hi)
     if (files.isEmpty) read(spark, tableDir, v).where(col(c).between(lo, hi)).limit(0)
-    else spark.read.parquet(files: _*).where(col(c).between(lo, hi))
+    // reconciledScan, not a raw read: after a rename, pre-rename files
+    // carry the old physical name and a raw read filtered on the
+    // current name would silently drop their rows (r9 advice). Stats
+    // key on physical names, so alias-era files are never skipped
+    // (no stat for the current name -> always kept) — pruning stays
+    // conservative and the predicate applies to the reconciled column.
+    else reconciledScan(spark, tableDir, v, files).where(col(c).between(lo, hi))
   }
 
   /** Tags of every retained committed version — the idempotence
@@ -415,16 +448,33 @@ object Snapshots {
   private[graft] def writeManifest(tableDir: String, v: Int, parent: Int,
                                    op: String, files: Seq[String],
                                    tag: Option[String] = None,
-                                   schema: Option[String] = None): Unit = {
+                                   schema: Option[String] = None,
+                                   retired: Option[String] = None): Unit = {
     tag.foreach(t => require(!t.contains("\n") && t.nonEmpty, s"bad tag: '$t'"))
     val sch = schema.orElse(if (parent > 0) manifestSchema(tableDir, parent) else None)
     sch.foreach(s => require(!s.contains("\n"), "schema record must be single-line json"))
+    // the retired-column record folds forward like the schema record:
+    // every manifest is self-contained, so vacuum can never expire
+    // the drop history a live read still needs
+    val ret = retired.orElse(if (parent > 0) manifestRetired(tableDir, parent) else None)
+    ret.foreach(s => require(!s.contains("\n"), "retired record must be single-line json"))
     val body = (Seq(s"version=$v", s"parent=$parent", s"op=$op",
       s"ts=${System.currentTimeMillis}") ++
       tag.map(t => s"tag=$t").toSeq ++
-      sch.map(s => s"schema=$s").toSeq ++ files)
+      sch.map(s => s"schema=$s").toSeq ++
+      ret.map(s => s"retired=$s").toSeq ++ files)
       .mkString("", "\n", "\n")
     commitPublisher.publish(manifestPath(tableDir, v), body)
+  }
+
+  /** Recorded RETIRED-column record (json StructType of every column
+    * ever dropped, each field still carrying its column id and alias
+    * history in metadata) — folded forward into every manifest like
+    * the schema record, so it survives vacuum. */
+  def manifestRetired(tableDir: String, version: Int): Option[String] = {
+    val p = manifestPath(tableDir, version)
+    if (!Files.exists(p)) None
+    else headerValue(Files.readAllLines(p).asScala.toSeq, "retired")
   }
 
   /** Recorded writer schema (json) of `version`'s manifest, if any —
@@ -459,9 +509,9 @@ object Snapshots {
     if (dropped.nonEmpty) throw new IllegalArgumentException(
       s"Snapshots: append to $tableDir drops parent column(s) " +
         dropped.mkString("'", "', '", "'") +
-        " — drops are rejected (keep the column; NULLs are fine) and a rename " +
-        "looks like drop+add from here: use Snapshots.rename(), the metadata-only " +
-        "verb that tracks the column id across names")
+        " — an append may not drop implicitly (keep the column; NULLs are fine). " +
+        "Intentional retirement is Snapshots.drop(), intentional renaming is " +
+        "Snapshots.rename() — both metadata-only verbs that track the column id")
   }
 
   // ---- column ids: rename-capable schema evolution (r8 item #4) ----
@@ -480,38 +530,90 @@ object Snapshots {
   // the CURRENT name and are documented to skip alias-era stats.
 
   private val ColIdKey = "graft.col_id"
+  // full alias history of the column id, IN the field metadata of
+  // every schema record (r9 advice, the high item): the id→name
+  // history used to live only in pre-rename manifests, which a
+  // vacuum past the rename point silently expired — after which
+  // pre-rename files' values surfaced as NULL under the current
+  // name. Folding the history forward into each new record makes
+  // every manifest self-contained; the chain walk below survives
+  // only as the upgrade path for records written before the fold.
+  private val AliasKey = "graft.col_aliases"
 
   private def colIdOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
     if (f.metadata.contains(ColIdKey)) Some(f.metadata.getLong(ColIdKey)) else None
+
+  private def aliasesOf(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(AliasKey)) f.metadata.getStringArray(AliasKey).toSeq
+    else Seq.empty
+
+  private def withAliases(f: org.apache.spark.sql.types.StructField,
+                          aliases: Set[String]): org.apache.spark.sql.types.StructField =
+    if (aliases.isEmpty) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putStringArray(AliasKey, aliases.toArray.sorted).build())
 
   private def parseStruct(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   /** Assign column ids for the next schema record: columns sharing a
-    * name with the parent record keep the parent's id; new columns
-    * get fresh ids above the parent's max. A parent without ids
+    * name with the parent record keep the parent's id (and inherit
+    * its folded alias history); new columns get fresh ids above the
+    * max of every id EVER minted — live or retired, so a reborn name
+    * can never collide with the id it replaced. A parent without ids
     * (pre-upgrade manifest) initializes ids 1..n — upgrades are one
     * commit away, never a migration. */
   private[graft] def schemaWithIds(parentJson: Option[String],
-                                   next: org.apache.spark.sql.types.StructType)
+                                   next: org.apache.spark.sql.types.StructType,
+                                   retiredJson: Option[String] = None)
       : org.apache.spark.sql.types.StructType = {
-    val pIds: Map[String, Long] = parentJson.map(parseStruct)
-      .map(_.fields.flatMap(f => colIdOf(f).map(f.name -> _)).toMap)
-      .getOrElse(Map.empty)
-    var nextId = (pIds.values ++ Seq(0L)).max
+    val pFields: Map[String, org.apache.spark.sql.types.StructField] =
+      parentJson.map(parseStruct)
+        .map(_.fields.flatMap(f => colIdOf(f).map(_ => f.name -> f)).toMap)
+        .getOrElse(Map.empty)
+    val retiredIds: Seq[Long] = retiredJson.map(parseStruct)
+      .map(_.fields.flatMap(colIdOf).toSeq).getOrElse(Seq.empty)
+    var nextId = (pFields.values.flatMap(colIdOf) ++ retiredIds ++ Seq(0L)).max
     org.apache.spark.sql.types.StructType(next.fields.map { f =>
-      val id = pIds.getOrElse(f.name, { nextId += 1; nextId })
-      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).putLong(ColIdKey, id).build())
+      pFields.get(f.name) match {
+        case Some(pf) =>
+          withAliases(f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(ColIdKey, colIdOf(pf).get).build()),
+            aliasesOf(pf).toSet)
+        case None =>
+          nextId += 1
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putLong(ColIdKey, nextId).build())
+      }
     })
   }
 
-  /** Every name each column id has carried, walking the manifest
-    * chain from `fromV` to the root — one small manifest read per
-    * version, listing-sized like every other metadata op. */
+  /** id → every name it ever carried, from `fromV`'s FOLDED records
+    * only (live fields' name + alias metadata, plus the retired
+    * record) — the vacuum-safe source: reads exactly one manifest. */
+  private def foldedHistory(tableDir: String, fromV: Int): Map[Long, Set[String]] = {
+    val live = manifestSchema(tableDir, fromV).map(parseStruct)
+      .map(_.fields.toSeq).getOrElse(Seq.empty)
+    val retired = manifestRetired(tableDir, fromV).map(parseStruct)
+      .map(_.fields.toSeq).getOrElse(Seq.empty)
+    (live ++ retired).flatMap { f =>
+      colIdOf(f).map(_ -> (aliasesOf(f).toSet + f.name))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ++ _)).toMap
+  }
+
+  /** Every name each column id has carried: the folded record of
+    * `fromV` (vacuum-safe, complete for any table whose history was
+    * written by this library version) merged with the manifest chain
+    * walk (the upgrade path for pre-fold records — one small manifest
+    * read per RETAINED version; the walk stopping at a vacuumed
+    * manifest is exactly why the fold exists, and `vacuum` refuses to
+    * create that situation for un-folded history). */
   private def idNameHistory(tableDir: String, fromV: Int): Map[Long, Set[String]] = {
     val acc = scala.collection.mutable.Map[Long, Set[String]]()
+    foldedHistory(tableDir, fromV).foreach { case (id, names) =>
+      acc(id) = acc.getOrElse(id, Set.empty) ++ names
+    }
     var v = fromV
     while (v > 0 && Files.exists(manifestPath(tableDir, v))) {
       val lines = Files.readAllLines(manifestPath(tableDir, v)).asScala.toSeq
@@ -523,6 +625,40 @@ object Snapshots {
       v = headerValue(lines, "parent").map(_.toInt).getOrElse(0)
     }
     acc.toMap
+  }
+
+  /** Fold the full id→name history into `st`'s field metadata (alias
+    * arrays), so the record is self-contained without the chain walk.
+    * No-op for fields whose history is a single name. */
+  private def foldAliases(tableDir: String, fromV: Int,
+                          st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    if (fromV <= 0) return st
+    lazy val hist = idNameHistory(tableDir, fromV)
+    org.apache.spark.sql.types.StructType(st.fields.map { f =>
+      colIdOf(f) match {
+        case Some(id) =>
+          val aliases = hist.getOrElse(id, Set.empty) - f.name ++ aliasesOf(f).toSet
+          withAliases(f, aliases)
+        case None => f
+      }
+    })
+  }
+
+  /** Metadata-only commit that folds the full rename/drop history of
+    * HEAD into a fresh self-contained record — the one-commit upgrade
+    * for tables whose renames predate folded records, and what
+    * `vacuum`'s history guard asks for by name when it refuses. */
+  def foldHistory(tableDir: String): Int = {
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val j = manifestSchema(tableDir, head).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: version $head of $tableDir carries no schema record — " +
+        "nothing to fold (commit once with this library version first)"))
+    val folded = foldAliases(tableDir, head, parseStruct(j))
+    writeManifest(tableDir, head + 1, head, "fold", fileLines(tableDir, head),
+      schema = Some(folded.json))
+    head + 1
   }
 
   /** current name → its historical aliases (old physical names) at
@@ -540,21 +676,28 @@ object Snapshots {
         }.toMap
     }
 
-  /** A NEW column may not reuse a name some other column id carried
+  /** A NEW column may not reuse a name some LIVE column id carried
     * earlier: read reconciliation coalesces a column with its
     * historical aliases, and a reused name would silently mix two
-    * columns' values. Loud, at commit time, before any bytes land. */
+    * columns' values. Loud, at commit time, before any bytes land.
+    * A name whose every prior carrier is RETIRED (dropped) is exempt —
+    * that is the rebirth path: the re-added column mints a fresh id
+    * and old files' physical values are masked to NULL via per-file
+    * `null:` markers (see [[drop]] / `rebirthMarked`). */
   private def requireNoAliasReuse(tableDir: String, prev: Int,
                                   next: org.apache.spark.sql.types.StructType): Unit =
     manifestSchema(tableDir, prev).map(parseStruct).foreach { pst =>
       val pNames = pst.fieldNames.toSet
       val fresh = next.fieldNames.filterNot(pNames.contains)
       if (fresh.nonEmpty) {
+        val liveIds = pst.fields.flatMap(colIdOf).toSet
         val hist = idNameHistory(tableDir, prev)
         fresh.foreach { n =>
-          hist.collectFirst { case (id, names) if names.contains(n) => id }.foreach { id =>
+          hist.collectFirst {
+            case (id, names) if names.contains(n) && liveIds.contains(id) => id
+          }.foreach { id =>
             throw new IllegalArgumentException(
-              s"Snapshots: new column '$n' reuses a historical name of column id $id " +
+              s"Snapshots: new column '$n' reuses a historical name of live column id $id " +
                 s"(renamed away) in $tableDir — rename reconciliation would mix the two " +
                 "columns; pick a fresh name")
           }
@@ -593,9 +736,56 @@ object Snapshots {
           "would corrupt rename reconciliation; pick a fresh name")
     }
     val renamed = org.apache.spark.sql.types.StructType(
-      st.fields.map(f => if (f.name == oldName) f.copy(name = newName) else f))
+      st.fields.map(f =>
+        if (f.name == oldName)
+          // the alias history rides IN the record (fold-forward): the
+          // read path never needs the pre-rename manifest again
+          withAliases(f.copy(name = newName), aliasesOf(f).toSet + oldName)
+        else f))
     writeManifest(tableDir, head + 1, head, "rename", fileLines(tableDir, head),
-      schema = Some(renamed.json))
+      schema = Some(foldAliases(tableDir, head, renamed).json))
+    head + 1
+  }
+
+  /** Metadata-only column DROP (r9 verdict item #5): commits a new
+    * version with the SAME file list, the schema record minus the
+    * column, and the column's id+alias history appended to the
+    * RETIRED record (folded forward into every later manifest, so the
+    * history survives vacuum). Reads at or after this version project
+    * the column out of old files; time travel before it still shows
+    * it. Re-adding the same NAME later is allowed and mints a FRESH
+    * id — never aliasing the dropped one — with the old files'
+    * physical values masked to NULL (per-file `null:<id>` manifest
+    * markers written by the re-adding commit), so the reborn column
+    * has NULL history by construction. Retype remains
+    * rejected-with-message ([[requireAdditive]]): it is the one
+    * evolution verb that would poison the union read. */
+  def drop(tableDir: String, name: String): Int = {
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val j = manifestSchema(tableDir, head).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: version $head of $tableDir carries no schema record — " +
+        "drop needs one (commit once with this library version first)"))
+    val st = parseStruct(j)
+    require(st.fieldNames.contains(name),
+      s"Snapshots: no column '$name' in $tableDir (have: ${st.fieldNames.mkString(", ")})")
+    require(st.fields.length > 1,
+      s"Snapshots: refusing to drop the last column '$name' of $tableDir")
+    val f = st(name)
+    colIdOf(f).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: column '$name' carries no column id (pre-upgrade record) — " +
+        "commit once with this library version first"))
+    // the retired field carries its FULL alias history so the name
+    // (and every old name) stays reserved-with-history forever
+    val hist = idNameHistory(tableDir, head)
+    val retiredField = withAliases(f, hist.getOrElse(colIdOf(f).get, Set.empty) - name)
+    val prevRetired = manifestRetired(tableDir, head).map(parseStruct)
+      .map(_.fields).getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
+    val newRetired = org.apache.spark.sql.types.StructType(prevRetired :+ retiredField)
+    val remaining = org.apache.spark.sql.types.StructType(st.fields.filterNot(_.name == name))
+    writeManifest(tableDir, head + 1, head, "drop", fileLines(tableDir, head),
+      schema = Some(foldAliases(tableDir, head, remaining).json),
+      retired = Some(newRetired.json))
     head + 1
   }
 
@@ -608,39 +798,89 @@ object Snapshots {
         .asInstanceOf[org.apache.spark.sql.types.StructType], next, tableDir)
     }
 
+  /** Per-file rebirth markers of a manifest: `null:<colId>` parts on
+    * a file line mean "this file predates column <colId>; its physical
+    * bytes under that NAME belong to a retired column — read NULL".
+    * Written by the commit that re-adds a dropped name onto every
+    * line it carries; they travel WITH the lines through later
+    * appends/optimize keeps, and rewritten files (which bake the
+    * reconciliation in) simply drop out. Namespaced like `bloom:` —
+    * no '=', so the stat parser skips them. */
+  private def nullMarkerFiles(lines: Seq[String]): Map[Long, Set[String]] =
+    lines.flatMap { l =>
+      val parts = l.split('\t')
+      parts.drop(1).filter(_.startsWith("null:"))
+        .map(p => p.substring(5).toLong -> parts(0))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  /** THE reconciling file scan: every read of live data files —
+    * full reads, pruned reads, incremental reads, and the COW verbs'
+    * rewrite scans — routes through here (r9 advice, the medium item:
+    * the pruned reads used to read selected files RAW and silently
+    * dropped pre-rename rows). Semantics:
+    *   - no evolution history (the overwhelmingly common case): a
+    *     plain parquet read of `files`, byte-for-byte the old plan;
+    *   - rename history: union-schema read + coalesce(current name,
+    *     aliases…) per the recorded schema — each row has a value
+    *     under exactly one name (ids never share names — the
+    *     commit-time alias-reuse gate);
+    *   - drop history: the projection selects only the RECORD's
+    *     fields, so retired columns' physical bytes never surface;
+    *   - rebirth (re-added dropped name): rows from `null:`-marked
+    *     files read NULL for the reborn column — fresh column, NULL
+    *     history — via a codegen'd file-path guard over
+    *     input_file_name(). */
+  private[graft] def reconciledScan(spark: SparkSession, tableDir: String, v: Int,
+                                    files: Seq[String],
+                                    mergeSchema: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, regexp_replace, when}
+    if (files.isEmpty) return spark.emptyDataFrame
+    val recordOpt = manifestSchema(tableDir, v).map(parseStruct)
+    val aliases = renameAliases(tableDir, v)
+    val hasRetired = manifestRetired(tableDir, v).isDefined
+    val markers: Map[Long, Set[String]] =
+      if (recordOpt.isDefined && hasRetired) nullMarkerFiles(fileLines(tableDir, v))
+      else Map.empty
+    if (recordOpt.isEmpty || (aliases.isEmpty && !hasRetired && markers.isEmpty)) {
+      if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
+      else spark.read.parquet(files: _*)
+    } else {
+      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      val present = df.columns.toSet
+      // input_file_name() is URI-formed; manifest lines are plain
+      // paths — normalize the scheme away once, codegen'd per row
+      val plainFile = regexp_replace(input_file_name(), "^file:/+", "/")
+      df.select(recordOpt.get.fields.map { f =>
+        val alts = (f.name +: aliases.getOrElse(f.name, Seq.empty)).filter(present)
+        val base =
+          if (alts.isEmpty) lit(null).cast(f.dataType)
+          else if (alts.size == 1) col(alts.head)
+          else coalesce(alts.map(col): _*)
+        val guarded = colIdOf(f).flatMap(markers.get) match {
+          case Some(marked) if alts.nonEmpty =>
+            when(plainFile.isInCollection(marked.toSeq.sorted), lit(null).cast(f.dataType))
+              .otherwise(base)
+          case _ => base
+        }
+        guarded.as(f.name)
+      }.toIndexedSeq: _*)
+    }
+  }
+
   /** Read a committed snapshot: HEAD by default, any retained
     * `version` for time travel. `mergeSchema = true` resolves the
     * union schema across commits (an appended commit may add
     * columns; older files surface them as NULL) — additive schema
     * evolution, parquet's native mechanism. Without it the schema
-    * comes from one sampled footer, the plain-parquet default. */
+    * comes from one sampled footer, the plain-parquet default.
+    * Rename/drop/rebirth history reconciles via [[reconciledScan]]. */
   def read(spark: SparkSession, tableDir: String, version: Int = -1,
            mergeSchema: Boolean = false): DataFrame = {
     val v = if (version >= 0) version else currentVersion(tableDir)
     require(v > 0, s"Snapshots: $tableDir has no committed versions")
     val files = liveFiles(tableDir, v)
-    val aliases = renameAliases(tableDir, v)
     if (files.isEmpty) spark.emptyDataFrame
-    else if (aliases.nonEmpty) {
-      // rename reconciliation: live files written before a rename
-      // carry the OLD physical name; the union read surfaces both
-      // names and each row has a value under exactly one of them
-      // (ids never share names — the commit-time alias-reuse gate),
-      // so coalesce(current, aliases…) IS the column. Output columns
-      // and order come from the version's recorded schema.
-      import org.apache.spark.sql.functions.{coalesce, col, lit}
-      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      val present = df.columns.toSet
-      val record = parseStruct(manifestSchema(tableDir, v).get)
-      df.select(record.fields.map { f =>
-        val alts = (f.name +: aliases.getOrElse(f.name, Seq.empty)).filter(present)
-        if (alts.isEmpty) lit(null).cast(f.dataType).as(f.name)
-        else if (alts.size == 1) col(alts.head).as(f.name)
-        else coalesce(alts.map(col): _*).as(f.name)
-      }.toIndexedSeq: _*)
-    }
-    else if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
-    else spark.read.parquet(files: _*)
+    else reconciledScan(spark, tableDir, v, files, mergeSchema)
   }
 
   /** Incremental (change-feed-lite) read: the rows ADDED between
@@ -670,7 +910,7 @@ object Snapshots {
       else liveFiles(tableDir, sinceVersion).toSet
     val added = liveFiles(tableDir, head).filterNot(before)
     val df = if (added.isEmpty) read(spark, tableDir, head).limit(0)
-             else spark.read.parquet(added: _*)
+             else reconciledScan(spark, tableDir, head, added) // alias-safe (see readPruned)
     (df, head)
   }
 
@@ -747,6 +987,31 @@ object Snapshots {
         if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
       }
     }
+    // history guard (r9 advice, the high item): rename/drop history a
+    // LIVE read still needs must be folded into HEAD's self-contained
+    // record before the manifests that carry it expire — otherwise
+    // renameAliases() silently comes back empty after vacuum and
+    // pre-rename files' values surface as NULL under the current name.
+    // Tables written by this library version always pass (every commit
+    // folds); a pre-fold rename history refuses with the one-commit
+    // fix named. Scoped to LIVE column ids: an id overwritten away
+    // has no live files left to reconcile.
+    if (keepFrom > 1) {
+      val liveIds = manifestSchema(tableDir, head).map(parseStruct)
+        .map(_.fields.flatMap(colIdOf).toSet).getOrElse(Set.empty[Long])
+      val folded = foldedHistory(tableDir, head)
+      val walked = idNameHistory(tableDir, head)
+      val unfolded = walked.collect {
+        case (id, names) if liveIds.contains(id) &&
+          !names.subsetOf(folded.getOrElse(id, Set.empty)) => id
+      }
+      require(unfolded.isEmpty,
+        s"Snapshots: vacuum of $tableDir would expire manifests carrying rename " +
+          s"alias history for live column id(s) ${unfolded.toSeq.sorted.mkString(", ")} " +
+          "that is NOT folded into HEAD's schema record — pre-rename files would " +
+          "silently stop reconciling. Run Snapshots.foldHistory(tableDir) (one " +
+          "metadata-only commit) first, then vacuum.")
+    }
     (1 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
   }
 
@@ -785,8 +1050,17 @@ object Snapshots {
     val v = head + 1
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val outDir = Paths.get(tableDir, "data", s"c$v-$nonce")
+    // with rename/drop history, the rewrite must reconcile (canonical
+    // current names; reborn columns NULLed per their markers): a raw
+    // re-concat would carry retired physical columns into a post-
+    // rebirth commit dir and resurrect their values
+    val needsReconcile = renameAliases(tableDir, head).nonEmpty ||
+      manifestRetired(tableDir, head).isDefined
     bins.toSeq.sortBy(_._1).foreach { case (bin, paths) =>
-      graft.ops.Compaction.rewriteBin(spark, paths, outDir.toString, bin)
+      if (needsReconcile)
+        reconciledScan(spark, tableDir, head, paths).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/bin=$bin")
+      else graft.ops.Compaction.rewriteBin(spark, paths, outDir.toString, bin)
     }
     val rewritten = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.matches(".*part-.*\\.parquet"))
@@ -888,8 +1162,18 @@ object Snapshots {
     val to = toSt.fields.map(f => f.name -> f.dataType.catalogString).toMap
     val added = (to.keySet -- from.keySet -- renamedNew).toSeq.sorted
       .map(c => (c, "added", null: String, to(c)))
-    val removed = (from.keySet -- to.keySet -- renamedOld).toSeq.sorted
-      .map(c => (c, "removed", from(c), null: String))
+    // a column whose id sits in toV's RETIRED record was dropped (the
+    // explicit metadata-only verb); a disappearance WITHOUT a retire
+    // record is an overwrite reshape — "removed". The reader of the
+    // diff needs the distinction: dropped history reconciles, reshapes
+    // don't.
+    val toRetiredIds = manifestRetired(tableDir, toV).map(parseStruct)
+      .map(_.fields.flatMap(colIdOf).toSet).getOrElse(Set.empty[Long])
+    val removed = (from.keySet -- to.keySet -- renamedOld).toSeq.sorted.map { c =>
+      val wasDropped = fromSt.fields.find(_.name == c).flatMap(colIdOf)
+        .exists(toRetiredIds.contains)
+      (c, if (wasDropped) "dropped" else "removed", from(c), null: String)
+    }
     val retyped = (from.keySet & to.keySet).toSeq.sorted
       .filter(c => from(c) != to(c)).map(c => (c, "retyped", from(c), to(c)))
     import spark.implicits._
@@ -911,17 +1195,29 @@ object Snapshots {
     require(v > 0, s"Snapshots: $srcDir has no committed versions")
     require(currentVersion(dstDir) == 0,
       s"Snapshots: clone target $dstDir already has commits — refusing to mix histories")
-    // rename history does not cross a clone boundary (the clone's v1
-    // has no parent chain to walk), so a source whose live files span
-    // a rename cannot be read correctly through a shallow clone —
-    // loud, with the alternative named
-    require(renameAliases(srcDir, v).isEmpty,
-      s"Snapshots: $srcDir@v$v has rename history its shallow clone could not " +
-        "reconcile (alias walk stops at the clone boundary) — deep-copy instead: " +
+    // the clone's v1 has no parent chain to walk, so any rename/drop
+    // history must ride IN what the clone carries: the FOLDED schema
+    // record, the retired header, and the per-line null: markers are
+    // all copied below, making the clone self-contained — the same
+    // invariant vacuum's guard enforces. Only PRE-FOLD history (records
+    // written before alias folding existed) cannot cross; that refuses
+    // with the one-commit fix named.
+    val liveIds = manifestSchema(srcDir, v).map(parseStruct)
+      .map(_.fields.flatMap(colIdOf).toSet).getOrElse(Set.empty[Long])
+    val folded = foldedHistory(srcDir, v)
+    val unfolded = idNameHistory(srcDir, v).collect {
+      case (id, names) if liveIds.contains(id) &&
+        !names.subsetOf(folded.getOrElse(id, Set.empty)) => id
+    }
+    require(unfolded.isEmpty,
+      s"Snapshots: $srcDir@v$v has rename history (column id(s) " +
+        s"${unfolded.toSeq.sorted.mkString(", ")}) not folded into its schema " +
+        "record — the clone could not reconcile it (no parent chain to walk). " +
+        "Run Snapshots.foldHistory(srcDir) first, or deep-copy: " +
         "commit(read(spark, src), dst)")
     Files.createDirectories(snapPath(dstDir))
     writeManifest(dstDir, 1, 0, s"clone($srcDir@v$v)", fileLines(srcDir, v),
-      schema = manifestSchema(srcDir, v))
+      schema = manifestSchema(srcDir, v), retired = manifestRetired(srcDir, v))
     1
   }
 
@@ -1021,7 +1317,12 @@ object Snapshots {
     val lines = fileLines(tableDir, head)
     if (lines.isEmpty) return -1
     val files = lines.map(_.split('\t')(0))
-    val hit = spark.read.parquet(files: _*)
+    // reconciledScan everywhere a COW verb touches live files: the
+    // predicate references CURRENT column names, which pre-rename
+    // files only carry as aliases; and the rewrite must bake the
+    // reconciliation in (canonical names, reborn columns NULLed) so
+    // rewritten files are clean of history
+    val hit = reconciledScan(spark, tableDir, head, files)
       .where(predicate)
       .select(input_file_name().as("__f")).distinct()
       .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
@@ -1029,7 +1330,7 @@ object Snapshots {
     val kept = lines.filterNot(l => hit.contains(l.split('\t')(0)))
     val outDir = stageDataDir(tableDir, "d")
     // survivors: predicate FALSE or NULL both keep the row
-    spark.read.parquet(hit.toSeq.sorted: _*)
+    reconciledScan(spark, tableDir, head, hit.toSeq.sorted)
       .where(!coalesce(predicate, lit(false)))
       .write.parquet(outDir.toString)
     beforePublish()
@@ -1061,7 +1362,7 @@ object Snapshots {
       s"Snapshots: replaceWhere schema mismatch — table [${tableCols.sorted.mkString(",")}] " +
         s"vs replacement [${df.columns.sorted.mkString(",")}]")
     val files = lines.map(_.split('\t')(0))
-    val hit = spark.read.parquet(files: _*)
+    val hit = reconciledScan(spark, tableDir, head, files) // alias-safe (see deleteWhere)
       .where(predicate)
       .select(input_file_name().as("__f")).distinct()
       .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
@@ -1079,7 +1380,7 @@ object Snapshots {
     val outDir = stageDataDir(tableDir, "r")
     val rewritten =
       if (hit.isEmpty) guardedNew
-      else spark.read.parquet(hit.toSeq.sorted: _*)
+      else reconciledScan(spark, tableDir, head, hit.toSeq.sorted)
         .where(!coalesce(predicate, lit(false)))
         .select(tableCols.map(col): _*)
         .unionByName(guardedNew)
@@ -1147,7 +1448,7 @@ object Snapshots {
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val hit =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read.parquet(candidates: _*)
+      else reconciledScan(spark, tableDir, head, candidates) // alias-safe (see deleteWhere)
         // file name is stamped directly over the scan (input_file_name
         // is single-source); the semi join runs above the projection
         .select(keys.map(col) :+ input_file_name().as("__f"): _*)
@@ -1158,7 +1459,7 @@ object Snapshots {
     val outDir = stageDataDir(tableDir, "m")
     val survivors =
       if (hit.isEmpty) src
-      else spark.read.parquet(hit.toSeq.sorted: _*)
+      else reconciledScan(spark, tableDir, head, hit.toSeq.sorted)
         .join(srcKeys, keys, "left_anti")
         .select(tableCols.map(col): _*)
         .unionByName(src)
@@ -1250,11 +1551,23 @@ object Snapshots {
       // re-checked per attempt: a lost race rebases onto a NEW parent
       // whose schema may differ from the one attempt 0 checked
       if (prev > 0) checkAdditiveAgainst(tableDir, prev, df.schema)
-      val carried = if (prev > 0) fileLines(tableDir, prev) else Seq.empty
+      if (prev > 0) requireNoAliasReuse(tableDir, prev, df.schema)
+      // same record discipline as commit(): ids assigned against THIS
+      // attempt's parent (a rebase may change them), history folded,
+      // rebirth markers stamped — the retrying append previously wrote
+      // an ID-LESS record, silently downgrading streamed tables out of
+      // rename/drop evolution
+      val parentJson = if (prev > 0) manifestSchema(tableDir, prev) else None
+      val retiredJson = if (prev > 0) manifestRetired(tableDir, prev) else None
+      val recordSchema = foldAliases(tableDir, prev,
+        schemaWithIds(parentJson, df.schema, retiredJson))
+      val carried = rebirthMarked(
+        if (prev > 0) fileLines(tableDir, prev) else Seq.empty,
+        recordSchema, parentJson, retiredJson)
       beforePublish(attempt)
       try {
         writeManifest(tableDir, prev + 1, prev, "append", carried ++ newLines, tag,
-          schema = Some(df.schema.json))
+          schema = Some(recordSchema.json))
         return prev + 1
       } catch { case _: java.nio.file.FileAlreadyExistsException =>
         attempt += 1

@@ -505,9 +505,15 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, t).columns.toSeq == Seq("id", "title"))
     assert(Snapshots.read(spark, t).orderBy("id").as[(Long, String)].collect().toSeq ==
       Seq((1L, "a")))
-    // shallow clone across rename history is loud, naming the alternative
-    val e5 = intercept[IllegalArgumentException](Snapshots.shallowClone(t, freshTable()))
-    assert(e5.getMessage.contains("deep-copy"))
+    // shallow clone across rename history now WORKS: the alias history
+    // is folded into the schema record every commit writes (r10 — the
+    // r9-advice vacuum fix), so the clone's copied record reconciles
+    // standalone, with no parent chain to walk
+    val dst = freshTable()
+    Snapshots.shallowClone(t, dst)
+    assert(Snapshots.read(spark, dst).columns.toSeq == Seq("id", "title"))
+    assert(Snapshots.read(spark, dst).orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
   }
 
   // ---- per-manifest schema records: the additive gate ----

@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Scale-SF oracle gate (r9 verdict item #1): the same compare
+semantics as oracle_compare.py, but built for big SFs where a few
+oracles' DuckDB-side SQL is itself expensive:
+
+  - each query's DuckDB oracle runs in a SUBPROCESS with a wall-clock
+    timeout (default 900 s) — a too-slow-in-DuckDB oracle becomes a
+    DOCUMENTED `oracle_timeout` row instead of silently wedging the
+    whole gate (the verdict's sanctioned outcome class);
+  - results stream into a resumable JSON artifact: re-running skips
+    queries already decided, so a killed gate continues instead of
+    restarting from 'a'.
+
+Usage: python3 tools/oracle_compare_scale.py <outDir> <sfDir> <artifact.json>
+         [--timeout SECS] [--only q1,q2]
+"""
+import sys, json, glob, os, subprocess, time
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+WORKER = r'''
+import sys, json, glob
+import duckdb
+import numpy as np
+
+out_dir, sf_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+tables = %r
+con = duckdb.connect()
+for t in tables:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+files = glob.glob(f"{out_dir}/{name}/*.parquet")
+if not files:
+    print(json.dumps({"status": "fail", "reason": "no spark output"})); sys.exit(0)
+try:
+    spark_df = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+    duck_df = con.execute(sql).fetchdf()
+except Exception as e:
+    print(json.dumps({"status": "fail", "reason": f"exec error {e}"})); sys.exit(0)
+s_cols, d_cols = sorted(spark_df.columns), sorted(duck_df.columns)
+if s_cols != d_cols:
+    print(json.dumps({"status": "fail",
+        "reason": f"columns spark={s_cols} duck={d_cols}"})); sys.exit(0)
+def _cell(v):
+    if v is None or (isinstance(v, (float, np.floating)) and v != v):
+        return "\x00NULL"
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    return str(v)
+def norm(df):
+    out = df[s_cols].copy()
+    for c in s_cols:
+        out[c] = out[c].map(_cell)
+    return out.sort_values(s_cols, ignore_index=True)
+s, d = norm(spark_df), norm(duck_df)
+if len(s) != len(d):
+    print(json.dumps({"status": "fail",
+        "reason": f"rows spark={len(s)} duck={len(d)}"})); sys.exit(0)
+mm = [(c, int((s[c] != d[c]).sum())) for c in s_cols if (s[c] != d[c]).any()]
+if mm:
+    print(json.dumps({"status": "fail", "reason": f"value mismatches {mm}"}))
+else:
+    print(json.dumps({"status": "pass", "rows": len(s)}))
+''' % (TABLES,)
+
+
+def main(argv):
+    out_dir, sf_dir, artifact = argv[0], argv[1], argv[2]
+    timeout = 900
+    only = None
+    args = argv[3:]
+    while args:
+        if args[0] == "--timeout":
+            timeout = int(args[1]); args = args[2:]
+        elif args[0] == "--only":
+            only = set(args[1].split(",")); args = args[2:]
+        else:
+            raise SystemExit(f"unknown arg {args[0]}")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    if os.path.exists(artifact):
+        results = json.load(open(artifact)).get("queries", {})
+    names = [n for n in sorted(oracle) if (only is None or n in only)]
+    worker_path = f"{artifact}.worker.py"
+    with open(worker_path, "w") as f:
+        f.write(WORKER)
+    for name in names:
+        if name in results and results[name].get("status") in ("pass", "fail"):
+            continue  # resumable: keep decided rows, retry timeouts only if asked
+        t0 = time.time()
+        try:
+            p = subprocess.run([sys.executable, worker_path, out_dir, sf_dir, name],
+                               capture_output=True, text=True, timeout=timeout)
+            line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else ""
+            try:
+                r = json.loads(line)
+            except Exception:
+                r = {"status": "fail",
+                     "reason": f"worker crash rc={p.returncode}: {p.stderr[-300:]}"}
+        except subprocess.TimeoutExpired:
+            r = {"status": "oracle_timeout",
+                 "reason": f"DuckDB oracle exceeded {timeout}s at this SF"}
+        r["sec"] = round(time.time() - t0, 1)
+        results[name] = r
+        print(f"{r['status'].upper()} {name} ({r['sec']}s)"
+              + ("" if r["status"] == "pass" else f": {r.get('reason','')}"),
+              flush=True)
+        summary = {
+            "sf": sf_dir, "n": len(names),
+            "n_pass": sum(1 for v in results.values() if v["status"] == "pass"),
+            "n_fail": sum(1 for v in results.values() if v["status"] == "fail"),
+            "n_oracle_timeout": sum(1 for v in results.values()
+                                    if v["status"] == "oracle_timeout"),
+            "timeout_sec": timeout, "queries": results,
+        }
+        with open(artifact, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+    n_pass = sum(1 for v in results.values() if v["status"] == "pass")
+    n_fail = sum(1 for v in results.values() if v["status"] == "fail")
+    n_to = sum(1 for v in results.values() if v["status"] == "oracle_timeout")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_to} oracle_timeout")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
