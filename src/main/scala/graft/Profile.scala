@@ -410,8 +410,10 @@ object Profile {
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id")).distinct()
         time("cand.count")(cand.count())
         time("cand.count warm")(cand.count())
-        time("full cold")(Similarity.cosineNearDupPairsLsh(emb, 0.5).count())
-        time("full warm")(Similarity.cosineNearDupPairsLsh(emb, 0.5).count())
+        time("full cold")(Similarity.cosineNearDupPairsLsh(emb, 0.5,
+          maxCandidatePairs = Long.MaxValue).count())
+        time("full warm")(Similarity.cosineNearDupPairsLsh(emb, 0.5,
+          maxCandidatePairs = Long.MaxValue).count())
         time("full+sort warm")(SparkEntry.queries("q_embed_neardup")(spark, sfDir).count())
 
         // dup-heavy scaling: replicate the corpus with fresh ids (every
@@ -440,7 +442,9 @@ object Profile {
           }
           val nc = time(s"embdup x$mult candidates")(cands(16, 4).count())
           val nv = time(s"embdup x$mult verified (full path)")(
-            Similarity.cosineNearDupPairsLsh(embM, 0.5).count())
+            Similarity.cosineNearDupPairsLsh(embM, 0.5,
+            // profiler measures the degenerate receipts regime on purpose
+            maxCandidatePairs = Long.MaxValue).count())
           println(s"PROF embdup x$mult: rows=$n allpairs=${n * (n - 1) / 2} " +
             s"candidates=$nc verified=$nv " +
             s"candcut=${"%.1f".format(n * (n - 1) / 2.0 / nc)}x " +

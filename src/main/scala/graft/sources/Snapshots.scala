@@ -602,6 +602,15 @@ object Snapshots {
     }.groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ ++ _)).toMap
   }
 
+  // manifest files are immutable once published (no-clobber commit
+  // protocol), so a version's id→name history can be memoized
+  // forever: without this, the COW verbs' multiple reconciling scans
+  // each re-walk the ever-growing manifest chain — O(versions²)
+  // metadata reads over a mutation-heavy table's life. Bounded FIFO
+  // (512 table-versions) — entries are tiny maps.
+  private val historyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, Set[String]]]()
+
   /** Every name each column id has carried: the folded record of
     * `fromV` (vacuum-safe, complete for any table whose history was
     * written by this library version) merged with the manifest chain
@@ -610,6 +619,19 @@ object Snapshots {
     * manifest is exactly why the fold exists, and `vacuum` refuses to
     * create that situation for un-folded history). */
   private def idNameHistory(tableDir: String, fromV: Int): Map[Long, Set[String]] = {
+    // the commit ts in the key detects a table DELETED AND REBUILT at
+    // the same path (test fixtures do; production tables never) — a
+    // bare (dir, version) key would serve the old table's history
+    val memoKey = s"$tableDir#v$fromV@${commitTimeMillis(tableDir, fromV)}"
+    val hit = historyMemo.get(memoKey)
+    if (hit != null) return hit
+    val computed = idNameHistoryUncached(tableDir, fromV)
+    if (historyMemo.size() > 512) historyMemo.clear() // crude, correct: recompute
+    historyMemo.put(memoKey, computed)
+    computed
+  }
+
+  private def idNameHistoryUncached(tableDir: String, fromV: Int): Map[Long, Set[String]] = {
     val acc = scala.collection.mutable.Map[Long, Set[String]]()
     foldedHistory(tableDir, fromV).foreach { case (id, names) =>
       acc(id) = acc.getOrElse(id, Set.empty) ++ names

@@ -27,8 +27,13 @@ import numpy as np
 out_dir, sf_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 tables = %r
 con = duckdb.connect()
+import os as _os
 for t in tables:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # driver SFs ship single-file tables; GenScale SFs ship
+    # multi-file `name.parquet/` directories - glob those
+    pth = f"{sf_dir}/{t}.parquet"
+    src = f"{pth}/*.parquet" if _os.path.isdir(pth) else pth
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
 files = glob.glob(f"{out_dir}/{name}/*.parquet")
 if not files:
