@@ -615,6 +615,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ---- float-domain Holt via the two-level affine chunked scan
+    // (daily buckets): the production form of the skew suite's WORST
+    // victim (q_holt 9.2x on the hot user). Doubles gated exactly —
+    // the oracle replays the identical coefficient dataflow ----
+    "q_holt_chunked" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Smoothing.holtTraceChunked(ev, "user_id", "ts", "event_id",
+          "cents", bucketSeconds = 86400L)
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
     // ---- rendezvous (HRW) shard routing: argmax of 16 keyed
     // hashes — minimal-disruption resharding vs modulo; per-shard
     // population + id envelope as the balance check ----
@@ -898,6 +912,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ---- the SAME trace via the two-level (max,+) chunked scan
+    // (daily buckets): the skew-proof production form — per-key
+    // sequential work is O(#buckets), so the skew twin's 20k-event
+    // hot user parallelizes ~30 ways instead of one O(n^2) fold
+    // task. Same oracle as q_cusum: chunked == sequential is the
+    // cross-engine hash claim ----
+    "q_cusum_chunked" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Smoothing.cusumTraceChunked(ev, "user_id", "ts", "event_id",
+          "cents", target = 100L, threshold = 5000L, bucketSeconds = 86400L)
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
     // ---- pointwise mutual information between lang and source:
     // one cell-count aggregate, marginals folded from the cell
     // frame, nano-rounded ln contributions (the Drift.psi
@@ -1011,6 +1041,21 @@ object SparkEntry {
           round(col("value") * 100).cast("long").as("cents"))
       graft.ops.Smoothing.ewmaTrace(ev, "user_id", "ts", "event_id",
           "cents", num = 1, log2Den = 1)
+        .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // ---- float-domain EWMA via the two-level affine chunked scan
+    // (daily buckets): the skew-proof production form. The doubles
+    // are gated EXACTLY — the oracle replays the identical IEEE
+    // mul/add sequence (per-bucket A/B/Bp recurrences, bucket-carry
+    // recursion, final A·s_in + B), not an epsilon compare ----
+    "q_ewma_chunked" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Smoothing.ewmaTraceChunked(ev, "user_id", "ts", "event_id",
+          "cents", num = 1, log2Den = 1, bucketSeconds = 86400L)
         .orderBy(col("user_id"), col("rn"))
     }),
 
@@ -4127,6 +4172,75 @@ object SparkEntry {
         |SELECT user_id, rn, v, l AS level, b AS trend FROM r
         |ORDER BY user_id, rn""".stripMargin,
 
+    // dataflow-mirrored oracle (the q_ewma_chunked pattern, 2-state):
+    // identity-init coefficient recurrences with the ENGINE's exact
+    // parenthesization, bucket-carry recursion, same final affine
+    // reconstruction — raw-double hash, no epsilon. Repeated
+    // sub-expressions (p1 inside s1, lp1 inside bp1) re-round to the
+    // identical double, so inlining them preserves bit-parity
+    "q_holt_chunked" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS j
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), w AS (
+        |  -- identity-init first step folds to exact constants; CAST
+        |  -- keeps every coefficient column DOUBLE (bare 0.5 literals
+        |  -- would make DuckDB infer DECIMAL and truncate the algebra)
+        |  SELECT user_id, b, j, v,
+        |    CAST(0.5 AS DOUBLE) AS p,
+        |    CAST(0.5 AS DOUBLE) AS q,
+        |    0.5 * CAST(v AS DOUBLE) AS r,
+        |    CAST(-0.25 AS DOUBLE) AS s,
+        |    CAST(0.75 AS DOUBLE) AS t,
+        |    0.5 * (0.5 * CAST(v AS DOUBLE)) AS u,
+        |    CAST(v AS DOUBLE) AS lp, CAST(0.0 AS DOUBLE) AS bp
+        |  FROM e WHERE j = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.b, e.j, e.v,
+        |    0.5 * w.p + 0.5 * w.s,
+        |    0.5 * w.q + 0.5 * w.t,
+        |    (0.5 * CAST(e.v AS DOUBLE) + 0.5 * w.r) + 0.5 * w.u,
+        |    0.5 * ((0.5 * w.p + 0.5 * w.s) - w.p) + 0.5 * w.s,
+        |    0.5 * ((0.5 * w.q + 0.5 * w.t) - w.q) + 0.5 * w.t,
+        |    0.5 * (((0.5 * CAST(e.v AS DOUBLE) + 0.5 * w.r) + 0.5 * w.u) - w.r)
+        |      + 0.5 * w.u,
+        |    (0.5 * CAST(e.v AS DOUBLE) + 0.5 * w.lp) + 0.5 * w.bp,
+        |    0.5 * (((0.5 * CAST(e.v AS DOUBLE) + 0.5 * w.lp) + 0.5 * w.bp) - w.lp)
+        |      + 0.5 * w.bp
+        |  FROM w JOIN e ON e.user_id = w.user_id AND e.b = w.b AND e.j = w.j + 1
+        |), sm AS (
+        |  SELECT user_id, b, p, q, r, s, t, u, lp, bp, j AS cnt
+        |  FROM w QUALIFY j = max(j) OVER (PARTITION BY user_id, b)
+        |), s2 AS (
+        |  SELECT user_id, b, p, q, r, s, t, u, lp, bp, cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY b) AS ci,
+        |    sum(cnt) OVER (PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+        |  FROM sm
+        |), c AS (
+        |  SELECT user_id, b, ci, CAST(NULL AS DOUBLE) AS l_in,
+        |    CAST(NULL AS DOUBLE) AS b_in, lp AS l_out, bp AS b_out,
+        |    CAST(0 AS BIGINT) AS off
+        |  FROM s2 WHERE ci = 1
+        |  UNION ALL
+        |  SELECT s2.user_id, s2.b, s2.ci, c.l_out, c.b_out,
+        |    (s2.p * c.l_out + s2.q * c.b_out) + s2.r,
+        |    (s2.s * c.l_out + s2.t * c.b_out) + s2.u,
+        |    CAST(s2.off AS BIGINT)
+        |  FROM c JOIN s2 ON s2.user_id = c.user_id AND s2.ci = c.ci + 1
+        |)
+        |SELECT w.user_id, CAST(c.off + w.j AS BIGINT) AS rn, w.v,
+        |  CASE WHEN c.l_in IS NULL THEN w.lp
+        |       ELSE (w.p * c.l_in + w.q * c.b_in) + w.r END AS level,
+        |  CASE WHEN c.l_in IS NULL THEN w.bp
+        |       ELSE (w.s * c.l_in + w.t * c.b_in) + w.u END AS trend
+        |FROM w JOIN c ON w.user_id = c.user_id AND w.b = c.b
+        |ORDER BY w.user_id, rn""".stripMargin,
+
     // the same 16 keyed md5 hashes; argmax = first position of the
     // list max, identical tie rule
     "q_rendezvous" ->
@@ -4726,6 +4840,25 @@ object SparkEntry {
         |SELECT user_id, rn, v, CAST(s AS BIGINT) AS cusum, s > 5000 AS alarm
         |FROM r ORDER BY user_id, rn""".stripMargin,
 
+    // the chunked scan's claim IS "bit-identical to the sequential
+    // recurrence" — so its oracle is the sequential recursive CTE,
+    // verbatim
+    "q_cusum_chunked" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    row_number() OVER (
+        |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ) AS rn
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, rn, v, GREATEST(0, v - 100) AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.v, GREATEST(0, r.s + e.v - 100)
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        |)
+        |SELECT user_id, rn, v, CAST(s AS BIGINT) AS cusum, s > 5000 AS alarm
+        |FROM r ORDER BY user_id, rn""".stripMargin,
+
     // the MI expression tree mirrors the operator token for token:
     // (c/N)·ln(c·N/(nx·ny)) in doubles over exact integer counts,
     // nano-rounded per cell
@@ -4933,6 +5066,53 @@ object SparkEntry {
         |)
         |SELECT user_id, rn, v, s AS ewma FROM r
         |ORDER BY user_id, rn""".stripMargin,
+
+    // the chunked-scan oracle replays the ENGINE's dataflow, not the
+    // sequential recurrence: same within-bucket affine recurrences
+    // (A_j = A*0.5; B_j = 0.5*v + 0.5*B; Bp seeds s_1 = v_1), same
+    // bucket-carry recursion, same final A*s_in + B — every double
+    // is the same IEEE round-to-nearest mul/add sequence, so the
+    // hash compare is exact on raw doubles
+    "q_ewma_chunked" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS j
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), w AS (
+        |  SELECT user_id, b, j, v, CAST(0.5 AS DOUBLE) AS a,
+        |    0.5 * CAST(v AS DOUBLE) AS bz, CAST(v AS DOUBLE) AS bp
+        |  FROM e WHERE j = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.b, e.j, e.v, w.a * 0.5,
+        |    0.5 * CAST(e.v AS DOUBLE) + 0.5 * w.bz,
+        |    0.5 * CAST(e.v AS DOUBLE) + 0.5 * w.bp
+        |  FROM w JOIN e ON e.user_id = w.user_id AND e.b = w.b AND e.j = w.j + 1
+        |), s AS (
+        |  SELECT user_id, b, a, bz, bp, j AS cnt
+        |  FROM w QUALIFY j = max(j) OVER (PARTITION BY user_id, b)
+        |), s2 AS (
+        |  SELECT user_id, b, a, bz, bp, cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY b) AS ci,
+        |    sum(cnt) OVER (PARTITION BY user_id ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+        |  FROM s
+        |), c AS (
+        |  SELECT user_id, b, ci, CAST(NULL AS DOUBLE) AS s_in, bp AS s_out,
+        |    CAST(0 AS BIGINT) AS off
+        |  FROM s2 WHERE ci = 1
+        |  UNION ALL
+        |  SELECT s2.user_id, s2.b, s2.ci, c.s_out AS s_in,
+        |    s2.a * c.s_out + s2.bz AS s_out, CAST(s2.off AS BIGINT)
+        |  FROM c JOIN s2 ON s2.user_id = c.user_id AND s2.ci = c.ci + 1
+        |)
+        |SELECT w.user_id, CAST(c.off + w.j AS BIGINT) AS rn, w.v,
+        |  CASE WHEN c.s_in IS NULL THEN w.bp
+        |       ELSE w.a * c.s_in + w.bz END AS ewma
+        |FROM w JOIN c ON w.user_id = c.user_id AND w.b = c.b
+        |ORDER BY w.user_id, rn""".stripMargin,
 
     // skyline replays as the textbook sort-scan: per-x max, then a
     // suffix max over larger x; survive iff y strictly beats it.
