@@ -40,12 +40,15 @@ import scala.jdk.CollectionConverters._
   * same EEXIST signal — the spec proves the protocol against the
   * staged conditional-PUT publisher [[ObjectStoreCommitPublisher]]
   * with racing writers in separate threads and separate JVMs).
-  * Schema evolution is ADDITIVE-plus-RENAME and ENFORCED: each
-  * manifest records its writer schema WITH stable column ids, an
-  * append that retypes or drops a parent column fails loud naming
-  * the offense ([[requireAdditive]]), and [[rename]] is a
-  * metadata-only commit (same id, new name) that the read path
-  * reconciles across old files' physical names; `read(mergeSchema =
+  * Schema evolution is ADDITIVE plus the explicit metadata-only
+  * verbs [[rename]] (same id, new name), [[drop]] (retire the id;
+  * rebirth mints a fresh one with NULL history), and [[widen]]
+  * (lossless type widening; old files upcast at scan) — and
+  * ENFORCED: each manifest records its writer schema WITH stable
+  * column ids, an append that retypes or drops a parent column
+  * fails loud naming the offense and the right verb
+  * ([[requireAdditive]]), and the read path reconciles the full
+  * history across old files; `read(mergeSchema =
   * true)` resolves the additive union schema. Manifests CAN
   * carry
   * per-file integral column envelopes (`commit(statsCols = …)`), and
@@ -501,8 +504,10 @@ object Snapshots {
       pTypes.get(f.name).filter(_ != f.dataType).foreach { pt =>
         throw new IllegalArgumentException(
           s"Snapshots: column '${f.name}' retyped ${pt.catalogString} -> " +
-            s"${f.dataType.catalogString} in append to $tableDir — schema evolution " +
-            "is ADDITIVE-only (new columns); cast explicitly or start a new table")
+            s"${f.dataType.catalogString} in append to $tableDir — appends are " +
+            "ADDITIVE-only (new columns). Intentional lossless widening is " +
+            "Snapshots.widen() (metadata-only; then append with the wide type); " +
+            "anything else needs an explicit cast into a NEW column or table")
       }
     }
     val dropped = parent.fieldNames.filterNot(next.fieldNames.contains)
@@ -520,9 +525,11 @@ object Snapshots {
   // field metadata (the Iceberg idea: names are labels, ids are
   // identity). Ids make RENAME a metadata-only commit — same files,
   // same id, new name — and make the read path reconcile old files'
-  // physical names onto the current name. Retype and drop stay
-  // rejected-with-message: retype would poison the union read
-  // (requireAdditive), drop loses data silently. Scope note: zone-map
+  // physical names onto the current name. DROP (r10) retires the id
+  // into the fold-forward retired record, and WIDEN (r10) retypes
+  // losslessly with scan-time upcast; IMPLICIT retype/drop on append
+  // stays rejected-with-message naming the right verb. Scope note:
+  // zone-map
   // stats and bloom parts key on PHYSICAL column names inside
   // manifest lines; a rename does not rewrite history, so pruned
   // reads keep working on files written before the rename only via
@@ -539,9 +546,23 @@ object Snapshots {
   // every manifest self-contained; the chain walk below survives
   // only as the upgrade path for records written before the fold.
   private val AliasKey = "graft.col_aliases"
+  // physical types this column's LIVE files may still hold narrower
+  // than the record type (set by widen(), folded forward like the
+  // alias history — the record stays self-contained across vacuum)
+  private val WidenKey = "graft.col_widened_from"
 
   private def colIdOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
     if (f.metadata.contains(ColIdKey)) Some(f.metadata.getLong(ColIdKey)) else None
+
+  private def widenedFrom(f: org.apache.spark.sql.types.StructField): Seq[String] =
+    if (f.metadata.contains(WidenKey)) f.metadata.getStringArray(WidenKey).toSeq
+    else Seq.empty
+
+  private def withWidenedFrom(f: org.apache.spark.sql.types.StructField,
+                              types: Set[String]): org.apache.spark.sql.types.StructField =
+    if (types.isEmpty) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putStringArray(WidenKey, types.toArray.sorted).build())
 
   private def aliasesOf(f: org.apache.spark.sql.types.StructField): Seq[String] =
     if (f.metadata.contains(AliasKey)) f.metadata.getStringArray(AliasKey).toSeq
@@ -578,9 +599,13 @@ object Snapshots {
     org.apache.spark.sql.types.StructType(next.fields.map { f =>
       pFields.get(f.name) match {
         case Some(pf) =>
-          withAliases(f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putLong(ColIdKey, colIdOf(pf).get).build()),
-            aliasesOf(pf).toSet)
+          // the widen history folds forward like the alias history:
+          // an append after a widen must keep knowing the old files
+          // hold narrow bytes
+          withWidenedFrom(withAliases(
+            f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata).putLong(ColIdKey, colIdOf(pf).get).build()),
+            aliasesOf(pf).toSet), widenedFrom(pf).toSet)
         case None =>
           nextId += 1
           f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
@@ -811,6 +836,70 @@ object Snapshots {
     head + 1
   }
 
+  /** The lossless type-widening ladder — exactly the conversions the
+    * parquet vectorized reader upcasts at scan time (probed on this
+    * Spark build: byte→short/int/long, short→int/long, int→long,
+    * int→double, float→double). Everything else — including
+    * long→double (loses precision above 2^53) and every narrowing —
+    * is NOT a widening and stays rejected. */
+  private def widensTo(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Metadata-only column TYPE WIDENING (the evolution verb after
+    * rename and drop): commits a new version with the SAME file list
+    * and the schema record's field retyped to `to`, recording the old
+    * physical type in the field's fold-forward metadata. Old files
+    * keep their narrow bytes; every live read routes through
+    * [[reconciledScan]], which reads with the RECORD schema so the
+    * parquet reader upcasts narrow physical columns at scan time —
+    * no rewrite, no union mismatch. Only the lossless ladder in
+    * [[widensTo]] is accepted; a narrowing or lossy retype fails loud
+    * naming both types. After widening, appends must use the wide
+    * type ([[requireAdditive]] checks against the record). Zone-map
+    * stats stay valid: integral stats are (Long, Long) envelopes, and
+    * a widened column's old values are unchanged. Time travel before
+    * the widen shows the narrow type, exactly as committed. */
+  def widen(tableDir: String, name: String,
+            to: org.apache.spark.sql.types.DataType): Int = {
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val j = manifestSchema(tableDir, head).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: version $head of $tableDir carries no schema record — " +
+        "widen needs one (commit once with this library version first)"))
+    val st = parseStruct(j)
+    require(st.fieldNames.contains(name),
+      s"Snapshots: no column '$name' in $tableDir (have: ${st.fieldNames.mkString(", ")})")
+    val f = st(name)
+    colIdOf(f).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: column '$name' carries no column id (pre-upgrade record) — " +
+        "commit once with this library version first"))
+    if (f.dataType == to) throw new IllegalArgumentException(
+      s"Snapshots: column '$name' already has type ${to.catalogString}")
+    if (!widensTo(f.dataType, to)) throw new IllegalArgumentException(
+      s"Snapshots: ${f.dataType.catalogString} -> ${to.catalogString} is not a " +
+        s"lossless widening for column '$name' — supported: byte->short/int/long, " +
+        "short->int/long, int->long/double, float->double. Narrowings and lossy " +
+        "retypes need an explicit cast into a NEW column (or a new table)")
+    val widened = org.apache.spark.sql.types.StructType(
+      st.fields.map(g =>
+        if (g.name == name)
+          withWidenedFrom(g.copy(dataType = to),
+            widenedFrom(g).toSet + g.dataType.catalogString)
+        else g))
+    writeManifest(tableDir, head + 1, head, "widen", fileLines(tableDir, head),
+      schema = Some(foldAliases(tableDir, head, widened).json))
+    head + 1
+  }
+
   /** Run the additive gate against `parentV`'s recorded schema; a
     * record-less parent (pre-schema-record manifest) checks nothing. */
   private def checkAdditiveAgainst(tableDir: String, parentV: Int,
@@ -860,14 +949,30 @@ object Snapshots {
     val recordOpt = manifestSchema(tableDir, v).map(parseStruct)
     val aliases = renameAliases(tableDir, v)
     val hasRetired = manifestRetired(tableDir, v).isDefined
+    val hasWiden = recordOpt.exists(_.fields.exists(widenedFrom(_).nonEmpty))
     val markers: Map[Long, Set[String]] =
       if (recordOpt.isDefined && hasRetired) nullMarkerFiles(fileLines(tableDir, v))
       else Map.empty
-    if (recordOpt.isEmpty || (aliases.isEmpty && !hasRetired && markers.isEmpty)) {
+    if (recordOpt.isEmpty ||
+        (aliases.isEmpty && !hasRetired && markers.isEmpty && !hasWiden)) {
       if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
       else spark.read.parquet(files: _*)
     } else {
-      val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      // explicit READ schema instead of mergeSchema: the record's
+      // (possibly widened) type per live column PLUS each alias at
+      // the same type — the parquet reader upcasts narrow physical
+      // bytes at scan time (widen) and nulls absent columns (rename/
+      // additive history), where mergeSchema would FAIL merging an
+      // int file with a bigint record. Retired columns are simply
+      // not requested, so their bytes never surface.
+      val record = recordOpt.get
+      val readSchema = org.apache.spark.sql.types.StructType(
+        record.fields.flatMap { f =>
+          org.apache.spark.sql.types.StructField(f.name, f.dataType) +:
+            aliases.getOrElse(f.name, Seq.empty)
+              .map(a => org.apache.spark.sql.types.StructField(a, f.dataType))
+        })
+      val df = spark.read.schema(readSchema).parquet(files: _*)
       val present = df.columns.toSet
       // input_file_name() is URI-formed; manifest lines are plain
       // paths — normalize the scheme away once, codegen'd per row
@@ -1196,8 +1301,16 @@ object Snapshots {
         .exists(toRetiredIds.contains)
       (c, if (wasDropped) "dropped" else "removed", from(c), null: String)
     }
+    // same name, new type: "widened" when toV's record carries the
+    // old type in the fold-forward widen history (the explicit verb —
+    // reads reconcile); a type change WITHOUT that history is an
+    // overwrite reshape — "retyped" (reads of old versions don't)
     val retyped = (from.keySet & to.keySet).toSeq.sorted
-      .filter(c => from(c) != to(c)).map(c => (c, "retyped", from(c), to(c)))
+      .filter(c => from(c) != to(c)).map { c =>
+        val viaWiden = toSt.fields.find(_.name == c)
+          .exists(f => widenedFrom(f).contains(from(c)))
+        (c, if (viaWiden) "widened" else "retyped", from(c), to(c))
+      }
     import spark.implicits._
     (added ++ removed ++ retyped ++ renamed)
       .toDF("column", "change", "from_type", "to_type")

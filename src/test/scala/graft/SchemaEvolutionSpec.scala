@@ -206,6 +206,103 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(300L))))
   }
 
+  // ---- WIDEN ladder (the evolution verb after rename + drop) ----
+
+  test("widen is metadata-only: same files, old narrow files upcast at scan; time travel keeps narrow") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 1.5f), (2, 2.5f)).toDF("i", "f"), t)  // int, float
+    val filesBefore = Snapshots.liveFiles(t, 1).toSet
+    val v = Snapshots.widen(t, "i", org.apache.spark.sql.types.LongType)
+    assert(v == 2)
+    Snapshots.widen(t, "f", org.apache.spark.sql.types.DoubleType)
+    assert(Snapshots.liveFiles(t, 3).toSet == filesBefore) // no bytes moved
+    val got = Snapshots.read(spark, t)
+    assert(got.schema("i").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.schema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(got.orderBy("i").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    // time travel BEFORE the widen: the narrow types, exactly as committed
+    val old = Snapshots.read(spark, t, version = 1)
+    assert(old.schema("i").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(old.schema("f").dataType == org.apache.spark.sql.types.FloatType)
+    // appends must use the wide type now; the narrow type names widen()
+    Snapshots.commit(Seq((3L, 3.5)).toDF("i", "f"), t)
+    assert(Snapshots.read(spark, t).orderBy("i").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((4, 4.5)).toDF("i", "f"), t))
+    assert(e.getMessage.contains("widen"))
+  }
+
+  test("widen guards: narrowing, lossy long->double, same type, unknown column all loud") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a", 7)).toDF("id", "s", "n"), t)
+    import org.apache.spark.sql.types._
+    val e1 = intercept[IllegalArgumentException](Snapshots.widen(t, "id", IntegerType))
+    assert(e1.getMessage.contains("not a lossless widening"))
+    val e2 = intercept[IllegalArgumentException](Snapshots.widen(t, "id", DoubleType))
+    assert(e2.getMessage.contains("not a lossless widening")) // > 2^53 loses
+    val e3 = intercept[IllegalArgumentException](Snapshots.widen(t, "s", LongType))
+    assert(e3.getMessage.contains("not a lossless widening"))
+    val e4 = intercept[IllegalArgumentException](Snapshots.widen(t, "id", LongType))
+    assert(e4.getMessage.contains("already has type"))
+    val e5 = intercept[IllegalArgumentException](Snapshots.widen(t, "nope", LongType))
+    assert(e5.getMessage.contains("no column 'nope'"))
+  }
+
+  test("widen composes with rename and drop history; pruned/COW reads reconcile; stats keep pruning") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 100), (2, 200)).toDF("id", "v"), t,
+      statsCols = Seq("id", "v"))                               // int files + stats
+    Snapshots.rename(t, "v", "value")
+    Snapshots.widen(t, "value", org.apache.spark.sql.types.LongType)
+    Snapshots.widen(t, "id", org.apache.spark.sql.types.LongType)
+    Snapshots.commit(Seq((3L, 300L)).toDF("id", "value"), t, statsCols = Seq("id", "value"))
+    // pruned read on the current name across narrow+renamed history
+    val got = Snapshots.readPruned(spark, t, "id", 1L, 3L)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+    // COW delete with a predicate on the widened type hits narrow rows
+    Snapshots.deleteWhere(spark, t, col("value") === 100L)
+    assert(Snapshots.read(spark, t).orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 200L), (3L, 300L)))
+    // and a drop after all of it still reconciles
+    Snapshots.drop(t, "value")
+    assert(Snapshots.read(spark, t).orderBy("id").as[Long].collect().toSeq ==
+      Seq(2L, 3L))
+  }
+
+  test("schemaDiff says 'widened' for the explicit verb, 'retyped' for an overwrite reshape") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, "a")).toDF("n", "s"), t)
+    Snapshots.widen(t, "n", org.apache.spark.sql.types.LongType) // v2
+    val d = Snapshots.schemaDiff(spark, t, 1, 2)
+      .select("column", "change").as[(String, String)].collect().toSeq
+    assert(d == Seq(("n", "widened")))
+    val t2 = freshTable()
+    Snapshots.commit(Seq((1, "a")).toDF("n", "s"), t2)
+    Snapshots.commit(Seq(("wat", "a")).toDF("n", "s"), t2, mode = "overwrite")
+    val d2 = Snapshots.schemaDiff(spark, t2, 1, 2)
+      .select("column", "change").as[(String, String)].collect().toSeq
+    assert(d2 == Seq(("n", "retyped")))
+  }
+
+  test("widen history survives vacuum and shallow clone (folded into every record)") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 10)).toDF("id", "v"), t)            // v1, narrow file
+    Snapshots.widen(t, "v", org.apache.spark.sql.types.LongType) // v2
+    Snapshots.commit(Seq((2, 20L)).toDF("id", "v"), t)           // v3 (id stays int)
+    Snapshots.commit(Seq((3, 30L)).toDF("id", "v"), t)           // v4
+    Snapshots.vacuum(t, keepLast = 1) // expires v1..v3 manifests incl. the widen
+    assert(Snapshots.read(spark, t).orderBy("id").select($"v").as[Long].collect().toSeq ==
+      Seq(10L, 20L, 30L))
+    val dst = freshTable()
+    Snapshots.shallowClone(t, dst)
+    val r = Snapshots.read(spark, dst)
+    assert(r.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.orderBy("id").select($"v").as[Long].collect().toSeq == Seq(10L, 20L, 30L))
+  }
+
   test("commitWithRetry writes the same id'd+folded record as commit (rename works after it)") {
     val t = freshTable()
     Snapshots.commitWithRetry(Seq((1L, "a")).toDF("id", "s"), t)
