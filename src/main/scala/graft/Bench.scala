@@ -209,7 +209,17 @@ object Bench {
       "q_embed_neardup" -> "degenerate-reference",
       "q_embed_neardup_hi" -> "production-twin",
       "q_interval_join" -> "degenerate-reference",
-      "q_interval_join_user" -> "production-twin")
+      "q_interval_join_user" -> "production-twin",
+      // the per-key sequential recurrences and their skew-proof
+      // chunked-scan twins (r10): sequential stays registered as the
+      // bit-exact/simple contract, chunked is the form that survives
+      // a hot key
+      "q_cusum" -> "sequential-reference",
+      "q_cusum_chunked" -> "production-twin",
+      "q_ewma" -> "sequential-reference",
+      "q_ewma_chunked" -> "production-twin",
+      "q_holt" -> "sequential-reference",
+      "q_holt_chunked" -> "production-twin")
       .filter { case (k, _) => results.exists(_._1 == k) }
     val regimesJson = regimeTags.toSeq.sorted
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
