@@ -1177,12 +1177,16 @@ object Snapshots {
     val v = head + 1
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val outDir = Paths.get(tableDir, "data", s"c$v-$nonce")
-    // with rename/drop history, the rewrite must reconcile (canonical
-    // current names; reborn columns NULLed per their markers): a raw
+    // with rename/drop/widen history, the rewrite must reconcile
+    // (canonical current names; reborn columns NULLed per their
+    // markers; widened columns baked to the record type): a raw
     // re-concat would carry retired physical columns into a post-
-    // rebirth commit dir and resurrect their values
+    // rebirth commit dir and resurrect their values — or write a
+    // narrow-typed file into a post-widen commit dir
     val needsReconcile = renameAliases(tableDir, head).nonEmpty ||
-      manifestRetired(tableDir, head).isDefined
+      manifestRetired(tableDir, head).isDefined ||
+      manifestSchema(tableDir, head).map(parseStruct)
+        .exists(_.fields.exists(widenedFrom(_).nonEmpty))
     bins.toSeq.sortBy(_._1).foreach { case (bin, paths) =>
       if (needsReconcile)
         reconciledScan(spark, tableDir, head, paths).coalesce(1)

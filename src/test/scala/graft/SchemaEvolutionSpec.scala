@@ -287,6 +287,21 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(d2 == Seq(("n", "retyped")))
   }
 
+  test("optimize after widen bakes the wide type into rewritten files") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 10), (2, 20)).toDF("id", "v").repartition(3), t)
+    Snapshots.widen(t, "v", org.apache.spark.sql.types.LongType)
+    val v = Snapshots.optimize(spark, t, targetBytes = 1L << 20)
+    assert(v > 0)
+    val r = Snapshots.read(spark, t)
+    assert(r.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.orderBy("id").select($"v").as[Long].collect().toSeq == Seq(10L, 20L))
+    // the rewritten files are PHYSICALLY wide now: a raw parquet read
+    // of the live files (no reconciliation) must already show bigint
+    val raw = spark.read.parquet(Snapshots.liveFiles(t, v): _*)
+    assert(raw.schema("v").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("widen history survives vacuum and shallow clone (folded into every record)") {
     val t = freshTable()
     Snapshots.commit(Seq((1, 10)).toDF("id", "v"), t)            // v1, narrow file
