@@ -928,6 +928,25 @@ object SparkEntry {
         .orderBy(col("user_id"), col("rn"))
     }),
 
+    // ---- deterministic distributed classifier training (the
+    // quality-scorer shape): algebraic-sigmoid link (no libm — IEEE
+    // mul/div/abs only, bit-identical cross-engine), micro-rounded
+    // residuals, EXACT order-free decimal gradient sums, 3 GD
+    // iterations; the oracle replays the identical dataflow and the
+    // raw double weights hash-match ----
+    "q_logreg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(
+          (col("lang") === "en").cast("long").as("y"),
+          expr("length(text) div 100").cast("long").as("x1"),
+          expr("size(split(text, ' ')) div 10").cast("long").as("x2"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("x3"))
+      graft.operators.LogReg.weightsFrame(d, "y", Seq("x1", "x2", "x3"),
+        lr = 0.5, iters = 3)
+        .orderBy(col("term"))
+    }),
+
     // ---- pointwise mutual information between lang and source:
     // one cell-count aggregate, marginals folded from the cell
     // frame, nano-rounded ln contributions (the Drift.psi
@@ -4858,6 +4877,72 @@ object SparkEntry {
         |)
         |SELECT user_id, rn, v, CAST(s AS BIGINT) AS cusum, s > 5000 AS alarm
         |FROM r ORDER BY user_id, rn""".stripMargin,
+
+    // the trainer's oracle replays the identical dataflow: algebraic
+    // sigmoid (no libm), micro-rounded residuals of bit-identical
+    // doubles, exact HUGEINT gradient sums (order-free like the
+    // engine's decimal sums), correctly-rounded conversion, same
+    // update expression — 3 iterations unrolled; raw-double hash
+    "q_logreg" ->
+      """WITH e AS (
+        |  SELECT CAST(lang = 'en' AS BIGINT) AS y,
+        |    length(text) // 100 AS x1,
+        |    len(string_split(text, ' ')) // 10 AS x2,
+        |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS x3
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |), cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+        |wa AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS c1,
+        |              CAST(0 AS DOUBLE) AS c2, CAST(0 AS DOUBLE) AS c3),
+        |r1 AS (
+        |  SELECT y, x1, x2, x3, CAST(round(CAST(1000000.0 AS DOUBLE) *
+        |    ((CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (z / (CAST(1.0 AS DOUBLE) + abs(z))))
+        |      - CAST(y AS DOUBLE))) AS BIGINT) AS r6
+        |  FROM (SELECT e.y, e.x1, e.x2, e.x3,
+        |    ((w.b + w.c1 * CAST(e.x1 AS DOUBLE)) + w.c2 * CAST(e.x2 AS DOUBLE))
+        |      + w.c3 * CAST(e.x3 AS DOUBLE) AS z FROM e, wa w)
+        |), g1 AS (SELECT SUM(r6) AS g0, SUM(r6 * x1) AS gx1,
+        |                 SUM(r6 * x2) AS gx2, SUM(r6 * x3) AS gx3 FROM r1),
+        |wb AS (SELECT
+        |  w.b  - CAST(0.5 AS DOUBLE) * ((CAST(g.g0  AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS b,
+        |  w.c1 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx1 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c1,
+        |  w.c2 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx2 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c2,
+        |  w.c3 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx3 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c3
+        |  FROM wa w, g1 g, cnt c),
+        |r2 AS (
+        |  SELECT y, x1, x2, x3, CAST(round(CAST(1000000.0 AS DOUBLE) *
+        |    ((CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (z / (CAST(1.0 AS DOUBLE) + abs(z))))
+        |      - CAST(y AS DOUBLE))) AS BIGINT) AS r6
+        |  FROM (SELECT e.y, e.x1, e.x2, e.x3,
+        |    ((w.b + w.c1 * CAST(e.x1 AS DOUBLE)) + w.c2 * CAST(e.x2 AS DOUBLE))
+        |      + w.c3 * CAST(e.x3 AS DOUBLE) AS z FROM e, wb w)
+        |), g2 AS (SELECT SUM(r6) AS g0, SUM(r6 * x1) AS gx1,
+        |                 SUM(r6 * x2) AS gx2, SUM(r6 * x3) AS gx3 FROM r2),
+        |wc AS (SELECT
+        |  w.b  - CAST(0.5 AS DOUBLE) * ((CAST(g.g0  AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS b,
+        |  w.c1 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx1 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c1,
+        |  w.c2 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx2 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c2,
+        |  w.c3 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx3 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c3
+        |  FROM wb w, g2 g, cnt c),
+        |r3 AS (
+        |  SELECT y, x1, x2, x3, CAST(round(CAST(1000000.0 AS DOUBLE) *
+        |    ((CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * (z / (CAST(1.0 AS DOUBLE) + abs(z))))
+        |      - CAST(y AS DOUBLE))) AS BIGINT) AS r6
+        |  FROM (SELECT e.y, e.x1, e.x2, e.x3,
+        |    ((w.b + w.c1 * CAST(e.x1 AS DOUBLE)) + w.c2 * CAST(e.x2 AS DOUBLE))
+        |      + w.c3 * CAST(e.x3 AS DOUBLE) AS z FROM e, wc w)
+        |), g3 AS (SELECT SUM(r6) AS g0, SUM(r6 * x1) AS gx1,
+        |                 SUM(r6 * x2) AS gx2, SUM(r6 * x3) AS gx3 FROM r3),
+        |wd AS (SELECT
+        |  w.b  - CAST(0.5 AS DOUBLE) * ((CAST(g.g0  AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS b,
+        |  w.c1 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx1 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c1,
+        |  w.c2 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx2 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c2,
+        |  w.c3 - CAST(0.5 AS DOUBLE) * ((CAST(g.gx3 AS DOUBLE) / CAST(1000000.0 AS DOUBLE)) / c.n) AS c3
+        |  FROM wc w, g3 g, cnt c)
+        |SELECT 'intercept' AS term, b AS weight FROM wd
+        |UNION ALL SELECT 'x1' AS term, c1 AS weight FROM wd
+        |UNION ALL SELECT 'x2' AS term, c2 AS weight FROM wd
+        |UNION ALL SELECT 'x3' AS term, c3 AS weight FROM wd
+        |ORDER BY term""".stripMargin,
 
     // the MI expression tree mirrors the operator token for token:
     // (c/N)·ln(c·N/(nx·ny)) in doubles over exact integer counts,
