@@ -5,9 +5,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // decoupled from cpus for memory-constrained runs: fewer
+    // concurrent tasks but MORE (smaller) shuffle partitions is how a
+    // real cluster sizes per-task aggregate state to its heap — with
+    // partitions pinned = cpus, an 8-thread 2 GiB run at sf1 put 1/8
+    // of a 6M-row aggregate in one task and died in the hash map
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -93,7 +93,14 @@ object GenSkew {
         .withColumn("text",
           when(hot("doc_id"), concat(lit("hotlead "), col("text")))
             .otherwise(col("text")))
-        .withColumn("n_chars", length(col("text"))),
+        // keep n_chars true for the prefixed docs AND keep the SOURCE
+        // type: length() returns INT where the driver SFs carry
+        // BIGINT, and a twin that silently narrows a column is not a
+        // twin (found by the r10 skew-twin ORACLE gate: the narrowed
+        // column made q_merge_cow's +long promotion write mixed-type
+        // files)
+        .withColumn("n_chars",
+          length(col("text")).cast(tbl("documents").schema("n_chars").dataType)),
       "documents", 8)
 
     counts += "embeddings" -> write(tbl("embeddings"), "embeddings", 4)

@@ -2453,7 +2453,10 @@ object SparkEntry {
       val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
       val docs = Tables.documents(s, dir)
       val updates = docs.where(pmod(col("doc_id"), lit(10)) === 0)
-        .withColumn("n_chars", col("n_chars") + 100000L)
+        // cast back to the column's own type: + 100000L would promote
+        // an int-typed n_chars to long and trip the COW type gate
+        .withColumn("n_chars",
+          (col("n_chars") + 100000L).cast(docs.schema("n_chars").dataType))
         .withColumn("source", lit("merged"))
       val inserts = docs.where(pmod(col("doc_id"), lit(10)) === 1)
         .withColumn("doc_id", col("doc_id") + 10000000L)

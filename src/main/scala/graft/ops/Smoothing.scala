@@ -32,9 +32,12 @@ import org.apache.spark.sql.functions._
   * 100 TB (more users), while per-key history is product-bounded.
   * If per-key history itself becomes unbounded, the float-domain
   * EWMA composes affinely (a chunk maps s to a*s+b) and admits a
-  * two-level chunked scan — that upgrade path trades the bit-exact
-  * integer contract for unbounded keys; this operator deliberately
-  * keeps the exact contract.
+  * two-level chunked scan — that upgrade path is [[ewmaTraceChunked]]
+  * (r10: the skew suite measured this operator 4.7× slower on a
+  * 20%-hot key; the chunked twin measured flat). This operator
+  * deliberately keeps the bit-exact integer contract; CUSUM's
+  * chunked twin [[cusumTraceChunked]] keeps BOTH, because (max,+)
+  * composes exactly.
   */
 object Smoothing {
 

@@ -1416,6 +1416,28 @@ object Snapshots {
     * serializable-conflict abort — the caller re-runs the whole
     * operation against the new HEAD. Appends have no read set and
     * rebase automatically instead ([[commitWithRetry]]). */
+  /** COW-verb source gate: the injected rows' TYPES must match the
+    * table's read schema exactly, not just its column names. Without
+    * this, an arithmetic widening in the caller (`intCol + 1L`)
+    * silently wrote wider-typed files into a narrow-recorded table —
+    * readable only by footer-order luck (found by the r10 skew-twin
+    * gate: GenSkew's documents carry n_chars as INT where the driver
+    * SFs carry BIGINT, and q_merge_cow's +100000L promoted it). */
+  private def requireSourceTypes(spark: SparkSession, tableDir: String, head: Int,
+                                 df: DataFrame, verb: String): Unit = {
+    val table = read(spark, tableDir, head).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    df.schema.fields.foreach { f =>
+      table.get(f.name).filter(_ != f.dataType).foreach { tt =>
+        throw new IllegalArgumentException(
+          s"Snapshots: $verb source column '${f.name}' is " +
+            s"${f.dataType.catalogString} but the table records ${tt.catalogString} — " +
+            "cast the source explicitly; for a lossless table-side widening run " +
+            "Snapshots.widen() first")
+      }
+    }
+  }
+
   private def publishOrConflict(tableDir: String, readV: Int, op: String,
                                 lines: Seq[String], tag: Option[String] = None): Unit =
     try writeManifest(tableDir, readV + 1, readV, op, lines, tag)
@@ -1500,6 +1522,7 @@ object Snapshots {
     require(df.columns.sorted.toSeq == tableCols.sorted,
       s"Snapshots: replaceWhere schema mismatch — table [${tableCols.sorted.mkString(",")}] " +
         s"vs replacement [${df.columns.sorted.mkString(",")}]")
+    requireSourceTypes(spark, tableDir, head, df, "replaceWhere")
     val files = lines.map(_.split('\t')(0))
     val hit = reconciledScan(spark, tableDir, head, files) // alias-safe (see deleteWhere)
       .where(predicate)
@@ -1561,6 +1584,7 @@ object Snapshots {
     require(source.columns.sorted.toSeq == tableCols.sorted,
       s"Snapshots: mergeInto schema mismatch — table [${tableCols.sorted.mkString(",")}] " +
         s"vs source [${source.columns.sorted.mkString(",")}]")
+    requireSourceTypes(spark, tableDir, head, source, "mergeInto")
     require(source.groupBy(keys.map(col): _*).count()
         .where(col("count") > 1).limit(1).count() == 0,
       s"Snapshots: mergeInto source has duplicate (${keys.mkString(",")}) values — ambiguous merge")

@@ -272,6 +272,26 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq(2L, 3L))
   }
 
+  test("COW verbs reject a type-widened source loudly (the skew-twin q_merge_cow hole)") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 10), (2, 20)).toDF("id", "v"), t) // int table
+    // arithmetic promotion: v + 1L makes the source column LONG — the
+    // gate must refuse BEFORE any file lands (mixed-width files were
+    // readable only by footer-order luck)
+    val wideSrc = Seq((1, 30L)).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.mergeInto(spark, t, wideSrc, "id"))
+    assert(e1.getMessage.contains("bigint") && e1.getMessage.contains("widen"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.replaceWhere(spark, t, col("id") === 1, wideSrc))
+    assert(e2.getMessage.contains("bigint") && e2.getMessage.contains("widen"))
+    // the sanctioned path: widen the table first, then the wide source lands
+    Snapshots.widen(t, "v", org.apache.spark.sql.types.LongType)
+    Snapshots.mergeInto(spark, t, wideSrc, "id")
+    assert(Snapshots.read(spark, t).orderBy("id").as[(Int, Long)].collect().toSeq ==
+      Seq((1, 30L), (2, 20L)))
+  }
+
   test("schemaDiff says 'widened' for the explicit verb, 'retyped' for an overwrite reshape") {
     val t = freshTable()
     Snapshots.commit(Seq((1, "a")).toDF("n", "s"), t)
