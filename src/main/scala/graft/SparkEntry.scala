@@ -1919,9 +1919,15 @@ object SparkEntry {
     "q_semantic_contam" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val train = emb.where(col("vec_id") < 1500)
+      // planted leaks carry NEGATIVE ids: natural ids can never
+      // collide with them at ANY SF. The old +10000 offset collided
+      // with GenScale's copy stride at sf1, where the oracle's
+      // per-vid grouped projection silently summed the two colliding
+      // vectors' signatures and lost 2 of the 100 planted pairs —
+      // the sf1 gate's one real catch
       val evalSet = emb.where(col("vec_id") >= 1500)
         .unionByName(emb.where(col("vec_id") < 100)
-          .withColumn("vec_id", col("vec_id") + 10000L))
+          .withColumn("vec_id", -col("vec_id") - 1L))
       graft.operators.Similarity.crossCorpusNearDup(train, evalSet, 0.95)
         .orderBy(col("eval_id"), col("train_id"))
     }),
@@ -6191,7 +6197,7 @@ object SparkEntry {
         |  SELECT vec_id AS vid, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
         |  FROM embeddings WHERE vec_id >= 1500
         |  UNION ALL
-        |  SELECT vec_id + 10000, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT))
+        |  SELECT -vec_id - 1, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT))
         |  FROM embeddings WHERE vec_id < 100
         |), trn AS (
         |  SELECT vec_id, v,

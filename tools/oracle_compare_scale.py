@@ -27,6 +27,13 @@ import numpy as np
 out_dir, sf_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
 tables = %r
 con = duckdb.connect()
+# cap DuckDB spill so a monster oracle exhausts ITS budget with a
+# clean error instead of filling the shared disk for every other
+# process (the q_hits sf1 oracle spilled >79G)
+try:
+    con.execute("SET max_temp_directory_size='40GiB'")
+except Exception:
+    pass
 import os as _os
 for t in tables:
     # driver SFs ship single-file tables; GenScale SFs ship
@@ -108,6 +115,13 @@ def main(argv):
         except subprocess.TimeoutExpired:
             r = {"status": "oracle_timeout",
                  "reason": f"DuckDB oracle exceeded {timeout}s at this SF"}
+        # resource-exhausted oracles are the oracle_timeout class, not a
+        # mismatch: the DUCKDB side ran out of disk/temp budget before
+        # producing an answer (the engine side already dumped fine)
+        if r.get("status") == "fail" and any(
+                s in r.get("reason", "") for s in
+                ("No space left", "temp_directory size", "Out of Memory")):
+            r["status"] = "oracle_resource"
         r["sec"] = round(time.time() - t0, 1)
         results[name] = r
         print(f"{r['status'].upper()} {name} ({r['sec']}s)"
@@ -119,6 +133,8 @@ def main(argv):
             "n_fail": sum(1 for v in results.values() if v["status"] == "fail"),
             "n_oracle_timeout": sum(1 for v in results.values()
                                     if v["status"] == "oracle_timeout"),
+            "n_oracle_resource": sum(1 for v in results.values()
+                                     if v["status"] == "oracle_resource"),
             "timeout_sec": timeout, "queries": results,
         }
         with open(artifact, "w") as f:
