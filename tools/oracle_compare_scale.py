@@ -124,6 +124,17 @@ def main(argv):
             r["status"] = "oracle_resource"
         r["sec"] = round(time.time() - t0, 1)
         results[name] = r
+        # merge-before-write: a concurrent --only run on the same
+        # artifact must not be clobbered by our whole-file rewrite
+        # (bitten once: a parallel merge lost a decided row). Our own
+        # rows win; foreign decided rows are preserved.
+        if os.path.exists(artifact):
+            try:
+                on_disk = json.load(open(artifact)).get("queries", {})
+                for k, v in on_disk.items():
+                    results.setdefault(k, v)
+            except Exception:
+                pass
         print(f"{r['status'].upper()} {name} ({r['sec']}s)"
               + ("" if r["status"] == "pass" else f": {r.get('reason','')}"),
               flush=True)
