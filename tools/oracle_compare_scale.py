@@ -29,9 +29,11 @@ tables = %r
 con = duckdb.connect()
 # cap DuckDB spill so a monster oracle exhausts ITS budget with a
 # clean error instead of filling the shared disk for every other
-# process (the q_hits sf1 oracle spilled >79G)
+# process (the q_hits sf1 oracle spilled >79G); override the budget
+# via GRAFT_DUCK_TMP_CAP for a solo retry on a quiet disk
 try:
-    con.execute("SET max_temp_directory_size='40GiB'")
+    con.execute("SET max_temp_directory_size='%%s'"
+                %% __import__("os").environ.get("GRAFT_DUCK_TMP_CAP", "40GiB"))
 except Exception:
     pass
 import os as _os
