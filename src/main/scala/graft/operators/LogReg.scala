@@ -55,6 +55,11 @@ object LogReg {
     val xs: Seq[Column] = features.map { f =>
       when(col(f).isNull, raise_error(lit(
           s"LogReg: NULL feature $f — impute or filter before training")))
+        .when(col(f).cast("double") =!= col(f).cast("long").cast("double"),
+          raise_error(concat(
+            lit(s"LogReg: non-integral feature $f (got "), col(f).cast("string"),
+            lit(") — features must be integral longs; quantize (e.g. round(1e3*x)) " +
+              "before training so train and score see the same values"))))
         .when(abs(col(f).cast("long")) > maxAbsFeature, raise_error(concat(
           lit(s"LogReg: |$f| exceeds maxAbsFeature=$maxAbsFeature (got "),
           col(f).cast("string"),

@@ -417,13 +417,21 @@ object Smoothing {
         col(keyCol).cast("string"),
         lit(" — the within-bucket order needs the tie-breaker"))))
       .otherwise(col(tieCol))
+    // NULL value raises loudly (the sibling ewma/holt chunked
+    // contract): left to fall through, a NULL __d is skipped by the
+    // windowed sum and every later row's cusum silently shifts
+    val vGuard = when(col(valCol).isNull, raise_error(concat(
+        lit(s"cusumTraceChunked: NULL $valCol for key "),
+        col(keyCol).cast("string"),
+        lit(" — a skipped delta would silently shift the whole trace; filter or impute first"))))
+      .otherwise(col(valCol)).cast("long")
 
     val base = df.select(
       col(keyCol),
       tsGuard.as("__ts"),
       tieGuard.as("__tie"),
-      col(valCol).cast("long").as("v"),
-      (col(valCol).cast("long") - lit(target)).as("__d"),
+      vGuard.as("v"),
+      (vGuard - lit(target)).as("__d"),
       floor(col(tsCol).cast("timestamp").cast("double") / lit(bucketSeconds.toDouble))
         .as("__b"))
 

@@ -20,7 +20,11 @@ import java.sql.Timestamp
   * data matters, replay the batch operator over the stored log — it
   * is the exact tool. The frontier is millisecond + tie (Timestamp
   * ms precision in state), matching the batch order for any feed
-  * whose ties are broken by `tie`.
+  * whose ties are broken by `tie`. There is deliberately NO
+  * watermark on the input: `NoTimeout` state never uses one for
+  * eviction, and a watermark would make Spark drop very-late rows
+  * BEFORE this function — silently undercounting `n_late`, the one
+  * signal this contract promises is loud.
   *
   * At-least-once replays of a whole micro-batch re-present rows at
   * the frontier: they count as late and leave the statistic
@@ -34,13 +38,12 @@ object StreamCusum {
   private[streaming] case class CState(s: Long, lastTsMs: Long, lastTie: Long,
                                        nLate: Long, seeded: Boolean)
 
-  def trace(events: Dataset[CusumEvent], target: Long, threshold: Long,
-            watermark: String = "1 hour"): Dataset[CusumPoint] = {
+  def trace(events: Dataset[CusumEvent], target: Long,
+            threshold: Long): Dataset[CusumPoint] = {
     require(threshold >= 0, s"StreamCusum: threshold must be >= 0, got $threshold")
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState[CState, CusumPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -20,7 +20,11 @@ import java.sql.Timestamp
   *     (`n_late`) and skipped, never woven in at the wrong position —
   *     when late data matters, replay the batch operator over the
   *     stored log; whole-micro-batch at-least-once replays land at
-  *     the frontier and therefore never double-apply.
+  *     the frontier and therefore never double-apply. There is
+  *     deliberately NO watermark on the input: `NoTimeout` state never
+  *     uses one for eviction, and a watermark would make Spark drop
+  *     very-late rows BEFORE this function — silently undercounting
+  *     `n_late`, the one signal the contract promises is loud.
   *
   * The scale contract mirrors the batch chunked scans from the other
   * direction: a stream only ever holds O(keys) state (two longs + a
@@ -43,8 +47,8 @@ object StreamSmooth {
     * `ewmaTrace` semantics: s_1 = v_1, then
     * s = (num·v + (den−num)·s) >> log2Den. Negative or
     * overflow-range values raise in-stream, the batch guard. */
-  def ewmaTrace(events: Dataset[SmoothEvent], num: Int, log2Den: Int,
-                watermark: String = "1 hour"): Dataset[EwmaPoint] = {
+  def ewmaTrace(events: Dataset[SmoothEvent], num: Int,
+                log2Den: Int): Dataset[EwmaPoint] = {
     require(log2Den >= 1 && log2Den <= 30,
       s"StreamSmooth.ewmaTrace: log2Den must be in [1,30], got $log2Den")
     val den = 1L << log2Den
@@ -54,7 +58,6 @@ object StreamSmooth {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState[EwState, EwmaPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -90,12 +93,10 @@ object StreamSmooth {
     * semantics: l_1 = v_1, b_1 = 0; l = (v + l' + b') >> 1;
     * b = (l − l' + b') >> 1 (arithmetic shift = floor for both
     * signs — negatives are fine, as in the batch operator). */
-  def holtTrace(events: Dataset[SmoothEvent],
-                watermark: String = "1 hour"): Dataset[HoltPoint] = {
+  def holtTrace(events: Dataset[SmoothEvent]): Dataset[HoltPoint] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .withWatermark("ts", watermark)
       .groupByKey(_.key)
       .flatMapGroupsWithState[HoState, HoltPoint](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {

@@ -62,4 +62,17 @@ class LogRegSpec extends SparkSpec {
       LogReg.trainDeterministic(bad3, "y", Seq("x"), 0.5, 1))
     assert(e3.getMessage.contains("maxAbsFeature") || e3.getCause != null)
   }
+
+  test("guard: non-integral feature raises (train and score must see the same values)") {
+    // before the guard, train silently truncated 2.7 -> 2 while
+    // score() used the raw 2.7 — two different models in disguise
+    val bad = Seq((1L, 2.7), (0L, -1.0)).toDF("y", "x")
+    val e = intercept[Exception](
+      LogReg.trainDeterministic(bad, "y", Seq("x"), 0.5, 1))
+    assert(e.getMessage.contains("non-integral") || e.getCause != null)
+    // integral-valued doubles are fine (a long column cast upstream)
+    val ok = Seq((1L, 2.0), (0L, -1.0)).toDF("y", "x")
+    val (w, n) = LogReg.trainDeterministic(ok, "y", Seq("x"), 0.5, 1)
+    assert(n == 2L && w(1) != 0.0)
+  }
 }

@@ -358,4 +358,17 @@ class SmoothingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxBuckets") || e.getCause != null)
   }
+
+  test("cusumTraceChunked raises loudly on NULL value (the sibling vGuard contract)") {
+    // before the guard, a NULL delta was silently SKIPPED by the
+    // windowed sum — every later row's cusum shifted with no signal
+    val df = Seq(
+      (Some(1L), Some(ts(1)), Some(1L), Some(5L)),
+      (Some(1L), Some(ts(2)), Some(2L), Option.empty[Long]))
+      .toDF("k", "ts", "tie", "v")
+    val e = intercept[Exception] {
+      graft.ops.Smoothing.cusumTraceChunked(df, "k", "ts", "tie", "v", 0L, 10L).collect()
+    }
+    assert(e.getMessage.contains("NULL v") || e.getCause != null)
+  }
 }

@@ -95,6 +95,27 @@ class StreamSmoothSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("VERY late rows (days behind the frontier) are still counted — no watermark pre-drop") {
+    // Regression for the r10 advice: a withWatermark("ts", "1 hour")
+    // made Spark drop rows >1h behind BEFORE the state function, so
+    // n_late undercounted exactly the latest (= most alarming) rows.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SmoothEvent]
+    val q = StreamSmooth.ewmaTrace(in.toDS(), num = 1, log2Den = 1)
+      .writeStream.format("memory").queryName("sm_vlate").outputMode("append").start()
+    try {
+      in.addData(SmoothEvent(1L, ts(5), 2L, 64L)); q.processAllAvailable()
+      // three days behind the frontier — far outside any plausible horizon
+      in.addData(SmoothEvent(1L, Timestamp.valueOf("2023-12-29 10:00:00"), 1L, 999L))
+      q.processAllAvailable()
+      in.addData(SmoothEvent(1L, ts(6), 3L, 0L)); q.processAllAvailable()
+      val got = spark.table("sm_vlate")
+        .orderBy("tie").as[StreamSmooth.EwmaPoint].collect().toSeq
+      assert(got.map(_.ewma) == Seq(64L, 32L)) // 999 never applied
+      assert(got.last.n_late == 1L)            // …but COUNTED
+    } finally q.stop()
+  }
+
   test("in-stream guards: negative and overflow-range values raise loudly") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SmoothEvent]
