@@ -895,6 +895,17 @@ object Profile {
             f, "b", "i", minSupport = 3).count())
         }
 
+      case "queries" =>
+        // time arbitrary registered queries by name (2 runs each:
+        // cold-ish + warm) — the targeted A/B tool the LSH guard-fuse
+        // measurement needed; reusable for any per-query regression
+        args.drop(1).foreach { name =>
+          val fn = SparkEntry.queries.getOrElse(name,
+            sys.error(s"Profile queries: unknown query '$name'"))
+          time(s"$name run1")(fn(spark, sfDir).count())
+          time(s"$name run2")(fn(spark, sfDir).count())
+        }
+
       case "r8ops" =>
         // Round-8 batch: the two data-sized new ops at 1x/10x.
         // gram novelty: the gram->min-id aggregate + join-back is the

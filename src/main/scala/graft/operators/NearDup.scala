@@ -217,15 +217,16 @@ object NearDup {
   def minhashRepPairsFrom(sh: DataFrame, threshold: Double,
                           k: Int = 96, b: Int = 24,
                           maxCandidatePairs: Long = 100000000L): DataFrame = {
-    val banded = bandTable(sh, k, b)
     // loud candidate-volume pre-check (shared helper; the Baskets
     // maxPairVolume policy brought to the minhash band join). The
     // count runs over REPRESENTATIVE space — near-clone cliques were
     // already contracted by clusteredSets — so a dup-heavy corpus
     // does not inflate the guard. Upper bound: the length filter
-    // below can only shrink the joined volume.
-    graft.operators.Similarity.requireBandVolume(
-      banded, Seq("band", "bucket"), maxCandidatePairs,
+    // below can only shrink the joined volume. The guard pass IS the
+    // persist the self-join reads (guardedBandTable): signatures are
+    // computed once, not once for the guard and again per join side.
+    val banded = graft.operators.Similarity.guardedBandTable(
+      "minhash-bands", bandTable(sh, k, b), Seq("band", "bucket"), maxCandidatePairs,
       what = s"minhashRepPairsFrom(k=$k, b=$b)",
       remedy = "use more rows per band (smaller b for fixed k: r = k/b drives " +
         "selectivity ~(1/2^r per band) on non-dup content) or raise " +

@@ -258,7 +258,7 @@ object Similarity {
     // carrying the vectors with the signatures: the inline-verify
     // variant was measured 1.4× slower — 2M wide join-output rows cost
     // more to materialize than three candidate-sized narrow exchanges.
-    val sigs = q.select(col("vec_id"),
+    val sigs0 = q.select(col("vec_id"),
       posexplode(graft.plans.SignBands.signBands(col("v"), bands, planesPerBand)))
       .toDF("vec_id", "band", "bucket")
     // loud candidate-volume pre-check (the Baskets `maxPairVolume` /
@@ -272,7 +272,11 @@ object Similarity {
     // (metadata-sized: one row per non-singleton bucket) before any
     // wide work runs. Decimal arithmetic so a hot bucket can never
     // overflow the check itself.
-    requireBandVolume(sigs, Seq("band", "bucket"), maxCandidatePairs,
+    // …and the guard's count pass doubles as the persist that the
+    // self-join below reads (guardedBandTable): one fused signature
+    // pass for guard + both join sides.
+    val sigs = guardedBandTable("signlsh-bands", sigs0, Seq("band", "bucket"),
+      maxCandidatePairs,
       what = s"cosineNearDupPairsLsh(bands=$bands, planesPerBand=$planesPerBand)",
       remedy = "raise planesPerBand (selectivity: candidate volume scales ~bands/2^r) " +
         "— the tuned 28x12 regime is measured sub-linear where the 16x4 default " +
@@ -628,6 +632,23 @@ object Similarity {
     * naming the config and the remedy. DECIMAL accumulation: a single
     * 3e9-row bucket would overflow Long in m·(m−1), and ANSI mode
     * turning that into a crash of the GUARD would be the wrong loud. */
+  /** Guard + materialize in ONE pass (the r10 verdict's fuse): the
+    * band table persists MEMORY_AND_DISK, [[requireBandVolume]]'s
+    * count aggregate is the action that fills the cache, and the
+    * returned frame is what the band self-join reads — so the family
+    * pays one signature pass total instead of one for the guard and
+    * one (or two, when exchange reuse misses) for the join. Memoized
+    * through [[graft.ops.BoundedMemo]] keyed by the table's semantic
+    * plan hash + budget: a hit means this exact (plan, budget)
+    * already passed the guard; a FAILED guard unpersists and is never
+    * memoized, so a degenerate config fails loudly every time. */
+  private[graft] def guardedBandTable(kind: String, bandTable: DataFrame,
+                                      groupCols: Seq[String], budget: Long,
+                                      what: String, remedy: String): DataFrame =
+    graft.ops.BoundedMemo.persistedChecked(kind, bandTable.sparkSession,
+      s"${bandTable.queryExecution.logical.semanticHash()}|$budget")(bandTable)(
+      df => requireBandVolume(df, groupCols, budget, what, remedy))
+
   private[graft] def requireBandVolume(bandTable: DataFrame, groupCols: Seq[String],
                                        budget: Long, what: String,
                                        remedy: String): Unit = {

@@ -96,6 +96,27 @@ object BoundedMemo {
       put(spark, kind, Slot(subKey, df, persisted = true))
     }
 
+  /** Memoize + persist, with a post-persist CHECK that must pass
+    * before the frame enters the memo. The check runs an action over
+    * the persisted frame, so its one pass doubles as the cache
+    * materialization the downstream consumer reads (the r10 verdict's
+    * guard-fuse: the LSH volume guard's count frame and the band
+    * join's input become the same physical pass). A failed check
+    * unpersists and rethrows — a rejected build is never served as a
+    * hit, so a guard that failed once fails every time. */
+  def persistedChecked(kind: String, spark: SparkSession, subKey: String)
+                      (build: => DataFrame)(check: DataFrame => Unit): DataFrame =
+    get(spark, kind, subKey).getOrElse {
+      val df = build
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try check(df) catch {
+        case t: Throwable =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+          throw t
+      }
+      put(spark, kind, Slot(subKey, df, persisted = true))
+    }
+
   /** Memoize WITHOUT persist: for builds that already end on an eager
     * checkpoint/truncate (LabelProp rounds, DBSCAN labeling, the
     * near-dup clustering) — persisting on top would only wrap the
