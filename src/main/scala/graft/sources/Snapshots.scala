@@ -43,7 +43,9 @@ import scala.jdk.CollectionConverters._
   * Schema evolution is ADDITIVE plus the explicit metadata-only
   * verbs [[rename]] (same id, new name), [[drop]] (retire the id;
   * rebirth mints a fresh one with NULL history), and [[widen]]
-  * (lossless type widening; old files upcast at scan) — and
+  * (lossless type widening; old files upcast at scan), plus the one
+  * deliberately NON-metadata verb [[retypeRewrite]] (lossy retype as
+  * an explicit round-trip-guarded whole-table COW rewrite) — and
   * ENFORCED: each manifest records its writer schema WITH stable
   * column ids, an append that retypes or drops a parent column
   * fails loud naming the offense and the right verb
@@ -507,7 +509,9 @@ object Snapshots {
             s"${f.dataType.catalogString} in append to $tableDir — appends are " +
             "ADDITIVE-only (new columns). Intentional lossless widening is " +
             "Snapshots.widen() (metadata-only; then append with the wide type); " +
-            "anything else needs an explicit cast into a NEW column or table")
+            "an intentional lossy retype is Snapshots.retypeRewrite() (explicit " +
+            "whole-table COW rewrite, round-trip-guarded); anything else needs " +
+            "an explicit cast into a NEW column or table")
       }
     }
     val dropped = parent.fieldNames.filterNot(next.fieldNames.contains)
@@ -563,6 +567,16 @@ object Snapshots {
     if (types.isEmpty) f
     else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata).putStringArray(WidenKey, types.toArray.sorted).build())
+
+  /** Erase a column's widen history — for the rewrite verbs that bake
+    * every physical byte to the record type (retypeRewrite): stale
+    * history would misclassify a later schemaDiff as 'widened' and
+    * route reads through the upcast path for nothing. */
+  private def clearWidenedFrom(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField =
+    if (!f.metadata.contains(WidenKey)) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).remove(WidenKey).build())
 
   private def aliasesOf(f: org.apache.spark.sql.types.StructField): Seq[String] =
     if (f.metadata.contains(AliasKey)) f.metadata.getStringArray(AliasKey).toSeq
@@ -888,7 +902,9 @@ object Snapshots {
       s"Snapshots: ${f.dataType.catalogString} -> ${to.catalogString} is not a " +
         s"lossless widening for column '$name' — supported: byte->short/int/long, " +
         "short->int/long, int->long/double, float->double. Narrowings and lossy " +
-        "retypes need an explicit cast into a NEW column (or a new table)")
+        "retypes are Snapshots.retypeRewrite() (explicit whole-table COW rewrite, " +
+        "round-trip-guarded); value-changing transforms need an explicit cast " +
+        "into a NEW column (or a new table)")
     val widened = org.apache.spark.sql.types.StructType(
       st.fields.map(g =>
         if (g.name == name)
@@ -897,6 +913,95 @@ object Snapshots {
         else g))
     writeManifest(tableDir, head + 1, head, "widen", fileLines(tableDir, head),
       schema = Some(foldAliases(tableDir, head, widened).json))
+    head + 1
+  }
+
+  /** Explicit LOSSY retype — the whole-table COW rewrite verb behind
+    * the evolution ladder's last door. [[widen]] covers the lossless
+    * ladder metadata-only; everything else a real user eventually
+    * needs (long→int, double→decimal, string→long, …) changes
+    * physical bytes, so it is deliberately a WHOLE-TABLE rewrite you
+    * must name: every live file rewrites with the cast baked in, and
+    * any value the cast cannot ROUND-TRIP raises inside the write
+    * projection (the commitChecked shape — one scan, the manifest
+    * never lands, the table is untouched). The type ladder may be
+    * lossy in general; this verb succeeds only when the DATA survives
+    * it exactly — a genuinely value-changing transform (accepting
+    * truncation) stays out of scope by design: cast into a NEW
+    * column, where the loss is visible in the schema.
+    *
+    * Time travel before the retype shows the old type over the old
+    * bytes, exactly as committed (each manifest carries its own
+    * schema record); [[schemaDiff]] reports the column as `retyped`.
+    * The column keeps its id (it is the same column, new physical
+    * type), and its widen history clears — the rewrite bakes every
+    * byte to the record type, so there is no narrow history left to
+    * reconcile. Publishes with the serializable-conflict abort of the
+    * other mutation verbs. Returns the committed version.
+    *
+    * Scale: one reconciling scan + one write of the table — the price
+    * the verb's NAME advertises (contrast the metadata-only verbs).
+    * Rewrite parallelism is the scan's; nothing collects. */
+  def retypeRewrite(spark: SparkSession, tableDir: String, name: String,
+                    to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.functions._
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val j = manifestSchema(tableDir, head).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: version $head of $tableDir carries no schema record — " +
+        "retypeRewrite needs one (commit once with this library version first)"))
+    val st = parseStruct(j)
+    require(st.fieldNames.contains(name),
+      s"Snapshots: no column '$name' in $tableDir (have: ${st.fieldNames.mkString(", ")})")
+    val f = st(name)
+    colIdOf(f).getOrElse(throw new IllegalArgumentException(
+      s"Snapshots: column '$name' carries no column id (pre-upgrade record) — " +
+        "commit once with this library version first"))
+    if (f.dataType == to) throw new IllegalArgumentException(
+      s"Snapshots: column '$name' already has type ${to.catalogString}")
+    if (widensTo(f.dataType, to)) throw new IllegalArgumentException(
+      s"Snapshots: ${f.dataType.catalogString} -> ${to.catalogString} is a LOSSLESS " +
+        s"widening for column '$name' — use Snapshots.widen() (metadata-only, " +
+        "no rewrite) instead of paying a whole-table rewrite")
+    // the ANSI cast-rule set: this build runs ANSI-on, where the
+    // analyzer would reject a legacy-only cast anyway — gate with the
+    // same rules so the refusal is OUR message, not an analysis error
+    if (!org.apache.spark.sql.catalyst.expressions.Cast.canAnsiCast(f.dataType, to))
+      throw new IllegalArgumentException(
+        s"Snapshots: no cast exists from ${f.dataType.catalogString} to " +
+          s"${to.catalogString} for column '$name' — retypeRewrite cannot convert it")
+    val lines = fileLines(tableDir, head)
+    require(lines.nonEmpty, s"Snapshots: $tableDir HEAD is empty; nothing to retype")
+    val files = lines.map(_.split('\t')(0))
+    val cols = st.fieldNames.toSeq
+    // round-trip guard IN the write projection: a value the target
+    // type cannot represent exactly raises naming the verb and the
+    // value — silent lossy casts are refused, the rewrite aborts.
+    // try_cast on BOTH hops: under ANSI a plain cast would crash with
+    // the engine's overflow error before this guard could name the
+    // verb; try_cast folds every failure into NULL, which the
+    // mismatch check below converts into OUR loud refusal
+    val casted = col(name).try_cast(to)
+    // null-SAFE mismatch (<=>): a back-hop that try_casts to NULL must
+    // read as "does not round-trip", not as an unknowable that the
+    // when() would silently wave through
+    val guarded = when(col(name).isNotNull &&
+        (casted.isNull || !(casted.try_cast(f.dataType) <=> col(name))),
+      raise_error(concat(
+        lit(s"Snapshots.retypeRewrite: value "), col(name).cast("string"),
+        lit(s" of column '$name' does not survive ${f.dataType.catalogString} -> " +
+          s"${to.catalogString} exactly — a silent lossy cast is refused; " +
+          "transform into a NEW column instead"))).cast(to))
+      .otherwise(casted)
+    val outDir = stageDataDir(tableDir, "t")
+    reconciledScan(spark, tableDir, head, files)
+      .select(cols.map(c => if (c == name) guarded.as(c) else col(c)): _*)
+      .write.parquet(outDir.toString)
+    val retyped = org.apache.spark.sql.types.StructType(
+      st.fields.map(g =>
+        if (g.name == name) clearWidenedFrom(g.copy(dataType = to)) else g))
+    publishOrConflict(tableDir, head, "retype", listParts(outDir),
+      schema = Some(foldAliases(tableDir, head, retyped).json))
     head + 1
   }
 
@@ -1439,8 +1544,9 @@ object Snapshots {
   }
 
   private def publishOrConflict(tableDir: String, readV: Int, op: String,
-                                lines: Seq[String], tag: Option[String] = None): Unit =
-    try writeManifest(tableDir, readV + 1, readV, op, lines, tag)
+                                lines: Seq[String], tag: Option[String] = None,
+                                schema: Option[String] = None): Unit =
+    try writeManifest(tableDir, readV + 1, readV, op, lines, tag, schema)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new java.util.ConcurrentModificationException(
         s"Snapshots: $tableDir advanced past version $readV during $op — " +

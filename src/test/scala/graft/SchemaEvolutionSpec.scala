@@ -338,6 +338,111 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(r.orderBy("id").select($"v").as[Long].collect().toSeq == Seq(10L, 20L, 30L))
   }
 
+  // ---- RETYPE-REWRITE ladder (r10 verdict item #5) ----
+
+  test("retypeRewrite long->int: whole-table rewrite, new physical type, time travel keeps the old") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 10L), (2, 20L)).toDF("id", "v").repartition(2), t) // v1
+    Snapshots.commit(Seq((3, 30L)).toDF("id", "v"), t)                          // v2
+    val filesBefore = Snapshots.liveFiles(t, 2).toSet
+    val v = Snapshots.retypeRewrite(spark, t, "v", org.apache.spark.sql.types.IntegerType)
+    assert(v == 3)
+    // NOT metadata-only: every live file is new (the verb's name is its price)
+    assert((Snapshots.liveFiles(t, 3).toSet & filesBefore).isEmpty)
+    val r = Snapshots.read(spark, t)
+    assert(r.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(r.orderBy("id").as[(Int, Int)].collect().toSeq == Seq((1, 10), (2, 20), (3, 30)))
+    // physically narrow now: a raw read of live files shows int
+    val raw = spark.read.parquet(Snapshots.liveFiles(t, 3): _*)
+    assert(raw.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    // time travel BEFORE the retype: old type over the old bytes
+    val old = Snapshots.read(spark, t, version = 2)
+    assert(old.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(old.orderBy("id").select($"v").as[Long].collect().toSeq == Seq(10L, 20L, 30L))
+    // schemaDiff reports 'retyped' (no widen history — bytes are baked)
+    val d = Snapshots.schemaDiff(spark, t, 2, 3)
+      .select("column", "change").as[(String, String)].collect().toSeq
+    assert(d == Seq(("v", "retyped")))
+    // appends with the new type land; the old type is now the mismatch
+    Snapshots.commit(Seq((4, 40)).toDF("id", "v"), t)
+    assert(Snapshots.read(spark, t).count() == 4)
+  }
+
+  test("retypeRewrite refuses a value the cast cannot round-trip, naming the verb; table untouched") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 10L), (2, 5000000000L)).toDF("id", "v"), t) // 5e9 > Int.Max
+    val e = intercept[Exception](
+      Snapshots.retypeRewrite(spark, t, "v", org.apache.spark.sql.types.IntegerType))
+    def all(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(all)
+    assert(all(e).exists(c => Option(c.getMessage).exists(_.contains("retypeRewrite"))),
+      s"expected the verb named in: $e")
+    // no manifest landed, data unchanged and still long
+    val r = Snapshots.read(spark, t)
+    assert(Snapshots.currentVersion(t) == 1)
+    assert(r.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    assert(r.orderBy("id").select($"v").as[Long].collect().toSeq == Seq(10L, 5000000000L))
+  }
+
+  test("retypeRewrite guards: lossless ladder points at widen; impossible casts refused; NULLs pass") {
+    val t = freshTable()
+    Snapshots.commit(Seq((Some(1), Some(10)), (Some(2), None)).toDF("id", "v"), t)
+    // int->long is lossless — the verb refuses to charge a rewrite for it
+    val e1 = intercept[IllegalArgumentException](
+      Snapshots.retypeRewrite(spark, t, "v", org.apache.spark.sql.types.LongType))
+    assert(e1.getMessage.contains("widen"))
+    // a cast Spark cannot express at all
+    val e2 = intercept[IllegalArgumentException](
+      Snapshots.retypeRewrite(spark, t, "v", org.apache.spark.sql.types.BinaryType))
+    assert(e2.getMessage.contains("no cast"))
+    // NULLs survive a legitimate narrow (int -> short with small values)
+    val v = Snapshots.retypeRewrite(spark, t, "v", org.apache.spark.sql.types.ShortType)
+    assert(v == 2)
+    assert(Snapshots.read(spark, t).orderBy("id").select($"v").as[Option[Short]]
+      .collect().toSeq == Seq(Some(10.toShort), None))
+  }
+
+  test("retypeRewrite double->decimal: exact values convert, inexact raise") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 1.25), (2, 10.5)).toDF("id", "v"), t)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(10, 2)
+    Snapshots.retypeRewrite(spark, t, "v", dec)
+    val r = Snapshots.read(spark, t)
+    assert(r.schema("v").dataType == dec)
+    assert(r.orderBy("id").select($"v".cast("string")).as[String].collect().toSeq ==
+      Seq("1.25", "10.50"))
+    // 0.1 is not representable back to the same double through DECIMAL(10,1)
+    val t2 = freshTable()
+    Snapshots.commit(Seq((1, 1.0 / 3.0)).toDF("id", "v"), t2)
+    val e = intercept[Exception](Snapshots.retypeRewrite(spark, t2, "v",
+      org.apache.spark.sql.types.DataTypes.createDecimalType(10, 2)))
+    assert(e.toString.contains("retypeRewrite") ||
+      Option(e.getCause).exists(_.toString.contains("retypeRewrite")))
+  }
+
+  test("retypeRewrite after rename reconciles aliases and bakes canonical names") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, 10L)).toDF("id", "val0"), t)  // v1: files carry val0
+    Snapshots.rename(t, "val0", "v")                         // v2: metadata-only
+    Snapshots.commit(Seq((2L, 20L)).toDF("id", "v"), t)      // v3: files carry v
+    val v = Snapshots.retypeRewrite(spark, t, "v", org.apache.spark.sql.types.IntegerType)
+    assert(v == 4)
+    // rewritten files are clean of history: raw read shows canonical name + new type
+    val raw = spark.read.parquet(Snapshots.liveFiles(t, 4): _*)
+    assert(raw.columns.toSeq.sorted == Seq("id", "v"))
+    assert(raw.schema("v").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(Snapshots.read(spark, t).orderBy("id").as[(Long, Int)].collect().toSeq ==
+      Seq((1L, 10), (2L, 20)))
+  }
+
+  test("the implicit-append retype rejection names retypeRewrite") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1, 10L)).toDF("id", "v"), t)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((2, 20)).toDF("id", "v"), t)) // int where table says long
+    assert(e.getMessage.contains("retypeRewrite"))
+  }
+
   test("commitWithRetry writes the same id'd+folded record as commit (rename works after it)") {
     val t = freshTable()
     Snapshots.commitWithRetry(Seq((1L, "a")).toDF("id", "s"), t)
