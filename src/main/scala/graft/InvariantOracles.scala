@@ -1,0 +1,337 @@
+package graft
+
+/** Invariant oracles for the five queries whose FULL-REPLAY SQL
+  * oracles are the wrong tool at sf1 (r10 verdict item #1): the
+  * replays are correct but DuckDB re-inlines multiply-referenced
+  * CTEs, so an unrolled round-chain re-executes the expensive base
+  * CTE (the lineitem self-join, the quantized-corpus projection)
+  * exponentially often — q_hits/q_kcore/q_modularity/q_ivfpq_topk
+  * exhausted a 40 GiB spill budget at 6M rows, and q_dbscan's
+  * recursive reachability CTE (O(component²) rows on a percolated
+  * cloud) timed out from sf0.1 up. The engine side passes all 233 at
+  * sf1; the hole was purely oracle-shaped.
+  *
+  * Each entry here is a STAGED check: a list of DuckDB statements
+  * where every intermediate is `CREATE TEMP TABLE` (materialized
+  * once, read cheaply — each statement is one or two linear passes,
+  * never a recursion and never a re-inlined chain), and the LAST
+  * statement SELECTs VIOLATION rows (chk, detail). Zero rows = the
+  * engine's dumped output is verified. The runner
+  * (`tools/oracle_compare_scale.py --invariant`) exposes the raw
+  * tables, `result` (this query's own engine dump) and `r_<name>`
+  * (every sibling query's dump) as views.
+  *
+  * Check shapes, per the r10 verdict's prescriptions:
+  *  - q_kcore / q_hits: per-round TRANSITION checks — the same
+  *    fixed-round recurrence, but each round starts from a
+  *    materialized table, so round r is one join+aggregate over
+  *    state r−1 (linear), and the final state must equal `result`
+  *    exactly. This is strictly stronger than an invariant on the
+  *    final state alone: every intermediate is re-derived and pinned.
+  *  - q_modularity: recompute the one-pass formula from the ENGINE's
+  *    own q_labelprop dump (`r_q_labelprop`) — valid because
+  *    q_labelprop itself replay-passes at sf1 and the engine's
+  *    modularity consumes the identical shared labels frame
+  *    (Graphs.labelsBipartite is memoized; bit-identical by spec).
+  *    The 3-round LPA unroll — the part that detonated — never runs.
+  *  - q_dbscan: certificate checks over `result` — exact core/density
+  *    recount (grid-bucketed pair join, the engine's own candidate
+  *    structure), eps-adjacent core pairs must share a label (full
+  *    under-merge check), exact border/noise recompute, cluster-id =
+  *    min member id + root self-membership, and a connectivity
+  *    (over-merge) check on every cluster with <= 256 core members
+  *    via a recursion BOUNDED by the sampled clusters' sizes. Large
+  *    percolated clusters get the one-pass 'no isolated member'
+  *    check instead of full reachability — stated honestly: under-
+  *    merge is fully verified at all sizes; over-merge is fully
+  *    verified on small clusters and 1-step-verified on large ones.
+  *  - q_ivfpq_topk: full exact recompute with the ADC LOOKUP-TABLE
+  *    factored out (50 queries × 4 subspaces × 16 codes = 3,200
+  *    rows), so the candidate join carries three BIGINTs per row
+  *    instead of 64-element lists — the carry weight, not the
+  *    algorithm, was what spilled.
+  *
+  * The replay oracles in [[SparkEntry.oracleSql]] stay: they remain
+  * the primary gate at sf0.001/0.01 (and pass at sf0.1 where
+  * feasible); the invariants close the sf0.1+/sf1 hole.
+  */
+object InvariantOracles {
+
+  /** One peel-round pair: survivors of edge table `prev` at k=8, and
+    * the induced edge set. */
+  private def kcoreRound(prev: String, s: String, next: String): Seq[String] = Seq(
+    s"""CREATE TEMP TABLE $s AS
+       |SELECT id FROM (SELECT src AS id FROM $prev UNION ALL SELECT dst FROM $prev)
+       |GROUP BY id HAVING count(*) >= 8""".stripMargin,
+    s"""CREATE TEMP TABLE $next AS
+       |SELECT e.src, e.dst FROM $prev e
+       |JOIN $s x ON x.id = e.src JOIN $s y ON y.id = e.dst""".stripMargin)
+
+  private val kcore: Seq[String] = Seq(
+    // the expensive base — the quarter-orders co-occurrence self-join
+    // — materialized exactly ONCE (the replay re-executed it ~3^rounds
+    // times through CTE inlining)
+    """CREATE TEMP TABLE kc_e0 AS
+      |SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |WHERE a.l_orderkey % 4 = 0""".stripMargin) ++
+    kcoreRound("kc_e0", "kc_s1", "kc_e1") ++
+    kcoreRound("kc_e1", "kc_s2", "kc_e2") ++
+    kcoreRound("kc_e2", "kc_s3", "kc_e3") ++ Seq(
+    """CREATE TEMP TABLE kc_deg AS
+      |SELECT id, CAST(count(*) AS BIGINT) AS deg
+      |FROM (SELECT src AS id FROM kc_e3 UNION ALL SELECT dst FROM kc_e3)
+      |GROUP BY id""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT 'kcore_round3_mismatch' AS chk,
+      |    CAST(COALESCE(r.id, g.id) AS VARCHAR) AS detail
+      |  FROM result r FULL OUTER JOIN kc_deg g ON g.id = r.id
+      |  WHERE r.id IS NULL OR g.id IS NULL OR r.deg != g.deg
+      |) LIMIT 20""".stripMargin)
+
+  /** One HITS half-step: gather `srcCol -> dstCol` sums of `valCol`
+    * from state table `prev` into raw table `raw`, then rescale by
+    * ceil(max/1e9) into `next`. Two statements, each one pass. */
+  private def hitsHalf(raw: String, next: String, prev: String,
+                       gatherBy: String, joinOn: String, c: String): Seq[String] = Seq(
+    s"""CREATE TEMP TABLE $raw AS
+       |SELECT n.id, COALESCE(s.s, 0) AS $c FROM ht_n n LEFT JOIN (
+       |  SELECT e.$gatherBy AS id, CAST(sum(p.v) AS BIGINT) AS s
+       |  FROM ht_e e JOIN $prev p ON p.id = e.$joinOn GROUP BY 1) s ON s.id = n.id""".stripMargin,
+    s"""CREATE TEMP TABLE $next AS
+       |SELECT id, $c // GREATEST(1, ((SELECT max($c) FROM $raw) + 999999999) // 1000000000) AS v
+       |FROM $raw""".stripMargin)
+
+  private val hits: Seq[String] = Seq(
+    """CREATE TEMP TABLE ht_e AS
+      |SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem""".stripMargin,
+    """CREATE TEMP TABLE ht_n AS
+      |SELECT src AS id FROM ht_e UNION SELECT dst FROM ht_e""".stripMargin,
+    """CREATE TEMP TABLE ht_h0 AS SELECT id, CAST(1 AS BIGINT) AS v FROM ht_n""".stripMargin) ++
+    // iteration 1: auth gathers hub over in-edges (by dst), hub
+    // gathers auth over out-edges (by src)
+    hitsHalf("ht_a1r", "ht_a1", "ht_h0", "dst", "src", "auth") ++
+    hitsHalf("ht_h1r", "ht_h1", "ht_a1", "src", "dst", "hub") ++
+    hitsHalf("ht_a2r", "ht_a2", "ht_h1", "dst", "src", "auth") ++
+    hitsHalf("ht_h2r", "ht_h2", "ht_a2", "src", "dst", "hub") ++ Seq(
+    """SELECT * FROM (
+      |  SELECT 'hits_iter2_mismatch' AS chk,
+      |    CAST(COALESCE(r.id, h.id) AS VARCHAR) AS detail
+      |  FROM result r FULL OUTER JOIN (
+      |    SELECT h2.id, h2.v AS hub, a2.v AS auth
+      |    FROM ht_h2 h2 JOIN ht_a2 a2 ON a2.id = h2.id) h ON h.id = r.id
+      |  WHERE r.id IS NULL OR h.id IS NULL OR r.hub != h.hub OR r.auth != h.auth
+      |) LIMIT 20""".stripMargin)
+
+  private val modularity: Seq[String] = Seq(
+    """CREATE TEMP TABLE md_ed AS
+      |SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem""".stripMargin,
+    """CREATE TEMP TABLE md_e AS
+      |SELECT src, dst FROM md_ed UNION ALL SELECT dst AS src, src AS dst FROM md_ed""".stripMargin,
+    // the engine's OWN labelprop dump — replay-verified at every SF
+    // including sf1, and bit-identical to the labels frame the
+    // engine's modularity consumed (shared memoized build)
+    """CREATE TEMP TABLE md_lab AS SELECT id, lab FROM r_q_labelprop""".stripMargin,
+    """CREATE TEMP TABLE md_deg AS
+      |SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM md_e GROUP BY 1""".stripMargin,
+    """CREATE TEMP TABLE md_chk AS
+      |WITH m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM md_e),
+      |intra AS (
+      |  SELECT ls.lab AS lab, CAST(count(*) AS BIGINT) AS intra_edges
+      |  FROM md_e e JOIN md_lab ls ON ls.id = e.src JOIN md_lab ld ON ld.id = e.dst
+      |  WHERE ls.lab = ld.lab GROUP BY 1),
+      |mass AS (
+      |  SELECT l.lab, CAST(sum(d.deg) AS BIGINT) AS degree_mass
+      |  FROM md_deg d JOIN md_lab l ON l.id = d.id GROUP BY 1)
+      |SELECT CAST(mass.lab AS BIGINT) AS lab,
+      |  CAST(COALESCE(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+      |  mass.degree_mass,
+      |  CAST(round(1e9 * (
+      |    CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / CAST(m2 AS DOUBLE) -
+      |    (CAST(degree_mass AS DOUBLE) / CAST(m2 AS DOUBLE)) *
+      |    (CAST(degree_mass AS DOUBLE) / CAST(m2 AS DOUBLE)))) AS BIGINT) AS q_nano
+      |FROM mass LEFT JOIN intra USING (lab), m2t""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT 'modularity_mismatch' AS chk,
+      |    CAST(COALESCE(r.lab, c.lab) AS VARCHAR) AS detail
+      |  FROM result r FULL OUTER JOIN md_chk c ON c.lab = r.lab
+      |  WHERE r.lab IS NULL OR c.lab IS NULL OR r.intra_edges != c.intra_edges
+      |     OR r.degree_mass != c.degree_mass OR r.q_nano != c.q_nano
+      |  UNION ALL
+      |  SELECT 'unlabeled_endpoint', CAST(e.src AS VARCHAR)
+      |  FROM md_e e LEFT JOIN md_lab l ON l.id = e.src WHERE l.id IS NULL
+      |) LIMIT 20""".stripMargin)
+
+  private val dbscan: Seq[String] = Seq(
+    """CREATE TEMP TABLE db_p AS
+      |SELECT c_custkey AS id,
+      |  CAST(concat('0x', substr(md5(concat('gx', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS x,
+      |  CAST(concat('0x', substr(md5(concat('gy', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS y
+      |FROM customer""".stripMargin,
+    """CREATE TEMP TABLE db_g AS
+      |SELECT id, x, y, x // 20000 AS cx, y // 20000 AS cy FROM db_p""".stripMargin,
+    // grid-bucketed candidate join (complete: |dx|<=eps puts two
+    // points at most one 20000-wide cell apart) — the replay used the
+    // full O(n^2) inequality pair scan
+    """CREATE TEMP TABLE db_pairs AS
+      |SELECT a.id AS id_a, b.id AS id_b
+      |FROM db_g a
+      |JOIN (SELECT g.id, g.x, g.y, g.cx + d.dx AS cx, g.cy + d.dy AS cy
+      |      FROM db_g g CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) d(dx, dy)) b
+      |  ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+      |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 400000000""".stripMargin,
+    """CREATE TEMP TABLE db_deg AS
+      |SELECT id, CAST(count(*) AS BIGINT) AS n_nb
+      |FROM (SELECT id_a AS id FROM db_pairs UNION ALL SELECT id_b FROM db_pairs)
+      |GROUP BY id""".stripMargin,
+    """CREATE TEMP TABLE db_res AS SELECT id, role, cluster_id FROM result""".stripMargin,
+    // exact border recompute from the engine's core labels: non-core
+    // with a core neighbor -> min core-neighbor cluster
+    """CREATE TEMP TABLE db_border AS
+      |SELECT s.id, min(cr.cluster_id) AS cluster_id
+      |FROM (SELECT id_a AS id, id_b AS nb FROM db_pairs
+      |      UNION ALL SELECT id_b, id_a FROM db_pairs) s
+      |JOIN db_res cr ON cr.id = s.nb AND cr.role = 'core'
+      |JOIN db_res me ON me.id = s.id AND me.role != 'core'
+      |GROUP BY 1""".stripMargin,
+    // connectivity certificate, bounded: clusters with <= 256 core
+    // members get full recursive reachability from their root
+    """CREATE TEMP TABLE db_small AS
+      |SELECT cluster_id AS root FROM db_res WHERE role = 'core'
+      |GROUP BY 1 HAVING count(*) <= 256""".stripMargin,
+    // ids that have at least one CORE neighbor — the 1-step
+    // connectivity witness for large clusters
+    """CREATE TEMP TABLE db_coreadj AS
+      |SELECT DISTINCT id FROM (
+      |  SELECT p.id_a AS id FROM db_pairs p JOIN db_res b ON b.id = p.id_b AND b.role = 'core'
+      |  UNION ALL
+      |  SELECT p.id_b FROM db_pairs p JOIN db_res a ON a.id = p.id_a AND a.role = 'core')""".stripMargin,
+    """CREATE TEMP TABLE db_ssym AS
+      |SELECT a.cluster_id AS root, p.id_a AS u, p.id_b AS v
+      |FROM db_pairs p
+      |JOIN db_res a ON a.id = p.id_a AND a.role = 'core'
+      |JOIN db_res b ON b.id = p.id_b AND b.role = 'core'
+      |JOIN db_small s ON s.root = a.cluster_id
+      |WHERE b.cluster_id = a.cluster_id
+      |UNION ALL
+      |SELECT a.cluster_id, p.id_b, p.id_a
+      |FROM db_pairs p
+      |JOIN db_res a ON a.id = p.id_a AND a.role = 'core'
+      |JOIN db_res b ON b.id = p.id_b AND b.role = 'core'
+      |JOIN db_small s ON s.root = a.cluster_id
+      |WHERE b.cluster_id = a.cluster_id""".stripMargin,
+    """WITH RECURSIVE reach(root, id) AS (
+      |  SELECT root, root FROM db_small
+      |  UNION
+      |  SELECT r.root, e.v FROM reach r JOIN db_ssym e ON e.root = r.root AND e.u = r.id
+      |)
+      |SELECT * FROM (
+      |  SELECT 'point_set_mismatch' AS chk, CAST(COALESCE(p.id, r.id) AS VARCHAR) AS detail
+      |  FROM db_p p FULL OUTER JOIN db_res r ON r.id = p.id
+      |  WHERE p.id IS NULL OR r.id IS NULL
+      |  UNION ALL
+      |  SELECT 'core_role_mismatch', CAST(r.id AS VARCHAR)
+      |  FROM db_res r LEFT JOIN db_deg d ON d.id = r.id
+      |  WHERE (COALESCE(d.n_nb, 0) >= 2) != (r.role = 'core')
+      |  UNION ALL
+      |  SELECT 'core_cluster_bounds', CAST(id AS VARCHAR)
+      |  FROM db_res WHERE role = 'core' AND (cluster_id IS NULL OR cluster_id > id)
+      |  UNION ALL
+      |  SELECT 'split_core_edge', CAST(p.id_a AS VARCHAR) || '-' || CAST(p.id_b AS VARCHAR)
+      |  FROM db_pairs p
+      |  JOIN db_res a ON a.id = p.id_a JOIN db_res b ON b.id = p.id_b
+      |  WHERE a.role = 'core' AND b.role = 'core' AND a.cluster_id != b.cluster_id
+      |  UNION ALL
+      |  SELECT 'cluster_not_min_id', CAST(cluster_id AS VARCHAR)
+      |  FROM (SELECT cluster_id, min(id) AS mn FROM db_res WHERE role = 'core' GROUP BY 1)
+      |  WHERE mn != cluster_id
+      |  UNION ALL
+      |  SELECT 'border_mismatch', CAST(COALESCE(r.id, b.id) AS VARCHAR)
+      |  FROM (SELECT id, cluster_id FROM db_res WHERE role = 'border') r
+      |  FULL OUTER JOIN db_border b ON b.id = r.id
+      |  WHERE r.id IS NULL OR b.id IS NULL OR r.cluster_id != b.cluster_id
+      |  UNION ALL
+      |  SELECT 'noise_has_cluster', CAST(id AS VARCHAR)
+      |  FROM db_res WHERE role = 'noise' AND cluster_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'small_cluster_unreachable', CAST(m.id AS VARCHAR)
+      |  FROM db_res m JOIN db_small s ON s.root = m.cluster_id
+      |  LEFT JOIN reach r ON r.root = s.root AND r.id = m.id
+      |  WHERE m.role = 'core' AND r.id IS NULL
+      |  UNION ALL
+      |  SELECT 'nonsingleton_core_isolated', CAST(m.id AS VARCHAR)
+      |  FROM db_res m LEFT JOIN db_coreadj n ON n.id = m.id
+      |  WHERE m.role = 'core' AND m.cluster_id != m.id AND n.id IS NULL
+      |) LIMIT 20""".stripMargin)
+
+  private val ivfpq: Seq[String] = Seq(
+    """CREATE TEMP TABLE iv_qz AS
+      |SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+      |FROM embeddings""".stripMargin,
+    """CREATE TEMP TABLE iv_nrm AS
+      |SELECT vec_id, v,
+      |  sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+      |FROM iv_qz""".stripMargin,
+    """CREATE TEMP TABLE iv_coarse AS
+      |SELECT vec_id AS cid, v AS cv, nv AS cn FROM iv_nrm WHERE vec_id < 8""".stripMargin,
+    """CREATE TEMP TABLE iv_cent AS
+      |SELECT vec_id AS cid, v AS cv FROM iv_qz WHERE vec_id < 16""".stripMargin,
+    // coarse scores materialized NARROW (vec_id, cid, rn) — the
+    // replay carried the 64-element lists through this window twice
+    """CREATE TEMP TABLE iv_cscore AS
+      |SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+      |FROM (
+      |  SELECT n.vec_id, c.cid,
+      |    CAST(CAST(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)/(n.nv*c.cn) AS cos
+      |  FROM iv_nrm n CROSS JOIN iv_coarse c)""".stripMargin,
+    """CREATE TEMP TABLE iv_assign AS
+      |SELECT vec_id AS corpus_id, cid AS list_id FROM iv_cscore WHERE rn = 1""".stripMargin,
+    """CREATE TEMP TABLE iv_probes AS
+      |SELECT vec_id AS query_id, cid AS list_id FROM iv_cscore WHERE rn <= 2 AND vec_id < 50""".stripMargin,
+    """CREATE TEMP TABLE iv_codes AS
+      |SELECT vec_id AS corpus_id, s, min([d, cid])[2] AS code FROM (
+      |  SELECT q.vec_id, s.s, c.cid,
+      |    CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |      (q.v[s.s*16 + i] - c.cv[s.s*16 + i]) * (q.v[s.s*16 + i] - c.cv[s.s*16 + i]))) AS BIGINT) AS d
+      |  FROM iv_qz q, (SELECT unnest(generate_series(0, 3)) AS s) s, iv_cent c)
+      |GROUP BY 1, 2""".stripMargin,
+    // the ADC lookup table: 50 queries x 4 subspaces x 16 codes —
+    // after this, no statement touches a vector again
+    """CREATE TEMP TABLE iv_lut AS
+      |SELECT q.vec_id AS query_id, s.s, c.cid AS code,
+      |  CAST(list_sum(list_transform(generate_series(1, 16), i ->
+      |    (q.v[s.s*16 + i] - c.cv[s.s*16 + i]) * (q.v[s.s*16 + i] - c.cv[s.s*16 + i]))) AS BIGINT) AS d
+      |FROM iv_qz q, (SELECT unnest(generate_series(0, 3)) AS s) s, iv_cent c
+      |WHERE q.vec_id < 50""".stripMargin,
+    """CREATE TEMP TABLE iv_adc AS
+      |SELECT p.query_id, a.corpus_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+      |FROM iv_assign a
+      |JOIN iv_probes p ON p.list_id = a.list_id AND p.query_id != a.corpus_id
+      |JOIN iv_codes c ON c.corpus_id = a.corpus_id
+      |JOIN iv_lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code = c.code
+      |GROUP BY 1, 2""".stripMargin,
+    """CREATE TEMP TABLE iv_top AS
+      |SELECT query_id, corpus_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS rnk
+      |  FROM iv_adc)
+      |WHERE rnk <= 3""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT 'ivfpq_topk_mismatch' AS chk,
+      |    CAST(COALESCE(r.query_id, t.query_id) AS VARCHAR) || ':' ||
+      |    CAST(COALESCE(r.rnk, t.rnk) AS VARCHAR) AS detail
+      |  FROM result r FULL OUTER JOIN iv_top t
+      |    ON t.query_id = r.query_id AND t.rnk = r.rnk
+      |  WHERE r.query_id IS NULL OR t.query_id IS NULL
+      |     OR r.corpus_id != t.corpus_id OR r.adc_dist != t.adc_dist
+      |) LIMIT 20""".stripMargin)
+
+  /** Query name → ordered DuckDB statements; the last SELECTs
+    * violation rows (zero rows = pass_invariant). */
+  val sql: Map[String, Seq[String]] = Map(
+    "q_kcore" -> kcore,
+    "q_hits" -> hits,
+    "q_modularity" -> modularity,
+    "q_dbscan" -> dbscan,
+    "q_ivfpq_topk" -> ivfpq)
+}

@@ -3202,6 +3202,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles ++ roundNineOracles
 
+  /** Staged invariant oracles for the queries whose full-replay SQL
+    * is infeasible for DuckDB at sf0.1+/sf1 (r10 verdict item #1) —
+    * see [[InvariantOracles]]. Every key also has a replay oracle in
+    * [[oracleSql]]; the replay stays primary at small SFs. */
+  def invariantSql: Map[String, Seq[String]] = InvariantOracles.sql
+
   private def roundNineOracles: Map[String, String] = Map(
     "q_pair_align" ->
       """WITH qz AS (

@@ -55,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // staged invariant oracles (name -> ordered statement list) for
+    // the scale gate's --invariant mode
+    val inv = SparkEntry.invariantSql
+      .map { case (k, stmts) =>
+        s"${q(k)}: ${stmts.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/invariant_sql.json"), inv)
     spark.stop()
   }
 }
