@@ -422,7 +422,7 @@ object Snapshots {
     // the restored version's OWN schema record travels with its file
     // list — carrying the parent's would mislabel the rollback when
     // HEAD was a reshaping overwrite
-    writeManifest(tableDir, v, prev, s"rollback($version)", lines,
+    publishOrConflict(tableDir, prev, s"rollback($version)", lines,
       schema = manifestSchema(tableDir, version))
     v
   }
@@ -717,7 +717,7 @@ object Snapshots {
       s"Snapshots: version $head of $tableDir carries no schema record — " +
         "nothing to fold (commit once with this library version first)"))
     val folded = foldAliases(tableDir, head, parseStruct(j))
-    writeManifest(tableDir, head + 1, head, "fold", fileLines(tableDir, head),
+    publishOrConflict(tableDir, head, "fold", fileLines(tableDir, head),
       schema = Some(folded.json))
     head + 1
   }
@@ -803,7 +803,7 @@ object Snapshots {
           // read path never needs the pre-rename manifest again
           withAliases(f.copy(name = newName), aliasesOf(f).toSet + oldName)
         else f))
-    writeManifest(tableDir, head + 1, head, "rename", fileLines(tableDir, head),
+    publishOrConflict(tableDir, head, "rename", fileLines(tableDir, head),
       schema = Some(foldAliases(tableDir, head, renamed).json))
     head + 1
   }
@@ -844,7 +844,7 @@ object Snapshots {
       .map(_.fields).getOrElse(Array.empty[org.apache.spark.sql.types.StructField])
     val newRetired = org.apache.spark.sql.types.StructType(prevRetired :+ retiredField)
     val remaining = org.apache.spark.sql.types.StructType(st.fields.filterNot(_.name == name))
-    writeManifest(tableDir, head + 1, head, "drop", fileLines(tableDir, head),
+    publishOrConflict(tableDir, head, "drop", fileLines(tableDir, head),
       schema = Some(foldAliases(tableDir, head, remaining).json),
       retired = Some(newRetired.json))
     head + 1
@@ -911,7 +911,7 @@ object Snapshots {
           withWidenedFrom(g.copy(dataType = to),
             widenedFrom(g).toSet + g.dataType.catalogString)
         else g))
-    writeManifest(tableDir, head + 1, head, "widen", fileLines(tableDir, head),
+    publishOrConflict(tableDir, head, "widen", fileLines(tableDir, head),
       schema = Some(foldAliases(tableDir, head, widened).json))
     head + 1
   }
@@ -1209,16 +1209,36 @@ object Snapshots {
     val retained = (keepFrom to head)
       .filter(v => Files.exists(manifestPath(tableDir, v)))
       .flatMap(v => liveFiles(tableDir, v)).toSet
-    val dataRoot = Paths.get(tableDir, "data")
-    if (Files.isDirectory(dataRoot)) {
-      Files.walk(dataRoot).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && !retained.contains(p.toString))
-        .foreach(Files.delete)
-      // drop now-empty commit dirs
-      Files.list(dataRoot).iterator().asScala.toSeq.foreach { d =>
-        if (Files.isDirectory(d) && !Files.list(d).iterator().hasNext) Files.delete(d)
+    // POSITIVE deletion list (r10 verdict item #6 — the silent-loss
+    // race): delete only files the EXPIRING manifests reference and
+    // no retained manifest carries. The old negative-list walk
+    // ("anything under data/ not retained") raced an in-flight
+    // commit: files staged between `df.write.parquet` and the
+    // manifest link are in no manifest yet, so the walk deleted them
+    // and the commit then published a manifest pointing at deleted
+    // bytes — a committed row silently lost. Unreferenced garbage
+    // from CRASHED writers is a different, age-gated verb
+    // ([[gcStaged]]): vacuum's contract is history expiry, not
+    // orphan collection.
+    val expiring = (1 until keepFrom)
+      .filter(v => Files.exists(manifestPath(tableDir, v)))
+      .flatMap(v => liveFiles(tableDir, v)).toSet
+    val doomed = (expiring -- retained).map(Paths.get(_)).filter(Files.isRegularFile(_))
+    doomed.foreach(Files.delete)
+    // drop now-emptied ancestor dirs of deleted files ONLY (walking
+    // up to but never including data/): an empty dir under data/ may
+    // be a racing writer's just-created staging dir whose parquet
+    // bytes have not landed yet — never touch dirs we did not empty
+    val dataRoot = Paths.get(tableDir, "data").toAbsolutePath.normalize
+    doomed.map(_.toAbsolutePath.normalize.getParent).filter(_ != null)
+      .toSeq.distinct.foreach { d0 =>
+        var d = d0
+        while (d != null && d.startsWith(dataRoot) && d != dataRoot &&
+          Files.isDirectory(d) && !Files.list(d).iterator().hasNext) {
+          Files.delete(d)
+          d = d.getParent
+        }
       }
-    }
     // history guard (r9 advice, the high item): rename/drop history a
     // LIVE read still needs must be folded into HEAD's self-contained
     // record before the manifests that carry it expire — otherwise
@@ -1247,6 +1267,47 @@ object Snapshots {
     (1 until keepFrom).foreach(v => Files.deleteIfExists(manifestPath(tableDir, v)))
   }
 
+  /** Age-gated orphan collection — the half of cleanup [[vacuum]]
+    * deliberately does NOT do: delete data files under `data/` that
+    * no EXISTING manifest references and whose mtime is older than
+    * `olderThanMillis`. Orphans come from crashed or aborted writers
+    * (staged parquet whose manifest never linked) and from COW
+    * rewrites that lost the publish race. The age gate is the race
+    * guard: an IN-FLIGHT writer's staged files are by definition
+    * young, so any threshold comfortably above the longest plausible
+    * stage-to-publish window (minutes; default 24h) can never eat a
+    * commit in progress — the object-store-retention pattern. Returns
+    * the deleted file count. */
+  def gcStaged(tableDir: String, olderThanMillis: Long = 24L * 3600 * 1000): Int = {
+    require(olderThanMillis > 0, s"olderThanMillis must be positive, got $olderThanMillis")
+    val snap = snapPath(tableDir)
+    if (!Files.isDirectory(snap)) return 0
+    val referenced = Files.list(snap).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{8}\\.txt") => s.substring(1, 9).toInt }
+      .toSeq.flatMap(v => liveFiles(tableDir, v))
+      .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+    val dataRoot = Paths.get(tableDir, "data").toAbsolutePath.normalize
+    if (!Files.isDirectory(dataRoot)) return 0
+    val cutoff = System.currentTimeMillis - olderThanMillis
+    val doomed = Files.walk(dataRoot).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filter(p => !referenced.contains(p.toAbsolutePath.normalize.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .toSeq
+    doomed.foreach(Files.delete)
+    doomed.map(_.toAbsolutePath.normalize.getParent).filter(_ != null)
+      .distinct.foreach { d0 =>
+        var d = d0
+        while (d != null && d.startsWith(dataRoot) && d != dataRoot &&
+          Files.isDirectory(d) && !Files.list(d).iterator().hasNext) {
+          Files.delete(d)
+          d = d.getParent
+        }
+      }
+    doomed.size
+  }
+
   /** Lakehouse OPTIMIZE over a snapshot table: stat the live files,
     * bin-pack the small ones with [[graft.ops.Compaction.plan]],
     * rewrite each bin as one file, and commit the compacted layout
@@ -1261,7 +1322,15 @@ object Snapshots {
     * whole point vs truncate-and-rewrite. The streaming sink's
     * one-manifest-per-batch accumulation composes with this:
     * optimize periodically, vacuum after the retention horizon. */
-  def optimize(spark: SparkSession, tableDir: String, targetBytes: Long): Int = {
+  def optimize(spark: SparkSession, tableDir: String, targetBytes: Long): Int =
+    optimizeHook(spark, tableDir, targetBytes, () => ())
+
+  /** Test seam: `beforePublish` runs after the bins are rewritten and
+    * staged, before the manifest link — the window where a racing
+    * append can advance HEAD (the deleteWhereHook pattern). */
+  private[graft] def optimizeHook(spark: SparkSession, tableDir: String,
+                                  targetBytes: Long,
+                                  beforePublish: () => Unit): Int = {
     val head = currentVersion(tableDir)
     require(head > 0, s"Snapshots: $tableDir has no committed versions")
     val lines = fileLines(tableDir, head)
@@ -1301,7 +1370,12 @@ object Snapshots {
     val rewritten = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.matches(".*part-.*\\.parquet"))
       .map(_.toString).toSeq.sorted
-    writeManifest(tableDir, v, head, s"optimize($targetBytes)", keep ++ rewritten)
+    beforePublish()
+    // civil conflict (r10 verdict item #6): a racing append/COW verb
+    // that won `v` makes this a loud ConcurrentModificationException
+    // naming the stale rewrite set, not a raw EEXIST — the compacted
+    // listing was planned against `head` and must not rebase
+    publishOrConflict(tableDir, head, s"optimize($targetBytes)", keep ++ rewritten)
     v
   }
 
@@ -1545,8 +1619,9 @@ object Snapshots {
 
   private def publishOrConflict(tableDir: String, readV: Int, op: String,
                                 lines: Seq[String], tag: Option[String] = None,
-                                schema: Option[String] = None): Unit =
-    try writeManifest(tableDir, readV + 1, readV, op, lines, tag, schema)
+                                schema: Option[String] = None,
+                                retired: Option[String] = None): Unit =
+    try writeManifest(tableDir, readV + 1, readV, op, lines, tag, schema, retired)
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       throw new java.util.ConcurrentModificationException(
         s"Snapshots: $tableDir advanced past version $readV during $op — " +
