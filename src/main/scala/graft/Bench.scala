@@ -113,6 +113,17 @@ object Bench {
     val wDbscan = timed(graft.ops.Graphs.dbscanCustomerGrid(spark, sfDir).count())
     val sDbscan = storageNow()
     val warmShared = (System.nanoTime() - tw) / 1e9
+    // 3-decimal formatting (Locale.ROOT: no grouping/comma surprises):
+    // at ~100 queries a full-precision line is ~3.6 KB and overflows the
+    // harness's tail capture, which then fails to parse the JSON at all.
+    // Millisecond resolution is far below run-to-run noise anyway.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // cumulative storage (mem, disk) MB after each warmup stage rides
+    // the detail object: the DELTA between stages is that memo's
+    // resident footprint, and a scale table can read it from the
+    // artifact instead of re-instrumenting (r9 verdict item #7)
+    def s2(p: (Double, Double)): String = s"""[${f3(p._1)},${f3(p._2)}]"""
+    val wdJson = s"""{"neardup":${f3(wNearDup)},"graphs":${f3(wGraphs)},"lpa":${f3(wLpa)},"dbscan":${f3(wDbscan)},"storage_mb_after":{"neardup":${s2(sNearDup)},"graphs":${s2(sGraphs)},"lpa":${s2(sLpa)},"dbscan":${s2(sDbscan)}}}"""
     // deterministic name order: Map iteration order shifts whenever a
     // query is added, silently reassigning shared first-touch costs
     // (page-cache, codegen, the near-dup shingle cache) to a different
@@ -135,6 +146,58 @@ object Bench {
     // first already ran far outside the normal band — the machine is
     // contended and doubling the wall time risks the harness timeout
     // more than it improves the numbers.
+    // ---- variance mode (r10 verdict item #7): SPARK_GRAFT_BENCH_PASSES=N
+    // (N>=2) runs N FULL passes and publishes per-query {median,
+    // spread} alongside the min, so cross-round comparisons carry
+    // their own error bars in the artifact instead of prose caveats
+    // in SCALE_NOTES. Contention is judged by CROSS-PASS SPREAD (the
+    // median of per-query relative spreads), which is scale-factor-
+    // independent by construction — a legitimately heavier SF has
+    // large times but small spreads; a contended host has large
+    // spreads at any SF. This fixes the r10 what's-wrong #2: the
+    // total-based cutoff below is calibrated for the driver's sf0.1
+    // runs and mislabels a clean sf1 run "contended" just for being
+    // big. The total cutoff stays for the driver's default 2-pass
+    // mode, where wall-clock budget forbids N full passes.
+    val variancePasses = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ >= 2)
+    if (variancePasses.isDefined) {
+      val n = variancePasses.get
+      val passes = (1 to n).map(_ => onePass())
+      val byName = passes.flatten.groupBy(_._1)
+      val stats = byName.toSeq.sortBy(_._1).map { case (name, rows) =>
+        val oks = rows.collect { case (_, t, true) => t }.sorted
+        val med = if (oks.isEmpty) -1.0
+          else if (oks.size % 2 == 1) oks(oks.size / 2)
+          else (oks(oks.size / 2 - 1) + oks(oks.size / 2)) / 2.0
+        val spread = if (oks.size < 2 || med <= 0) 0.0 else (oks.max - oks.min) / med
+        (name, if (oks.isEmpty) -1.0 else oks.min, med, spread, oks)
+      }
+      def f3v(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      sys.env.get("SPARK_GRAFT_BENCH_STATS_OUT").foreach { path =>
+        val w = new java.io.PrintWriter(path)
+        try stats.foreach { case (name, mn, med, spread, oks) =>
+          w.println(s"""{"query":"$name","min":${f3v(mn)},"median":${f3v(med)},"spread":${f3v(spread)},"times":[${oks.map(f3v).mkString(",")}]}""")
+        } finally w.close()
+      }
+      val spreads = stats.filter(_._3 > 0).map(_._4).sorted
+      val spreadMed = if (spreads.isEmpty) 0.0
+        else if (spreads.size % 2 == 1) spreads(spreads.size / 2)
+        else (spreads(spreads.size / 2 - 1) + spreads(spreads.size / 2)) / 2.0
+      // 0.25: clean same-host repeat passes measure 2-10% per-query
+      // spread; the documented contended incidents were 1.5-4x on the
+      // affected queries — 25% splits the regimes with wide margin
+      val contended = spreadMed > 0.25
+      val nFailed = stats.count(_._2 < 0)
+      val total = stats.map(_._2).filter(_ >= 0).sum
+      val totalMed = stats.map(_._3).filter(_ >= 0).sum
+      val qs = stats.map { case (name, mn, _, _, _) => s"\"$name\":${f3v(mn)}" }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"total","value":${f3v(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3v(warmShared)},"warmup_detail":$wdJson,"passes":$n,"contended":$contended,"spread_median":${f3v(spreadMed)},"total_median_sec":${f3v(totalMed)},"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"total_sec":${f3v(total)},"n_queries":${stats.size},"n_failed":$nFailed,"passes":$n,"contended":$contended,"spread_median":${f3v(spreadMed)},"warmup_shared_sec":${f3v(warmShared)},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
     val pass1 = onePass()
     val p1total = pass1.map(_._2).sum
     // the contention cutoff scales with the suite: the healthy band
@@ -187,11 +250,6 @@ object Bench {
         }.toMap
         merge(pass1, p2)
       }
-    // 3-decimal formatting (Locale.ROOT: no grouping/comma surprises):
-    // at ~100 queries a full-precision line is ~3.6 KB and overflows the
-    // harness's tail capture, which then fails to parse the JSON at all.
-    // Millisecond resolution is far below run-to-run noise anyway.
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
@@ -200,12 +258,6 @@ object Bench {
     // marker, and a gate artifact must not hide a failure class by
     // timing the throw (round-8 verdict, "what's wrong" #1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // cumulative storage (mem, disk) MB after each warmup stage rides
-    // the detail object: the DELTA between stages is that memo's
-    // resident footprint, and a scale table can read it from the
-    // artifact instead of re-instrumenting (r9 verdict item #7)
-    def s2(p: (Double, Double)): String = s"""[${f3(p._1)},${f3(p._2)}]"""
-    val wd = s"""{"neardup":${f3(wNearDup)},"graphs":${f3(wGraphs)},"lpa":${f3(wLpa)},"dbscan":${f3(wDbscan)},"storage_mb_after":{"neardup":${s2(sNearDup)},"graphs":${s2(sGraphs)},"lpa":${s2(sLpa)},"dbscan":${s2(sDbscan)}}}"""
     // regime tags (r9 verdict item #8): the two-regime receipt pairs,
     // so a scale-table reader can group a deliberately-degenerate
     // reference instance with its production twin instead of
@@ -229,7 +281,7 @@ object Bench {
       .filter { case (k, _) => results.exists(_._1 == k) }
     val regimesJson = regimeTags.toSeq.sorted
       .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wd,"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
     // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
     // per-query line above has been truncated mid-line two rounds
