@@ -2434,6 +2434,28 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("lang"))
     }),
+    // ---- explicit lossy retype as a COW rewrite (the last
+    // evolution verb — r10 verdict item #5's gate instance):
+    // doc_id bigint -> int rewrites the whole table under the
+    // round-trip guard, and the PROOF the retype really applied is
+    // the follow-up append with int-typed keys — the additive type
+    // gate would reject it against the old bigint schema. The oracle
+    // replays corpus ∪ appended slice relationally ----
+    "q_retype_rewrite" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
+      graft.sources.Snapshots.retypeRewrite(s, t, "doc_id",
+        org.apache.spark.sql.types.IntegerType)
+      val docs = Tables.documents(s, dir)
+      val extra = docs.where(pmod(col("doc_id"), lit(10)) === 4)
+        .withColumn("doc_id", (col("doc_id") + 10000000L).cast("int"))
+        .withColumn("source", lit("post-retype"))
+      graft.sources.Snapshots.commit(extra, t)
+      graft.sources.Snapshots.read(s, t)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    }),
     // ---- replaceWhere (partition-reload verb): one commit swaps
     // the 100-299 slice for its recomputed form — out-of-scope
     // inserts raise; the oracle replays the swap relationally ----
@@ -8507,6 +8529,20 @@ object SparkEntry {
         |FROM documents
         |WHERE source = 'src7'
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // retypeRewrite: the post-retype table is the corpus with doc_id
+    // as INT plus the int-keyed appended slice — min/max stay typed
+    // INT on both engines, proving the rewrite (not just the values)
+    "q_retype_rewrite" ->
+      """WITH un AS (
+        |  SELECT source, CAST(doc_id AS INT) AS doc_id FROM documents
+        |  UNION ALL
+        |  SELECT 'post-retype' AS source, CAST(doc_id + 10000000 AS INT) AS doc_id
+        |  FROM documents WHERE doc_id % 10 = 4
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS INT) AS min_id, CAST(max(doc_id) AS INT) AS max_id
+        |FROM un GROUP BY source ORDER BY source""".stripMargin,
 
     // Copy-on-write DELETE: reading HEAD after the delete must equal
     // the NOT-filtered corpus — NULL-free predicate here; the

@@ -1228,15 +1228,27 @@ object Snapshots {
     // drop now-emptied ancestor dirs of deleted files ONLY (walking
     // up to but never including data/): an empty dir under data/ may
     // be a racing writer's just-created staging dir whose parquet
-    // bytes have not landed yet — never touch dirs we did not empty
+    // bytes have not landed yet — never touch dirs we did not empty.
+    // A dir whose last DATA file we deleted still holds the write's
+    // sidecars (_SUCCESS, .crc markers) — sweep those too, they
+    // cannot belong to anyone else once the dir has no data files
     val dataRoot = Paths.get(tableDir, "data").toAbsolutePath.normalize
+    def sidecar(p: Path): Boolean = {
+      val n = p.getFileName.toString
+      n == "_SUCCESS" || (n.startsWith(".") && n.endsWith(".crc"))
+    }
     doomed.map(_.toAbsolutePath.normalize.getParent).filter(_ != null)
       .toSeq.distinct.foreach { d0 =>
         var d = d0
-        while (d != null && d.startsWith(dataRoot) && d != dataRoot &&
-          Files.isDirectory(d) && !Files.list(d).iterator().hasNext) {
-          Files.delete(d)
-          d = d.getParent
+        var emptied = true
+        while (emptied && d != null && d.startsWith(dataRoot) && d != dataRoot &&
+          Files.isDirectory(d)) {
+          val left = Files.list(d).iterator().asScala.toSeq
+          if (left.forall(p => Files.isRegularFile(p) && sidecar(p))) {
+            left.foreach(Files.delete)
+            Files.delete(d)
+            d = d.getParent
+          } else emptied = false
         }
       }
     // history guard (r9 advice, the high item): rename/drop history a
