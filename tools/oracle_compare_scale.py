@@ -228,7 +228,10 @@ def main(argv):
               + ("" if r["status"] == "pass" else f": {r.get('reason','')}"),
               flush=True)
         summary = {
-            "sf": sf_dir, "n": len(names),
+            # n counts DECIDED rows in the artifact, not this
+            # invocation's --only slice: a filtered top-up run must
+            # not shrink the resumable artifact's headline count
+            "sf": sf_dir, "n": len(results),
             "n_pass": sum(1 for v in results.values() if v["status"] == "pass"),
             "n_pass_invariant": sum(1 for v in results.values()
                                     if v["status"] == "pass_invariant"),
