@@ -124,6 +124,29 @@ object Bench {
     // artifact instead of re-instrumenting (r9 verdict item #7)
     def s2(p: (Double, Double)): String = s"""[${f3(p._1)},${f3(p._2)}]"""
     val wdJson = s"""{"neardup":${f3(wNearDup)},"graphs":${f3(wGraphs)},"lpa":${f3(wLpa)},"dbscan":${f3(wDbscan)},"storage_mb_after":{"neardup":${s2(sNearDup)},"graphs":${s2(sGraphs)},"lpa":${s2(sLpa)},"dbscan":${s2(sDbscan)}}}"""
+    // regime tags (r9 verdict item #8): the two-regime receipt pairs,
+    // so a scale-table reader can group a deliberately-degenerate
+    // reference instance with its production twin instead of
+    // mis-grading the receipt as a defect. Queries without a tag are
+    // plain production paths.
+    val regimeTagsRaw = Map(
+      "q_embed_neardup" -> "degenerate-reference",
+      "q_embed_neardup_hi" -> "production-twin",
+      "q_interval_join" -> "degenerate-reference",
+      "q_interval_join_user" -> "production-twin",
+      // the per-key sequential recurrences and their skew-proof
+      // chunked-scan twins (r10): sequential stays registered as the
+      // bit-exact/simple contract, chunked is the form that survives
+      // a hot key
+      "q_cusum" -> "sequential-reference",
+      "q_cusum_chunked" -> "production-twin",
+      "q_ewma" -> "sequential-reference",
+      "q_ewma_chunked" -> "production-twin",
+      "q_holt" -> "sequential-reference",
+      "q_holt_chunked" -> "production-twin")
+    def regimesJsonFor(present: String => Boolean): String =
+      regimeTagsRaw.filter { case (k, _) => present(k) }.toSeq.sorted
+        .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     // deterministic name order: Map iteration order shifts whenever a
     // query is added, silently reassigning shared first-touch costs
     // (page-cache, codegen, the near-dup shingle cache) to a different
@@ -193,7 +216,8 @@ object Bench {
       val totalMed = stats.map(_._3).filter(_ >= 0).sum
       val qs = stats.map { case (name, mn, _, _, _) => s"\"$name\":${f3v(mn)}" }
         .mkString("{", ",", "}")
-      println(s"""{"metric":"total","value":${f3v(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3v(warmShared)},"warmup_detail":$wdJson,"passes":$n,"contended":$contended,"spread_median":${f3v(spreadMed)},"total_median_sec":${f3v(totalMed)},"queries":$qs,"sf":"$sfDir"}""")
+      val regimesJson = regimesJsonFor(name => stats.exists(_._1 == name))
+      println(s"""{"metric":"total","value":${f3v(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3v(warmShared)},"warmup_detail":$wdJson,"passes":$n,"contended":$contended,"spread_median":${f3v(spreadMed)},"total_median_sec":${f3v(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
       println(s"""{"total_sec":${f3v(total)},"n_queries":${stats.size},"n_failed":$nFailed,"passes":$n,"contended":$contended,"spread_median":${f3v(spreadMed)},"warmup_shared_sec":${f3v(warmShared)},"sf":"$sfDir"}""")
       spark.stop()
       return
@@ -258,29 +282,7 @@ object Bench {
     // marker, and a gate artifact must not hide a failure class by
     // timing the throw (round-8 verdict, "what's wrong" #1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // regime tags (r9 verdict item #8): the two-regime receipt pairs,
-    // so a scale-table reader can group a deliberately-degenerate
-    // reference instance with its production twin instead of
-    // mis-grading the receipt as a defect. Queries without a tag are
-    // plain production paths.
-    val regimeTags = Map(
-      "q_embed_neardup" -> "degenerate-reference",
-      "q_embed_neardup_hi" -> "production-twin",
-      "q_interval_join" -> "degenerate-reference",
-      "q_interval_join_user" -> "production-twin",
-      // the per-key sequential recurrences and their skew-proof
-      // chunked-scan twins (r10): sequential stays registered as the
-      // bit-exact/simple contract, chunked is the form that survives
-      // a hot key
-      "q_cusum" -> "sequential-reference",
-      "q_cusum_chunked" -> "production-twin",
-      "q_ewma" -> "sequential-reference",
-      "q_ewma_chunked" -> "production-twin",
-      "q_holt" -> "sequential-reference",
-      "q_holt_chunked" -> "production-twin")
-      .filter { case (k, _) => results.exists(_._1 == k) }
-    val regimesJson = regimeTags.toSeq.sorted
-      .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val regimesJson = regimesJsonFor(name => results.exists(_._1 == name))
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
     // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
