@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Non-vacuity selftest for the staged invariant oracles (r10 verdict
+item #1): an invariant that cannot fail is not a gate. For each of
+the five invariant-carrying queries this script
+
+  1. runs the invariant against the CORRECT engine dumps (must pass),
+  2. plants a class-specific corruption into a COPY of the dump,
+  3. runs the invariant again (must fail, naming an expected check),
+  4. leaves the original dumps untouched.
+
+The dbscan case plants TWO corruptions: a perturbed core row (caught
+by several checks) and the subtle one — an ENTIRE small cluster
+relabeled to another cluster's id, internally consistent under every
+local check and caught only by the reachability certificate
+(`small_cluster_unreachable`).
+
+Usage: python3 tools/invariant_selftest.py <outDir> <sfDir>
+  (outDir = a Verify dump containing invariant_sql.json)
+Exit 0 = all pass+trip as expected; 1 otherwise.
+"""
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+CORRUPTIONS = {
+    "q_kcore": [("UPDATE t SET deg = deg + 1 WHERE id = (SELECT min(id) FROM t)",
+                 "kcore_round3_mismatch")],
+    "q_hits": [("UPDATE t SET hub = hub + 1 WHERE id = (SELECT min(id) FROM t)",
+                "hits_iter2_mismatch")],
+    "q_modularity": [("UPDATE t SET q_nano = q_nano + 1 WHERE lab = (SELECT min(lab) FROM t)",
+                      "modularity_mismatch")],
+    "q_ivfpq_topk": [("UPDATE t SET adc_dist = adc_dist + 1 "
+                      "WHERE query_id = (SELECT min(query_id) FROM t) AND rnk = 1",
+                      "ivfpq_topk_mismatch")],
+    "q_dbscan": [
+        ("UPDATE t SET cluster_id = (SELECT max(cluster_id) FROM t WHERE cluster_id IS NOT NULL) "
+         "WHERE id = (SELECT min(id) FROM t WHERE role='core' AND cluster_id = "
+         "(SELECT min(cluster_id) FROM t WHERE cluster_id IS NOT NULL))",
+         None),  # trips several checks; any is fine
+        # the pure over-merge: relabel ALL rows of the second cluster
+        # to the first cluster's id — locally consistent everywhere
+        ("UPDATE t SET cluster_id = (SELECT min(cluster_id) FROM t WHERE role='core') "
+         "WHERE cluster_id = (SELECT cluster_id FROM t WHERE role='core' "
+         "GROUP BY 1 ORDER BY min(id) LIMIT 1 OFFSET 1)",
+         "small_cluster_unreachable"),
+    ],
+}
+
+
+def run_gate(out_dir, sf_dir, name, artifact):
+    if os.path.exists(artifact):
+        os.remove(artifact)
+    p = subprocess.run(
+        [sys.executable, os.path.join(HERE, "oracle_compare_scale.py"),
+         out_dir, sf_dir, artifact, "--only", name, "--invariant", name,
+         "--timeout", "900"],
+        capture_output=True, text=True)
+    q = json.load(open(artifact))["queries"][name]
+    return q, p.stdout
+
+
+def corrupt(out_dir, name, sql):
+    import duckdb
+    f = glob.glob(f"{out_dir}/{name}/*.parquet")[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t AS SELECT * FROM '{f}'")
+    con.execute(sql)
+    os.remove(f)
+    con.execute(f"COPY t TO '{f}' (FORMAT PARQUET)")
+    con.close()
+
+
+def main(out_dir, sf_dir):
+    names = sorted(json.load(open(f"{out_dir}/invariant_sql.json")))
+    bad = 0
+    with tempfile.TemporaryDirectory(prefix="invself") as tmp:
+        for name in names:
+            art = os.path.join(tmp, f"{name}.json")
+            q, _ = run_gate(out_dir, sf_dir, name, art)
+            if q["status"] != "pass_invariant":
+                print(f"NOT-GREEN {name}: correct dump did not pass: {q}")
+                bad += 1
+                continue
+            print(f"GREEN     {name} (correct dump passes, {q['sec']}s)")
+            for i, (sql, want_chk) in enumerate(CORRUPTIONS.get(name, [])):
+                # corrupted COPY of the whole dump dir tree: the
+                # invariant may read sibling dumps (r_*), keep those
+                case = os.path.join(tmp, f"{name}-case{i}")
+                shutil.copytree(out_dir, case)
+                corrupt(case, name, sql)
+                qc, _ = run_gate(case, sf_dir, name, art + f".case{i}")
+                reason = qc.get("reason", "")
+                if qc["status"] != "fail_invariant":
+                    print(f"VACUOUS   {name} case{i}: corruption NOT caught: {qc}")
+                    bad += 1
+                elif want_chk and want_chk not in reason:
+                    print(f"MISLABEL  {name} case{i}: tripped but not via "
+                          f"{want_chk}: {reason[:120]}")
+                    bad += 1
+                else:
+                    print(f"TRIPPED   {name} case{i}"
+                          + (f" via {want_chk}" if want_chk else "")
+                          + f": {reason[:90]}")
+                shutil.rmtree(case)
+    print(("== SELFTEST PASS" if not bad else f"== SELFTEST FAIL ({bad})"))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
