@@ -196,14 +196,17 @@ object Bench {
         val spread = if (oks.size < 2 || med <= 0) 0.0 else (oks.max - oks.min) / med
         (name, if (oks.isEmpty) -1.0 else oks.min, med, spread, oks)
       }
-      def f3v(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       sys.env.get("SPARK_GRAFT_BENCH_STATS_OUT").foreach { path =>
         val w = new java.io.PrintWriter(path)
         try stats.foreach { case (name, mn, med, spread, oks) =>
-          w.println(s"""{"query":"$name","min":${f3v(mn)},"median":${f3v(med)},"spread":${f3v(spread)},"times":[${oks.map(f3v).mkString(",")}]}""")
+          w.println(s"""{"query":"$name","min":${f3(mn)},"median":${f3(med)},"spread":${f3(spread)},"times":[${oks.map(f3).mkString(",")}]}""")
         } finally w.close()
       }
-      val spreads = stats.filter(_._3 > 0).map(_._4).sorted
+      // spread pool: only queries measured in >=2 passes — a
+      // single-success row's spread is undefined, and counting it as
+      // 0.0 would bias the contention judgment toward 'clean' exactly
+      // when failures are contention-correlated
+      val spreads = stats.filter(r => r._3 > 0 && r._5.size >= 2).map(_._4).sorted
       val spreadMed = if (spreads.isEmpty) 0.0
         else if (spreads.size % 2 == 1) spreads(spreads.size / 2)
         else (spreads(spreads.size / 2 - 1) + spreads(spreads.size / 2)) / 2.0
@@ -214,11 +217,11 @@ object Bench {
       val nFailed = stats.count(_._2 < 0)
       val total = stats.map(_._2).filter(_ >= 0).sum
       val totalMed = stats.map(_._3).filter(_ >= 0).sum
-      val qs = stats.map { case (name, mn, _, _, _) => s"\"$name\":${f3v(mn)}" }
+      val qs = stats.map { case (name, mn, _, _, _) => s"\"$name\":${f3(mn)}" }
         .mkString("{", ",", "}")
       val regimesJson = regimesJsonFor(name => stats.exists(_._1 == name))
-      println(s"""{"metric":"total","value":${f3v(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3v(warmShared)},"warmup_detail":$wdJson,"passes":$n,"contended":$contended,"spread_median":${f3v(spreadMed)},"total_median_sec":${f3v(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
-      println(s"""{"total_sec":${f3v(total)},"n_queries":${stats.size},"n_failed":$nFailed,"passes":$n,"contended":$contended,"spread_median":${f3v(spreadMed)},"warmup_shared_sec":${f3v(warmShared)},"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$n,"contended":$contended,"spread_median":${f3(spreadMed)},"total_median_sec":${f3(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"total_sec":${f3(total)},"n_queries":${stats.size},"n_failed":$nFailed,"passes":$n,"contended":$contended,"spread_median":${f3(spreadMed)},"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
       spark.stop()
       return
     }

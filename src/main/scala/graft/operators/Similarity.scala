@@ -632,23 +632,6 @@ object Similarity {
     * naming the config and the remedy. DECIMAL accumulation: a single
     * 3e9-row bucket would overflow Long in m·(m−1), and ANSI mode
     * turning that into a crash of the GUARD would be the wrong loud. */
-  /** Guard + materialize in ONE pass (the r10 verdict's fuse): the
-    * band table persists MEMORY_AND_DISK, [[requireBandVolume]]'s
-    * count aggregate is the action that fills the cache, and the
-    * returned frame is what the band self-join reads — so the family
-    * pays one signature pass total instead of one for the guard and
-    * one (or two, when exchange reuse misses) for the join. Memoized
-    * through [[graft.ops.BoundedMemo]] keyed by the table's semantic
-    * plan hash + budget: a hit means this exact (plan, budget)
-    * already passed the guard; a FAILED guard unpersists and is never
-    * memoized, so a degenerate config fails loudly every time. */
-  private[graft] def guardedBandTable(kind: String, bandTable: DataFrame,
-                                      groupCols: Seq[String], budget: Long,
-                                      what: String, remedy: String): DataFrame =
-    graft.ops.BoundedMemo.persistedChecked(kind, bandTable.sparkSession,
-      s"${bandTable.queryExecution.logical.semanticHash()}|$budget")(bandTable)(
-      df => requireBandVolume(df, groupCols, budget, what, remedy))
-
   private[graft] def requireBandVolume(bandTable: DataFrame, groupCols: Seq[String],
                                        budget: Long, what: String,
                                        remedy: String): Unit = {
@@ -663,5 +646,29 @@ object Similarity {
         s"$what: banded candidate volume $vol pairs (exact, from the bucket count " +
           s"frame) exceeds maxCandidatePairs=$budget — this parameter regime is " +
           s"degenerate for this corpus density; $remedy")
+  }
+
+  /** Guard + materialize in ONE pass (the r10 verdict's fuse): the
+    * band table persists MEMORY_AND_DISK, [[requireBandVolume]]'s
+    * count aggregate is the action that fills the cache, and the
+    * returned frame is what the band self-join reads — so the family
+    * pays one signature pass total instead of one for the guard and
+    * one (or two, when exchange reuse misses) for the join. Memoized
+    * through [[graft.ops.BoundedMemo]] keyed by an md5 of the FULL
+    * canonicalized plan text + budget — not the 32-bit semanticHash,
+    * whose birthday-collision odds across a long session would turn
+    * a collision into a silently-served WRONG band table (a memo hit
+    * must mean this exact (plan, budget) already passed the guard).
+    * A FAILED guard unpersists and is never memoized, so a
+    * degenerate config fails loudly every time. */
+  private[graft] def guardedBandTable(kind: String, bandTable: DataFrame,
+                                      groupCols: Seq[String], budget: Long,
+                                      what: String, remedy: String): DataFrame = {
+    val planKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(bandTable.queryExecution.analyzed.canonicalized.toString
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    graft.ops.BoundedMemo.persistedChecked(kind, bandTable.sparkSession,
+      s"$planKey|$budget")(bandTable)(
+      df => requireBandVolume(df, groupCols, budget, what, remedy))
   }
 }

@@ -90,11 +90,7 @@ object BoundedMemo {
     * builds can take seconds and must not serialize unrelated kinds. */
   def persisted(kind: String, spark: SparkSession, subKey: String)
                (build: => DataFrame): DataFrame =
-    get(spark, kind, subKey).getOrElse {
-      val df = build
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      put(spark, kind, Slot(subKey, df, persisted = true))
-    }
+    persistedChecked(kind, spark, subKey)(build)(_ => ())
 
   /** Memoize + persist, with a post-persist CHECK that must pass
     * before the frame enters the memo. The check runs an action over

@@ -61,6 +61,12 @@ def run_gate(out_dir, sf_dir, name, artifact):
          out_dir, sf_dir, artifact, "--only", name, "--invariant", name,
          "--timeout", "900"],
         capture_output=True, text=True)
+    # surface the gate's own stderr on a crash instead of dying on a
+    # FileNotFoundError for the artifact it never wrote
+    if not os.path.exists(artifact):
+        raise SystemExit(
+            f"gate crashed for {name} (rc={p.returncode}) before writing "
+            f"{artifact}\nstdout: {p.stdout[-500:]}\nstderr: {p.stderr[-500:]}")
     q = json.load(open(artifact))["queries"][name]
     return q, p.stdout
 

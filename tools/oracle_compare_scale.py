@@ -227,11 +227,15 @@ def main(argv):
         print(f"{r['status'].upper()} {name} ({r['sec']}s)"
               + ("" if r["status"] == "pass" else f": {r.get('reason','')}"),
               flush=True)
+        n_undecided = sum(1 for v in results.values()
+                          if v["status"] not in DECIDED)
         summary = {
-            # n counts DECIDED rows in the artifact, not this
-            # invocation's --only slice: a filtered top-up run must
-            # not shrink the resumable artifact's headline count
-            "sf": sf_dir, "n": len(results),
+            # n counts ROWS PRESENT in the artifact (never this
+            # invocation's --only slice — a filtered top-up must not
+            # shrink the headline count); rows a resume would retry
+            # (timeout/resource with no invariant) are broken out as
+            # n_undecided so n alone can never read as "all decided"
+            "sf": sf_dir, "n": len(results), "n_undecided": n_undecided,
             "n_pass": sum(1 for v in results.values() if v["status"] == "pass"),
             "n_pass_invariant": sum(1 for v in results.values()
                                     if v["status"] == "pass_invariant"),
