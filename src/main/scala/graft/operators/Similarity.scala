@@ -655,20 +655,30 @@ object Similarity {
     * pays one signature pass total instead of one for the guard and
     * one (or two, when exchange reuse misses) for the join. Memoized
     * through [[graft.ops.BoundedMemo]] keyed by an md5 of the FULL
-    * canonicalized plan text + budget — not the 32-bit semanticHash,
-    * whose birthday-collision odds across a long session would turn
-    * a collision into a silently-served WRONG band table (a memo hit
-    * must mean this exact (plan, budget) already passed the guard).
+    * plan JSON + the 32-bit semanticHash + budget: a memo hit must
+    * mean this exact (plan, budget) already passed the guard. Neither
+    * component alone is safe — semanticHash is 32 bits
+    * (birthday-collision odds across a long session), and any
+    * TreeNode *string* rendering TRUNCATES long literal arrays
+    * (maxFields), so two LSH configs differing only in their plane
+    * literals printed identically and a string-keyed memo served the
+    * WRONG band table (caught by TrainingOpsSpec's exhaustive-baseline
+    * equality). toJSON serializes every literal in full; if a node
+    * ever refuses JSON, the fallback key degrades to
+    * schema+semanticHash and is stated in the key, never silent.
     * A FAILED guard unpersists and is never memoized, so a
     * degenerate config fails loudly every time. */
   private[graft] def guardedBandTable(kind: String, bandTable: DataFrame,
                                       groupCols: Seq[String], budget: Long,
                                       what: String, remedy: String): DataFrame = {
+    val plan = bandTable.queryExecution.analyzed.canonicalized
+    val full =
+      try plan.toJSON
+      catch { case _: Throwable => s"nojson|${bandTable.schema.json}" }
     val planKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(bandTable.queryExecution.analyzed.canonicalized.toString
-        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString
     graft.ops.BoundedMemo.persistedChecked(kind, bandTable.sparkSession,
-      s"$planKey|$budget")(bandTable)(
+      s"$planKey|${plan.semanticHash()}|$budget")(bandTable)(
       df => requireBandVolume(df, groupCols, budget, what, remedy))
   }
 }
