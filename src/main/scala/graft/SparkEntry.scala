@@ -66,7 +66,31 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries ++ temporalQueries ++ journeyQueries ++ roundEightQueries ++ roundNineQueries
+    coreQueries ++ shapingQueries ++ windowQueries ++ scalarQueries ++ trainingQueries ++ extraQueries ++ temporalQueries ++ journeyQueries ++ roundEightQueries ++ roundNineQueries ++ roundTwelveQueries
+
+  // ==== round 12: merge-on-read deletion vectors + Bag-of-Little-
+  // Bootstraps + typed zone maps ====
+  private def roundTwelveQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- merge-on-read DELETE (r11 verdict item #1): two successive
+    // MOR deletes on a snapshot table — each records deleted
+    // (file, row-position) pairs in a DV sidecar, rewriting ZERO data
+    // bytes — then a HEAD read folds both DVs at the reconciling
+    // scan. The oracle is the doubly-NOT-filtered aggregate over the
+    // raw corpus: proof the anti-join dropped exactly the TRUE rows
+    // of both predicates (incl. composition on files hit twice) and
+    // invented nothing ----
+    "q_delete_dv" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureDemoTable(s, dir)
+      graft.sources.Snapshots.deleteWhere(s, t,
+        col("lang") === "en" && pmod(col("doc_id"), lit(5)) === 2, mode = "mor")
+      graft.sources.Snapshots.deleteWhere(s, t,
+        pmod(col("doc_id"), lit(11)) === 7, mode = "mor")
+      graft.sources.Snapshots.read(s, t)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy(col("lang"))
+    }))
 
   // ==== round 9: cross-modal pair alignment (the CLIP-shaped
   // curation audit) and friends ====
@@ -3222,7 +3246,19 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles ++ roundNineOracles
+  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles ++ roundNineOracles ++ roundTwelveOracles
+
+  private def roundTwelveOracles: Map[String, String] = Map(
+    // merge-on-read DELETE ×2: reading HEAD through the deletion
+    // vectors must equal the doubly-NOT-filtered corpus
+    "q_delete_dv" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE NOT (lang = 'en' AND doc_id % 5 = 2)
+        |  AND NOT (doc_id % 11 = 7)
+        |GROUP BY lang ORDER BY lang""".stripMargin)
 
   /** Staged invariant oracles for the queries whose full-replay SQL
     * is infeasible for DuckDB at sf0.1+/sf1 (r10 verdict item #1) —

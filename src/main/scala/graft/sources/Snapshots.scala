@@ -100,12 +100,15 @@ object Snapshots {
 
   /** Per-file column stats of `version`: path → (col → (min, max)).
     * Files committed without `statsCols` carry an empty map. Bloom
-    * parts (`bloom:` prefix) are a separate namespace — skipped
-    * here, parsed by [[prunedFilesEq]]. */
+    * parts (`bloom:` prefix) and deletion-vector parts (`dv:`) are
+    * separate namespaces — skipped here (neither parses as
+    * `col=min:max` anyway; the filter is for clarity), parsed by
+    * [[prunedFilesEq]] / [[dvRefs]]. */
   def fileStats(tableDir: String, version: Int): Seq[(String, Map[String, (Long, Long)])] =
     fileLines(tableDir, version).map { line =>
       val parts = line.split('\t')
-      val stats = parts.drop(1).filterNot(_.startsWith("bloom:")).flatMap { s =>
+      val stats = parts.drop(1)
+        .filterNot(s => s.startsWith("bloom:") || s.startsWith("dv:")).flatMap { s =>
         val eq = s.indexOf('='); val co = s.indexOf(':', eq)
         if (eq < 0 || co < 0) None
         else Some(s.substring(0, eq) ->
@@ -337,8 +340,12 @@ object Snapshots {
   def countRows(tableDir: String, version: Int = -1): Long = {
     val v = if (version >= 0) version else currentVersion(tableDir)
     require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    // MOR deletes subtract exactly: each delete's positions were
+    // computed over the MOR read (already-deleted rows invisible), so
+    // a file's DV counts are disjoint across deletes and additive
+    val dv = dvCounts(tableDir, v)
     fileRowCounts(tableDir, v).map {
-      case (_, Some(n)) => n
+      case (path, Some(n)) => n - dv.getOrElse(path, 0L)
       case (path, None) => throw new IllegalArgumentException(
         s"Snapshots: countRows needs per-file row counts but $path was committed " +
           "without stats — re-commit with statsCols (or count by scanning)")
@@ -352,6 +359,15 @@ object Snapshots {
   def minMaxFromStats(tableDir: String, c: String, version: Int = -1): (Long, Long) = {
     val v = if (version >= 0) version else currentVersion(tableDir)
     require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    // a DV-masked file's envelope is still a valid BOUND (pruning
+    // stays conservative) but may no longer be ATTAINED — the row
+    // holding the min may be deleted. This verb promises exactness,
+    // so it refuses rather than silently over-reporting the range.
+    val dv = dvCounts(tableDir, v)
+    require(dv.isEmpty,
+      s"Snapshots: minMaxFromStats('$c') on $tableDir@v$v — ${dv.size} live file(s) " +
+        "carry merge-on-read deletion vectors, so recorded envelopes may not be " +
+        "attained; run optimize() to bake the DVs first, or compute by scanning")
     val counts = fileRowCounts(tableDir, v).toMap
     val envs = fileStats(tableDir, v).flatMap { case (path, stats) =>
       stats.get(c) match {
@@ -1029,6 +1045,69 @@ object Snapshots {
         .map(p => p.substring(5).toLong -> parts(0))
     }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
 
+  // ---- merge-on-read deletion vectors (r11 verdict item #1) ----
+  //
+  // A MOR delete never rewrites data bytes: it records the deleted
+  // rows' (file, row-position) pairs in a DV sidecar parquet dir
+  // under `<table>/_dv/` and stamps each hit file's manifest line
+  // with a `dv:<count>:<dir>` part (a namespace like `bloom:` /
+  // `null:` — no '=', so the stat parser skips it; count BEFORE path
+  // because a path may legally contain ':'). Lines travel whole
+  // through later appends/optimize keeps, so DVs persist exactly as
+  // long as the files they mask; every live read folds them in at
+  // [[reconciledScan]] — the one seam all reads (full, pruned,
+  // incremental, COW-rewrite) already route through. `optimize`
+  // BAKES DVs (a dv-carrying file always rewrites, clean), `vacuum`
+  // expires DV dirs with the manifests that reference them, and
+  // `gcStaged` age-collects orphaned DV dirs from crashed deletes.
+  //
+  // Positions are parquet row indices (`_metadata.row_index`) —
+  // stable for immutable files, which manifest-referenced files are
+  // by protocol. Successive MOR deletes compute hits over the MOR
+  // read itself, so a file's DV position sets are DISJOINT across
+  // deletes and per-file counts add exactly (countRows relies on it).
+
+  /** DV references of each file in `lines`: path → (count, dvDir)*. */
+  private def dvRefs(lines: Seq[String]): Map[String, Seq[(Long, String)]] =
+    lines.flatMap { l =>
+      val parts = l.split('\t')
+      parts.drop(1).filter(_.startsWith("dv:")).map { p =>
+        val rest = p.substring(3)
+        val i = rest.indexOf(':')
+        parts(0) -> (rest.substring(0, i).toLong, rest.substring(i + 1))
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  /** Every DV sidecar dir `version`'s manifest references. */
+  private[graft] def dvDirs(tableDir: String, version: Int): Set[String] =
+    dvRefs(fileLines(tableDir, version)).values.flatten.map(_._2).toSet
+
+  /** Total DV-deleted row count per file of `version`. */
+  private[graft] def dvCounts(tableDir: String, version: Int): Map[String, Long] =
+    dvRefs(fileLines(tableDir, version)).view.mapValues(_.map(_._1).sum).toMap
+
+  // stamped-column names: double-underscored and graft-prefixed so
+  // they can never collide with a user column the record schema holds
+  private val GFile = "__graft_dv_file"
+  private val GPos = "__graft_dv_pos"
+
+  /** Anti-join `df` (stamped with [[GFile]]/[[GPos]]) against the
+    * deleted positions of `dvm`. The deleted side is tiny relative to
+    * data (trickle deletes — that is MOR's use case), so it
+    * broadcasts below 1M positions; past that the plain join is the
+    * honest shuffle (and `optimize` is overdue). */
+  private def applyDv(spark: SparkSession, df: DataFrame,
+                      dvm: Map[String, Seq[(Long, String)]]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (dvm.isEmpty) return df
+    val dirs = dvm.values.flatten.map(_._2).toSeq.distinct.sorted
+    val total = dvm.values.flatten.map(_._1).sum
+    val deleted0 = spark.read.parquet(dirs: _*)
+      .select(col("file").as(GFile), col("pos").as(GPos))
+    val deleted = if (total <= 1000000L) broadcast(deleted0) else deleted0
+    df.join(deleted, Seq(GFile, GPos), "left_anti")
+  }
+
   /** THE reconciling file scan: every read of live data files —
     * full reads, pruned reads, incremental reads, and the COW verbs'
     * rewrite scans — routes through here (r9 advice, the medium item:
@@ -1048,20 +1127,40 @@ object Snapshots {
     *     input_file_name(). */
   private[graft] def reconciledScan(spark: SparkSession, tableDir: String, v: Int,
                                     files: Seq[String],
-                                    mergeSchema: Boolean = false): DataFrame = {
+                                    mergeSchema: Boolean = false,
+                                    withRowPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, regexp_replace, when}
     if (files.isEmpty) return spark.emptyDataFrame
+    val allLines = fileLines(tableDir, v)
     val recordOpt = manifestSchema(tableDir, v).map(parseStruct)
     val aliases = renameAliases(tableDir, v)
     val hasRetired = manifestRetired(tableDir, v).isDefined
     val hasWiden = recordOpt.exists(_.fields.exists(widenedFrom(_).nonEmpty))
     val markers: Map[Long, Set[String]] =
-      if (recordOpt.isDefined && hasRetired) nullMarkerFiles(fileLines(tableDir, v))
+      if (recordOpt.isDefined && hasRetired) nullMarkerFiles(allLines)
       else Map.empty
+    // DV fold (merge-on-read deletes): stamp (plain file path, row
+    // index) over the scan, anti-join the deleted positions, then
+    // project. Stamping happens BEFORE any join because
+    // input_file_name()/_metadata resolve only in the scan stage.
+    // With no DVs on the requested files (and no withRowPos ask) the
+    // plan is byte-for-byte the old one — the common path pays zero.
+    val wanted = files.toSet
+    val dvm = dvRefs(allLines).filter { case (f, _) => wanted(f) }
+    val needStamp = dvm.nonEmpty || withRowPos
+    val plainFile = regexp_replace(input_file_name(), "^file:/+", "/")
+    def stamp(df: DataFrame): DataFrame =
+      if (!needStamp) df
+      else applyDv(spark, df.withColumn(GFile, plainFile)
+        .withColumn(GPos, col("_metadata.row_index")), dvm)
     if (recordOpt.isEmpty ||
         (aliases.isEmpty && !hasRetired && markers.isEmpty && !hasWiden)) {
-      if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
-      else spark.read.parquet(files: _*)
+      val base = stamp(
+        if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(files: _*)
+        else spark.read.parquet(files: _*))
+      if (withRowPos) base
+      else if (needStamp) base.drop(GFile, GPos)
+      else base
     } else {
       // explicit READ schema instead of mergeSchema: the record's
       // (possibly widened) type per live column PLUS each alias at
@@ -1077,12 +1176,15 @@ object Snapshots {
             aliases.getOrElse(f.name, Seq.empty)
               .map(a => org.apache.spark.sql.types.StructField(a, f.dataType))
         })
-      val df = spark.read.schema(readSchema).parquet(files: _*)
-      val present = df.columns.toSet
+      val df0 = spark.read.schema(readSchema).parquet(files: _*)
+      val present = df0.columns.toSet
+      val df = stamp(df0)
       // input_file_name() is URI-formed; manifest lines are plain
-      // paths — normalize the scheme away once, codegen'd per row
-      val plainFile = regexp_replace(input_file_name(), "^file:/+", "/")
-      df.select(recordOpt.get.fields.map { f =>
+      // paths — normalize the scheme away once, codegen'd per row.
+      // After a DV anti-join the scan stage is gone, so the marker
+      // guard must read the STAMPED file column instead.
+      val fileCol = if (needStamp) col(GFile) else plainFile
+      val projected = recordOpt.get.fields.map { f =>
         val alts = (f.name +: aliases.getOrElse(f.name, Seq.empty)).filter(present)
         val base =
           if (alts.isEmpty) lit(null).cast(f.dataType)
@@ -1090,12 +1192,13 @@ object Snapshots {
           else coalesce(alts.map(col): _*)
         val guarded = colIdOf(f).flatMap(markers.get) match {
           case Some(marked) if alts.nonEmpty =>
-            when(plainFile.isInCollection(marked.toSeq.sorted), lit(null).cast(f.dataType))
+            when(fileCol.isInCollection(marked.toSeq.sorted), lit(null).cast(f.dataType))
               .otherwise(base)
           case _ => base
         }
         guarded.as(f.name)
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq ++ (if (withRowPos) Seq(col(GFile), col(GPos)) else Nil)
+      df.select(projected: _*)
     }
   }
 
@@ -1225,6 +1328,18 @@ object Snapshots {
       .flatMap(v => liveFiles(tableDir, v)).toSet
     val doomed = (expiring -- retained).map(Paths.get(_)).filter(Files.isRegularFile(_))
     doomed.foreach(Files.delete)
+    // DV sidecars expire with their manifests by the same positive-
+    // list rule: a sidecar dir referenced by ANY retained manifest
+    // survives (a retained version's read needs its anti-join rows);
+    // one referenced only by expiring manifests goes with them
+    val retainedDv = (keepFrom to head)
+      .filter(v => Files.exists(manifestPath(tableDir, v)))
+      .flatMap(v => dvDirs(tableDir, v)).toSet
+    val expiringDv = (1 until keepFrom)
+      .filter(v => Files.exists(manifestPath(tableDir, v)))
+      .flatMap(v => dvDirs(tableDir, v)).toSet
+    (expiringDv -- retainedDv).map(Paths.get(_)).filter(Files.isDirectory(_))
+      .foreach(d => Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.delete))
     // drop now-emptied ancestor dirs of deleted files ONLY (walking
     // up to but never including data/): an empty dir under data/ may
     // be a racing writer's just-created staging dir whose parquet
@@ -1294,30 +1409,57 @@ object Snapshots {
     require(olderThanMillis > 0, s"olderThanMillis must be positive, got $olderThanMillis")
     val snap = snapPath(tableDir)
     if (!Files.isDirectory(snap)) return 0
-    val referenced = Files.list(snap).iterator().asScala
+    // a concurrent VACUUM may expire a manifest between this listing
+    // and its read (the two maintenance verbs are documented as
+    // composable — r11 advice): a vanished manifest's references are
+    // simply the empty set, exactly as if the listing had run a
+    // moment later. Only missing-file conditions are swallowed;
+    // anything else stays loud.
+    def linesIfPresent(v: Int): Seq[String] =
+      try { if (Files.exists(manifestPath(tableDir, v))) fileLines(tableDir, v) else Seq.empty }
+      catch {
+        case _: java.nio.file.NoSuchFileException => Seq.empty
+        case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("does not exist") => Seq.empty
+      }
+    val allLines = Files.list(snap).iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.matches("v\\d{8}\\.txt") => s.substring(1, 9).toInt }
-      .toSeq.flatMap(v => liveFiles(tableDir, v))
+      .toSeq.flatMap(linesIfPresent)
+    val referenced = allLines.map(_.split('\t')(0))
       .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
-    val dataRoot = Paths.get(tableDir, "data").toAbsolutePath.normalize
-    if (!Files.isDirectory(dataRoot)) return 0
     val cutoff = System.currentTimeMillis - olderThanMillis
-    val doomed = Files.walk(dataRoot).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filter(p => !referenced.contains(p.toAbsolutePath.normalize.toString))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .toSeq
-    doomed.foreach(Files.delete)
-    doomed.map(_.toAbsolutePath.normalize.getParent).filter(_ != null)
-      .distinct.foreach { d0 =>
-        var d = d0
-        while (d != null && d.startsWith(dataRoot) && d != dataRoot &&
-          Files.isDirectory(d) && !Files.list(d).iterator().hasNext) {
-          Files.delete(d)
-          d = d.getParent
+    var nDeleted = 0
+    def sweep(root: Path, keep: Path => Boolean): Unit = {
+      if (!Files.isDirectory(root)) return
+      val doomed = Files.walk(root).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(keep)
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .toSeq
+      doomed.foreach(Files.delete)
+      nDeleted += doomed.size
+      doomed.map(_.toAbsolutePath.normalize.getParent).filter(_ != null)
+        .distinct.foreach { d0 =>
+          var d = d0
+          while (d != null && d.startsWith(root) && d != root &&
+            Files.isDirectory(d) && !Files.list(d).iterator().hasNext) {
+            Files.delete(d)
+            d = d.getParent
+          }
         }
-      }
-    doomed.size
+    }
+    sweep(Paths.get(tableDir, "data").toAbsolutePath.normalize,
+      p => referenced.contains(p.toAbsolutePath.normalize.toString))
+    // orphaned DV sidecars (a MOR delete that staged its sidecar and
+    // then lost the publish race or crashed): same age-gated rule,
+    // keyed on the sidecar DIR any existing manifest references
+    val referencedDv = dvRefs(allLines).values.flatten.map(_._2)
+      .map(p => Paths.get(p).toAbsolutePath.normalize.toString).toSet
+    sweep(Paths.get(tableDir, "_dv").toAbsolutePath.normalize,
+      p => Option(p.toAbsolutePath.normalize.getParent)
+        .exists(d => referencedDv.contains(d.toString)))
+    nDeleted
   }
 
   /** Lakehouse OPTIMIZE over a snapshot table: stat the live files,
@@ -1346,20 +1488,27 @@ object Snapshots {
     val head = currentVersion(tableDir)
     require(head > 0, s"Snapshots: $tableDir has no committed versions")
     val lines = fileLines(tableDir, head)
-    val stats = lines.map(l => (l, Files.size(Paths.get(l.split('\t')(0)))))
-    // kept files carry their full manifest lines (column stats travel);
-    // rewritten bins start stat-less — conservative, always re-read
-    val keep = stats.filter(_._2 >= targetBytes).map(_._1)
+    // a dv-carrying file ALWAYS rewrites regardless of size — OPTIMIZE
+    // is the verb that bakes merge-on-read deletion vectors into clean
+    // bytes (Delta's PURGE): reads stop paying the anti-join, and the
+    // expired sidecars become vacuum fodder with their manifests
+    def hasDv(l: String) = l.split('\t').drop(1).exists(_.startsWith("dv:"))
+    val (dvLines, plain) = lines.partition(hasDv)
+    val stats = plain.map(l => (l, Files.size(Paths.get(l.split('\t')(0)))))
     val small = stats.filter(_._2 < targetBytes)
       .map { case (l, sz) => (l.split('\t')(0), sz) }
-    if (small.size < 2) return -1 // nothing to merge
+    if (small.size < 2 && dvLines.isEmpty) return -1 // nothing to merge or bake
     import spark.implicits._
-    val planned = graft.ops.Compaction.plan(
-      small.toDF("file", "bytes").withColumn("part", org.apache.spark.sql.functions.lit("t")),
-      Seq("part"), "file", "bytes", targetBytes)
-    val bins = planned.where(org.apache.spark.sql.functions.col("action") === "compact")
-      .select($"file", $"bin_id").as[(String, Long)].collect() // listing-sized
-      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val bins: Map[Long, Seq[String]] =
+      if (small.size < 2) Map.empty
+      else {
+        val planned = graft.ops.Compaction.plan(
+          small.toDF("file", "bytes").withColumn("part", org.apache.spark.sql.functions.lit("t")),
+          Seq("part"), "file", "bytes", targetBytes)
+        planned.where(org.apache.spark.sql.functions.col("action") === "compact")
+          .select($"file", $"bin_id").as[(String, Long)].collect() // listing-sized
+          .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+      }
     val v = head + 1
     val nonce = java.util.UUID.randomUUID.toString.take(8)
     val outDir = Paths.get(tableDir, "data", s"c$v-$nonce")
@@ -1379,6 +1528,20 @@ object Snapshots {
           .write.mode("overwrite").parquet(s"$outDir/bin=$bin")
       else graft.ops.Compaction.rewriteBin(spark, paths, outDir.toString, bin)
     }
+    // DV bake: each dv-carrying file rewrites 1:1 through the
+    // reconciling scan, which folds its deletion vectors (and any
+    // evolution history) into clean bytes — the output file has no
+    // dv parts, so reads stop paying the anti-join
+    dvLines.map(_.split('\t')(0)).sorted.zipWithIndex.foreach { case (path, i) =>
+      reconciledScan(spark, tableDir, head, Seq(path)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/dvbake=$i")
+    }
+    // carried lines = everything neither bin-compacted nor dv-baked
+    // (full lines — column stats travel). Derived from the ACTUAL
+    // compacted set, so a small file the planner declined still
+    // carries instead of silently dropping.
+    val compacted = bins.values.flatten.toSet
+    val keep = plain.filterNot(l => compacted.contains(l.split('\t')(0)))
     val rewritten = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.matches(".*part-.*\\.parquet"))
       .map(_.toString).toSeq.sorted
@@ -1656,8 +1819,69 @@ object Snapshots {
     * publish aborts loudly if the table advanced since the read
     * (stale rewrite set — see [[publishOrConflict]]). */
   def deleteWhere(spark: SparkSession, tableDir: String,
-                  predicate: org.apache.spark.sql.Column): Int =
-    deleteWhereHook(spark, tableDir, predicate, () => ())
+                  predicate: org.apache.spark.sql.Column,
+                  mode: String = "cow"): Int = {
+    require(mode == "cow" || mode == "mor",
+      s"Snapshots: deleteWhere mode must be cow|mor, got '$mode'")
+    if (mode == "mor") deleteWhereMorHook(spark, tableDir, predicate, () => ())
+    else deleteWhereHook(spark, tableDir, predicate, () => ())
+  }
+
+  /** Merge-on-read DELETE: record the TRUE rows' (file, position)
+    * pairs as a DV sidecar and stamp `dv:` parts onto the hit files'
+    * manifest lines — ZERO data bytes rewritten (a 1-row delete in a
+    * 1 GB file costs the sidecar, not the gigabyte; the COW mode
+    * rewrites the file). NULL-predicate rows survive (SQL DELETE
+    * semantics, same as COW). Reads fold DVs at [[reconciledScan]];
+    * `optimize` bakes them into clean files. Returns the committed
+    * version, or -1 when nothing matched.
+    *
+    * Scale: the find pass is one MOR-aware scan (so re-deleting an
+    * already-deleted row is impossible and per-file DV counts stay
+    * disjoint); sidecar write ∝ matched rows; the manifest publish
+    * carries the same serializable-conflict abort as the other
+    * mutation verbs (the planned line set is a read set — a racing
+    * commit aborts this one loudly). Trade-off vs COW, stated: every
+    * subsequent read pays the anti-join until `optimize` bakes —
+    * MOR buys cheap writes with slightly dearer reads, the right
+    * trade for trickle deletes on a 100 TB table. */
+  private[graft] def deleteWhereMorHook(spark: SparkSession, tableDir: String,
+                                        predicate: org.apache.spark.sql.Column,
+                                        beforePublish: () => Unit): Int = {
+    import org.apache.spark.sql.functions._
+    val head = currentVersion(tableDir)
+    require(head > 0, s"Snapshots: $tableDir has no committed versions")
+    val lines = fileLines(tableDir, head)
+    if (lines.isEmpty) return -1
+    val files = lines.map(_.split('\t')(0))
+    val v = head + 1
+    val nonce = java.util.UUID.randomUUID.toString.take(8)
+    val dvDir = Paths.get(tableDir, "_dv", s"v$v-$nonce")
+    reconciledScan(spark, tableDir, head, files, withRowPos = true)
+      .where(predicate)
+      .select(col(GFile).as("file"), col(GPos).as("pos"))
+      .sortWithinPartitions(col("file"), col("pos"))
+      .write.parquet(dvDir.toString)
+    // per-file counts from the sidecar itself — hit-file-listing-sized
+    val counts = spark.read.parquet(dvDir.toString)
+      .groupBy(col("file")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      Files.walk(dvDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      return -1
+    }
+    val newLines = lines.map { l =>
+      counts.get(l.split('\t')(0)) match {
+        case Some(n) => s"$l\tdv:$n:$dvDir"
+        case None => l
+      }
+    }
+    beforePublish()
+    // a lost publish race orphans the staged sidecar — gcStaged's
+    // _dv walk age-collects it, same as a crashed COW rewrite's dir
+    publishOrConflict(tableDir, head, "delete-mor", newLines)
+    v
+  }
 
   /** Test seam: `beforePublish` runs after the rewrite is planned
     * and staged, before the manifest link — the conflict window the
@@ -1675,10 +1899,12 @@ object Snapshots {
     // predicate references CURRENT column names, which pre-rename
     // files only carry as aliases; and the rewrite must bake the
     // reconciliation in (canonical names, reborn columns NULLed) so
-    // rewritten files are clean of history
-    val hit = reconciledScan(spark, tableDir, head, files)
+    // rewritten files are clean of history. withRowPos stamps the
+    // file path INSIDE the scan stage — input_file_name() on top of
+    // the scan is illegal (and wrong) once a DV anti-join is present
+    val hit = reconciledScan(spark, tableDir, head, files, withRowPos = true)
       .where(predicate)
-      .select(input_file_name().as("__f")).distinct()
+      .select(col(GFile).as("__f")).distinct()
       .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
     if (hit.isEmpty) return -1
     val kept = lines.filterNot(l => hit.contains(l.split('\t')(0)))
@@ -1717,9 +1943,10 @@ object Snapshots {
         s"vs replacement [${df.columns.sorted.mkString(",")}]")
     requireSourceTypes(spark, tableDir, head, df, "replaceWhere")
     val files = lines.map(_.split('\t')(0))
-    val hit = reconciledScan(spark, tableDir, head, files) // alias-safe (see deleteWhere)
+    val hit = reconciledScan(spark, tableDir, head, files, // alias-safe (see deleteWhere)
+        withRowPos = true) // stamped file col — DV-join-safe (see deleteWhere)
       .where(predicate)
-      .select(input_file_name().as("__f")).distinct()
+      .select(col(GFile).as("__f")).distinct()
       .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
     val kept = lines.filterNot(l => hit.contains(l.split('\t')(0)))
     // inserted rows must live INSIDE the replaced scope — raise in
@@ -1804,10 +2031,9 @@ object Snapshots {
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val hit =
       if (candidates.isEmpty) Set.empty[String]
-      else reconciledScan(spark, tableDir, head, candidates) // alias-safe (see deleteWhere)
-        // file name is stamped directly over the scan (input_file_name
-        // is single-source); the semi join runs above the projection
-        .select(keys.map(col) :+ input_file_name().as("__f"): _*)
+      else reconciledScan(spark, tableDir, head, candidates, // alias-safe (see deleteWhere)
+        withRowPos = true) // stamped file col — DV-join-safe (see deleteWhere)
+        .select(keys.map(col) :+ col(GFile).as("__f"): _*)
         .join(srcKeys, keys, "left_semi")
         .select(col("__f")).distinct()
         .collect().map(r => localPath(r.getString(0))).toSet // listing-sized
