@@ -90,6 +90,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy(col("lang"))
+    }),
+    // ---- Bag-of-Little-Bootstraps 95% CI for the mean click value
+    // (r11 verdict item #2 — q_bootstrap_ci's production twin):
+    // Efron is B·n work by construction; BLB is s·B·n^0.6 with the
+    // same statistical target. All randomness is md5-hash-driven
+    // (subset membership + Irwin-Hall-normal Poisson weights), so
+    // the SAME intervals replay in any engine ----
+    "q_bootstrap_blb" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("value").isNotNull && col("event_type") === "click")
+        .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
+      graft.ops.Experiment.blbMeanCi(ev, "event_id", "cents",
+        s = 5, b = 100, alphaPct = 5)
     }))
 
   // ==== round 9: cross-modal pair alignment (the CLIP-shaped
@@ -3258,7 +3271,69 @@ object SparkEntry {
         |FROM documents
         |WHERE NOT (lang = 'en' AND doc_id % 5 = 2)
         |  AND NOT (doc_id % 11 = 7)
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // BLB: subset membership by hash60 mod n < round(n^0.6); weights
+    // w = max(0, floor(λ + √λ·z + ½)) with λ = n/m_j and z the
+    // centered sum of 12 hash60 uniforms over 2^60 (exact integer ζ;
+    // every FP step after it is one correctly-rounded IEEE op, so
+    // weights are bit-identical across engines); replicate mean
+    // Σwx/Σw from exact integer sums; per-subset rank-3/98 endpoints
+    // nano-rounded then integer-averaged over the 5 subsets
+    "q_bootstrap_blb" ->
+      """WITH src AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS id,
+        |    CAST(round(value*100) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL AND event_type = 'click'
+        |), t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM src
+        |), mt AS (
+        |  SELECT GREATEST(CAST(50 AS BIGINT),
+        |    CAST(round(power(CAST(n AS DOUBLE), 0.6)) AS BIGINT)) AS m_t FROM t
+        |), subs AS (
+        |  SELECT j.j, s2.id, s2.x, t.n
+        |  FROM src s2, t, mt, (SELECT unnest(range(0, 5)) AS j) j
+        |  WHERE CAST(concat('0x', substr(md5(concat('blb', CAST(j.j AS VARCHAR), ':', s2.id)), 1, 15)) AS BIGINT) % t.n < mt.m_t
+        |), sizes AS (
+        |  SELECT j, CAST(count(*) AS BIGINT) AS mj, CAST(sum(x) AS BIGINT) AS sxj
+        |  FROM subs GROUP BY 1
+        |), draws AS (
+        |  SELECT sb.j, b.b, sb.x, z.mj, sb.n,
+        |    CAST(list_sum(list_transform(range(1, 13), tt ->
+        |      CAST(concat('0x', substr(md5(concat('blbw', CAST(sb.j AS VARCHAR), ':',
+        |        CAST(b.b AS VARCHAR), ':', sb.id, ':', CAST(tt AS VARCHAR))), 1, 15)) AS BIGINT)
+        |      - 576460752303423488
+        |    )) AS BIGINT) AS zeta
+        |  FROM subs sb JOIN sizes z USING (j), (SELECT unnest(range(0, 100)) AS b) b
+        |), wts AS (
+        |  SELECT j, b, x,
+        |    CAST(GREATEST(0.0, floor(
+        |      CAST(n AS DOUBLE)/CAST(mj AS DOUBLE)
+        |      + sqrt(CAST(n AS DOUBLE)/CAST(mj AS DOUBLE))
+        |        * (CAST(zeta AS DOUBLE) / 1152921504606846976.0)
+        |      + 0.5)) AS BIGINT) AS w
+        |  FROM draws
+        |), reps AS (
+        |  SELECT j, b,
+        |    CAST(CAST(sum(w*x) AS BIGINT) AS DOUBLE)
+        |      / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS m
+        |  FROM wts GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT j, b, m, row_number() OVER (PARTITION BY j ORDER BY m, b) AS r FROM reps
+        |), cij AS (
+        |  SELECT r.j,
+        |    CAST(round(1e9 * (min(r.m) - CAST(z.sxj AS DOUBLE)/CAST(z.mj AS DOUBLE))) AS BIGINT) AS lo_nano_j,
+        |    CAST(round(1e9 * (max(r.m) - CAST(z.sxj AS DOUBLE)/CAST(z.mj AS DOUBLE))) AS BIGINT) AS hi_nano_j
+        |  FROM ranked r JOIN sizes z USING (j)
+        |  WHERE r.r = 3 OR r.r = 98 GROUP BY r.j, z.sxj, z.mj
+        |)
+        |SELECT t.n, CAST(5 AS BIGINT) AS s, CAST(100 AS BIGINT) AS b,
+        |  CAST(round(1e9 * CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)) AS BIGINT) AS mean_nano,
+        |  CAST(round(1e9 * CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)) AS BIGINT)
+        |    + CAST(round(CAST(sum(lo_nano_j) AS DOUBLE) / 5.0) AS BIGINT) AS lo_nano,
+        |  CAST(round(1e9 * CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)) AS BIGINT)
+        |    + CAST(round(CAST(sum(hi_nano_j) AS DOUBLE) / 5.0) AS BIGINT) AS hi_nano
+        |FROM cij, t GROUP BY t.n, t.sx""".stripMargin)
 
   /** Staged invariant oracles for the queries whose full-replay SQL
     * is infeasible for DuckDB at sf0.1+/sf1 (r10 verdict item #1) —

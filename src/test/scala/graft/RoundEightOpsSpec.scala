@@ -221,6 +221,42 @@ class RoundEightOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate id"))
   }
 
+  // ---- Experiment.blbMeanCi (the production twin) ----
+
+  test("blbMeanCi: deterministic, partitioning-independent, anchored at the full-data mean") {
+    val df = (1L to 400L).map(i => (i, (i * 37) % 100)).toDF("id", "v")
+    val a = graft.ops.Experiment.blbMeanCi(df, "id", "v", s = 5, b = 50, alphaPct = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val b2 = graft.ops.Experiment.blbMeanCi(df.repartition(13), "id", "v",
+      s = 5, b = 50, alphaPct = 10)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(a == b2) // hash-driven subsets + weights: pure function of the data
+    assert(a._1 == 400L && a._2 == 5L && a._3 == 50L)
+    assert(a._5 <= a._4 && a._4 <= a._6) // lo <= mean <= hi
+    assert(a._6 - a._5 > 0)              // non-degenerate interval
+    // the interval brackets the SAME target as the Efron form and has
+    // comparable width (same n, same statistic — BLB's whole claim)
+    val ef = graft.ops.Experiment.bootstrapMeanCi(df, "id", "v", b = 50, alphaPct = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val (wBlb, wEf) = (a._6 - a._5, ef._5 - ef._4)
+    assert(wBlb > wEf / 3 && wBlb < wEf * 3,
+      s"BLB width $wBlb implausible vs Efron width $wEf")
+  }
+
+  test("blbMeanCi: guards fail loud (dup id, even s, empty input)") {
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("id", "v")
+    val e = intercept[Exception](
+      graft.ops.Experiment.blbMeanCi(dup, "id", "v", 5, 20, 10).collect())
+    assert(e.getMessage.contains("duplicate id"))
+    val even = intercept[IllegalArgumentException](
+      graft.ops.Experiment.blbMeanCi(dup, "id", "v", 4, 20, 10))
+    assert(even.getMessage.contains("odd"))
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    val e2 = intercept[Exception](
+      graft.ops.Experiment.blbMeanCi(empty, "id", "v", 5, 20, 10).collect())
+    assert(e2.getMessage.contains("empty input"))
+  }
+
   // ---- Pca.topComponent ----
 
   test("pca: recovers the dominant axis of an anisotropic cloud; deterministic under partitioning") {
