@@ -34,17 +34,19 @@ package graft
   *    modularity consumes the identical shared labels frame
   *    (Graphs.labelsBipartite is memoized; bit-identical by spec).
   *    The 3-round LPA unroll — the part that detonated — never runs.
-  *  - q_dbscan: certificate checks over `result` — exact core/density
-  *    recount (grid-bucketed pair join, the engine's own candidate
-  *    structure), eps-adjacent core pairs must share a label (full
-  *    under-merge check), exact border/noise recompute, cluster-id =
-  *    min member id + root self-membership, and a connectivity
-  *    (over-merge) check on every cluster with <= 256 core members
-  *    via a recursion BOUNDED by the sampled clusters' sizes. Large
-  *    percolated clusters get the one-pass 'no isolated member'
-  *    check instead of full reachability — stated honestly: under-
-  *    merge is fully verified at all sizes; over-merge is fully
-  *    verified on small clusters and 1-step-verified on large ones.
+  *  - q_dbscan: exact core/density recount (grid-bucketed pair
+  *    join, the engine's own candidate structure), exact border/
+  *    noise recompute, and a FULL INDEPENDENT RECOMPUTE of the core
+  *    clustering by statically-unrolled large-star/small-star
+  *    contraction (12 rounds, each a fixed set of linear joins over
+  *    materialized temp tables — never a recursion) whose labels
+  *    must equal the engine's exactly. Size-blind: over-merge and
+  *    under-merge of ANY cluster size are both fully verified (r11
+  *    verdict item #3 — this retires the old <=256-core-bounded
+  *    reachability recursion and the 1-step large-cluster witness);
+  *    a still-changing edge set after the last unrolled round emits
+  *    its own `cc_unconverged` violation, so an exhausted unroll
+  *    fails honestly-inconclusive instead of passing.
   *  - q_ivfpq_topk: full exact recompute with the ADC LOOKUP-TABLE
   *    factored out (50 queries × 4 subspaces × 16 codes = 3,200
   *    rows), so the candidate join carries three BIGINTs per row
@@ -195,38 +197,35 @@ object InvariantOracles {
       |JOIN db_res cr ON cr.id = s.nb AND cr.role = 'core'
       |JOIN db_res me ON me.id = s.id AND me.role != 'core'
       |GROUP BY 1""".stripMargin,
-    // connectivity certificate, bounded: clusters with <= 256 core
-    // members get full recursive reachability from their root
-    """CREATE TEMP TABLE db_small AS
-      |SELECT cluster_id AS root FROM db_res WHERE role = 'core'
-      |GROUP BY 1 HAVING count(*) <= 256""".stripMargin,
-    // ids that have at least one CORE neighbor — the 1-step
-    // connectivity witness for large clusters
-    """CREATE TEMP TABLE db_coreadj AS
-      |SELECT DISTINCT id FROM (
-      |  SELECT p.id_a AS id FROM db_pairs p JOIN db_res b ON b.id = p.id_b AND b.role = 'core'
-      |  UNION ALL
-      |  SELECT p.id_b FROM db_pairs p JOIN db_res a ON a.id = p.id_a AND a.role = 'core')""".stripMargin,
-    """CREATE TEMP TABLE db_ssym AS
-      |SELECT a.cluster_id AS root, p.id_a AS u, p.id_b AS v
+    // ---- FULL independent recompute of the core clustering (r11
+    // verdict item #3 — retires the <=256-bounded reachability
+    // recursion AND the 1-step large-cluster witness): statically
+    // unrolled LARGE-STAR / SMALL-STAR contraction (Kiveris et al.
+    // SoCC 2014, the engine's own algorithm — provably O(log² n)
+    // rounds on ANY topology), each round a fixed set of LINEAR
+    // joins/aggregates over materialized temp tables, never a
+    // recursion. The final label comparison is size-blind, so
+    // over-merge AND under-merge of clusters of ANY size are both
+    // fully verified; an unconverged unroll (edge set still changing
+    // after the last round) emits its own violation row — the gate
+    // then fails HONESTLY-INCONCLUSIVE instead of passing wrongly.
+    // Unroll depth 12: the engine's measured convergence on the
+    // percolated sf0.1 cloud is ~5 rounds and the bound grows as
+    // log², so 12 carries orders-of-magnitude headroom; rounds after
+    // the fixpoint are idempotent no-ops over the tiny star set. ----
+    """CREATE TEMP TABLE db_cc_core AS
+      |SELECT id FROM db_deg WHERE n_nb >= 2""".stripMargin,
+    """CREATE TEMP TABLE db_cc_e1 AS
+      |SELECT DISTINCT least(p.id_a, p.id_b) AS a, greatest(p.id_a, p.id_b) AS b
       |FROM db_pairs p
-      |JOIN db_res a ON a.id = p.id_a AND a.role = 'core'
-      |JOIN db_res b ON b.id = p.id_b AND b.role = 'core'
-      |JOIN db_small s ON s.root = a.cluster_id
-      |WHERE b.cluster_id = a.cluster_id
-      |UNION ALL
-      |SELECT a.cluster_id, p.id_b, p.id_a
-      |FROM db_pairs p
-      |JOIN db_res a ON a.id = p.id_a AND a.role = 'core'
-      |JOIN db_res b ON b.id = p.id_b AND b.role = 'core'
-      |JOIN db_small s ON s.root = a.cluster_id
-      |WHERE b.cluster_id = a.cluster_id""".stripMargin,
-    """WITH RECURSIVE reach(root, id) AS (
-      |  SELECT root, root FROM db_small
-      |  UNION
-      |  SELECT r.root, e.v FROM reach r JOIN db_ssym e ON e.root = r.root AND e.u = r.id
-      |)
-      |SELECT * FROM (
+      |JOIN db_cc_core x ON x.id = p.id_a JOIN db_cc_core y ON y.id = p.id_b
+      |WHERE p.id_a != p.id_b""".stripMargin) ++
+    (1 to 12).flatMap(starRound) ++ Seq(
+    """CREATE TEMP TABLE db_cc_lab AS
+      |SELECT c.id, COALESCE(mc.comp, c.id) AS comp
+      |FROM db_cc_core c LEFT JOIN (
+      |  SELECT b AS id, min(a) AS comp FROM db_cc_e13 GROUP BY 1) mc USING (id)""".stripMargin,
+    """SELECT * FROM (
       |  SELECT 'point_set_mismatch' AS chk, CAST(COALESCE(p.id, r.id) AS VARCHAR) AS detail
       |  FROM db_p p FULL OUTER JOIN db_res r ON r.id = p.id
       |  WHERE p.id IS NULL OR r.id IS NULL
@@ -235,17 +234,14 @@ object InvariantOracles {
       |  FROM db_res r LEFT JOIN db_deg d ON d.id = r.id
       |  WHERE (COALESCE(d.n_nb, 0) >= 2) != (r.role = 'core')
       |  UNION ALL
-      |  SELECT 'core_cluster_bounds', CAST(id AS VARCHAR)
-      |  FROM db_res WHERE role = 'core' AND (cluster_id IS NULL OR cluster_id > id)
+      |  SELECT 'cc_unconverged', CAST(COALESCE(x.a, y.a) AS VARCHAR)
+      |  FROM db_cc_e13 x FULL OUTER JOIN db_cc_e12 y ON y.a = x.a AND y.b = x.b
+      |  WHERE x.a IS NULL OR y.a IS NULL
       |  UNION ALL
-      |  SELECT 'split_core_edge', CAST(p.id_a AS VARCHAR) || '-' || CAST(p.id_b AS VARCHAR)
-      |  FROM db_pairs p
-      |  JOIN db_res a ON a.id = p.id_a JOIN db_res b ON b.id = p.id_b
-      |  WHERE a.role = 'core' AND b.role = 'core' AND a.cluster_id != b.cluster_id
-      |  UNION ALL
-      |  SELECT 'cluster_not_min_id', CAST(cluster_id AS VARCHAR)
-      |  FROM (SELECT cluster_id, min(id) AS mn FROM db_res WHERE role = 'core' GROUP BY 1)
-      |  WHERE mn != cluster_id
+      |  SELECT 'core_label_mismatch', CAST(COALESCE(r.id, l.id) AS VARCHAR)
+      |  FROM (SELECT id, cluster_id FROM db_res WHERE role = 'core') r
+      |  FULL OUTER JOIN db_cc_lab l ON l.id = r.id
+      |  WHERE r.id IS NULL OR l.id IS NULL OR r.cluster_id != l.comp
       |  UNION ALL
       |  SELECT 'border_mismatch', CAST(COALESCE(r.id, b.id) AS VARCHAR)
       |  FROM (SELECT id, cluster_id FROM db_res WHERE role = 'border') r
@@ -254,16 +250,34 @@ object InvariantOracles {
       |  UNION ALL
       |  SELECT 'noise_has_cluster', CAST(id AS VARCHAR)
       |  FROM db_res WHERE role = 'noise' AND cluster_id IS NOT NULL
-      |  UNION ALL
-      |  SELECT 'small_cluster_unreachable', CAST(m.id AS VARCHAR)
-      |  FROM db_res m JOIN db_small s ON s.root = m.cluster_id
-      |  LEFT JOIN reach r ON r.root = s.root AND r.id = m.id
-      |  WHERE m.role = 'core' AND r.id IS NULL
-      |  UNION ALL
-      |  SELECT 'nonsingleton_core_isolated', CAST(m.id AS VARCHAR)
-      |  FROM db_res m LEFT JOIN db_coreadj n ON n.id = m.id
-      |  WHERE m.role = 'core' AND m.cluster_id != m.id AND n.id IS NULL
       |) LIMIT 20""".stripMargin)
+
+  /** One large-star + small-star round over canonical edge table
+    * `cc_e<r>` → `cc_e<r+1>` — the exact DuckDB mirror of
+    * [[graft.operators.Components.connectedComponentsStars]]'s loop
+    * body: large-star hooks every LARGER neighbor to the local min,
+    * small-star flattens the rest (and the node itself) into stars.
+    * Six statements, each one linear pass — no recursion, no CTE
+    * re-inlining. */
+  private def starRound(r: Int): Seq[String] = {
+    val (prev, s1, m1, ls, s2, m2, next) =
+      (s"db_cc_e$r", s"db_cc_s1_$r", s"db_cc_m1_$r", s"db_cc_ls_$r",
+        s"db_cc_s2_$r", s"db_cc_m2_$r", s"db_cc_e${r + 1}")
+    Seq(
+      s"CREATE TEMP TABLE $s1 AS SELECT a AS u, b AS v FROM $prev UNION ALL SELECT b, a FROM $prev",
+      s"CREATE TEMP TABLE $m1 AS SELECT u, least(u, min(v)) AS m FROM $s1 GROUP BY 1",
+      s"""CREATE TEMP TABLE $ls AS
+         |SELECT DISTINCT least(s.v, m.m) AS a, greatest(s.v, m.m) AS b
+         |FROM $s1 s JOIN $m1 m USING (u) WHERE s.v > s.u AND s.v != m.m""".stripMargin,
+      s"CREATE TEMP TABLE $s2 AS SELECT a AS u, b AS v FROM $ls UNION ALL SELECT b, a FROM $ls",
+      s"CREATE TEMP TABLE $m2 AS SELECT u, least(u, min(v)) AS m FROM $s2 GROUP BY 1",
+      s"""CREATE TEMP TABLE $next AS
+         |SELECT DISTINCT least(q.x, q.y) AS a, greatest(q.x, q.y) AS b FROM (
+         |  SELECT s.v AS x, m.m AS y FROM $s2 s JOIN $m2 m USING (u) WHERE s.v < s.u
+         |  UNION ALL
+         |  SELECT u AS x, m AS y FROM $m2) q
+         |WHERE q.x != q.y""".stripMargin)
+  }
 
   private val ivfpq: Seq[String] = Seq(
     """CREATE TEMP TABLE iv_qz AS

@@ -43,12 +43,18 @@ CORRUPTIONS = {
          "WHERE id = (SELECT min(id) FROM t WHERE role='core' AND cluster_id = "
          "(SELECT min(cluster_id) FROM t WHERE cluster_id IS NOT NULL))",
          None),  # trips several checks; any is fine
-        # the pure over-merge: relabel ALL rows of the second cluster
-        # to the first cluster's id — locally consistent everywhere
-        ("UPDATE t SET cluster_id = (SELECT min(cluster_id) FROM t WHERE role='core') "
+        # the pure over-merge, planted on the TWO LARGEST clusters
+        # (r11 verdict item #3's DoD — the old reachability
+        # certificate only fully verified clusters with <=256 cores;
+        # the star-contraction recompute is size-blind): relabel ALL
+        # rows of the second-largest cluster to the largest one's id —
+        # internally consistent under every local check, caught only
+        # by the full independent label recompute
+        ("UPDATE t SET cluster_id = (SELECT cluster_id FROM t WHERE role='core' "
+         "GROUP BY 1 ORDER BY count(*) DESC, cluster_id LIMIT 1) "
          "WHERE cluster_id = (SELECT cluster_id FROM t WHERE role='core' "
-         "GROUP BY 1 ORDER BY min(id) LIMIT 1 OFFSET 1)",
-         "small_cluster_unreachable"),
+         "GROUP BY 1 ORDER BY count(*) DESC, cluster_id LIMIT 1 OFFSET 1)",
+         "core_label_mismatch"),
     ],
 }
 
