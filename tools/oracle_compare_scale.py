@@ -125,7 +125,12 @@ try:
         con.execute(s)
     rows = con.execute(stmts[-1]).fetchall()
 except Exception as e:
-    print(json.dumps({"status": "fail_invariant",
+    # a statement that fails to EXECUTE is infra breakage (DuckDB
+    # version drift, malformed staged SQL), not an engine mismatch —
+    # emit a distinct status so gate consumers never count it in
+    # n_fail (r11 advice). OOM/disk strings still remap to
+    # oracle_resource in run_worker.
+    print(json.dumps({"status": "invariant_error",
                       "reason": f"exec error {e}"})); sys.exit(0)
 if rows:
     print(json.dumps({"status": "fail_invariant",
@@ -155,7 +160,7 @@ def run_worker(worker_path, out_dir, sf_dir, name, timeout, invariant):
     # resource-exhausted oracles are the oracle_timeout class, not a
     # mismatch: the DUCKDB side ran out of disk/temp budget before
     # producing an answer (the engine side already dumped fine)
-    if r.get("status") in ("fail", "fail_invariant") and any(
+    if r.get("status") in ("fail", "fail_invariant", "invariant_error") and any(
             s in r.get("reason", "") for s in
             ("No space left", "temp_directory size", "Out of Memory")):
         r["status"] = "oracle_resource"
@@ -245,6 +250,11 @@ def main(argv):
                                     if v["status"] == "oracle_timeout"),
             "n_oracle_resource": sum(1 for v in results.values()
                                      if v["status"] == "oracle_resource"),
+            # infra breakage in an invariant's own SQL (exec error) —
+            # never conflated with engine mismatches; retried on
+            # resume like timeouts (not in DECIDED)
+            "n_invariant_error": sum(1 for v in results.values()
+                                     if v["status"] == "invariant_error"),
             "timeout_sec": timeout, "queries": results,
         }
         with open(artifact, "w") as f:
