@@ -103,6 +103,23 @@ object SparkEntry {
         .select(col("event_id"), round(col("value") * 100).cast("long").as("cents"))
       graft.ops.Experiment.blbMeanCi(ev, "event_id", "cents",
         s = 5, b = 100, alphaPct = 5)
+    }),
+    // ---- typed zone maps (r11 verdict item #8): a time-range read
+    // over an event table committed range-clustered on ts with
+    // TIMESTAMP (+ double) manifest envelopes — readPrunedTyped
+    // encodes the bounds through the same monotone map the commit
+    // used and skips disjoint files (TypedStatsSpec measures the
+    // skipping; this oracle proves the pruned read loses nothing:
+    // it must equal the plain filtered aggregate) ----
+    "q_prune_time" -> ((s, dir) => {
+      val t = graft.sources.Snapshots.ensureTimeTable(s, dir)
+      graft.sources.Snapshots.readPrunedTyped(s, t, "ts",
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-05T00:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2024-01-12T00:00:00Z")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_type"))
     }))
 
   // ==== round 9: cross-modal pair alignment (the CLIP-shaped
@@ -3333,7 +3350,18 @@ object SparkEntry {
         |    + CAST(round(CAST(sum(lo_nano_j) AS DOUBLE) / 5.0) AS BIGINT) AS lo_nano,
         |  CAST(round(1e9 * CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE)) AS BIGINT)
         |    + CAST(round(CAST(sum(hi_nano_j) AS DOUBLE) / 5.0) AS BIGINT) AS hi_nano
-        |FROM cij, t GROUP BY t.n, t.sx""".stripMargin)
+        |FROM cij, t GROUP BY t.n, t.sx""".stripMargin,
+
+    // typed zone maps: the pruned time-range read must equal the
+    // plain filtered aggregate over the raw feed
+    "q_prune_time" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
 
   /** Staged invariant oracles for the queries whose full-replay SQL
     * is infeasible for DuckDB at sf0.1+/sf1 (r10 verdict item #1) —

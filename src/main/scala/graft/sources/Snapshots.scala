@@ -294,12 +294,58 @@ object Snapshots {
     else reconciledScan(spark, tableDir, v, files).where(col(c) === value) // alias-safe
   }
 
+  /** Order-preserving Long encoding of a collected stat value — the
+    * typed-zone-map seam (r11 verdict item #8): manifest envelopes
+    * stay plain `col=min:max` longs, and EVERY supported type maps
+    * through a strictly monotone function, so encoded-interval
+    * disjointness ⇔ value-interval disjointness and pruning is never
+    * lossy. Integral → identity; date → epoch days; timestamp →
+    * epoch micros; float/double → sign-folded IEEE bits (negatives
+    * map to −magnitude: monotone, NaN canonicalizes ABOVE +Inf —
+    * matching Spark's NaN-is-greatest aggregate ordering, so a
+    * NaN-carrying file's envelope stays conservative). Unsupported
+    * types fail loud at COMMIT time naming the alternatives. */
+  private[graft] def encodeStat(v: Any, c: String): Option[Long] = v match {
+    case null => None
+    case b: java.lang.Byte => Some(b.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l.longValue)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp => // floorDiv: pre-epoch seconds floor, not truncate
+      Some(Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000)
+    case t: java.time.Instant =>
+      Some(java.time.temporal.ChronoUnit.MICROS.between(java.time.Instant.EPOCH, t))
+    case t: java.time.LocalDateTime => // TIMESTAMP_NTZ: micros as-if-UTC
+      Some(java.time.temporal.ChronoUnit.MICROS.between(
+        java.time.LocalDateTime.of(1970, 1, 1, 0, 0), t))
+    case f: java.lang.Float => Some(orderedDoubleBits(f.doubleValue))
+    case d: java.lang.Double => Some(orderedDoubleBits(d.doubleValue))
+    case other => throw new IllegalArgumentException(
+      s"Snapshots: statsCols('$c') got unsupported ${other.getClass.getSimpleName} — " +
+        "supported: integral, date, timestamp(_ntz), float, double; " +
+        "high-cardinality strings belong in bloomCols")
+  }
+
+  /** Strictly monotone double → signed-long fold: non-negative
+    * doubles keep their IEEE bits (already increasing); negatives map
+    * to minus-magnitude (more negative double → larger magnitude →
+    * smaller long). −0.0 and +0.0 both map to 0 — numerically equal,
+    * so envelopes lose nothing. */
+  private[graft] def orderedDoubleBits(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(d)
+    if (bits >= 0) bits else -(bits & Long.MaxValue)
+  }
+
   /** Per-file min/max manifest lines for the just-written files —
     * one read-back aggregate over the NEW files only (the zone-map
-    * pass real formats fold into the writer). Stats are Long-cast:
-    * integral columns get exact envelopes; a column that casts to
-    * NULL (non-integral, all-NULL file) simply records no stat for
-    * that file, and pruning stays conservative. */
+    * pass real formats fold into the writer). min/max run in each
+    * column's NATIVE type and the two resulting values encode
+    * through [[encodeStat]] — so date/timestamp/double columns get
+    * first-class envelopes (event-time pruning at 100 TB), while the
+    * manifest format stays plain longs. An all-NULL file records no
+    * stat for that column and pruning stays conservative. */
   private def statLines(spark: SparkSession, dataDir: String,
                         newFiles: Seq[String], statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions._
@@ -307,7 +353,7 @@ object Snapshots {
     // (`rows=<n>` part — no ':' so the min/max parser skips it):
     // metadata-only COUNT(*) / incremental sizing come free with it
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"__min_$c"), max(col(c).cast("long")).as(s"__max_$c"))) :+
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) :+
       count(lit(1)).as("__rows")
     val rows = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
@@ -315,14 +361,38 @@ object Snapshots {
     val byPath = rows.map { r =>
       val path = Paths.get(new java.net.URI(r.getString(0))).toString
       val stats = statsCols.flatMap { c =>
-        val mi = r.getAs[Any](s"__min_$c"); val ma = r.getAs[Any](s"__max_$c")
-        if (mi == null || ma == null) None
-        else Some(s"$c=${mi.asInstanceOf[Long]}:${ma.asInstanceOf[Long]}")
+        val mi = encodeStat(r.getAs[Any](s"__min_$c"), c)
+        val ma = encodeStat(r.getAs[Any](s"__max_$c"), c)
+        (mi, ma) match {
+          case (Some(a), Some(b)) => Some(s"$c=$a:$b")
+          case _ => None
+        }
       } :+ s"rows=${r.getAs[Long]("__rows")}"
       path -> stats
     }.toMap
     // a file that produced no groupBy row is EMPTY (zero rows)
     newFiles.map(f => (f +: byPath.getOrElse(f, Seq("rows=0"))).mkString("\t"))
+  }
+
+  /** Typed-bound pruned read: the [[readPruned]] shape for ANY
+    * stats-supported column type — `lo`/`hi` are VALUES of the
+    * column's type (java.sql.Timestamp / Date / Double / Long …),
+    * encoded through the same monotone map the commit used, so file
+    * skipping is provably conservative; the exact BETWEEN predicate
+    * applies with the original typed literals. */
+  def readPrunedTyped(spark: SparkSession, tableDir: String, c: String,
+                      lo: Any, hi: Any, version: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = if (version >= 0) version else currentVersion(tableDir)
+    require(v > 0, s"Snapshots: $tableDir has no committed versions")
+    val loE = encodeStat(lo, c).getOrElse(
+      throw new IllegalArgumentException(s"Snapshots: readPrunedTyped null lo bound"))
+    val hiE = encodeStat(hi, c).getOrElse(
+      throw new IllegalArgumentException(s"Snapshots: readPrunedTyped null hi bound"))
+    val pred = col(c).between(lit(lo), lit(hi))
+    val files = prunedFiles(tableDir, v, c, loE, hiE)
+    if (files.isEmpty) read(spark, tableDir, v).where(pred).limit(0)
+    else reconciledScan(spark, tableDir, v, files).where(pred) // alias-safe (see readPruned)
   }
 
   /** Per-file row counts of `version`: path → rows, for files whose
@@ -368,6 +438,20 @@ object Snapshots {
       s"Snapshots: minMaxFromStats('$c') on $tableDir@v$v — ${dv.size} live file(s) " +
         "carry merge-on-read deletion vectors, so recorded envelopes may not be " +
         "attained; run optimize() to bake the DVs first, or compute by scanning")
+    // typed zone maps store ENCODED envelopes (epoch days/micros,
+    // sign-folded double bits) — valid for pruning, but this verb
+    // returns VALUES and promises exactness, so it stays
+    // integral-only; a record schema that knows better refuses loud
+    manifestSchema(tableDir, v).map(parseStruct).foreach { st =>
+      st.fields.find(_.name == c).map(_.dataType).foreach {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"Snapshots: minMaxFromStats('$c') is integral-only (column is " +
+            s"${dt.catalogString}); typed envelopes serve PRUNING " +
+            "(readPrunedTyped) — compute value min/max by scanning")
+      }
+    }
     val counts = fileRowCounts(tableDir, v).toMap
     val envs = fileStats(tableDir, v).flatMap { case (path, stats) =>
       stats.get(c) match {
@@ -2181,6 +2265,24 @@ object Snapshots {
       tableDir.toString, "append", statsCols = stats)                   // v2
     commit(docs.where("doc_id < 0"), tableDir.toString, "overwrite")    // v3 (empty, wrong)
     rollback(tableDir.toString, 2)                                      // v4 == full corpus
+    tableDir.toString
+  }
+
+  /** Demo table for the q_prune_time oracle (typed zone maps, r11
+    * verdict item #8): the events feed committed range-clustered on
+    * EVENT TIME with timestamp + double envelopes — the layout a
+    * 100 TB event table actually has (time-ordered ingest ⇒ tight
+    * per-file time ranges), so a time-range predicate prunes files
+    * through [[readPrunedTyped]]. Rebuilt fresh per call (the
+    * ensureDemoTable convention). */
+  def ensureTimeTable(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = Integer.toHexString(sfDir.hashCode)
+    val tableDir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-timetab-$key")
+    if (Files.exists(tableDir))
+      Files.walk(tableDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    val ev = graft.Tables.events(spark, sfDir)
+    commit(ev.repartitionByRange(8, org.apache.spark.sql.functions.col("ts")),
+      tableDir.toString, "append", statsCols = Seq("ts", "value"))
     tableDir.toString
   }
 
