@@ -254,12 +254,19 @@ object Snapshots {
     * never lossy; stat-less columns never skip). Package-visible so
     * the spec can measure. */
   private[graft] def prunedFilesBox(tableDir: String, version: Int,
-                                    box: Seq[(String, Long, Long)]): Seq[String] =
+                                    box: Seq[(String, Long, Long)]): Seq[String] = {
+    // raw bounds fold into each column's encoded space (see
+    // boundEncoder) before the envelope comparison
+    val encBox = box.map { case (c, lo, hi) =>
+      val enc = boundEncoder(tableDir, version, c)
+      (c, enc(lo), enc(hi))
+    }
     fileStats(tableDir, version).collect {
-      case (path, stats) if box.forall { case (c, lo, hi) =>
+      case (path, stats) if encBox.forall { case (c, lo, hi) =>
         stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       } => path
     }
+  }
 
   /** Box read: conjunctive range predicates over several columns
     * with manifest-stat file skipping on EVERY dimension — the query
@@ -390,7 +397,7 @@ object Snapshots {
     val hiE = encodeStat(hi, c).getOrElse(
       throw new IllegalArgumentException(s"Snapshots: readPrunedTyped null hi bound"))
     val pred = col(c).between(lit(lo), lit(hi))
-    val files = prunedFiles(tableDir, v, c, loE, hiE)
+    val files = prunedFilesEncoded(tableDir, v, c, loE, hiE)
     if (files.isEmpty) read(spark, tableDir, v).where(pred).limit(0)
     else reconciledScan(spark, tableDir, v, files).where(pred) // alias-safe (see readPruned)
   }
@@ -470,12 +477,39 @@ object Snapshots {
     (envs.map(_._1).min, envs.map(_._2).max)
   }
 
+  /** Long-bound → encoded-bound translator for the RAW pruning API:
+    * integral/date/timestamp columns take raw longs in their encoded
+    * units already (values / epoch days / epoch micros — identity),
+    * but float/double envelopes are stored as sign-folded IEEE bits,
+    * so a raw numeric bound must fold the same way or pruning would
+    * silently compare values against bit patterns (caught by the
+    * z-order spec the moment typed stats landed). Record-less
+    * manifests keep the legacy identity. */
+  private def boundEncoder(tableDir: String, version: Int, c: String): Long => Long =
+    manifestSchema(tableDir, version).map(parseStruct)
+      .flatMap(_.fields.find(_.name == c)).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.DoubleType) |
+           Some(org.apache.spark.sql.types.FloatType) =>
+        (v: Long) => orderedDoubleBits(v.toDouble)
+      case _ => identity
+    }
+
   /** The file paths of `version` that can contain rows with
     * `col` in [lo, hi] — manifest-stat pruning: a file is skipped
     * ONLY when its recorded envelope is disjoint from the range;
     * files without a stat for `col` are always kept (no false
-    * skipping, ever). Package-visible so the spec can measure. */
+    * skipping, ever). Raw long bounds are interpreted in the
+    * column's VALUE space (see [[boundEncoder]]). Package-visible so
+    * the spec can measure. */
   private[graft] def prunedFiles(tableDir: String, version: Int,
+                                 c: String, lo: Long, hi: Long): Seq[String] = {
+    val enc = boundEncoder(tableDir, version, c)
+    prunedFilesEncoded(tableDir, version, c, enc(lo), enc(hi))
+  }
+
+  /** [[prunedFiles]] with bounds ALREADY in the encoded space —
+    * what [[readPrunedTyped]] produces via [[encodeStat]]. */
+  private def prunedFilesEncoded(tableDir: String, version: Int,
                                  c: String, lo: Long, hi: Long): Seq[String] =
     fileStats(tableDir, version).collect {
       case (path, stats) if stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } => path

@@ -138,7 +138,8 @@ class PlanSpec extends SparkSpec {
       "q_theil_sen", "q_bootstrap_ci", "q_conductance", "q_degree_dist",
       "q_knn_label", // knn inherits bruteForceTopK's corpus x broadcast-query cross, the q_cosine_topk shape
       "q_knn_noise", // same inherited scorer cross (leave-one-out audit over the labeled pool)
-      "q_lift_curve") // 1-row (n, pos) totals broadcast over the ranked frame, the q_ks_drift shape
+      "q_lift_curve", // 1-row (n, pos) totals broadcast over the ranked frame, the q_ks_drift shape
+      "q_bootstrap_blb") // the q_bootstrap_ci shape: 1-row (n, Σx) totals broadcast twice (subset fan-out + final line)
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.optimizedPlan.toString
       if (!allowCross(name)) {

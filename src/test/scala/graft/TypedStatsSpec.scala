@@ -58,9 +58,9 @@ class TypedStatsSpec extends SparkSpec {
     Snapshots.commit(Seq((5L, 100.0), (6L, Double.NaN)).toDF("id", "v").coalesce(1),
       t, statsCols = Seq("v"))
     val v = Snapshots.currentVersion(t)
-    val hit = Snapshots.prunedFiles(t, v, "v",
-      Snapshots.encodeStat(java.lang.Double.valueOf(-2.0), "v").get,
-      Snapshots.encodeStat(java.lang.Double.valueOf(3.0), "v").get)
+    // RAW long bounds — prunedFiles folds them into the double
+    // column's encoded space itself (the readPruned legacy API)
+    val hit = Snapshots.prunedFiles(t, v, "v", -2L, 3L)
     // file 1 ([-100,-50]) skipped; file 2 hit; file 3's envelope is
     // [100, NaN] — disjoint from [-2,3], legitimately skipped (NaN
     // never matches a BETWEEN anyway, so nothing is lost)
