@@ -248,30 +248,41 @@ object Bench {
         val isReceipt = receiptSet(name)
         val attempts = if (isReceipt) 1 else n
         val runs = (1 to attempts).map(_ => measured(name, fn))
-        val oks = runs.collect { case (t, true, _) => t }.sorted
-        val med = if (oks.isEmpty) -1.0
-          else if (oks.size % 2 == 1) oks(oks.size / 2)
-          else (oks(oks.size / 2 - 1) + oks(oks.size / 2)) / 2.0
-        val spread = if (oks.size < 2 || med <= 0) 0.0 else (oks.max - oks.min) / med
+        val oksChrono = runs.collect { case (t, true, _) => t }
+        // query-major consequence, measured on the first converted
+        // run: each query's FIRST run carries its one-time cost
+        // (codegen, page-cache first touch) back-to-back with warm
+        // runs, so a raw (max-min)/median conflates warm-up with
+        // variance (spread_median 0.49 on a quiet host). The MIN
+        // keeps every run; median/spread are computed over the WARM
+        // runs (first success dropped when >=2 successes remain) —
+        // back-to-back warm runs on a quiet host are tight, so the
+        // contention judgment measures the host again, not the JIT.
+        val warm = (if (oksChrono.size >= 3) oksChrono.drop(1) else oksChrono).sorted
+        val med = if (warm.isEmpty) -1.0
+          else if (warm.size % 2 == 1) warm(warm.size / 2)
+          else (warm(warm.size / 2 - 1) + warm(warm.size / 2)) / 2.0
+        val spread = if (warm.size < 2 || med <= 0) 0.0 else (warm.max - warm.min) / med
         // metrics from the first SUCCESSFUL run — shuffle/spill bytes
         // are plan-determined and stable across passes
         val met = runs.collectFirst { case (_, true, m) => m }
           .getOrElse(Seq(-1.0, -1.0, -1.0, -1.0))
-        (name, if (oks.isEmpty) -1.0 else oks.min, med, spread, oks,
-          attempts, met, isReceipt)
+        (name, if (oksChrono.isEmpty) -1.0 else oksChrono.min, med, spread, oksChrono,
+          attempts, met, isReceipt, warm.size)
       }
       sys.env.get("SPARK_GRAFT_BENCH_STATS_OUT").foreach { path =>
         val w = new java.io.PrintWriter(path)
-        try stats.foreach { case (name, mn, med, spread, oks, _, met, isReceipt) =>
+        try stats.foreach { case (name, mn, med, spread, oks, _, met, isReceipt, _) =>
+          // times are CHRONOLOGICAL (first entry is the cold run)
           w.println(s"""{"query":"$name","min":${f3(mn)},"median":${f3(med)},"spread":${f3(spread)},"times":[${oks.map(f3).mkString(",")}],"receipt":$isReceipt,"shuffle_read_mb":${f3(met(0))},"shuffle_write_mb":${f3(met(1))},"spill_mb":${f3(met(2))},"peak_task_mem_mb":${f3(met(3))}}""")
         } finally w.close()
       }
-      // spread pool: only non-receipt queries measured in >=2 passes —
-      // a single-success row's spread is undefined, and counting it
-      // as 0.0 would bias the contention judgment toward 'clean'
-      // exactly when failures are contention-correlated
+      // spread pool: only non-receipt queries with >=2 WARM runs — a
+      // single-sample spread is undefined, and counting it as 0.0
+      // would bias the contention judgment toward 'clean' exactly
+      // when failures are contention-correlated
       val spreads = stats
-        .filter(r => r._3 > 0 && r._5.size >= 2 && !r._8).map(_._4).sorted
+        .filter(r => r._3 > 0 && r._9 >= 2 && !r._8).map(_._4).sorted
       val spreadMed = if (spreads.isEmpty) 0.0
         else if (spreads.size % 2 == 1) spreads(spreads.size / 2)
         else (spreads(spreads.size / 2 - 1) + spreads(spreads.size / 2)) / 2.0
@@ -287,7 +298,7 @@ object Bench {
       val total = stats.filterNot(_._8).map(_._2).filter(_ >= 0).sum
       val receiptTotal = stats.filter(_._8).map(_._2).filter(_ >= 0).sum
       val totalMed = stats.filterNot(_._8).map(_._3).filter(_ >= 0).sum
-      val qs = stats.map { case (name, mn, _, _, _, _, _, _) => s"\"$name\":${f3(mn)}" }
+      val qs = stats.map { case (name, mn, _, _, _, _, _, _, _) => s"\"$name\":${f3(mn)}" }
         .mkString("{", ",", "}")
       val regimesJson = regimesJsonFor(name => stats.exists(_._1 == name))
       println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$n,"pass_order":"query-major","contended":$contended,"spread_median":${f3(spreadMed)},"total_median_sec":${f3(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
