@@ -25,14 +25,28 @@ import org.apache.spark.sql.functions._
   * iteration count (the caller picks the analysis horizon) instead
   * of pretending a fixpoint test terminates.
   *
-  * Scale shape per round — exactly the PageRank loop body: one
-  * equi-join of the edge list (hash-partitioned by src once, cached)
-  * against the O(nodes) label frame, then two hash aggregates
-  * ((dst, label) vote counts, then the arg-min pick as a struct
-  * min — partial-aggregable, no window). Eager checkpoint per round
-  * keeps the plan constant-size (`Checkpoints.truncate`; pass a
-  * reliable checkpoint dir on real clusters, same contract as
-  * `PageRank.ranks`).
+  * Scale shape per round (r12 verdict item #1 — the old form was
+  * measured at exponent 1.47 across the sf1→sf10 decade, two fixes):
+  *
+  *   - ONE vote shuffle per round, sized to the edge count. The vote
+  *     stream (edge join output ∪ self-votes) repartitions by `id`
+  *     once; both aggregates then run exchange-free on top of it
+  *     (HashPartitioning(id) satisfies the (id, lab) clustering of
+  *     the count and the (id) clustering of the arg-min). Partition
+  *     count scales with |E| (~1.5M vote rows per task) instead of
+  *     the old pinned 32, so a 10× graph gets 10× the tasks, not 10×
+  *     the rows per task.
+  *   - The arg-min pick is [[graft.plans.ArgMinLong]] — a primitive-
+  *     buffer DeclarativeAggregate inside whole-stage codegen. The
+  *     old `min(struct(-c, lab))` planned ObjectHashAggregateExec,
+  *     whose sort-based fallback (128-key threshold) turned every
+  *     high-cardinality round (round 1's (id, label) group count ≈
+  *     |E|) into a full spilled sort of the vote stream — THE
+  *     super-linear term the sf10 probe isolated.
+  *
+  * Eager checkpoint per round keeps the plan constant-size
+  * (`Checkpoints.truncate`; pass a reliable checkpoint dir on real
+  * clusters, same contract as `PageRank.ranks`).
   */
 object LabelProp {
 
@@ -41,30 +55,45 @@ object LabelProp {
     * itself). Feed a symmetrized edge list for undirected semantics.
     * A node with no in-edges keeps its current label (its self-vote
     * is unopposed).
-    */
-  def labels(edges: DataFrame, iters: Int, partitions: Int = 32): DataFrame = {
+    *
+    * `partitions <= 0` (the default) sizes the per-round vote
+    * shuffle from one edge count: max(session shuffle partitions,
+    * |E| / 1.5M), capped at 20k tasks. Pass an explicit positive
+    * count to skip the sizing pass. Results are bit-identical under
+    * any partitioning (every aggregate is order-independent). */
+  def labels(edges: DataFrame, iters: Int, partitions: Int = 0): DataFrame = {
     require(iters >= 1, s"labels: iters must be >= 1, got $iters")
-    val e = edges
+    val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .repartition(partitions, col("src"))
-      .persist()
+    val nP =
+      if (partitions > 0) partitions
+      else {
+        val spark = edges.sparkSession
+        val session = spark.sessionState.conf.numShufflePartitions
+        val nEdges = e0.count()
+        math.max(session, math.min(20000L, nEdges / 1500000L + 1L).toInt)
+      }
+    val e = e0.repartition(nP, col("src")).persist()
     var lab = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
       .select(col("id"), col("id").as("lab"))
       .transform(graft.ops.Checkpoints.truncate)
     for (_ <- 1 to iters) {
+      // one explicit id-shuffle of the vote stream; the (id, lab)
+      // count AND the per-id arg-min both reuse its partitioning
+      // (zero further exchanges — see the Scaladoc scale shape)
       val votes = e
         .join(lab.select(col("id").as("src"), col("lab")), Seq("src"))
         .select(col("dst").as("id"), col("lab"))
         .unionByName(lab) // the self-vote
-        .groupBy(col("id"), col("lab"))
-        .agg(count(lit(1)).as("c"))
+        .repartition(nP, col("id"))
       // arg-min over (-count, label): most votes, then smallest label
       lab = votes
+        .groupBy(col("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("id"))
-        .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab"))).as("m"))
-        .select(col("id"), col("m.lab").as("lab"))
+        .agg(graft.plans.ArgMinLong.argMinLong(-col("c"), col("lab")).as("lab"))
         .transform(graft.ops.Checkpoints.truncate)
     }
     e.unpersist(blocking = false)

@@ -43,6 +43,37 @@ class LabelPropSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("matches a per-round brute-force reference on a random-ish graph") {
+    // deterministic pseudo-random graph; reference = literal
+    // driver-side replay of the synchronous vote rule
+    val pairs = (0L until 300L).map(i =>
+      (i % 40L, (i * 37L + 11L) % 40L)).filter(p => p._1 != p._2).distinct
+    val edges = sym(pairs)
+    val adj = (pairs ++ pairs.map(_.swap)).distinct
+      .groupBy(_._2).view.mapValues(_.map(_._1)).toMap // in-neighbors
+    val nodes = (pairs.flatMap(p => Seq(p._1, p._2))).distinct
+    var ref = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      ref = nodes.map { n =>
+        val votes = (adj.getOrElse(n, Seq.empty).map(ref) :+ ref(n))
+          .groupBy(identity).view.mapValues(_.size).toSeq
+        n -> votes.minBy { case (lb, c) => (-c, lb) }._1
+      }.toMap
+    }
+    val got = LabelProp.labels(edges, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == ref)
+  }
+
+  test("auto-sized partitions equal an explicit partition count") {
+    val pairs = (1L to 80L).map(i => (i, i % 9 + 200L))
+    val a = LabelProp.labels(sym(pairs), iters = 3) // partitions <= 0: auto
+      .as[(Long, Long)].collect().toSet
+    val b = LabelProp.labels(sym(pairs), iters = 3, partitions = 7)
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("communities rolls labels up to sizes") {
     val edges = sym(Seq((1L, 2L), (10L, 11L)))
     val got = LabelProp.communities(edges, iters = 3)
