@@ -17,6 +17,15 @@ object Bench {
     // consumers are all filtered out are skipped too.
     val benchOnly: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loud on unknown names (r12 advice): a typo'd filter used to
+    // silently bench zero queries and publish a plausible-looking
+    // artifact with total_sec 0 and n_failed 0
+    benchOnly.foreach { only =>
+      val unknown = only -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names ${unknown.toSeq.sorted.mkString(", ")} " +
+          "are not SparkEntry.queries keys — fix the filter (names are exact)")
+    }
     def stageNeeded(consumers: Set[String]): Boolean =
       benchOnly.forall(only => (only & consumers).nonEmpty)
     val spark = SparkSession.builder()
@@ -78,6 +87,60 @@ object Bench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // 3-decimal formatting (Locale.ROOT: no grouping/comma surprises):
+    // at ~100 queries a full-precision line is ~3.6 KB and overflows the
+    // harness's tail capture, which then fails to parse the JSON at all.
+    // Millisecond resolution is far below run-to-run noise anyway.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // ---- contention canary (r12 verdict item #3): the committed
+    // BENCH_r12.json shipped a ~1.4× uniformly-inflated total with
+    // "contended":false because the absolute total cutoff below sits
+    // ~1.9× above the clean total and the spread signal lives only in
+    // variance mode. The canary is a FIXED, SF-independent CPU job
+    // (a codegen'd hash-sum over spark.range — no IO, no shuffle)
+    // sampled at start / middle / end of the measured window:
+    //   - its cross-sample SPREAD catches bursty load (one slow
+    //     minute inflates one sample);
+    //   - its RATIO against a committed quiet-host reference
+    //     (BENCH_CANARY_REF.json) catches UNIFORM load, which spread
+    //     alone is structurally blind to — a busy-loop running beside
+    //     the whole bench inflates all three samples equally.
+    // Each sample is a min-of-2 (drops one-off GC/JIT hits). The
+    // decision is the pure `canaryVerdict` below, spec-proven.
+    def canarySample(): Double = {
+      def once(): Double = timed {
+        // pmod keeps the ANSI sum far from Long overflow (600M × <1e3)
+        spark.range(600000000L)
+          .select(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.xxhash64(
+                org.apache.spark.sql.functions.col("id")),
+              org.apache.spark.sql.functions.lit(1000L))))
+          .collect()
+      }
+      math.min(once(), once())
+    }
+    canarySample() // codegen/JIT warm for the canary job itself
+    val canaryRef: Option[Double] = {
+      val fromEnv = sys.env.get("SPARK_GRAFT_CANARY_REF")
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      def fromFile(p: String): Option[Double] =
+        scala.util.Try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")
+          """"canary_sec"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble)
+        }.toOption.flatten
+      fromEnv.orElse(fromFile("BENCH_CANARY_REF.json"))
+        .orElse(fromFile("/root/repo/BENCH_CANARY_REF.json"))
+    }
+    val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def canaryJson(): String = {
+      val (spread, ratio, flag) = canaryVerdict(canaryTimes.toSeq, canaryRef)
+      val refS = canaryRef.map(f3).getOrElse("null")
+      val ratioS = ratio.map(f3).getOrElse("null")
+      s"""{"times":[${canaryTimes.map(f3).mkString(",")}],"spread":${f3(spread)},"ref":$refS,"ratio":$ratioS,"flag":$flag}"""
+    }
     // per-stage PEAK-ish storage footprint (MB in memory / on disk of
     // every persisted or checkpointed block after the stage): the sf1
     // memory-governance run (r9 verdict item #4) needs the resident
@@ -131,11 +194,7 @@ object Bench {
       else timed(graft.ops.Graphs.dbscanCustomerGrid(spark, sfDir).count())
     val sDbscan = storageNow()
     val warmShared = (System.nanoTime() - tw) / 1e9
-    // 3-decimal formatting (Locale.ROOT: no grouping/comma surprises):
-    // at ~100 queries a full-precision line is ~3.6 KB and overflows the
-    // harness's tail capture, which then fails to parse the JSON at all.
-    // Millisecond resolution is far below run-to-run noise anyway.
-    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    canaryTimes += canarySample() // start-of-window canary sample
     // cumulative storage (mem, disk) MB after each warmup stage rides
     // the detail object: the DELTA between stages is that memo's
     // resident footprint, and a scale table can read it from the
@@ -172,8 +231,15 @@ object Bench {
     // receipt_total_sec) and, in variance mode, run once instead of
     // N times (a receipt needs no error bar; the sf1 one costs 59 s
     // per pass). Their production twins stay in the headline.
+    // …the sequential recurrence forms joined the receipt set in r13
+    // (r12 what's-wrong #5): they are deliberately-sequential reference
+    // instances whose chunked production twins sit beside them in the
+    // headline — under the 20%-hot skew twin the sequential forms cost
+    // 10-23× while the chunked twins hold 1.0-1.9×, so leaving them in
+    // the engine total made the skew headline measure the receipts.
     val receiptSet = regimeTagsRaw.collect {
-      case (k, "degenerate-reference") => k }.toSet
+      case (k, "degenerate-reference") => k
+      case (k, "sequential-reference") => k }.toSet
     // per-query resource metrics (r11 verdict item #4): shuffle bytes
     // read/written, spilled bytes, and peak per-task execution memory
     // via one SparkListener. These are DETERMINISTIC where wall time
@@ -244,7 +310,9 @@ object Bench {
       // spiked one pass of many adjacent sub-second queries at once.
       // Receipts run ONCE (no error bar needed; excluded from totals
       // and the spread pool — see receiptSet above).
-      val stats = qlist.map { case (name, fn) =>
+      val midIdx = qlist.size / 2
+      val stats = qlist.zipWithIndex.map { case ((name, fn), idx) =>
+        if (idx == midIdx && idx > 0) canaryTimes += canarySample()
         val isReceipt = receiptSet(name)
         val attempts = if (isReceipt) 1 else n
         val runs = (1 to attempts).map(_ => measured(name, fn))
@@ -286,10 +354,16 @@ object Bench {
       val spreadMed = if (spreads.isEmpty) 0.0
         else if (spreads.size % 2 == 1) spreads(spreads.size / 2)
         else (spreads(spreads.size / 2 - 1) + spreads(spreads.size / 2)) / 2.0
+      canaryTimes += canarySample() // end-of-window canary sample
       // 0.25: clean same-host repeat passes measure 2-10% per-query
       // spread; the documented contended incidents were 1.5-4x on the
-      // affected queries — 25% splits the regimes with wide margin
-      val contended = spreadMed > 0.25
+      // affected queries — 25% splits the regimes with wide margin.
+      // The canary verdict ORs in (r12 verdict #3): per-query spread
+      // is blind to UNIFORM load when every run of a query lands in
+      // the same loaded window — the canary's ratio-vs-reference sees
+      // it.
+      val (_, _, canaryFlag) = canaryVerdict(canaryTimes.toSeq, canaryRef)
+      val contended = spreadMed > 0.25 || canaryFlag
       val nFailed = stats.count(_._2 < 0)
       // a query that crashed in SOME passes but not all previously
       // published a clean min and left n_failed at 0 — the r11 advice
@@ -301,12 +375,13 @@ object Bench {
       val qs = stats.map { case (name, mn, _, _, _, _, _, _, _) => s"\"$name\":${f3(mn)}" }
         .mkString("{", ",", "}")
       val regimesJson = regimesJsonFor(name => stats.exists(_._1 == name))
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$n,"pass_order":"query-major","contended":$contended,"spread_median":${f3(spreadMed)},"total_median_sec":${f3(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$n,"pass_order":"query-major","contended":$contended,"canary":${canaryJson()},"spread_median":${f3(spreadMed)},"total_median_sec":${f3(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
       println(s"""{"total_sec":${f3(total)},"n_queries":${stats.size},"n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"passes":$n,"contended":$contended,"spread_median":${f3(spreadMed)},"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
       spark.stop()
       return
     }
     val pass1 = onePass()
+    canaryTimes += canarySample() // mid-window canary sample
     val p1total = pass1.map(_._2).sum
     // the contention cutoff scales with the suite: the healthy band
     // is ~1 s/query (r6: 59 s / 117; r7: ~125 s / 172 two-pass), and
@@ -329,12 +404,19 @@ object Bench {
         computedCutoff
       }
     }
-    val contended = p1total >= cutoff
-    val passes = if (contended) 1 else 2
+    // the absolute cutoff catches gross (2x+) inflation; the canary
+    // verdict catches the r12 failure mode — a uniform ~1.4x slowdown
+    // that sails under an absolute bar calibrated at ~1.9x the clean
+    // total (r12 verdict #3). Either signal skips the full second pass.
+    val contendedSoFar = p1total >= cutoff ||
+      canaryVerdict(canaryTimes.toSeq, canaryRef)._3
+    val passes = if (contendedSoFar) 1 else 2
     var pass2Status: Map[String, Boolean] = Map.empty
+    var pass2Total = -1.0
     val results =
-      if (!contended) {
+      if (!contendedSoFar) {
         val p2 = onePass()
+        pass2Total = p2.map(_._2).sum
         pass2Status = p2.map(r => r._1 -> r._3).toMap
         merge(pass1, p2.map(r => r._1 -> (r._2, r._3)).toMap)
       } else {
@@ -360,8 +442,12 @@ object Bench {
           name -> ((System.nanoTime() - t0) / 1e9, ok)
         }.toMap
         pass2Status = p2.map { case (k, (_, ok)) => k -> ok }
+        pass2Total = p2.values.map(_._1).sum // partial (slow-20 + failures)
         merge(pass1, p2)
       }
+    canaryTimes += canarySample() // end-of-window canary sample
+    val contended = contendedSoFar ||
+      canaryVerdict(canaryTimes.toSeq, canaryRef)._3
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val nFailed = results.count(_._2 < 0)
@@ -382,7 +468,7 @@ object Bench {
     val receiptTotal = results.collect {
       case (k, v) if v >= 0 && receiptSet(k) => v }.sum
     val regimesJson = regimesJsonFor(name => results.exists(_._1 == name))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$passes,"contended":$contended,"pass1_total_sec":${f3(p1total)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$passes,"contended":$contended,"canary":${canaryJson()},"pass1_total_sec":${f3(p1total)},"pass2_total_sec":${f3(pass2Total)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
     // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
     // per-query line above has been truncated mid-line two rounds
@@ -393,6 +479,33 @@ object Bench {
     // grep for the detailed line never double-counts.
     println(s"""{"total_sec":${f3(total)},"n_queries":${results.size},"n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"passes":$passes,"contended":$contended,"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Pure contention decision from the canary samples (r12 verdict
+    * item #3): `(spread, ratioOpt, flag)`.
+    *   - `spread` = (max−min)/min over the samples — catches BURSTY
+    *     load (one loaded minute inflates one sample). Threshold
+    *     0.30: the min-of-2 canary job repeats within a few percent
+    *     on a quiet host; documented contended incidents ran 1.5–4×.
+    *   - `ratio` = min(samples)/ref against the committed quiet-host
+    *     reference — catches UNIFORM load, which spread is
+    *     structurally blind to (a busy-loop beside the WHOLE bench
+    *     inflates every sample equally; the r12 artifact shipped a
+    *     ~1.4× uniformly-inflated total unflagged). min, not median:
+    *     one clean sample proves the host CAN run at reference speed.
+    *     Threshold 1.25 splits quiet (~1.0 ± JIT/thermal noise) from
+    *     the 1.4× regime. No reference ⇒ spread-only (never a false
+    *     flag from a missing file).
+    * Pure and public so BenchCanarySpec proves the quiet /
+    * uniform-1.4× / bursty cases without running a bench. */
+  def canaryVerdict(times: Seq[Double], ref: Option[Double])
+      : (Double, Option[Double], Boolean) = {
+    val spread =
+      if (times.size < 2 || times.min <= 0) 0.0
+      else (times.max - times.min) / times.min
+    val ratio = ref.filter(_ > 0).flatMap(r =>
+      times.reduceOption(_ min _).map(_ / r))
+    (spread, ratio, spread > 0.30 || ratio.exists(_ > 1.25))
   }
 
   /** Per-query resource metrics collector (r11 verdict item #4):
