@@ -151,7 +151,7 @@ object Snapshots {
       .map(_.toString).filter(_.matches(".*part-.*\\.parquet")).toSeq.sorted
     val statLined =
       if (statsCols.isEmpty) newFiles
-      else statLines(df.sparkSession, dataDir.toString, newFiles, statsCols)
+      else statLines(df.sparkSession, newFiles, statsCols)
     val newLines =
       if (bloomCols.isEmpty) statLined
       else statLined.map(l =>
@@ -311,7 +311,17 @@ object Snapshots {
     * map to −magnitude: monotone, NaN canonicalizes ABOVE +Inf —
     * matching Spark's NaN-is-greatest aggregate ordering, so a
     * NaN-carrying file's envelope stays conservative). Unsupported
-    * types fail loud at COMMIT time naming the alternatives. */
+    * types fail loud at COMMIT time naming the alternatives.
+    *
+    * MIGRATION NOTE (r11→r12 behavior change, flagged by the r12
+    * advice): before typed zone maps, a non-encodable statsCols entry
+    * (e.g. a string id) silently recorded NO stat; it now fails the
+    * commit loudly. An ingest job that listed such a column must drop
+    * it from statsCols (it never produced an envelope anyway) or move
+    * it to bloomCols, which is the membership structure strings
+    * actually want. The loud failure is deliberate — a silently
+    * stat-less column reads as "committed with stats" to every
+    * downstream pruning consumer. */
   private[graft] def encodeStat(v: Any, c: String): Option[Long] = v match {
     case null => None
     case b: java.lang.Byte => Some(b.longValue)
@@ -353,7 +363,7 @@ object Snapshots {
     * first-class envelopes (event-time pruning at 100 TB), while the
     * manifest format stays plain longs. An all-NULL file records no
     * stat for that column and pruning stays conservative. */
-  private def statLines(spark: SparkSession, dataDir: String,
+  private def statLines(spark: SparkSession,
                         newFiles: Seq[String], statsCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions._
     // the read-back pass also records each file's ROW COUNT
@@ -362,7 +372,10 @@ object Snapshots {
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))) :+
       count(lit(1)).as("__rows")
-    val rows = spark.read.parquet(dataDir)
+    // explicit file list, not a directory read: optimize's staging dir
+    // nests bin=/dvbake= subdirs whose mixed keys partition discovery
+    // would reject, and the commit path's newFiles are the same set
+    val rows = spark.read.parquet(newFiles: _*)
       .groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*)
       .collect() // one row per new file — listing-sized
     val byPath = rows.map { r =>
@@ -1247,7 +1260,7 @@ object Snapshots {
                                     files: Seq[String],
                                     mergeSchema: Boolean = false,
                                     withRowPos: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, regexp_replace, when}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, regexp_replace, url_decode, when}
     if (files.isEmpty) return spark.emptyDataFrame
     val allLines = fileLines(tableDir, v)
     val recordOpt = manifestSchema(tableDir, v).map(parseStruct)
@@ -1266,7 +1279,21 @@ object Snapshots {
     val wanted = files.toSet
     val dvm = dvRefs(allLines).filter { case (f, _) => wanted(f) }
     val needStamp = dvm.nonEmpty || withRowPos
-    val plainFile = regexp_replace(input_file_name(), "^file:/+", "/")
+    // input_file_name() is a percent-encoded URI: stripping the scheme
+    // alone left "%20" where the manifest (plain Paths) has " ", so on
+    // a URI-escapable tableDir every GFile consumer mismatched — the
+    // COW verbs failed loud, but deleteWhereMorHook's sidecar keys
+    // matched no manifest line and the MOR delete published a no-op
+    // version "successfully" (r12 advice, medium). Percent-decode like
+    // localPath's Paths.get(new URI(...)) does, codegen'd: url_decode
+    // is x-www-form-urlencoded (it would also turn a literal '+' into
+    // a space), so literal '+' is pre-escaped to %2B first — the
+    // composition is exactly percent-decoding. A second line of
+    // defense sits in deleteWhereMorHook (sidecar keys must be a
+    // subset of manifest paths, else abort loud).
+    val plainFile = regexp_replace(
+      url_decode(regexp_replace(input_file_name(), "\\+", "%2B")),
+      "^file:/+", "/")
     def stamp(df: DataFrame): DataFrame =
       if (!needStamp) df
       else applyDv(spark, df.withColumn(GFile, plainFile)
@@ -1660,9 +1687,49 @@ object Snapshots {
     // carries instead of silently dropping.
     val compacted = bins.values.flatten.toSet
     val keep = plain.filterNot(l => compacted.contains(l.split('\t')(0)))
-    val rewritten = Files.walk(outDir).iterator().asScala
+    val rewritten0 = Files.walk(outDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.matches(".*part-.*\\.parquet"))
       .map(_.toString).toSeq.sorted
+    // re-stat the rewritten/baked outputs when their SOURCE lines
+    // carried stats (r12 advice): publishing them bare traded
+    // minMaxFromStats' "run optimize() first" remedy for a fresh
+    // "carries no envelope" refusal and silently dropped countRows'
+    // rows= counts. Stat columns = the union of the source lines'
+    // envelope keys, translated through the rename-alias history
+    // (rewrites bake canonical names) and filtered to the record's
+    // encodable types (a retype to string after a stats commit must
+    // not crash the compactor — that column's envelope is simply not
+    // re-recordable).
+    val sourceLines = plain.filter(l => compacted.contains(l.split('\t')(0))) ++ dvLines
+    val carriedRows = sourceLines.exists(_.split('\t').drop(1).exists(_.startsWith("rows=")))
+    val srcStatKeys = sourceLines.flatMap(_.split('\t').drop(1))
+      .filterNot(p => p.startsWith("bloom:") || p.startsWith("dv:"))
+      .flatMap { p =>
+        val eq = p.indexOf('='); val co = p.indexOf(':', eq)
+        if (eq < 0 || co < 0) None else Some(p.substring(0, eq))
+      }.distinct
+    val record = manifestSchema(tableDir, head).map(parseStruct)
+    val aliasesNow = renameAliases(tableDir, head)
+    def currentNameOf(k: String): Option[String] =
+      record match {
+        case None => Some(k) // record-less table: physical names persist
+        case Some(st) if st.fieldNames.contains(k) => Some(k)
+        case Some(_) =>
+          aliasesNow.collectFirst { case (cur, olds) if olds.contains(k) => cur }
+      }
+    def encodable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType | org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+    val restatCols = srcStatKeys.flatMap(currentNameOf).distinct.filter(c =>
+      record.forall(_.fields.find(_.name == c).forall(f => encodable(f.dataType))))
+    val rewritten =
+      if (rewritten0.isEmpty || (restatCols.isEmpty && !carriedRows)) rewritten0
+      else statLines(spark, rewritten0, restatCols)
     beforePublish()
     // civil conflict (r10 verdict item #6): a racing append/COW verb
     // that won `v` makes this a loud ConcurrentModificationException
@@ -1988,6 +2055,19 @@ object Snapshots {
       Files.walk(dvDir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       return -1
     }
+    // every sidecar file key MUST name a manifest line: a normalization
+    // drift between the stamped scan path and the manifest path would
+    // otherwise stamp dv: parts on nothing and publish a "successful"
+    // delete that deleted nothing (r12 advice, medium — the exact bug
+    // the percent-decoding fix in reconciledScan closes; this guard
+    // turns any future recurrence loud)
+    val manifestPaths = files.toSet
+    val unknown = counts.keySet -- manifestPaths
+    require(unknown.isEmpty,
+      s"Snapshots: deleteWhereMorHook — ${unknown.size} sidecar file key(s) match no " +
+        s"v$head manifest line (e.g. ${unknown.take(2).mkString(", ")}); the stamped " +
+        "scan path and the manifest path have drifted — aborting instead of " +
+        "publishing a no-op delete")
     val newLines = lines.map { l =>
       counts.get(l.split('\t')(0)) match {
         case Some(n) => s"$l\tdv:$n:$dvDir"
@@ -2244,7 +2324,7 @@ object Snapshots {
     val newFiles = listParts(dataDir)
     val newLines =
       if (statsCols.isEmpty) newFiles
-      else statLines(df.sparkSession, dataDir.toString, newFiles, statsCols)
+      else statLines(df.sparkSession, newFiles, statsCols)
     var attempt = 0
     while (true) {
       val prev = currentVersion(tableDir)

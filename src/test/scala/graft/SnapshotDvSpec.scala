@@ -200,4 +200,49 @@ class SnapshotDvSpec extends SparkSpec {
     Snapshots.commit(Seq((40L, "h")).toDF("id", "s"), t)
     assert(ids(Snapshots.read(spark, t)) == Seq(1L, 2L, 11L, 20L, 21L, 40L))
   }
+
+  test("MOR delete works on a URI-escapable tableDir (space and '+' in the path)") {
+    // r12 advice (medium): input_file_name() percent-encodes, so on a
+    // path with a space the sidecar keys matched no manifest line and
+    // the MOR delete published a no-op version yet returned success.
+    // The stamped file column now percent-decodes ('+' handled — it
+    // must NOT decode to a space), and a subset guard aborts loud on
+    // any future drift instead of no-opping.
+    val t = java.nio.file.Files.createTempDirectory("snapdv")
+      .resolve("a b+c").resolve("t").toString
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s").coalesce(1), t,
+      statsCols = Seq("id"))
+    val v = Snapshots.deleteWhere(spark, t, $"id" === 2L, mode = "mor")
+    assert(v == 2)
+    assert(ids(Snapshots.read(spark, t)) == Seq(1L, 3L))
+    // COW on the same escapable path (regressed to the non-decoding
+    // column in r12 — failed loud there, must simply work now)
+    Snapshots.deleteWhere(spark, t, $"id" === 3L, mode = "cow")
+    assert(ids(Snapshots.read(spark, t)) == Seq(1L))
+  }
+
+  test("optimize re-stats baked/compacted outputs: minMaxFromStats' remedy works (r12 advice)") {
+    val t = threeFileTable()
+    Snapshots.deleteWhere(spark, t, $"id" === 21L, mode = "mor")
+    intercept[IllegalArgumentException](Snapshots.minMaxFromStats(t, "id"))
+    // follow the refusal's own advice: optimize() bakes the DVs…
+    Snapshots.optimize(spark, t, targetBytes = 1L)
+    // …and the baked outputs now carry fresh envelopes + rows= parts,
+    // so BOTH metadata verbs work instead of trading one refusal for
+    // another ("carries no envelope" / countRows' missing rows=)
+    assert(Snapshots.minMaxFromStats(t, "id") == (1L, 20L))
+    assert(Snapshots.countRows(t) == 5L)
+  }
+
+  test("optimize re-stats COMPACTED small files too (rows= and envelopes travel)") {
+    val t = freshTable()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s").coalesce(1), t, statsCols = Seq("id"))
+    Snapshots.commit(Seq((9L, "b")).toDF("id", "s").coalesce(1), t, statsCols = Seq("id"))
+    val v = Snapshots.optimize(spark, t, targetBytes = 1L << 20) // both files are small
+    assert(v > 0)
+    assert(Snapshots.minMaxFromStats(t, "id") == (1L, 9L))
+    assert(Snapshots.countRows(t) == 2L)
+    // and the envelope is real: a disjoint range prunes to zero files
+    assert(ids(Snapshots.readPruned(spark, t, "id", 100L, 200L)) == Seq.empty)
+  }
 }
