@@ -1629,17 +1629,24 @@ object SparkEntry {
         .orderBy(col("a_id"), col("b_id"))
     }),
     // ---- tuned high-threshold near-dup: the config banding theory
-    // actually prescribes for dup DETECTION (threshold 0.9, r=12,
-    // bands=lshParams(0.9, 0.01, 12)=28 → ~0.7% of all pairs as
-    // candidates, vs the degenerate selectivity any config has at
-    // 0.5 — see Similarity.lshParams). The corpus is seeded with a
-    // deterministic near-dup twin per vector (per-dim factors
-    // 1 + k/128, exactly representable doubles, so the oracle
-    // rebuilds the same twins bit-for-bit) ----
+    // actually prescribes for dup DETECTION (threshold 0.9, bands =
+    // lshParams(0.9, 0.01, 12) = 28, vs the degenerate selectivity
+    // any config has at 0.5 — see Similarity.lshParams). The corpus
+    // is seeded with a deterministic near-dup twin per vector
+    // (per-dim factors 1 + k/128, exactly representable doubles, so
+    // the oracle rebuilds the same twins bit-for-bit).
+    // planesPerBand SCALES WITH n (r12 verdict item #2): the r11-r12
+    // pinned r=12 made random bucket collisions quadratic
+    // (bands·n²/2^13) and guard-refused at sf10 with 845M pre-counted
+    // candidates; r = ⌈log₂ n⌉ + 5 pins them ≤ bands/64 · n — linear.
+    // n is one metadata-cheap count; the oracle derives the SAME r
+    // from its own COUNT(*) via the same integer power-of-two scan ----
     "q_embed_neardup_hi" -> ((s, dir) => {
+      val nCorpus = 2L * Tables.embeddings(s, dir).count() // base + twins
       graft.operators.Similarity.cosineNearDupPairsLsh(
           graft.operators.Similarity.twinSeeded(Tables.embeddings(s, dir)),
-          0.9, bands = 28, planesPerBand = 12)
+          0.9, bands = 28,
+          planesPerBand = graft.operators.Similarity.autoPlanesPerBand(nCorpus))
         .orderBy(col("a_id"), col("b_id"))
     }),
 
@@ -6403,9 +6410,12 @@ object SparkEntry {
         |ORDER BY eval_id, train_id""".stripMargin,
 
     // Same plane family and verify shape as q_embed_neardup, but
-    // 28 bands × 12 planes (336 planes) at threshold 0.9 over the
-    // twin-seeded corpus; the twin factors (1 + k/128) are exact
-    // doubles, so quantization agrees bit-for-bit across engines.
+    // 28 bands × r planes at threshold 0.9 over the twin-seeded
+    // corpus, where r = max(12, ceil_log2(corpus) + 5) MIRRORS
+    // Similarity.autoPlanesPerBand from DuckDB's own COUNT(*) via the
+    // identical integer power-of-two scan (no FP log on either side);
+    // the twin factors (1 + k/128) are exact doubles, so quantization
+    // agrees bit-for-bit across engines.
     "q_embed_neardup_hi" ->
       """WITH twin AS (
         |  SELECT vec_id + 1000000 AS tid,
@@ -6418,15 +6428,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT tid AS vec_id, list_transform(e, x -> CAST(round(x*10000) AS BIGINT)) AS v
         |  FROM twin
+        |), params AS (
+        |  SELECT least(40, greatest(12, min(i.i) + 5)) AS r
+        |  FROM (SELECT unnest(generate_series(1, 62)) AS i) i,
+        |       (SELECT count(*) AS n FROM corpus) nn
+        |  WHERE power(2.0, i.i) >= nn.n
         |), nrm AS (
         |  SELECT vec_id, v,
         |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
         |  FROM corpus
         |), planes AS (
-        |  SELECT p.p // 12 AS band, p.p % 12 AS j, i.i,
+        |  SELECT p.p // pr.r AS band, p.p % pr.r AS j, i.i,
         |    CASE WHEN CAST('0x' || substr(md5(p.p || ':' || i.i), 1, 15) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS s
-        |  FROM (SELECT unnest(generate_series(0, 335)) AS p) p,
-        |       (SELECT unnest(generate_series(0, 63)) AS i) i
+        |  FROM (SELECT unnest(generate_series(0, 28*40 - 1)) AS p) p,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) i,
+        |       params pr
+        |  WHERE p.p < 28 * pr.r
         |), proj AS (
         |  SELECT n.vec_id, pl.band, pl.j, CAST(SUM(n.v[pl.i + 1] * pl.s) AS BIGINT) AS dot
         |  FROM nrm n JOIN planes pl ON pl.i < len(n.v)

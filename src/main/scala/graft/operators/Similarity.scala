@@ -129,6 +129,35 @@ object Similarity {
     math.ceil(math.log(targetMiss) / math.log1p(-bandHit)).toInt
   }
 
+  /** n-scaled planes-per-band (r12 verdict item #2 — "planesPerBand
+    * must grow with log n"): the banded candidate volume has two
+    * terms, true near-dup pairs (linear in n) and RANDOM bucket
+    * collisions ≈ bands·n²/2·2^(−r) — quadratic at any FIXED r, which
+    * is exactly how the pinned r=12 config guard-refused at sf10 with
+    * 845M pre-counted candidates. Choosing r = ⌈log₂ n⌉ + slack pins
+    * the random term at ≤ bands·n/2^(slack+1), i.e. LINEAR with a
+    * 2^slack safety factor (slack 5 ⇒ ≤ bands/64 · n).
+    *
+    * The trade, stated: at a fixed band count, raising r lowers the
+    * hit rate of pairs AT the decision threshold (a c=0.9 pair
+    * survives a band with (1−acos(.9)/π)^r), so boundary-cosine
+    * recall decays as n grows — while near-1 duplicates (the twins /
+    * actual copies dedup hunts) survive a band with ≈0.99^r and 28
+    * bands still catch them with miss < 10⁻¹⁵ at r=40. Scaling BANDS
+    * instead would keep boundary recall but re-quadratic the cost
+    * (bands·r planes per vector). Dedup wants the linear path.
+    *
+    * ⌈log₂ n⌉ computes by exact integer comparison (min i with
+    * 2^i ≥ n) — no FP log, so the DuckDB oracle mirrors the same
+    * scan over powers of two and derives the identical r from its
+    * own COUNT(*). Capped at 40 (< the 62-bit bucket bound). */
+  def autoPlanesPerBand(n: Long, floor: Int = 12, slack: Int = 5): Int = {
+    require(n >= 1, s"autoPlanesPerBand: corpus count must be >= 1, got $n")
+    require(floor >= 1 && floor <= 40 && slack >= 0, s"floor in [1,40], slack >= 0")
+    val ceilLog2 = (1 to 62).find(i => n <= (1L << i)).getOrElse(62)
+    math.min(40, math.max(floor, ceilLog2 + slack))
+  }
+
   /** Deterministic near-dup twin seeding — the ONE definition behind
     * q_embed_neardup_hi, its DuckDB oracle, the equality spec, and
     * the PQ/LSH profile measurements (previously three hand-copied

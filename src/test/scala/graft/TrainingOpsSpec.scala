@@ -265,6 +265,37 @@ class TrainingOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Similarity.lshParams(1.5, 0.01, 12))
   }
 
+  test("autoPlanesPerBand: n-scaled r pins random collisions linear (r12 verdict #2)") {
+    // exact integer ceil-log2 + slack, floored and capped
+    assert(Similarity.autoPlanesPerBand(1L) == 12) // floor
+    assert(Similarity.autoPlanesPerBand(4000L) == 17) // ceil_log2=12, +5
+    assert(Similarity.autoPlanesPerBand(4096L) == 17) // exact power: 2^12 >= 4096
+    assert(Similarity.autoPlanesPerBand(4097L) == 18)
+    assert(Similarity.autoPlanesPerBand(400000L) == 24) // the sf10 corpus
+    assert(Similarity.autoPlanesPerBand(1L << 50) == 40) // cap < 62-bit bucket
+    // the law: random collisions ~ bands*n^2/2^(r+1) <= bands/64 * n
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val r = Similarity.autoPlanesPerBand(n)
+      if (r < 40) assert(n.toDouble * n / math.pow(2, r + 1) <= n.toDouble / 64.0 + 1)
+    }
+    intercept[IllegalArgumentException](Similarity.autoPlanesPerBand(0L))
+  }
+
+  test("auto-scaled high-threshold LSH equals the exhaustive baseline (the registered config)") {
+    // q_embed_neardup_hi's registered shape since r13: r derived from
+    // the corpus count, not pinned — must still find exactly the pairs
+    // the all-pairs crossJoin finds on the twin-seeded corpus
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = Similarity.twinSeeded(src)
+    val n = 2L * src.count()
+    val exact = Similarity.cosineNearDupPairs(corpus, 0.9)
+      .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(corpus, 0.9, bands = 28,
+        planesPerBand = Similarity.autoPlanesPerBand(n))
+      .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
   test("tuned high-threshold LSH equals the exhaustive baseline on a twin-seeded corpus") {
     // the q_embed_neardup_hi shape: every vector gets a deterministic
     // near-dup twin (exact-double 1 + k/128 factors); banded LSH at
