@@ -895,6 +895,26 @@ object SparkEntry {
       val sym = graft.ops.Graphs.symmetrize(ps)
       graft.operators.GraphStats.adamicAdar(sym, k = 100)
     }),
+    // ---- hub-capped Adamic-Adar: the PRODUCTION twin on the same
+    // instance (r12 verdict item #4 — the exact form above is the
+    // refusing receipt at sf10's 781M wedges). Each node keeps its 16
+    // smallest neighbors; exact AA over the capped graph (the cap IS
+    // the definition, so the oracle replays it), wedge volume
+    // ≤ |V|·256 — linear in nodes. Adjacent pairs excluded against
+    // the FULL graph ----
+    "q_adamic_adar_capped" -> ((s, dir) => {
+      val ps = graft.ops.Graphs.bipartite(s, dir).where(col("src") % 16 === 0)
+      val sym = graft.ops.Graphs.symmetrize(ps)
+      graft.operators.GraphStats.adamicAdarCapped(sym, k = 100, hubCap = 16)
+    }),
+    // ---- the cap's explicit cost: dropped-wedge accounting from one
+    // degree aggregate — published as its own oracle-gated row so the
+    // cap is a judged trade, not a trusted one ----
+    "q_adamic_adar_capstats" -> ((s, dir) => {
+      val ps = graft.ops.Graphs.bipartite(s, dir).where(col("src") % 16 === 0)
+      val sym = graft.ops.Graphs.symmetrize(ps)
+      graft.operators.GraphStats.adamicAdarCapStats(sym, hubCap = 16)
+    }),
 
     // ---- geofence: point-in-convex-polygon as a pure integer
     // cross-product conjunction (no join, no shuffle) over the
@@ -1970,6 +1990,23 @@ object SparkEntry {
       val mdl = graft.operators.ProductQuantizer.model(emb, m = 4, k = 16)
       graft.operators.Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 50), 3,
           nLists = 8, nProbe = 2, mdl)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+    // ---- the PERSISTED-index IVF-PQ probe (r12 verdict item #5):
+    // q_ivfpq_topk above FUSES the linear index build with the probe
+    // (its two-decade exponent was 1.00 because the build dominates —
+    // it stays registered as the build-cost receipt). This instance
+    // builds the list_id-partitioned index ONCE per (session, sfDir)
+    // — bench pays it in warmup_detail.ivfpq — and measures the
+    // probe: a directory-pruned scan of nProbe/nLists of the 8-byte
+    // code rows. Same models, same params ⇒ same answer, and the
+    // oracle replays the identical approximation ----
+    "q_ivfpq_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mdl = graft.operators.ProductQuantizer.model(emb, m = 4, k = 16)
+      val path = graft.operators.Similarity.ivfPqIndexFor(s, dir, emb, nLists = 8, mdl)
+      graft.operators.Similarity.ivfPqTopKIndexed(s, path,
+          emb.where(col("vec_id") < 50), 3, nProbe = 2)
         .orderBy(col("query_id"), col("rnk"))
     }),
     // ---- cross-corpus SEMANTIC contamination: eval rows (natural
@@ -3283,7 +3320,16 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles ++ roundNineOracles ++ roundTwelveOracles
+  def oracleSql: Map[String, String] = {
+    val base = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles ++ roundNineOracles ++ roundTwelveOracles
+    // the persisted-index probe returns the SAME approximation as the
+    // fused q_ivfpq_topk (same coarse lists, same global PQ codes,
+    // same nProbe) — its oracle is that replica verbatim; what
+    // differs is WHERE the engine reads (the list_id-pruned directory
+    // layout vs an in-memory rebuild), which SQL cannot and need not
+    // see
+    base + ("q_ivfpq_indexed" -> base("q_ivfpq_topk"))
+  }
 
   private def roundTwelveOracles: Map[String, String] = Map(
     // merge-on-read DELETE ×2: reading HEAD through the deletion
@@ -4871,6 +4917,54 @@ object SparkEntry {
         |FROM sc
         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = sc.u AND e.dst = sc.v)
         |ORDER BY aa_nano DESC, u, v LIMIT 100""".stripMargin,
+
+    // capped twin: row_number-by-smallest-dst keeps 16 neighbors per
+    // node, degrees and wedges over the CAPPED adjacency, adjacency
+    // exclusion against the FULL graph — the cap replayed exactly
+    "q_adamic_adar_capped" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst
+        |  FROM lineitem WHERE l_partkey % 8 = 0
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), ec AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn FROM e
+        |  ) WHERE rn <= 16
+        |), deg AS (
+        |  SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM ec GROUP BY 1
+        |), w AS (
+        |  SELECT a.dst AS u, b.dst AS v, a.src AS z
+        |  FROM ec a JOIN ec b ON a.src = b.src WHERE a.dst < b.dst
+        |), sc AS (
+        |  SELECT u, v, CAST(count(*) AS BIGINT) AS common_neighbors,
+        |    CAST(sum(CAST(round(1e9 / ln(CAST(deg.deg AS DOUBLE))) AS BIGINT)) AS BIGINT) AS aa_nano
+        |  FROM w JOIN deg ON deg.id = w.z GROUP BY 1, 2
+        |)
+        |SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+        |  common_neighbors, aa_nano
+        |FROM sc
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = sc.u AND e.dst = sc.v)
+        |ORDER BY aa_nano DESC, u, v LIMIT 100""".stripMargin,
+
+    // the cap's dropped-wedge accounting: C(d,2) vs C(min(d,16),2)
+    // sums over the uncapped degree frame — d*(d-1) is always even,
+    // so integer // 2 is exact
+    "q_adamic_adar_capstats" ->
+      """WITH ed AS (
+        |  SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst
+        |  FROM lineitem WHERE l_partkey % 8 = 0
+        |), e AS (
+        |  SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed
+        |), deg AS (
+        |  SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(CASE WHEN d > 16 THEN 1 ELSE 0 END) AS BIGINT) AS nodes_capped,
+        |  CAST(sum(d * (d - 1) // 2) AS BIGINT) AS wedges_exact,
+        |  CAST(sum(least(d, 16) * (least(d, 16) - 1) // 2) AS BIGINT) AS wedges_kept,
+        |  CAST(sum(d * (d - 1) // 2) - sum(least(d, 16) * (least(d, 16) - 1) // 2) AS BIGINT) AS wedges_dropped
+        |FROM deg""".stripMargin,
 
     // the four edge cross products of the CCW diamond, verbatim
     // integers — boundary inclusive (>= 0)

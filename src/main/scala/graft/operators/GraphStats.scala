@@ -147,6 +147,84 @@ object GraphStats {
       .limit(k)
   }
 
+  /** Hub-capped Adamic-Adar — the PRODUCTION twin of [[adamicAdar]]
+    * (r12 verdict item #4: the exact form guard-refused at sf10 with
+    * 781M wedges — part degrees grow linearly with orders, wedges
+    * quadratically with degree; this is the path the refusal message
+    * names). Each node keeps only its `hubCap` SMALLEST neighbors
+    * (rank by neighbor id — deterministic, SQL-replicable), and the
+    * score is EXACT Adamic-Adar over that capped graph: capped
+    * degrees in the 1/ln weight, wedges from capped adjacency. The
+    * cap is part of the operator's DEFINITION, not an approximation
+    * of the exact form — so the DuckDB oracle replays it exactly and
+    * the correctness contract stays hash-equality, while wedge
+    * volume drops from Σ deg² (quadratic in hub degree) to
+    * ≤ |V|·hubCap² (LINEAR in nodes — the 100 TB path).
+    *
+    * Adjacent-pair exclusion uses the FULL edge list: link
+    * prediction must never propose an edge that already exists,
+    * capped adjacency or not.
+    *
+    * Dropped-wedge accounting is explicit and cheap —
+    * [[adamicAdarCapStats]] reports exactly how much score mass the
+    * cap discarded (wedges_exact / wedges_kept / wedges_dropped /
+    * nodes_capped from one degree aggregate), so a caller can judge
+    * the cap instead of trusting it. */
+  def adamicAdarCapped(edges: DataFrame, k: Int, hubCap: Int,
+                       maxWedgeVolume: Long = 100000000L): DataFrame = {
+    require(k >= 1, s"adamicAdarCapped: k must be >= 1, got $k")
+    require(hubCap >= 2, s"adamicAdarCapped: hubCap must be >= 2 (a wedge needs " +
+      s"two neighbors), got $hubCap")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val eCap = e.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= hubCap).drop("__rn")
+      .transform(graft.ops.Checkpoints.truncate) // read 3× below
+    val deg = eCap.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // ≤ |V|·hubCap² by construction; the guard stays as belt +
+    // suspenders (same loud contract as the exact form)
+    val vol = deg.agg(sum(col("deg") * col("deg"))).first().getLong(0)
+    require(vol <= maxWedgeVolume,
+      s"adamicAdarCapped: capped wedge volume $vol exceeds maxWedgeVolume=" +
+        s"$maxWedgeVolume — lower hubCap (volume ≤ |V|·hubCap²)")
+    val wedges = eCap.select(col("src").as("z"), col("dst").as("u"))
+      .join(eCap.select(col("src").as("z"), col("dst").as("v")), Seq("z"))
+      .where(col("u") < col("v"))
+      .join(deg.select(col("id").as("z"), col("deg")), Seq("z"))
+      .select(col("u"), col("v"),
+        round(lit(1e9) / log(col("deg").cast("double"))).cast("long").as("__c"))
+    val existing = e.where(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    wedges
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"), sum(col("__c")).as("aa_nano"))
+      .join(existing, Seq("u", "v"), "left_anti")
+      .orderBy(col("aa_nano").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  /** The cap's explicit cost (one row): how many wedges — score
+    * mass — [[adamicAdarCapped]]'s hubCap discards, from ONE degree
+    * aggregate over the UNCAPPED edge list. wedges_exact = Σ C(d,2),
+    * wedges_kept = Σ C(min(d,cap),2) — the d·(d−1) products are
+    * always even, so shiftright keeps the arithmetic in exact longs. */
+  def adamicAdarCapStats(edges: DataFrame, hubCap: Int): DataFrame = {
+    require(hubCap >= 2, s"adamicAdarCapStats: hubCap must be >= 2, got $hubCap")
+    val deg = edges.select(col("src").cast("long").as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val dc = least(col("d"), lit(hubCap.toLong))
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when(col("d") > hubCap, 1L).otherwise(0L)).as("nodes_capped"),
+        sum(shiftright(col("d") * (col("d") - 1), 1)).as("wedges_exact"),
+        sum(shiftright(dc * (dc - 1), 1)).as("wedges_kept"))
+      .select(col("n_nodes"), col("nodes_capped"), col("wedges_exact"),
+        col("wedges_kept"),
+        (col("wedges_exact") - col("wedges_kept")).as("wedges_dropped"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * (deg(src), deg(dst)) over the directed-symmetric edge list.
     * Positive = hubs link hubs; negative = hub-and-spoke. One row:

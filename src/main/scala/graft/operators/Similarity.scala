@@ -611,6 +611,42 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path + ".codebook")
   }
 
+  /** Build-once-per-(session, sfDir) persisted IVF-PQ index (r12
+    * verdict item #5): q_ivfpq_topk's benched instance FUSES the
+    * linear index build with the probe — its measured exponent was
+    * 1.00 across BOTH decades because the build dominates. The
+    * production path builds the list_id-partitioned layout ONCE
+    * (the bench pays it in `warmup_detail.ivfpq`, like the LPA
+    * partition; Verify pays it on the query's first call) and every
+    * probe after is a directory-pruned scan of nProbe/nLists of the
+    * m-byte codes. Slot lifecycle mirrors BoundedMemo (weak session
+    * key — a dropped session releases its entry; one path per
+    * (session, sfDir)) but holds a PATH, not a frame; the index
+    * bytes live under a tmp dir and are rebuilt per session, which
+    * is exactly the cost the warmup row is for. Deterministic build
+    * ⇒ a racing double-build writes bit-identical indexes and either
+    * path serves. */
+  private val ivfPqIndexSlots =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, String]]()
+
+  def ivfPqIndexFor(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    corpus: DataFrame, nLists: Int,
+                    mdl: ProductQuantizer.Model): String =
+    ivfPqIndexSlots.synchronized {
+      var m = ivfPqIndexSlots.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        ivfPqIndexSlots.put(spark, m)
+      }
+      m.getOrElseUpdate(sfDir, {
+        val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+          .resolve("index").toString
+        writeIvfPqIndex(corpus, dir, nLists, mdl)
+        dir
+      })
+    }
+
   /** Query a persisted IVF-PQ index: both sidecars rebuild the
     * models (tiny reads), the probe side broadcasts, and the code
     * scan touches only probed list_id directories (spec-measured

@@ -89,4 +89,55 @@ class GraphStatsSpec extends SparkSpec {
       GraphStats.adamicAdar(hub, k = 10, maxWedgeVolume = 100L)
     }
   }
+
+  test("adamicAdarCapped equals exact AA when no node exceeds the cap") {
+    val edges = sym(Seq((1L, 101L), (2L, 101L),
+      (1L, 102L), (2L, 102L), (3L, 102L), (4L, 102L), (3L, 4L)))
+    val exact = GraphStats.adamicAdar(edges, k = 50)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val capped = GraphStats.adamicAdarCapped(edges, k = 50, hubCap = 16)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == exact)
+  }
+
+  test("adamicAdarCapped: hub keeps its smallest neighbors; capped degree in the weight") {
+    // hub 1000 has neighbors 1..60; cap 3 keeps {1,2,3} with capped
+    // degree 3 — so wedge pairs are exactly the C(3,2) pairs among
+    // {1,2,3}, each scored 1e9/ln(3), and the graph runs where the
+    // exact form's guard refuses (the production-twin point)
+    val hub = sym((1L to 60L).map(i => (i, 1000L)))
+    intercept[IllegalArgumentException] {
+      GraphStats.adamicAdar(hub, k = 10, maxWedgeVolume = 100L)
+    }
+    val got = GraphStats.adamicAdarCapped(hub, k = 10, hubCap = 3,
+        maxWedgeVolume = 100L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val w = math.round(1e9 / math.log(3))
+    assert(got == Map((1L, 2L) -> ((1L, w)), (1L, 3L) -> ((1L, w)),
+      (2L, 3L) -> ((1L, w))))
+  }
+
+  test("adamicAdarCapped excludes pairs adjacent in the FULL graph, not just the capped one") {
+    // hub 1000 connects 1..5; 4-5 are adjacent but the cap-3 adjacency
+    // of 1000 drops them — the (4,5) pair never forms a wedge, and the
+    // adjacent (1,2)? no: 1-2 NOT adjacent. Make 1-2 adjacent: even
+    // though both are kept under the cap, the pair must be excluded
+    // because the FULL edge list has it.
+    val edges = sym((1L to 5L).map(i => (i, 1000L)) :+ (1L, 2L))
+    val got = GraphStats.adamicAdarCapped(edges, k = 10, hubCap = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(!got.contains((1L, 2L)))
+    assert(got.contains((1L, 3L)) && got.contains((2L, 3L)))
+  }
+
+  test("adamicAdarCapStats accounts dropped wedges exactly") {
+    // degrees: node 1000 has 60 (sym both directions: each of 1..60
+    // also has degree 1). cap 3: wedges_exact = C(60,2) = 1770,
+    // kept = C(3,2) = 3, dropped = 1767, one node capped
+    val hub = sym((1L to 60L).map(i => (i, 1000L)))
+    val got = GraphStats.adamicAdarCapStats(hub, hubCap = 3)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((61L, 1L, 1770L, 3L, 1767L)))
+  }
 }
