@@ -495,21 +495,27 @@ object Bench {
 
   /** Pure contention decision from the canary samples (r12 verdict
     * item #3): `(spread, ratioOpt, flag)`.
-    *   - `spread` = (max−min)/min over the samples — catches BURSTY
-    *     load (one loaded minute inflates one sample). Threshold
-    *     0.30: the min-of-2 canary job repeats within a few percent
-    *     on a quiet host; documented contended incidents ran 1.5–4×.
-    *   - `ratio` = min(samples)/ref against the committed quiet-host
-    *     reference — catches UNIFORM load, which spread is
-    *     structurally blind to (a busy-loop beside the WHOLE bench
-    *     inflates every sample equally; the r12 artifact shipped a
-    *     ~1.4× uniformly-inflated total unflagged). min, not median:
-    *     one clean sample proves the host CAN run at reference speed.
-    *     Threshold 1.25 splits quiet (~1.0 ± JIT/thermal noise) from
-    *     the 1.4× regime. No reference ⇒ spread-only (never a false
-    *     flag from a missing file).
-    * Pure and public so BenchCanarySpec proves the quiet /
-    * uniform-1.4× / bursty cases without running a bench. */
+    *
+    * The FLAG is the ratio signal alone: `min(samples)/ref` against
+    * the committed quiet-host reference (BENCH_CANARY_REF.json) —
+    * min, not median, because one clean sample proves the host CAN
+    * run at reference speed (attribution: a mid-run burst must not
+    * read as a uniformly slow host). Threshold 1.25 splits quiet
+    * (~1.0 ± JIT/thermal noise) from the ~1.4× uniformly-inflated
+    * regime the r12 artifact shipped unflagged — measured on this
+    * host: 10 busy-loop spinners → ratio 1.265, quiet → 1.04. No
+    * reference ⇒ never a flag from this verdict (the absolute total
+    * cutoff still catches gross inflation).
+    *
+    * `spread` = (max−min)/min publishes as a DIAGNOSTIC only. It was
+    * originally a flag signal for bursty load, but the first quiet
+    * full-suite run measured 0.61 spread from in-JVM AGING — the
+    * canary runs inside the bench JVM, and after ~240 queries of
+    * cached frames + codegen classes the same job runs ~1.5× slower
+    * (0.454 → 0.730 s, monotone) with the host fully idle. Within
+    * one JVM, aging and burst are indistinguishable by spread, so
+    * spread cannot gate; mid-run bursts surface through the pass
+    * totals (published per pass) and the cutoff instead. */
   def canaryVerdict(times: Seq[Double], ref: Option[Double])
       : (Double, Option[Double], Boolean) = {
     val spread =
@@ -517,7 +523,7 @@ object Bench {
       else (times.max - times.min) / times.min
     val ratio = ref.filter(_ > 0).flatMap(r =>
       times.reduceOption(_ min _).map(_ / r))
-    (spread, ratio, spread > 0.30 || ratio.exists(_ > 1.25))
+    (spread, ratio, ratio.exists(_ > 1.25))
   }
 
   /** Per-query resource metrics collector (r11 verdict item #4):

@@ -28,10 +28,23 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(flag)
   }
 
-  test("bursty load flags via spread even without a reference") {
+  test("bursty samples report spread as a diagnostic but never flag alone") {
+    // the canary runs inside the bench JVM, where ~240 queries of
+    // cached frames + codegen make the same job ~1.5x slower by the
+    // end of a QUIET run (measured 0.454 -> 0.730 s, monotone) —
+    // within one JVM, aging and burst are indistinguishable by
+    // spread, so spread publishes but cannot gate; mid-run bursts
+    // surface through the per-pass totals and the absolute cutoff
     val (spread, _, flag) = Bench.canaryVerdict(Seq(1.0, 2.1, 1.02), None)
     assert(spread > 0.30)
-    assert(flag)
+    assert(!flag)
+  }
+
+  test("the measured quiet-run aging profile stays unflagged (the r13 false-positive)") {
+    val (spread, ratio, flag) = Bench.canaryVerdict(Seq(0.454, 0.596, 0.730), Some(0.5))
+    assert(spread > 0.5)              // aging drift is large...
+    assert(ratio.exists(_ < 1.25))    // ...but the host ran at reference speed
+    assert(!flag)
   }
 
   test("no reference and quiet samples: unflagged (a missing file never flags)") {
@@ -40,14 +53,14 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(!flag)
   }
 
-  test("min-vs-ref: one clean sample among loaded ones proves the host can run clean") {
-    // two loaded samples but one at reference speed -> ratio stays ~1;
-    // the burst is caught by spread instead (attribution matters: this
-    // is a bursty window, not a uniformly-slow host)
+  test("min-vs-ref: one clean sample among loaded ones keeps the flag down") {
+    // a bursty window is not a uniformly-slow host: the min proves
+    // the host can run at reference speed, so this verdict stays
+    // quiet (the burst shows in the published spread + pass totals)
     val (spread, ratio, flag) = Bench.canaryVerdict(Seq(1.7, 1.0, 1.8), ref)
     assert(ratio.exists(_ < 1.25))
     assert(spread > 0.30)
-    assert(flag)
+    assert(!flag)
   }
 
   test("degenerate inputs: empty or single sample never flags without a reference") {
