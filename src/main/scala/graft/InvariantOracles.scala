@@ -347,5 +347,11 @@ object InvariantOracles {
     "q_hits" -> hits,
     "q_modularity" -> modularity,
     "q_dbscan" -> dbscan,
-    "q_ivfpq_topk" -> ivfpq)
+    "q_ivfpq_topk" -> ivfpq,
+    // the persisted-index probe (r13) returns the SAME approximation
+    // as the fused instance on the same params — the identical exact
+    // recompute certifies its dump, and its replay oracle (the
+    // q_ivfpq_topk replica) hits the same ~500 s DuckDB OOM wall at
+    // sf1 that put q_ivfpq_topk on this list in r11
+    "q_ivfpq_indexed" -> ivfpq)
 }

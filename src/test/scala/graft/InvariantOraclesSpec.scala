@@ -15,9 +15,10 @@ class InvariantOraclesSpec extends SparkSpec {
 
   private val inv = SparkEntry.invariantSql
 
-  test("exactly the five measured-infeasible replay rows carry invariants") {
+  test("exactly the six measured-infeasible replay rows carry invariants") {
     assert(inv.keySet ==
-      Set("q_kcore", "q_hits", "q_modularity", "q_dbscan", "q_ivfpq_topk"))
+      Set("q_kcore", "q_hits", "q_modularity", "q_dbscan", "q_ivfpq_topk",
+        "q_ivfpq_indexed"))
   }
 
   test("every invariant key is a registered query with a replay oracle") {
@@ -47,7 +48,8 @@ class InvariantOraclesSpec extends SparkSpec {
 
   test("temp table names are prefixed per query and never collide across statements") {
     val prefixes = Map("q_kcore" -> "kc_", "q_hits" -> "ht_",
-      "q_modularity" -> "md_", "q_dbscan" -> "db_", "q_ivfpq_topk" -> "iv_")
+      "q_modularity" -> "md_", "q_dbscan" -> "db_", "q_ivfpq_topk" -> "iv_",
+      "q_ivfpq_indexed" -> "iv_") // shares the ivfpq pipeline verbatim
     inv.foreach { case (k, stmts) =>
       val names = stmts.dropRight(1).map { s =>
         s.trim.split("\\s+")(3) // CREATE TEMP TABLE <name>
