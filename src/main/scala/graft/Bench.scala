@@ -370,12 +370,16 @@ object Bench {
       // 0.25: clean same-host repeat passes measure 2-10% per-query
       // spread; the documented contended incidents were 1.5-4x on the
       // affected queries — 25% splits the regimes with wide margin.
-      // The canary verdict ORs in (r12 verdict #3): per-query spread
-      // is blind to UNIFORM load when every run of a query lands in
-      // the same loaded window — the canary's ratio-vs-reference sees
-      // it.
+      // The spread signal only gates at >= 3 passes: warm-run
+      // dropping needs >= 3 successes, so a 2-pass run's spread is
+      // cold-vs-warm (JIT, page cache) and flagged QUIET sf10 runs
+      // contended (r12 and the first r13 pin run both carried that
+      // misleading flag). The canary verdict ORs in (r12 verdict #3):
+      // per-query spread is blind to UNIFORM load when every run of a
+      // query lands in the same loaded window — the canary's
+      // ratio-vs-reference sees it.
       val (_, _, canaryFlag) = canaryVerdict(canaryTimes.toSeq, canaryRef)
-      val contended = spreadMed > 0.25 || canaryFlag
+      val contended = (n >= 3 && spreadMed > 0.25) || canaryFlag
       val nFailed = stats.count(_._2 < 0)
       // a query that crashed in SOME passes but not all previously
       // published a clean min and left n_failed at 0 — the r11 advice
