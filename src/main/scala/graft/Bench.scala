@@ -124,15 +124,41 @@ object Bench {
     val canaryRef: Option[Double] = {
       val fromEnv = sys.env.get("SPARK_GRAFT_CANARY_REF")
         .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      // the committed reference is HOST-SPECIFIC (calibrated at
+      // local[32] on the round host): on a slower or smaller machine
+      // every run would trip the 1.25 ratio and silently drop to a
+      // single pass (r13 advice). The file carries a host fingerprint
+      // (core count); on mismatch the file ref is IGNORED — a foreign
+      // host opts in explicitly via SPARK_GRAFT_CANARY_REF. The chosen
+      // ref source is always logged so an artifact reader can tell
+      // which calibration the contended flag was judged against.
       def fromFile(p: String): Option[Double] =
         scala.util.Try {
           val txt = new String(java.nio.file.Files.readAllBytes(
             java.nio.file.Paths.get(p)), "UTF-8")
-          """"canary_sec"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+          val sec = """"canary_sec"\s*:\s*([0-9.]+)""".r.findFirstMatchIn(txt)
             .map(_.group(1).toDouble)
+          val refCores = """"host_cores"\s*:\s*([0-9]+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt)
+          val hostCores = Runtime.getRuntime.availableProcessors()
+          if (refCores.exists(_ != hostCores)) {
+            System.err.println(s"BENCH canary: ref file $p calibrated for " +
+              s"${refCores.get} cores, host has $hostCores — IGNORING file ref " +
+              "(set SPARK_GRAFT_CANARY_REF to opt in on this host)")
+            None
+          } else sec
         }.toOption.flatten
-      fromEnv.orElse(fromFile("BENCH_CANARY_REF.json"))
-        .orElse(fromFile("/root/repo/BENCH_CANARY_REF.json"))
+      val chosen = fromEnv.map(v => ("env SPARK_GRAFT_CANARY_REF", v))
+        .orElse(fromFile("BENCH_CANARY_REF.json").map(("BENCH_CANARY_REF.json", _)))
+        .orElse(fromFile("/root/repo/BENCH_CANARY_REF.json")
+          .map(("/root/repo/BENCH_CANARY_REF.json", _)))
+      chosen match {
+        case Some((src, v)) =>
+          System.err.println(s"BENCH canary: reference ${f3(v)} s from $src")
+        case None =>
+          System.err.println("BENCH canary: no usable reference — ratio verdict disabled")
+      }
+      chosen.map(_._2)
     }
     val canaryTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     def canaryJson(): String = {
@@ -199,7 +225,7 @@ object Bench {
     // measures the directory-pruned PROBE — the production read path —
     // while q_ivfpq_topk stays registered as the fused build+probe
     // receipt
-    val wIvfpq = if (!stageNeeded(Set("q_ivfpq_indexed"))) 0.0
+    val wIvfpq = if (!stageNeeded(Set("q_ivfpq_indexed", "q_ivfpq_layout"))) 0.0
       else timed {
         val emb = graft.Tables.embeddings(spark, sfDir)
         val mdl = graft.operators.ProductQuantizer.model(emb, m = 4, k = 16)
@@ -232,7 +258,19 @@ object Bench {
       "q_ewma" -> "sequential-reference",
       "q_ewma_chunked" -> "production-twin",
       "q_holt" -> "sequential-reference",
-      "q_holt_chunked" -> "production-twin")
+      "q_holt_chunked" -> "production-twin",
+      // r13 verdict item #1: the fused IVF-PQ build+probe stays
+      // registered as the BUILD-COST receipt (its 195 s sf10 row was
+      // half the pin headline) now that q_ivfpq_indexed measures the
+      // production probe with the build priced as warmup_detail.ivfpq
+      "q_ivfpq_topk" -> "build-reference",
+      "q_ivfpq_indexed" -> "production-twin",
+      // ...and the exact Adamic-Adar is the REFUSAL receipt: its
+      // wedge-volume guard trips by design at sf10 (781M wedges), so
+      // its -1 must publish as a receipt refusal, not an engine
+      // failure — the capped twin is the production path
+      "q_adamic_adar" -> "refusal-reference",
+      "q_adamic_adar_capped" -> "production-twin")
     def regimesJsonFor(present: String => Boolean): String =
       regimeTagsRaw.filter { case (k, _) => present(k) }.toSeq.sorted
         .map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
@@ -251,7 +289,9 @@ object Bench {
     // the engine total made the skew headline measure the receipts.
     val receiptSet = regimeTagsRaw.collect {
       case (k, "degenerate-reference") => k
-      case (k, "sequential-reference") => k }.toSet
+      case (k, "sequential-reference") => k
+      case (k, "build-reference") => k
+      case (k, "refusal-reference") => k }.toSet
     // per-query resource metrics (r11 verdict item #4): shuffle bytes
     // read/written, spilled bytes, and peak per-task execution memory
     // via one SparkListener. These are DETERMINISTIC where wall time
@@ -380,7 +420,14 @@ object Bench {
       // ratio-vs-reference sees it.
       val (_, _, canaryFlag) = canaryVerdict(canaryTimes.toSeq, canaryRef)
       val contended = (n >= 3 && spreadMed > 0.25) || canaryFlag
-      val nFailed = stats.count(_._2 < 0)
+      // a RECEIPT that refuses (the exact Adamic-Adar's by-design
+      // wedge-volume trip at sf10) is not an engine failure: it
+      // publishes under its own counter so a clean pin run reads
+      // n_failed 0 (r13 verdict item #1). Real failures in receipts
+      // still surface — the correctness gates replay every receipt
+      // with an exact oracle at the SFs where it runs.
+      val nFailed = stats.count(r => r._2 < 0 && !r._8)
+      val nReceiptRefused = stats.count(r => r._2 < 0 && r._8)
       // a query that crashed in SOME passes but not all previously
       // published a clean min and left n_failed at 0 — the r11 advice
       // intermittent-failure class, now its own loud counter
@@ -391,8 +438,8 @@ object Bench {
       val qs = stats.map { case (name, mn, _, _, _, _, _, _, _) => s"\"$name\":${f3(mn)}" }
         .mkString("{", ",", "}")
       val regimesJson = regimesJsonFor(name => stats.exists(_._1 == name))
-      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$n,"pass_order":"query-major","contended":$contended,"canary":${canaryJson()},"spread_median":${f3(spreadMed)},"total_median_sec":${f3(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
-      println(s"""{"total_sec":${f3(total)},"n_queries":${stats.size},"n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"passes":$n,"contended":$contended,"spread_median":${f3(spreadMed)},"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"n_receipt_refused":$nReceiptRefused,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$n,"pass_order":"query-major","contended":$contended,"canary":${canaryJson()},"spread_median":${f3(spreadMed)},"total_median_sec":${f3(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"total_sec":${f3(total)},"n_queries":${stats.size},"n_failed":$nFailed,"n_flaky":$nFlaky,"n_receipt_refused":$nReceiptRefused,"receipt_total_sec":${f3(receiptTotal)},"passes":$n,"contended":$contended,"spread_median":${f3(spreadMed)},"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
       spark.stop()
       return
     }
@@ -466,7 +513,11 @@ object Bench {
       canaryVerdict(canaryTimes.toSeq, canaryRef)._3
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val nFailed = results.count(_._2 < 0)
+    // receipt refusals (the exact Adamic-Adar's by-design guard trip
+    // at big SF) are not engine failures — own counter, see the
+    // variance branch above
+    val nFailed = results.count { case (k, v) => v < 0 && !receiptSet(k) }
+    val nReceiptRefused = results.count { case (k, v) => v < 0 && receiptSet(k) }
     // intermittent failures (r11 advice): a query that failed in one
     // observed pass but succeeded in another publishes a clean min —
     // count it separately so the artifact cannot hide the class
@@ -484,7 +535,12 @@ object Bench {
     val receiptTotal = results.collect {
       case (k, v) if v >= 0 && receiptSet(k) => v }.sum
     val regimesJson = regimesJsonFor(name => results.exists(_._1 == name))
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$passes,"contended":$contended,"canary":${canaryJson()},"pass1_total_sec":${f3(p1total)},"pass2_total_sec":${f3(pass2Total)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
+    // pass2_partial disambiguates the field's two meanings (r13
+    // advice): in the contended branch pass2_total_sec is a PARTIAL
+    // total (slow-20 retries + failures only), in the clean branch a
+    // full pass total — the marker says which without reading code
+    val pass2Partial = contendedSoFar
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"n_receipt_refused":$nReceiptRefused,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$passes,"contended":$contended,"canary":${canaryJson()},"pass1_total_sec":${f3(p1total)},"pass2_total_sec":${f3(pass2Total)},"pass2_partial":$pass2Partial,"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
     // LAST line is a short (~110 B) self-contained summary: the
     // harness captures a bounded tail of stdout, and the ~2.5 KB
     // per-query line above has been truncated mid-line two rounds
@@ -493,7 +549,7 @@ object Bench {
     // for humans and for tails wide enough to hold it. Deliberately
     // NOT keyed "metric":"total" — one line per metric name, so a
     // grep for the detailed line never double-counts.
-    println(s"""{"total_sec":${f3(total)},"n_queries":${results.size},"n_failed":$nFailed,"n_flaky":$nFlaky,"receipt_total_sec":${f3(receiptTotal)},"passes":$passes,"contended":$contended,"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
+    println(s"""{"total_sec":${f3(total)},"n_queries":${results.size},"n_failed":$nFailed,"n_flaky":$nFlaky,"n_receipt_refused":$nReceiptRefused,"receipt_total_sec":${f3(receiptTotal)},"passes":$passes,"contended":$contended,"warmup_shared_sec":${f3(warmShared)},"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -340,6 +340,42 @@ object InvariantOracles {
       |     OR r.corpus_id != t.corpus_id OR r.adc_dist != t.adc_dist
       |) LIMIT 20""".stripMargin)
 
+  /** q_ivfpq_indexed's staged list (r13 verdict item #4/what's-wrong
+    * #4): the SAME exact top-k recompute as the fused form — the
+    * probe returns the identical approximation — PLUS a LAYOUT
+    * certificate: the engine's q_ivfpq_layout dump (one row per
+    * centroid-sidecar entry with the row count of its persisted
+    * list_id partition, read from the index bytes the probe scans)
+    * must reconcile per-list against the coarse assignment recomputed
+    * here from the raw embeddings. A stale, truncated, or
+    * mis-partitioned persisted index that still returns plausible
+    * top-k rows — the case the fused invariant is structurally blind
+    * to, since it never reads the index — fails THIS check: wrong
+    * per-list counts, a missing list directory, or a sidecar id set
+    * that doesn't match. The full-outer join also pins the corpus
+    * total (equal id sets + equal per-list counts ⇒ equal sums). */
+  private val ivfpqIndexed: Seq[String] = ivfpq.dropRight(1) ++ Seq(
+    """CREATE TEMP TABLE iv_layout_expect AS
+      |SELECT c.cid AS list_id, CAST(COALESCE(x.n, 0) AS BIGINT) AS n_rows
+      |FROM (SELECT vec_id AS cid FROM embeddings WHERE vec_id < 8) c
+      |LEFT JOIN (SELECT list_id, count(*) AS n FROM iv_assign GROUP BY 1) x
+      |  ON x.list_id = c.cid""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT 'ivfpq_topk_mismatch' AS chk,
+      |    CAST(COALESCE(r.query_id, t.query_id) AS VARCHAR) || ':' ||
+      |    CAST(COALESCE(r.rnk, t.rnk) AS VARCHAR) AS detail
+      |  FROM result r FULL OUTER JOIN iv_top t
+      |    ON t.query_id = r.query_id AND t.rnk = r.rnk
+      |  WHERE r.query_id IS NULL OR t.query_id IS NULL
+      |     OR r.corpus_id != t.corpus_id OR r.adc_dist != t.adc_dist
+      |  UNION ALL
+      |  SELECT 'ivfpq_layout_count_mismatch',
+      |    CAST(COALESCE(l.list_id, g.list_id) AS VARCHAR)
+      |  FROM r_q_ivfpq_layout l FULL OUTER JOIN iv_layout_expect g
+      |    ON g.list_id = l.list_id
+      |  WHERE l.list_id IS NULL OR g.list_id IS NULL OR l.n_rows != g.n_rows
+      |) LIMIT 20""".stripMargin)
+
   /** Query name → ordered DuckDB statements; the last SELECTs
     * violation rows (zero rows = pass_invariant). */
   val sql: Map[String, Seq[String]] = Map(
@@ -352,6 +388,8 @@ object InvariantOracles {
     // as the fused instance on the same params — the identical exact
     // recompute certifies its dump, and its replay oracle (the
     // q_ivfpq_topk replica) hits the same ~500 s DuckDB OOM wall at
-    // sf1 that put q_ivfpq_topk on this list in r11
-    "q_ivfpq_indexed" -> ivfpq)
+    // sf1 that put q_ivfpq_topk on this list in r11. Since r14 its
+    // staged list ALSO reconciles the persisted index's per-list
+    // layout via the engine's q_ivfpq_layout dump (see ivfpqIndexed).
+    "q_ivfpq_indexed" -> ivfpqIndexed)
 }

@@ -1644,8 +1644,11 @@ object SparkEntry {
       // raised budget opts this receipts instance out of the default
       // candidate-volume guard; any caller using the DEFAULTS on a
       // dense corpus now fails loud instead (r9 verdict item #2).
+      // planesPerBand=4 PINNED since r14: the operator default is now
+      // the n-scaled AutoPlanes law; this receipt replays the historic
+      // 16x4 regime its oracle mirrors
       graft.operators.Similarity.cosineNearDupPairsLsh(Tables.embeddings(s, dir), 0.5,
-          maxCandidatePairs = Long.MaxValue)
+          planesPerBand = 4, maxCandidatePairs = Long.MaxValue)
         .orderBy(col("a_id"), col("b_id"))
     }),
     // ---- tuned high-threshold near-dup: the config banding theory
@@ -2008,6 +2011,29 @@ object SparkEntry {
       graft.operators.Similarity.ivfPqTopKIndexed(s, path,
           emb.where(col("vec_id") < 50), 3, nProbe = 2)
         .orderBy(col("query_id"), col("rnk"))
+    }),
+    // ---- the index LAYOUT certificate (r13 verdict item #5): one
+    // row per coarse centroid in the PERSISTED index's sidecar, with
+    // the row count of its list_id partition directory — read from
+    // the index bytes q_ivfpq_indexed probes, not recomputed. The
+    // oracle recomputes the coarse assignment from the raw embeddings
+    // and counts per list, so a stale, truncated, or mis-partitioned
+    // index mismatches HERE even at SFs where the full top-k replay
+    // is DuckDB-infeasible; q_ivfpq_indexed's staged invariant
+    // reconciles against this dump (r_q_ivfpq_layout) for the same
+    // reason ----
+    "q_ivfpq_layout" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val mdl = graft.operators.ProductQuantizer.model(emb, m = 4, k = 16)
+      val path = graft.operators.Similarity.ivfPqIndexFor(s, dir, emb, nLists = 8, mdl)
+      val counts = s.read.parquet(path)
+        .groupBy(col("list_id").cast("long").as("list_id"))
+        .agg(count(lit(1)).as("n_rows"))
+      s.read.parquet(path + ".centroids")
+        .select(col("cid").cast("long").as("list_id"))
+        .join(counts, Seq("list_id"), "full_outer")
+        .select(col("list_id"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        .orderBy(col("list_id"))
     }),
     // ---- cross-corpus SEMANTIC contamination: eval rows (natural
     // tail + planted copies of train rows) banded against the train
@@ -3321,7 +3347,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = {
-    val base = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles ++ roundNineOracles ++ roundTwelveOracles
+    val base = coreOracles ++ batch2Oracles ++ trainingOracles ++ extraOracles ++ temporalOracles ++ gopherOracles ++ journeyOracles ++ roundEightOracles ++ roundNineOracles ++ roundTwelveOracles ++ roundFourteenOracles
     // the persisted-index probe returns the SAME approximation as the
     // fused q_ivfpq_topk (same coarse lists, same global PQ codes,
     // same nProbe) — its oracle is that replica verbatim; what
@@ -3330,6 +3356,38 @@ object SparkEntry {
     // see
     base + ("q_ivfpq_indexed" -> base("q_ivfpq_topk"))
   }
+
+  private def roundFourteenOracles: Map[String, String] = Map(
+    // the persisted-index layout certificate: per-coarse-centroid row
+    // counts, recomputed INDEPENDENTLY from the raw embeddings (the
+    // same coarse-assignment CTEs as q_ivfpq_topk's replay, stopped
+    // at corpus_assign — linear, no pair joins, feasible at every SF
+    // where the top-k replay OOMs). The engine side read the counts
+    // from the persisted list_id directories + the centroid sidecar,
+    // so truncation/staleness/mis-partitioning mismatches here.
+    "q_ivfpq_layout" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, v,
+        |    sqrt(CAST(CAST(list_sum(list_transform(generate_series(1, len(v)), i -> v[i]*v[i])) AS BIGINT) AS DOUBLE)) AS nv
+        |  FROM qz
+        |), coarse AS (
+        |  SELECT vec_id AS cid, v AS cv, nv AS cn FROM nrm WHERE vec_id < 8
+        |), cscore AS (
+        |  SELECT n.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY n.vec_id
+        |                       ORDER BY CAST(CAST(list_sum(list_transform(generate_series(1, len(n.v)), i -> n.v[i]*c.cv[i])) AS BIGINT) AS DOUBLE)/(n.nv*c.cn) DESC, c.cid ASC) AS rn
+        |  FROM nrm n, coarse c
+        |), corpus_assign AS (
+        |  SELECT vec_id AS corpus_id, cid AS list_id FROM cscore WHERE rn = 1
+        |)
+        |SELECT CAST(c.cid AS BIGINT) AS list_id, CAST(COALESCE(g.n, 0) AS BIGINT) AS n_rows
+        |FROM (SELECT vec_id AS cid FROM embeddings WHERE vec_id < 8) c
+        |LEFT JOIN (SELECT list_id, count(*) AS n FROM corpus_assign GROUP BY 1) g ON g.list_id = c.cid
+        |ORDER BY list_id""".stripMargin
+  )
 
   private def roundTwelveOracles: Map[String, String] = Map(
     // merge-on-read DELETE ×2: reading HEAD through the deletion

@@ -151,6 +151,12 @@ object Similarity {
     * 2^i ≥ n) — no FP log, so the DuckDB oracle mirrors the same
     * scan over powers of two and derives the identical r from its
     * own COUNT(*). Capped at 40 (< the 62-bit bucket bound). */
+  /** Sentinel for `planesPerBand`: derive it from the corpus count
+    * via [[autoPlanesPerBand]] at call time (r13 verdict item #6 —
+    * the n-scaled law is the DEFAULT; a fixed r is the opt-in for
+    * replays of a specific historic regime). */
+  val AutoPlanes: Int = 0
+
   def autoPlanesPerBand(n: Long, floor: Int = 12, slack: Int = 5): Int = {
     require(n >= 1, s"autoPlanesPerBand: corpus count must be >= 1, got $n")
     require(floor >= 1 && floor <= 40 && slack >= 0, s"floor in [1,40], slack >= 0")
@@ -261,22 +267,44 @@ object Similarity {
     *
     * Recall: a pair at cosine c agrees on one plane with probability
     * p = 1 − acos(c)/π, survives a band with p^r, and is missed with
-    * (1 − p^r)^bands. The defaults (r=4, bands=16) give a miss rate
-    * ≈ 3% at the c=0.5 decision boundary and ≤ 10⁻⁵ for true
-    * near-dups (c ≥ 0.9); tighten by raising `bands` (recall) or `r`
-    * (selectivity — candidate volume scales ~bands/2^r of all pairs
-    * on isotropic data, much sharper when dups are concentrated).
+    * (1 − p^r)^bands. The DEFAULT r is n-scaled ([[AutoPlanes]] →
+    * [[autoPlanesPerBand]], r = max(12, ⌈log₂ n⌉+5) — random bucket
+    * collisions stay LINEAR in n; migration note: before r14 the
+    * default was a fixed r=4, whose collision term is quadratic and
+    * guard-refused at sf10): near-1 duplicates (c ≥ 0.99 — what dedup
+    * hunts) survive a band with ≈0.99^r and are still caught with
+    * miss < 10⁻¹⁵ at r=40, while boundary-cosine recall (c near the
+    * threshold) decays with r — pin r explicitly (e.g. the historic
+    * 16×4 regime) when moderate-threshold recall matters more than
+    * scale. Tighten by raising `bands` (recall) or `r` (selectivity —
+    * candidate volume scales ~bands/2^r of all pairs on isotropic
+    * data, much sharper when dups are concentrated).
     * The plane family is deterministic, so a given corpus+config has
     * ONE reproducible answer (the registered query's DuckDB oracle
     * rebuilds the same bands; equality with the exhaustive baseline
     * is spec-checked on the test corpora at every SF). */
   def cosineNearDupPairsLsh(corpus: DataFrame, threshold: Double,
-                            bands: Int = 16, planesPerBand: Int = 4,
+                            bands: Int = 16, planesPerBand: Int = AutoPlanes,
                             maxCandidatePairs: Long = 100000000L): DataFrame = {
-    require(bands > 0 && planesPerBand > 0 && planesPerBand <= 62,
-      "bands and planesPerBand must be positive (bucket bits fit a long)")
+    require(bands > 0 && planesPerBand >= 0 && planesPerBand <= 62,
+      "bands and planesPerBand must be positive (bucket bits fit a long), " +
+        "or AutoPlanes (0) to derive from the corpus count")
     require(maxCandidatePairs >= 1,
       s"maxCandidatePairs must be >= 1, got $maxCandidatePairs")
+    // DEFAULT planesPerBand now scales with the corpus (r13 verdict
+    // item #6): the fixed r=4 default was the exact config whose
+    // random-collision term goes quadratic on any large corpus (the
+    // sf10 845M-candidate refusal) — a caller who doesn't pin r gets
+    // the n-scaled law instead, at the cost of one count() (metadata-
+    // cheap on a parquet scan). Replays that need a specific historic
+    // regime (the q_embed_neardup 16x4 receipt, the spec baselines)
+    // pass it explicitly; the resolved value is named in the guard
+    // message either way.
+    val rPlanes =
+      if (planesPerBand == AutoPlanes) autoPlanesPerBand(corpus.count())
+      else planesPerBand
+    val rLabel =
+      if (planesPerBand == AutoPlanes) s"$rPlanes (auto)" else s"$rPlanes"
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(qnorm2(col("v")).cast("double")))
     // narrow banded signatures: (vec_id, band, bucket) — vectors stay
@@ -288,7 +316,7 @@ object Similarity {
     // variant was measured 1.4× slower — 2M wide join-output rows cost
     // more to materialize than three candidate-sized narrow exchanges.
     val sigs0 = q.select(col("vec_id"),
-      posexplode(graft.plans.SignBands.signBands(col("v"), bands, planesPerBand)))
+      posexplode(graft.plans.SignBands.signBands(col("v"), bands, rPlanes)))
       .toDF("vec_id", "band", "bucket")
     // loud candidate-volume pre-check (the Baskets `maxPairVolume` /
     // Adamic-Adar wedge-volume policy, extended to banded LSH after
@@ -306,7 +334,7 @@ object Similarity {
     // pass for guard + both join sides.
     val sigs = guardedBandTable("signlsh-bands", sigs0, Seq("band", "bucket"),
       maxCandidatePairs,
-      what = s"cosineNearDupPairsLsh(bands=$bands, planesPerBand=$planesPerBand)",
+      what = s"cosineNearDupPairsLsh(bands=$bands, planesPerBand=$rLabel)",
       remedy = "raise planesPerBand (selectivity: candidate volume scales ~bands/2^r) " +
         "— the tuned 28x12 regime is measured sub-linear where the 16x4 default " +
         "detonates — or raise maxCandidatePairs deliberately for a receipts run")
@@ -628,24 +656,71 @@ object Similarity {
     * path serves. */
   private val ivfPqIndexSlots =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String, String]]()
+      scala.collection.mutable.Map[String, java.util.concurrent.CompletableFuture[String]]]()
+
+  // index temp roots, deleted recursively at JVM exit (r13 advice:
+  // they used to accumulate per (session, sfDir) until exit with no
+  // cleanup at all). One hook, registered on first build.
+  private val ivfPqTempRoots =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val ivfPqCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      ivfPqTempRoots.forEach { root =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(root.toFile)
+      }
+    }, "graft-ivfpq-cleanup"))
 
   def ivfPqIndexFor(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                     corpus: DataFrame, nLists: Int,
-                    mdl: ProductQuantizer.Model): String =
-    ivfPqIndexSlots.synchronized {
+                    mdl: ProductQuantizer.Model): String = {
+    // the monitor guards only slot lookup/insertion (r13 advice: the
+    // whole Spark build used to run under it, serializing unrelated
+    // sessions/sfDirs behind one build). Losers of the insert race
+    // block on the winner's future for THIS key only; a failed build
+    // clears its slot so a later call can retry instead of joining a
+    // poisoned future forever.
+    val (fut, isBuilder) = ivfPqIndexSlots.synchronized {
       var m = ivfPqIndexSlots.get(spark)
       if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, String]
+        m = scala.collection.mutable.Map
+          .empty[String, java.util.concurrent.CompletableFuture[String]]
         ivfPqIndexSlots.put(spark, m)
       }
-      m.getOrElseUpdate(sfDir, {
-        val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq")
-          .resolve("index").toString
-        writeIvfPqIndex(corpus, dir, nLists, mdl)
-        dir
-      })
+      m.get(sfDir) match {
+        case Some(f) => (f, false)
+        case None =>
+          val f = new java.util.concurrent.CompletableFuture[String]()
+          m.put(sfDir, f)
+          (f, true)
+      }
     }
+    if (isBuilder) {
+      try {
+        ivfPqCleanupHook
+        val root = java.nio.file.Files.createTempDirectory("graft-ivfpq")
+        ivfPqTempRoots.add(root)
+        val dir = root.resolve("index").toString
+        writeIvfPqIndex(corpus, dir, nLists, mdl)
+        fut.complete(dir)
+        dir
+      } catch { case t: Throwable =>
+        fut.completeExceptionally(t)
+        ivfPqIndexSlots.synchronized {
+          Option(ivfPqIndexSlots.get(spark)).foreach(_.remove(sfDir))
+        }
+        throw t
+      }
+    } else {
+      try fut.join()
+      catch { case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+      }
+    }
+  }
 
   /** Query a persisted IVF-PQ index: both sidecars rebuild the
     * models (tiny reads), the probe side broadcasts, and the code

@@ -27,9 +27,12 @@ class LshGuardSpec extends SparkSpec {
         "1.0 + 1.4 * (pmod(xxhash64(concat(CAST(id AS STRING), '_', CAST(j AS STRING))), 2000) / 1000.0 - 1.0)" +
         " AS FLOAT))").as("embedding"))
 
-  test("default 16x4 config on a dense corpus trips the candidate-volume guard, naming the remedy") {
+  test("pinned 16x4 config on a dense corpus trips the candidate-volume guard, naming the remedy") {
+    // r=4 pinned explicitly since r14 (the DEFAULT is now the
+    // n-scaled AutoPlanes law — see the auto-path test below): this
+    // case proves the guard still refuses the historic fixed-r regime
     val e = intercept[IllegalArgumentException] {
-      Similarity.cosineNearDupPairsLsh(denseCorpus(16000), 0.5)
+      Similarity.cosineNearDupPairsLsh(denseCorpus(16000), 0.5, planesPerBand = 4)
     }
     assert(e.getMessage.contains("cosineNearDupPairsLsh(bands=16, planesPerBand=4)"))
     assert(e.getMessage.contains("maxCandidatePairs"))

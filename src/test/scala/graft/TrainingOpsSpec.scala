@@ -203,7 +203,11 @@ class TrainingOpsSpec extends SparkSpec {
       val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
       val exact = Similarity.cosineNearDupPairs(emb, 0.5)
         .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
-      val lsh = Similarity.cosineNearDupPairsLsh(emb, 0.5)
+      // r=4 pinned: at the c=0.5 decision boundary only the low-r
+      // regime has near-total recall (the n-scaled default trades
+      // boundary recall for linear candidate volume — covered by the
+      // auto-path test below)
+      val lsh = Similarity.cosineNearDupPairsLsh(emb, 0.5, planesPerBand = 4)
         .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
       assert(lsh == exact, s"$sf: lsh=${lsh.size} exact=${exact.size}")
     }
@@ -319,6 +323,25 @@ class TrainingOpsSpec extends SparkSpec {
     val plan = Similarity.cosineNearDupPairsLsh(emb, 0.5)
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("Join Cross"), plan)
+  }
+
+  test("DEFAULT planesPerBand is the n-scaled auto law (r14 migration: was fixed r=4)") {
+    // omitting planesPerBand must resolve to autoPlanesPerBand(count)
+    // — proven by equality with the explicitly-derived config on the
+    // twin-seeded corpus (high threshold: the regime auto is FOR),
+    // and the guard message must name the resolved value as auto
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = Similarity.twinSeeded(src)
+    val auto = Similarity.cosineNearDupPairsLsh(corpus, 0.9, bands = 28)
+      .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    val pinned = Similarity.cosineNearDupPairsLsh(corpus, 0.9, bands = 28,
+        planesPerBand = Similarity.autoPlanesPerBand(corpus.count()))
+      .select($"a_id", $"b_id", $"cosine").as[(Long, Long, Double)].collect().toSet
+    assert(auto == pinned, s"auto=${auto.size} pinned=${pinned.size}")
+    // every twin found under the auto default (near-1 recall is the
+    // auto law's guarantee; boundary recall is the stated trade)
+    assert(auto.size == src.count())
+    assert(auto.forall { case (a, b, c) => b == a + 1000000L && c >= 0.99 })
   }
 
   test("ivfTopK: full probe over a tiny corpus equals brute force") {

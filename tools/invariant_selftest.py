@@ -14,6 +14,13 @@ relabeled to another cluster's id, internally consistent under every
 local check and caught only by the reachability certificate
 (`small_cluster_unreachable`).
 
+A corruption entry may carry a third element naming a SIBLING dump to
+corrupt instead of the query's own (the invariant reads sibling dumps
+as r_<name> views): the q_ivfpq_indexed case plants a truncated
+per-list count into the q_ivfpq_layout dump — exactly what a
+truncated persisted index would faithfully report — and the layout
+certificate must trip even though the top-k rows are untouched.
+
 Usage: python3 tools/invariant_selftest.py <outDir> <sfDir>
   (outDir = a Verify dump containing invariant_sql.json)
 Exit 0 = all pass+trip as expected; 1 otherwise.
@@ -38,6 +45,16 @@ CORRUPTIONS = {
     "q_ivfpq_topk": [("UPDATE t SET adc_dist = adc_dist + 1 "
                       "WHERE query_id = (SELECT min(query_id) FROM t) AND rnk = 1",
                       "ivfpq_topk_mismatch")],
+    "q_ivfpq_indexed": [
+        # truncated persisted index: a list partition lost rows; the
+        # engine's layout dump reports the truncated count and the
+        # r14 layout certificate must reconcile-fail, even though the
+        # dumped top-k rows are untouched (the blind spot the r13
+        # verdict named)
+        ("UPDATE t SET n_rows = n_rows - 7 "
+         "WHERE list_id = (SELECT min(list_id) FROM t)",
+         "ivfpq_layout_count_mismatch", "q_ivfpq_layout"),
+    ],
     "q_dbscan": [
         ("UPDATE t SET cluster_id = (SELECT max(cluster_id) FROM t WHERE cluster_id IS NOT NULL) "
          "WHERE id = (SELECT min(id) FROM t WHERE role='core' AND cluster_id = "
@@ -100,12 +117,16 @@ def main(out_dir, sf_dir):
                 bad += 1
                 continue
             print(f"GREEN     {name} (correct dump passes, {q['sec']}s)")
-            for i, (sql, want_chk) in enumerate(CORRUPTIONS.get(name, [])):
+            for i, entry in enumerate(CORRUPTIONS.get(name, [])):
+                sql, want_chk = entry[0], entry[1]
+                # optional third element: corrupt a SIBLING dump (the
+                # invariant reads siblings as r_<name> views)
+                target = entry[2] if len(entry) > 2 else name
                 # corrupted COPY of the whole dump dir tree: the
                 # invariant may read sibling dumps (r_*), keep those
                 case = os.path.join(tmp, f"{name}-case{i}")
                 shutil.copytree(out_dir, case)
-                corrupt(case, name, sql)
+                corrupt(case, target, sql)
                 qc, _ = run_gate(case, sf_dir, name, art + f".case{i}")
                 reason = qc.get("reason", "")
                 if qc["status"] != "fail_invariant":
