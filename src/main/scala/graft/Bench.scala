@@ -301,11 +301,25 @@ object Bench {
     // bleed across query boundaries).
     val qm = new QueryMetrics
     spark.sparkContext.addSparkListener(qm)
+    // driver-JVM GC wall-time attribution (r13 verdict item #2): the
+    // in-suite "aged-heap tax" (q_vad 5.96 s in-suite vs 0.84 s in a
+    // fresh JVM at sf1) was diagnosed as heap aging but never
+    // QUANTIFIED per row — gc_sec is the collector time that elapsed
+    // inside each query's measured window, so a stats reader can see
+    // how much of a late-suite row is collector, not plan
+    def gcMillisNow(): Long = {
+      val it = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.iterator()
+      var s = 0L
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
     def measured(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean, Seq[Double]) = {
+        : (Double, Boolean, Seq[Double], Double) = {
       org.apache.spark.GraftSparkShim.drainListeners(spark.sparkContext)
       val before = qm.counters()
       qm.resetPeak()
+      val gc0 = gcMillisNow()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case t: Throwable =>
@@ -313,10 +327,11 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillisNow() - gc0) / 1e3
       org.apache.spark.GraftSparkShim.drainListeners(spark.sparkContext)
       val after = qm.counters()
       val mb = after.zip(before).map { case (a, b) => (a - b) / 1e6 } :+ qm.peak() / 1e6
-      (sec, ok, mb)
+      (sec, ok, mb, gcSec)
     }
     // deterministic name order: Map iteration order shifts whenever a
     // query is added, silently reassigning shared first-touch costs
@@ -326,7 +341,7 @@ object Bench {
       .filter { case (name, _) => benchOnly.forall(_.contains(name)) }
     def onePass(): Seq[(String, Double, Boolean)] =
       qlist.map { case (name, fn) =>
-        val (sec, ok, _) = measured(name, fn)
+        val (sec, ok, _, _) = measured(name, fn)
         (name, sec, ok)
       }
     // two passes, per-query MIN: transient host-level contention (a
@@ -368,7 +383,10 @@ object Bench {
         val isReceipt = receiptSet(name)
         val attempts = if (isReceipt) 1 else n
         val runs = (1 to attempts).map(_ => measured(name, fn))
-        val oksChrono = runs.collect { case (t, true, _) => t }
+        val oksChrono = runs.collect { case (t, true, _, _) => t }
+        // gc seconds inside the same windows, kept chronological so
+        // the warm-run selection below can align with oksChrono
+        val gcChrono = runs.collect { case (_, true, _, g) => g }
         // query-major consequence, measured on the first converted
         // run: each query's FIRST run carries its one-time cost
         // (codegen, page-cache first touch) back-to-back with warm
@@ -383,18 +401,26 @@ object Bench {
           else if (warm.size % 2 == 1) warm(warm.size / 2)
           else (warm(warm.size / 2 - 1) + warm(warm.size / 2)) / 2.0
         val spread = if (warm.size < 2 || med <= 0) 0.0 else (warm.max - warm.min) / med
+        // median gc_sec over the SAME warm runs the median column uses
+        val gcWarm = (if (gcChrono.size >= 3) gcChrono.drop(1) else gcChrono).sorted
+        val gcMed = if (gcWarm.isEmpty) -1.0
+          else if (gcWarm.size % 2 == 1) gcWarm(gcWarm.size / 2)
+          else (gcWarm(gcWarm.size / 2 - 1) + gcWarm(gcWarm.size / 2)) / 2.0
         // metrics from the first SUCCESSFUL run — shuffle/spill bytes
         // are plan-determined and stable across passes
-        val met = runs.collectFirst { case (_, true, m) => m }
+        val met = runs.collectFirst { case (_, true, m, _) => m }
           .getOrElse(Seq(-1.0, -1.0, -1.0, -1.0))
         (name, if (oksChrono.isEmpty) -1.0 else oksChrono.min, med, spread, oksChrono,
-          attempts, met, isReceipt, warm.size)
+          attempts, met, isReceipt, warm.size, gcMed)
       }
       sys.env.get("SPARK_GRAFT_BENCH_STATS_OUT").foreach { path =>
         val w = new java.io.PrintWriter(path)
-        try stats.foreach { case (name, mn, med, spread, oks, _, met, isReceipt, _) =>
-          // times are CHRONOLOGICAL (first entry is the cold run)
-          w.println(s"""{"query":"$name","min":${f3(mn)},"median":${f3(med)},"spread":${f3(spread)},"times":[${oks.map(f3).mkString(",")}],"receipt":$isReceipt,"shuffle_read_mb":${f3(met(0))},"shuffle_write_mb":${f3(met(1))},"spill_mb":${f3(met(2))},"peak_task_mem_mb":${f3(met(3))}}""")
+        try stats.foreach { case (name, mn, med, spread, oks, _, met, isReceipt, _, gcMed) =>
+          // times are CHRONOLOGICAL (first entry is the cold run);
+          // gc_sec is the driver-JVM collector time inside the median
+          // column's warm windows — subtract it to read the plan cost
+          // of a late-suite row (the aged-heap tax, r13 item #2)
+          w.println(s"""{"query":"$name","min":${f3(mn)},"median":${f3(med)},"spread":${f3(spread)},"gc_sec":${f3(gcMed)},"times":[${oks.map(f3).mkString(",")}],"receipt":$isReceipt,"shuffle_read_mb":${f3(met(0))},"shuffle_write_mb":${f3(met(1))},"spill_mb":${f3(met(2))},"peak_task_mem_mb":${f3(met(3))}}""")
         } finally w.close()
       }
       // spread pool: only non-receipt queries with >=2 WARM runs — a
@@ -435,7 +461,7 @@ object Bench {
       val total = stats.filterNot(_._8).map(_._2).filter(_ >= 0).sum
       val receiptTotal = stats.filter(_._8).map(_._2).filter(_ >= 0).sum
       val totalMed = stats.filterNot(_._8).map(_._3).filter(_ >= 0).sum
-      val qs = stats.map { case (name, mn, _, _, _, _, _, _, _) => s"\"$name\":${f3(mn)}" }
+      val qs = stats.map { case (name, mn, _, _, _, _, _, _, _, _) => s"\"$name\":${f3(mn)}" }
         .mkString("{", ",", "}")
       val regimesJson = regimesJsonFor(name => stats.exists(_._1 == name))
       println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_failed":$nFailed,"n_flaky":$nFlaky,"n_receipt_refused":$nReceiptRefused,"receipt_total_sec":${f3(receiptTotal)},"warmup_shared_sec":${f3(warmShared)},"warmup_detail":$wdJson,"passes":$n,"pass_order":"query-major","contended":$contended,"canary":${canaryJson()},"spread_median":${f3(spreadMed)},"total_median_sec":${f3(totalMed)},"regimes":$regimesJson,"queries":$qs,"sf":"$sfDir"}""")
