@@ -56,6 +56,16 @@ package graft
   * The replay oracles in [[SparkEntry.oracleSql]] stay: they remain
   * the primary gate at sf0.001/0.01 (and pass at sf0.1 where
   * feasible); the invariants close the sf0.1+/sf1 hole.
+  *
+  * r14 adds an sf10 TIER — q_geo_radius / q_jaro_rank /
+  * q_fuzzy_match, whose replays are green through sf1 but whose
+  * candidate volumes grow superlinearly past it (the O(n²) pair
+  * scan; the saturating consonant-skeleton blocking key: 6.0M
+  * blocked pairs at sf1 → 397M at sf10, measured). Their staged
+  * checks keep membership + completeness EXACT at any SF (expensive
+  * string/distance kernels run only on the anti-set) and recompute
+  * values exactly on a pinned 1-in-37 stratum — each entry's
+  * Scaladoc states precisely what is exact and what is sampled.
   */
 object InvariantOracles {
 
@@ -376,6 +386,177 @@ object InvariantOracles {
       |  WHERE l.list_id IS NULL OR g.list_id IS NULL OR l.n_rows != g.n_rows
       |) LIMIT 20""".stripMargin)
 
+  /** q_geo_radius at sf10 (r14): the REPLAY oracle is the O(n²)
+    * inequality pair scan (`JOIN p b ON a.id < b.id`) — 2.25e12
+    * candidate pairs at 1.5M customers, measured-infeasible an order
+    * of magnitude past the gate budget (290 s at sf1 scales with the
+    * SQUARE of point count at fixed 1e6×1e6 extent). This staged
+    * check recomputes the FULL pair set through the engine's own
+    * grid-bucket structure (cell width = eps ⇒ any pair within eps
+    * is at most one cell apart — complete, same argument as the
+    * dbscan invariant's db_pairs) and compares the two pair multisets
+    * EXACTLY via per-bucket (count, hash-sum) reconciliation — the
+    * recomputed join streams straight into a 64-bucket aggregate, so
+    * the ~1.4e9-row pair set at sf10 is never materialized on either
+    * side. Equal unique-keyed sets ⇒ equal bucket digests; a single
+    * changed/missing/extra (id_a, id_b, dist2) row flips its
+    * bucket's count or hash-sum. Soundness AND completeness are both
+    * fully covered (dist2 participates in the hash). */
+  private val geoRadius: Seq[String] = Seq(
+    """CREATE TEMP TABLE gr_g AS
+      |SELECT id, x, y, x // 20000 AS cx, y // 20000 AS cy FROM (
+      |  SELECT c_custkey AS id,
+      |    CAST(concat('0x', substr(md5(concat('gx', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS x,
+      |    CAST(concat('0x', substr(md5(concat('gy', CAST(c_custkey AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000 AS y
+      |  FROM customer)""".stripMargin,
+    // the full grid-join pair recompute, streamed into 64 bucket
+    // digests in ONE statement (no pair materialization)
+    """CREATE TEMP TABLE gr_sum_g AS
+      |SELECT id_a % 64 AS bkt, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(hash(CAST(id_a AS VARCHAR) || ',' || CAST(id_b AS VARCHAR) || ',' || CAST(dist2 AS VARCHAR)) AS HUGEINT)) AS HUGEINT) AS h
+      |FROM (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+      |  FROM gr_g a
+      |  JOIN (SELECT g.id, g.x, g.y, g.cx + d.dx AS cx, g.cy + d.dy AS cy
+      |        FROM gr_g g CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) d(dx, dy)) b
+      |    ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+      |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 400000000)
+      |GROUP BY 1""".stripMargin,
+    """CREATE TEMP TABLE gr_sum_r AS
+      |SELECT id_a % 64 AS bkt, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(hash(CAST(id_a AS VARCHAR) || ',' || CAST(id_b AS VARCHAR) || ',' || CAST(dist2 AS VARCHAR)) AS HUGEINT)) AS HUGEINT) AS h
+      |FROM result GROUP BY 1""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT 'geo_pairs_bucket_mismatch' AS chk,
+      |    CAST(COALESCE(r.bkt, g.bkt) AS VARCHAR) AS detail
+      |  FROM gr_sum_r r FULL OUTER JOIN gr_sum_g g ON g.bkt = r.bkt
+      |  WHERE r.bkt IS NULL OR g.bkt IS NULL OR r.n != g.n OR r.h != g.h
+      |) LIMIT 20""".stripMargin)
+
+  /** q_jaro_rank at sf10 (r14): the blocking key (consonant skeleton
+    * of a 5-word name from a fixed vocabulary) saturates, so blocked
+    * candidate pairs grow SUPERLINEARLY — measured 6.0M at sf1 →
+    * 397M at sf10 (66×), putting the full per-pair Jaro–Winkler
+    * replay (~30 µs/pair in DuckDB) hours past the budget. The
+    * staged check splits the guarantee:
+    *  - MEMBERSHIP (exact, all rows): every result pair exists in
+    *    the recomputed blocked candidate set — no fabricated pairs.
+    *  - COMPLETENESS (exact, all rows): every candidate pair absent
+    *    from the result is recomputed and must score BELOW the 0.9
+    *    threshold — JW runs only on the anti-set, which is small
+    *    because near-identical skeletons almost always pass.
+    *  - VALUE SOUNDNESS (deterministic 1-in-37 stratum): jw_e9 is
+    *    recomputed exactly for every result row whose pair hash lands
+    *    in the stratum. A wrong score OUTSIDE the stratum on a pair
+    *    that legitimately belongs in the result is the one class this
+    *    stages does not fully cover at sf10 — stated here openly; the
+    *    full replay covers it at sf0.001–sf1. */
+  private val jaroRank: Seq[String] = Seq(
+    """CREATE TEMP TABLE jr_dirty AS
+      |SELECT p_partkey AS dirty_id, replace(p_name, 'e', '') AS dirty_name,
+      |  regexp_replace(lower(trim(replace(p_name, 'e', ''))), '[aeiou ]', '', 'g') AS blk
+      |FROM part WHERE p_partkey % 11 = 0""".stripMargin,
+    """CREATE TEMP TABLE jr_cat AS
+      |SELECT p_partkey, p_name,
+      |  regexp_replace(lower(trim(p_name)), '[aeiou ]', '', 'g') AS blk
+      |FROM part""".stripMargin,
+    """CREATE TEMP TABLE jr_cand AS
+      |SELECT d.dirty_id, c.p_partkey FROM jr_dirty d JOIN jr_cat c ON d.blk = c.blk""".stripMargin,
+    """CREATE TEMP TABLE jr_res AS
+      |SELECT dirty_id, p_partkey, jw_e9 FROM result""".stripMargin,
+    // membership: result ⊆ candidates (exact, ids only)
+    """CREATE TEMP TABLE jr_v_member AS
+      |SELECT 'jaro_pair_not_candidate' AS chk,
+      |  CAST(r.dirty_id AS VARCHAR) || ':' || CAST(r.p_partkey AS VARCHAR) AS detail
+      |FROM jr_res r LEFT JOIN jr_cand c
+      |  ON c.dirty_id = r.dirty_id AND c.p_partkey = r.p_partkey
+      |WHERE c.dirty_id IS NULL""".stripMargin,
+    // completeness: JW only on candidates MISSING from the result
+    """CREATE TEMP TABLE jr_v_missing AS
+      |SELECT 'jaro_missing_pair' AS chk,
+      |  CAST(m.dirty_id AS VARCHAR) || ':' || CAST(m.p_partkey AS VARCHAR) AS detail
+      |FROM (SELECT c.dirty_id, c.p_partkey FROM jr_cand c
+      |      LEFT JOIN jr_res r ON r.dirty_id = c.dirty_id AND r.p_partkey = c.p_partkey
+      |      WHERE r.dirty_id IS NULL) m
+      |JOIN jr_dirty d ON d.dirty_id = m.dirty_id
+      |JOIN jr_cat c2 ON c2.p_partkey = m.p_partkey
+      |WHERE CAST(round(jaro_winkler_similarity(d.dirty_name, c2.p_name) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) >= 900000000""".stripMargin,
+    // value soundness on the pinned 1-in-37 stratum
+    """CREATE TEMP TABLE jr_v_stratum AS
+      |SELECT 'jaro_stratum_jw_mismatch' AS chk,
+      |  CAST(r.dirty_id AS VARCHAR) || ':' || CAST(r.p_partkey AS VARCHAR) AS detail
+      |FROM jr_res r
+      |JOIN jr_dirty d ON d.dirty_id = r.dirty_id
+      |JOIN jr_cat c ON c.p_partkey = r.p_partkey
+      |WHERE hash(CAST(r.dirty_id AS VARCHAR) || ':' || CAST(r.p_partkey AS VARCHAR)) % 37 = 0
+      |  AND (CAST(round(jaro_winkler_similarity(d.dirty_name, c.p_name) * CAST(1000000000.0 AS DOUBLE)) AS BIGINT) != r.jw_e9
+      |       OR r.jw_e9 < 900000000)""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT chk AS chk, detail FROM jr_v_member
+      |  UNION ALL SELECT chk AS chk, detail FROM jr_v_missing
+      |  UNION ALL SELECT chk AS chk, detail FROM jr_v_stratum
+      |) LIMIT 20""".stripMargin)
+
+  /** q_fuzzy_match at sf10 (r14): same superlinear blocked-candidate
+    * growth as q_jaro_rank (same consonant-skeleton key, mod-7 dirty
+    * slice), so the full per-pair Levenshtein replay is
+    * measured-infeasible. Split guarantee, mirroring jaroRank:
+    * membership + carried-string exactness + completeness are EXACT
+    * over all rows (Levenshtein runs only on the anti-set);
+    * the dist VALUE is recomputed on the pinned 1-in-37 stratum. */
+  private val fuzzyMatch: Seq[String] = Seq(
+    """CREATE TEMP TABLE fz_dirty AS
+      |SELECT p_partkey AS dirty_id, replace(p_name, 'e', '') AS dirty_name,
+      |  regexp_replace(lower(trim(replace(p_name, 'e', ''))), '[aeiou ]', '', 'g') AS blk
+      |FROM part WHERE p_partkey % 7 = 0""".stripMargin,
+    """CREATE TEMP TABLE fz_cat AS
+      |SELECT p_partkey, p_name,
+      |  regexp_replace(lower(trim(p_name)), '[aeiou ]', '', 'g') AS blk
+      |FROM part""".stripMargin,
+    """CREATE TEMP TABLE fz_cand AS
+      |SELECT d.dirty_id, c.p_partkey FROM fz_dirty d JOIN fz_cat c ON d.blk = c.blk
+      |WHERE abs(len(d.dirty_name) - len(c.p_name)) <= 2""".stripMargin,
+    """CREATE TEMP TABLE fz_res AS
+      |SELECT dirty_id, p_partkey, dirty_name, p_name, dist FROM result""".stripMargin,
+    // carried strings must be THE strings for those ids (exact)
+    """CREATE TEMP TABLE fz_v_strings AS
+      |SELECT 'fuzzy_carried_string_mismatch' AS chk,
+      |  CAST(r.dirty_id AS VARCHAR) || ':' || CAST(r.p_partkey AS VARCHAR) AS detail
+      |FROM fz_res r
+      |LEFT JOIN fz_dirty d ON d.dirty_id = r.dirty_id
+      |LEFT JOIN fz_cat c ON c.p_partkey = r.p_partkey
+      |WHERE d.dirty_id IS NULL OR c.p_partkey IS NULL
+      |   OR r.dirty_name != d.dirty_name OR r.p_name != c.p_name""".stripMargin,
+    """CREATE TEMP TABLE fz_v_member AS
+      |SELECT 'fuzzy_pair_not_candidate' AS chk,
+      |  CAST(r.dirty_id AS VARCHAR) || ':' || CAST(r.p_partkey AS VARCHAR) AS detail
+      |FROM fz_res r LEFT JOIN fz_cand c
+      |  ON c.dirty_id = r.dirty_id AND c.p_partkey = r.p_partkey
+      |WHERE c.dirty_id IS NULL""".stripMargin,
+    // completeness: Levenshtein only on candidates missing from result
+    """CREATE TEMP TABLE fz_v_missing AS
+      |SELECT 'fuzzy_missing_pair' AS chk,
+      |  CAST(m.dirty_id AS VARCHAR) || ':' || CAST(m.p_partkey AS VARCHAR) AS detail
+      |FROM (SELECT c.dirty_id, c.p_partkey FROM fz_cand c
+      |      LEFT JOIN fz_res r ON r.dirty_id = c.dirty_id AND r.p_partkey = c.p_partkey
+      |      WHERE r.dirty_id IS NULL) m
+      |JOIN fz_dirty d ON d.dirty_id = m.dirty_id
+      |JOIN fz_cat c2 ON c2.p_partkey = m.p_partkey
+      |WHERE levenshtein(d.dirty_name, c2.p_name) <= 2""".stripMargin,
+    """CREATE TEMP TABLE fz_v_stratum AS
+      |SELECT 'fuzzy_stratum_dist_mismatch' AS chk,
+      |  CAST(dirty_id AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR) AS detail
+      |FROM fz_res
+      |WHERE hash(CAST(dirty_id AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR)) % 37 = 0
+      |  AND (CAST(levenshtein(dirty_name, p_name) AS INT) != dist OR dist > 2)""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT chk AS chk, detail FROM fz_v_strings
+      |  UNION ALL SELECT chk AS chk, detail FROM fz_v_member
+      |  UNION ALL SELECT chk AS chk, detail FROM fz_v_missing
+      |  UNION ALL SELECT chk AS chk, detail FROM fz_v_stratum
+      |) LIMIT 20""".stripMargin)
+
   /** Query name → ordered DuckDB statements; the last SELECTs
     * violation rows (zero rows = pass_invariant). */
   val sql: Map[String, Seq[String]] = Map(
@@ -391,5 +572,11 @@ object InvariantOracles {
     // sf1 that put q_ivfpq_topk on this list in r11. Since r14 its
     // staged list ALSO reconciles the persisted index's per-list
     // layout via the engine's q_ivfpq_layout dump (see ivfpqIndexed).
-    "q_ivfpq_indexed" -> ivfpqIndexed)
+    "q_ivfpq_indexed" -> ivfpqIndexed,
+    // the sf10 tier (r14 — these three replays are fine through sf1
+    // and stay the primary gate there; only the sf10 gate maps them
+    // here, where their candidate volumes grow superlinearly):
+    "q_geo_radius" -> geoRadius,
+    "q_jaro_rank" -> jaroRank,
+    "q_fuzzy_match" -> fuzzyMatch)
 }

@@ -15,10 +15,12 @@ class InvariantOraclesSpec extends SparkSpec {
 
   private val inv = SparkEntry.invariantSql
 
-  test("exactly the six measured-infeasible replay rows carry invariants") {
+  test("exactly the measured-infeasible replay rows carry invariants") {
+    // six from the sf1 tier + the three sf10-tier rows (r14): replays
+    // green through sf1 but superlinear candidate volume past it
     assert(inv.keySet ==
       Set("q_kcore", "q_hits", "q_modularity", "q_dbscan", "q_ivfpq_topk",
-        "q_ivfpq_indexed"))
+        "q_ivfpq_indexed", "q_geo_radius", "q_jaro_rank", "q_fuzzy_match"))
   }
 
   test("every invariant key is a registered query with a replay oracle") {
@@ -49,7 +51,9 @@ class InvariantOraclesSpec extends SparkSpec {
   test("temp table names are prefixed per query and never collide across statements") {
     val prefixes = Map("q_kcore" -> "kc_", "q_hits" -> "ht_",
       "q_modularity" -> "md_", "q_dbscan" -> "db_", "q_ivfpq_topk" -> "iv_",
-      "q_ivfpq_indexed" -> "iv_") // shares the ivfpq pipeline verbatim
+      "q_ivfpq_indexed" -> "iv_", // shares the ivfpq pipeline verbatim
+      "q_geo_radius" -> "gr_", "q_jaro_rank" -> "jr_",
+      "q_fuzzy_match" -> "fz_")
     inv.foreach { case (k, stmts) =>
       val names = stmts.dropRight(1).map { s =>
         s.trim.split("\\s+")(3) // CREATE TEMP TABLE <name>

@@ -55,6 +55,32 @@ CORRUPTIONS = {
          "WHERE list_id = (SELECT min(list_id) FROM t)",
          "ivfpq_layout_count_mismatch", "q_ivfpq_layout"),
     ],
+    # ---- sf10 tier (r14): membership/completeness exact, value
+    # soundness on a pinned 1-in-37 stratum — the UPDATE-all cases
+    # prove the stratum is non-empty and actually checks values ----
+    "q_geo_radius": [
+        ("UPDATE t SET dist2 = dist2 + 1 WHERE id_a = (SELECT min(id_a) FROM t)",
+         "geo_pairs_bucket_mismatch"),
+        ("DELETE FROM t WHERE id_a = (SELECT min(id_a) FROM t)",
+         "geo_pairs_bucket_mismatch"),
+    ],
+    "q_jaro_rank": [
+        ("DELETE FROM t WHERE CAST(dirty_id AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR) = "
+         "(SELECT CAST(dirty_id AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR) "
+         "FROM t ORDER BY dirty_id, p_partkey LIMIT 1)",
+         "jaro_missing_pair"),
+        ("UPDATE t SET jw_e9 = jw_e9 + 1", "jaro_stratum_jw_mismatch"),
+    ],
+    "q_fuzzy_match": [
+        ("DELETE FROM t WHERE CAST(dirty_id AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR) = "
+         "(SELECT CAST(dirty_id AS VARCHAR) || ':' || CAST(p_partkey AS VARCHAR) "
+         "FROM t ORDER BY dirty_id, p_partkey LIMIT 1)",
+         "fuzzy_missing_pair"),
+        ("UPDATE t SET dist = dist + 1", "fuzzy_stratum_dist_mismatch"),
+        ("UPDATE t SET p_name = p_name || 'x' "
+         "WHERE dirty_id = (SELECT min(dirty_id) FROM t)",
+         "fuzzy_carried_string_mismatch"),
+    ],
     "q_dbscan": [
         ("UPDATE t SET cluster_id = (SELECT max(cluster_id) FROM t WHERE cluster_id IS NOT NULL) "
          "WHERE id = (SELECT min(id) FROM t WHERE role='core' AND cluster_id = "
