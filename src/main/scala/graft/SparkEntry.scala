@@ -4425,7 +4425,10 @@ object SparkEntry {
         |FROM win ORDER BY day""".stripMargin,
 
     // ||s_a·n_b − s_b·n_a||² exact integer fold, then the two
-    // mirrored divisions by (n_a·n_b)
+    // mirrored divisions by (n_a·n_b). The squares live in HUGEINT
+    // (the engine mirrors with decimal(38,0)): measured ~10²² at
+    // sf10, past int64 — plain BIGINT multiplication errors in
+    // DuckDB and silently wraps in Spark (r14)
     "q_class_sep" ->
       """WITH q AS (
         |  SELECT label, list_transform(embedding,
@@ -4445,7 +4448,8 @@ object SparkEntry {
         |SELECT CAST(a.lab AS BIGINT) AS label_a, CAST(b.lab AS BIGINT) AS label_b,
         |  a.n AS n_a, b.n AS n_b,
         |  CAST(round(1e9 * CAST(list_sum(list_transform(range(1, len(a.sv)+1),
-        |      i -> (a.sv[i]*b.n - b.sv[i]*a.n) * (a.sv[i]*b.n - b.sv[i]*a.n))) AS DOUBLE) /
+        |      i -> (CAST(a.sv[i] AS HUGEINT)*b.n - CAST(b.sv[i] AS HUGEINT)*a.n)
+        |         * (CAST(a.sv[i] AS HUGEINT)*b.n - CAST(b.sv[i] AS HUGEINT)*a.n))) AS DOUBLE) /
         |    CAST(a.n * b.n AS DOUBLE) / CAST(a.n * b.n AS DOUBLE)) AS BIGINT) AS dist2_nano
         |FROM c a JOIN c b ON a.lab < b.lab
         |ORDER BY 1, 2""".stripMargin,

@@ -15,12 +15,16 @@ import org.apache.spark.sql.functions._
   *
   *   ‖μ_a − μ_b‖² = ‖s_a·n_b − s_b·n_a‖² / (n_a·n_b)²
   *
-  * — numerator an exact integer fold (`QDotLong` on the difference
-  * vector), one IEEE division at the end, nano-rounded. Bounds: with
-  * quantized coords ≤ 10⁴ and classes ≤ 10⁵ vectors, the scaled
-  * difference stays under 2⁵⁰ per dimension and the 64-dim fold
-  * under 2⁶²; millions-per-class needs the DECIMAL ladder (stated,
-  * the assortativity note).
+  * — numerator an exact DECIMAL(38,0) square-fold over LONG
+  * cross-scaled differences, one IEEE division at the end,
+  * nano-rounded. Bounds (r14 — the long fold wrapped at the third
+  * decade): the per-dimension cross-scaled difference s·n stays a
+  * LONG (loud per-element guard at 2⁶³: |s|·n ≈ 5·10¹⁰ at sf10,
+  * headroom to ~150M vectors/class at worst-case sums), while the
+  * SQUARE — measured ~10²² at sf10, past int64 — accumulates in
+  * decimal(38,0) (≤ 5·10³¹ per dim, ≤ 3·10³³ over 64 dims; the
+  * DuckDB mirror uses HUGEINT). sf1 sat just under the old long
+  * edge, which is why the wrap only surfaced at sf10.
   *
   * Scale shape: ONE data-sized aggregate (per-label element-wise
   * vector sums via `posexplode` + hash aggregate with map-side
@@ -52,14 +56,23 @@ object ClassSep {
     val cents = sums.join(counts, Seq("lab"))
     val a = cents.select(col("lab").as("label_a"), col("sv").as("__sa"), col("n").as("n_a"))
     val b = cents.select(col("lab").as("label_b"), col("sv").as("__sb"), col("n").as("n_b"))
+    // per-element LONG cross-scale with a loud overflow guard (the
+    // label-pair frame is |L|²·dims cells — metadata-sized, so the
+    // guard costs nothing), then the square-sum in decimal(38,0):
+    // the square is ~10²² at sf10, past int64, and Spark's non-ANSI
+    // long multiply would wrap SILENTLY — measured, r14
+    val diff = zip_with(col("__sa"), col("__sb"), (x, y) =>
+      when(abs(x) > lit(Long.MaxValue) / col("n_b") ||
+           abs(y) > lit(Long.MaxValue) / col("n_a"),
+        raise_error(concat(lit("ClassSep: cross-scaled sum overflows long for pair ("),
+          col("label_a"), lit(","), col("label_b"), lit(")"))).cast("long"))
+        .otherwise(x * col("n_b") - y * col("n_a")))
     a.join(b, col("label_a") < col("label_b"))
       .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
         round(lit(1e9) *
-          graft.plans.QDotLong.qdot(
-            zip_with(col("__sa"), col("__sb"),
-              (x, y) => x * col("n_b") - y * col("n_a")),
-            zip_with(col("__sa"), col("__sb"),
-              (x, y) => x * col("n_b") - y * col("n_a"))).cast("double") /
+          aggregate(diff, lit(0).cast("decimal(38,0)"),
+            (acc, d) => acc + d.cast("decimal(19,0)") * d.cast("decimal(19,0)"))
+            .cast("double") /
           (col("n_a") * col("n_b")).cast("double") /
           (col("n_a") * col("n_b")).cast("double"))
           .cast("long").as("dist2_nano"))

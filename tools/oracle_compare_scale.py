@@ -48,6 +48,15 @@ try:
                 %% __import__("os").environ.get("GRAFT_DUCK_TMP_CAP", "40GiB"))
 except Exception:
     pass
+# DuckDB's default memory_limit is 80%% of RAM — concurrent workers at
+# big SFs balloon past physical memory and the KERNEL kills them
+# (rc=-9, measured at 70 GB RSS during the r14 sf10 gate). A bounded
+# limit makes DuckDB spill to the capped temp dir instead.
+try:
+    con.execute("SET memory_limit='%%s'"
+                %% __import__("os").environ.get("GRAFT_DUCK_MEM", "24GiB"))
+except Exception:
+    pass
 import os as _os
 for t in tables:
     # driver SFs ship single-file tables; GenScale SFs ship
@@ -104,6 +113,11 @@ try:
                 %% os.environ.get("GRAFT_DUCK_TMP_CAP", "40GiB"))
 except Exception:
     pass
+try:
+    con.execute("SET memory_limit='%%s'"
+                %% os.environ.get("GRAFT_DUCK_MEM", "24GiB"))
+except Exception:
+    pass
 for t in tables:
     pth = f"{sf_dir}/{t}.parquet"
     src = f"{pth}/*.parquet" if os.path.isdir(pth) else pth
@@ -157,6 +171,12 @@ def run_worker(worker_path, out_dir, sf_dir, name, timeout, invariant):
         r = {"status": "oracle_timeout",
              "reason": f"DuckDB {'invariant' if invariant else 'oracle'} "
                        f"exceeded {timeout}s at this SF"}
+    # a worker the KERNEL killed (OOM reaper, SIGKILL) is a host
+    # resource event, not an engine mismatch — classify it retryable
+    # (oracle_resource is outside DECIDED) instead of a decided fail
+    if r.get("status") in ("fail", "fail_invariant") \
+            and "rc=-9" in r.get("reason", ""):
+        r["status"] = "oracle_resource"
     # resource-exhausted oracles are the oracle_timeout class, not a
     # mismatch: the DUCKDB side ran out of disk/temp budget before
     # producing an answer (the engine side already dumped fine)
