@@ -557,6 +557,90 @@ object InvariantOracles {
       |  UNION ALL SELECT chk AS chk, detail FROM fz_v_stratum
       |) LIMIT 20""".stripMargin)
 
+  /** One LPA vote round: votes = neighbor labels gathered over the
+    * materialized edge table + each node's own label; next state =
+    * per-node argmax by (count DESC, label ASC) — the replay's exact
+    * vote rule, but each round reads a TEMP TABLE, so round r is one
+    * join + one aggregate + one window over ~|E| rows (the unrolled
+    * replay re-inlined the whole chain and spilled past 40 GiB at
+    * sf10). */
+  private def lpaRound(prev: String, votes: String, next: String): Seq[String] = Seq(
+    s"""CREATE TEMP TABLE $votes AS
+       |SELECT id, lab, count(*) AS c FROM (
+       |  SELECT e.dst AS id, l.lab FROM lp_e e JOIN $prev l ON l.id = e.src
+       |  UNION ALL SELECT id, lab FROM $prev
+       |) GROUP BY 1, 2""".stripMargin,
+    s"""CREATE TEMP TABLE $next AS
+       |SELECT id, lab FROM (
+       |  SELECT id, lab, row_number() OVER (
+       |    PARTITION BY id ORDER BY c DESC, lab) AS rn FROM $votes
+       |) WHERE rn = 1""".stripMargin)
+
+  /** q_labelprop at sf10 (r14): the replay is correct and green
+    * through sf1, but DuckDB re-inlines the 3-round CTE chain
+    * (each round references the previous twice: gather + self-vote),
+    * so the sf10 replay re-executes the 60M-row edge base
+    * exponentially often and exhausts the spill budget. Staged, each
+    * round is linear over materialized tables and the final state
+    * must equal `result` EXACTLY — the kcore/hits transition-check
+    * pattern, full-strength (every node's label re-derived
+    * independently of the engine). */
+  private val labelProp: Seq[String] = Seq(
+    """CREATE TEMP TABLE lp_ed AS
+      |SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem""".stripMargin,
+    """CREATE TEMP TABLE lp_e AS
+      |SELECT src, dst FROM lp_ed UNION ALL SELECT dst AS src, src AS dst FROM lp_ed""".stripMargin,
+    """CREATE TEMP TABLE lp_l0 AS
+      |SELECT DISTINCT src AS id, src AS lab FROM lp_e""".stripMargin) ++
+    lpaRound("lp_l0", "lp_v1", "lp_l1") ++
+    lpaRound("lp_l1", "lp_v2", "lp_l2") ++
+    lpaRound("lp_l2", "lp_v3", "lp_l3") ++ Seq(
+    """SELECT * FROM (
+      |  SELECT 'labelprop_round3_mismatch' AS chk,
+      |    CAST(COALESCE(r.id, g.id) AS VARCHAR) AS detail
+      |  FROM result r FULL OUTER JOIN lp_l3 g ON g.id = r.id
+      |  WHERE r.id IS NULL OR g.id IS NULL OR r.lab != g.lab
+      |) LIMIT 20""".stripMargin)
+
+  /** q_conductance at sf10 (r14): same CTE-re-inlining spill as
+    * q_labelprop (its replay embeds the full LPA unroll before the
+    * cut/volume pass). Staged: recompute cut, volume, and φ from the
+    * ENGINE's own q_labelprop dump — valid for the same reason as
+    * the modularity invariant (q_labelprop is itself independently
+    * re-derived by its transition check at this SF, and the engine's
+    * conductance consumes the identical shared labels frame), plus
+    * the unlabeled-endpoint guard so a labels dump missing nodes
+    * cannot silently shrink the edge pass. */
+  private val conductance: Seq[String] = Seq(
+    """CREATE TEMP TABLE cd_ed AS
+      |SELECT DISTINCT 2*l_partkey AS src, 2*l_suppkey + 1 AS dst FROM lineitem""".stripMargin,
+    """CREATE TEMP TABLE cd_e AS
+      |SELECT src, dst FROM cd_ed UNION ALL SELECT dst AS src, src AS dst FROM cd_ed""".stripMargin,
+    """CREATE TEMP TABLE cd_lab AS SELECT id, lab FROM r_q_labelprop""".stripMargin,
+    """CREATE TEMP TABLE cd_chk AS
+      |WITH parts AS (
+      |  SELECT ls.lab AS lab, CAST(count(*) AS BIGINT) AS vol,
+      |    CAST(sum(CASE WHEN ls.lab <> ld.lab THEN 1 ELSE 0 END) AS BIGINT) AS cut
+      |  FROM cd_e e JOIN cd_lab ls ON ls.id = e.src JOIN cd_lab ld ON ld.id = e.dst
+      |  GROUP BY 1
+      |), m2t AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM cd_e)
+      |SELECT CAST(lab AS BIGINT) AS lab, vol, cut,
+      |  CASE WHEN least(vol, m2 - vol) = 0 THEN NULL
+      |    ELSE CAST(round(1e9 * CAST(cut AS DOUBLE)
+      |      / CAST(least(vol, m2 - vol) AS DOUBLE)) AS BIGINT)
+      |  END AS phi_nano
+      |FROM parts, m2t""".stripMargin,
+    """SELECT * FROM (
+      |  SELECT 'conductance_mismatch' AS chk,
+      |    CAST(COALESCE(r.lab, c.lab) AS VARCHAR) AS detail
+      |  FROM result r FULL OUTER JOIN cd_chk c ON c.lab = r.lab
+      |  WHERE r.lab IS NULL OR c.lab IS NULL OR r.vol != c.vol
+      |     OR r.cut != c.cut OR r.phi_nano IS DISTINCT FROM c.phi_nano
+      |  UNION ALL
+      |  SELECT 'unlabeled_endpoint', CAST(e.src AS VARCHAR)
+      |  FROM cd_e e LEFT JOIN cd_lab l ON l.id = e.src WHERE l.id IS NULL
+      |) LIMIT 20""".stripMargin)
+
   /** Query name → ordered DuckDB statements; the last SELECTs
     * violation rows (zero rows = pass_invariant). */
   val sql: Map[String, Seq[String]] = Map(
@@ -578,5 +662,9 @@ object InvariantOracles {
     // here, where their candidate volumes grow superlinearly):
     "q_geo_radius" -> geoRadius,
     "q_jaro_rank" -> jaroRank,
-    "q_fuzzy_match" -> fuzzyMatch)
+    "q_fuzzy_match" -> fuzzyMatch,
+    // sf10 tier, second wave (r14): CTE-re-inlining spill victims —
+    // replays green through sf1, >40 GiB DuckDB spill at sf10
+    "q_labelprop" -> labelProp,
+    "q_conductance" -> conductance)
 }

@@ -20,7 +20,8 @@ class InvariantOraclesSpec extends SparkSpec {
     // green through sf1 but superlinear candidate volume past it
     assert(inv.keySet ==
       Set("q_kcore", "q_hits", "q_modularity", "q_dbscan", "q_ivfpq_topk",
-        "q_ivfpq_indexed", "q_geo_radius", "q_jaro_rank", "q_fuzzy_match"))
+        "q_ivfpq_indexed", "q_geo_radius", "q_jaro_rank", "q_fuzzy_match",
+        "q_labelprop", "q_conductance"))
   }
 
   test("every invariant key is a registered query with a replay oracle") {
@@ -53,7 +54,8 @@ class InvariantOraclesSpec extends SparkSpec {
       "q_modularity" -> "md_", "q_dbscan" -> "db_", "q_ivfpq_topk" -> "iv_",
       "q_ivfpq_indexed" -> "iv_", // shares the ivfpq pipeline verbatim
       "q_geo_radius" -> "gr_", "q_jaro_rank" -> "jr_",
-      "q_fuzzy_match" -> "fz_")
+      "q_fuzzy_match" -> "fz_", "q_labelprop" -> "lp_",
+      "q_conductance" -> "cd_")
     inv.foreach { case (k, stmts) =>
       val names = stmts.dropRight(1).map { s =>
         s.trim.split("\\s+")(3) // CREATE TEMP TABLE <name>

@@ -81,6 +81,19 @@ CORRUPTIONS = {
          "WHERE dirty_id = (SELECT min(dirty_id) FROM t)",
          "fuzzy_carried_string_mismatch"),
     ],
+    # sf10 tier, second wave (r14): CTE-re-inlining spill victims
+    "q_labelprop": [
+        ("UPDATE t SET lab = lab + 2 WHERE id = (SELECT min(id) FROM t)",
+         "labelprop_round3_mismatch"),
+    ],
+    "q_conductance": [
+        ("UPDATE t SET cut = cut + 1 WHERE lab = (SELECT min(lab) FROM t)",
+         "conductance_mismatch"),
+        # a labels dump missing a node must trip the endpoint guard,
+        # not silently shrink the edge pass (sibling corruption)
+        ("DELETE FROM t WHERE id = (SELECT min(id) FROM t)",
+         "unlabeled_endpoint", "q_labelprop"),
+    ],
     "q_dbscan": [
         ("UPDATE t SET cluster_id = (SELECT max(cluster_id) FROM t WHERE cluster_id IS NOT NULL) "
          "WHERE id = (SELECT min(id) FROM t WHERE role='core' AND cluster_id = "
