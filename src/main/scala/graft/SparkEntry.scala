@@ -4056,22 +4056,22 @@ object SparkEntry {
         |), gg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
         |    CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
-        |    CAST(sum(CAST(round(1e9 * CAST(ng*qg - sg*sg AS DOUBLE)
-        |      / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_nano
+        |    CAST(sum(CAST(round(1e6 * CAST(ng*qg - sg*sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_micro
         |  FROM pg
         |), t AS (
         |  SELECT n, k,
-        |    CAST(round(1e9 * CAST(n*q - s*s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS sst_nano,
-        |    ssw_nano
+        |    CAST(round(1e6 * CAST(n*q - s*s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS sst_micro,
+        |    ssw_micro
         |  FROM gg
         |)
-        |SELECT n, k, sst_nano, ssw_nano, sst_nano - ssw_nano AS ssb_nano,
-        |  CASE WHEN k < 2 OR sst_nano = 0 THEN NULL
-        |    ELSE CAST(round(1e9 * CAST(sst_nano - ssw_nano AS DOUBLE)
-        |      / CAST(sst_nano AS DOUBLE)) AS BIGINT) END AS eta2_nano,
-        |  CASE WHEN k < 2 OR n <= k OR ssw_nano = 0 THEN NULL
-        |    ELSE CAST(round(1e9 * (CAST(sst_nano - ssw_nano AS DOUBLE) / CAST(k - 1 AS DOUBLE))
-        |      / (CAST(ssw_nano AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT) END AS f_nano
+        |SELECT n, k, sst_micro, ssw_micro, sst_micro - ssw_micro AS ssb_micro,
+        |  CASE WHEN k < 2 OR sst_micro = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(sst_micro - ssw_micro AS DOUBLE)
+        |      / CAST(sst_micro AS DOUBLE)) AS BIGINT) END AS eta2_nano,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_micro = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (CAST(sst_micro - ssw_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |      / (CAST(ssw_micro AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT) END AS f_nano
         |FROM t""".stripMargin,
 
     // same decomposition, groups = event types, per-event dollars
@@ -4086,22 +4086,22 @@ object SparkEntry {
         |), gg AS (
         |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
         |    CAST(sum(sg) AS BIGINT) AS s, CAST(sum(qg) AS BIGINT) AS q,
-        |    CAST(sum(CAST(round(1e9 * CAST(ng*qg - sg*sg AS DOUBLE)
-        |      / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_nano
+        |    CAST(sum(CAST(round(1e6 * CAST(ng*qg - sg*sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_micro
         |  FROM pg
         |), t AS (
         |  SELECT n, k,
-        |    CAST(round(1e9 * CAST(n*q - s*s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS sst_nano,
-        |    ssw_nano
+        |    CAST(round(1e6 * CAST(n*q - s*s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS sst_micro,
+        |    ssw_micro
         |  FROM gg
         |)
-        |SELECT n, k, sst_nano, ssw_nano, sst_nano - ssw_nano AS ssb_nano,
-        |  CASE WHEN k < 2 OR sst_nano = 0 THEN NULL
-        |    ELSE CAST(round(1e9 * CAST(sst_nano - ssw_nano AS DOUBLE)
-        |      / CAST(sst_nano AS DOUBLE)) AS BIGINT) END AS eta2_nano,
-        |  CASE WHEN k < 2 OR n <= k OR ssw_nano = 0 THEN NULL
-        |    ELSE CAST(round(1e9 * (CAST(sst_nano - ssw_nano AS DOUBLE) / CAST(k - 1 AS DOUBLE))
-        |      / (CAST(ssw_nano AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT) END AS f_nano
+        |SELECT n, k, sst_micro, ssw_micro, sst_micro - ssw_micro AS ssb_micro,
+        |  CASE WHEN k < 2 OR sst_micro = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * CAST(sst_micro - ssw_micro AS DOUBLE)
+        |      / CAST(sst_micro AS DOUBLE)) AS BIGINT) END AS eta2_nano,
+        |  CASE WHEN k < 2 OR n <= k OR ssw_micro = 0 THEN NULL
+        |    ELSE CAST(round(1e9 * (CAST(sst_micro - ssw_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+        |      / (CAST(ssw_micro AS DOUBLE) / CAST(n - k AS DOUBLE))) AS BIGINT) END AS f_nano
         |FROM t""".stripMargin,
 
     // brute-force neighbor graph + the recursive min-label closure

@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
 object StreamAnova {
 
   /** Output (append mode, one row per closed window): (w_start,
-    * w_end, n, k, sst_nano, ssw_nano, ssb_nano, eta2_nano, f_nano) —
+    * w_end, n, k, sst_micro, ssw_micro, ssb_micro, eta2_nano, f_nano) —
     * the Anova.decompose row keyed by window. */
   def windowed(events: DataFrame, tsCol: String, groupCol: String, valCol: String,
                windowDur: String, watermark: String = "10 minutes"): DataFrame = {
@@ -55,34 +55,34 @@ object StreamAnova {
             "rescale the value units (e.g. cents → dollars)")))
         .otherwise(col("qg")).as("qg"))
       .select(col("w"), col("ng"), col("sg"), col("qg"),
-        round(lit(1e9) * (col("ng") * col("qg") - col("sg") * col("sg")).cast("double") /
-          col("ng").cast("double")).cast("long").as("ssw_g_nano"))
+        round(lit(1e6) * (col("ng") * col("qg") - col("sg") * col("sg")).cast("double") /
+          col("ng").cast("double")).cast("long").as("ssw_g_micro"))
     val totals = perGroup
       .groupBy(window(window_time(col("w")), windowDur).as("w2"))
       .agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
         sum(col("sg")).as("s"), sum(col("qg")).as("q"),
-        sum(col("ssw_g_nano")).as("ssw_nano"))
+        sum(col("ssw_g_micro")).as("ssw_micro"))
     val qTot = when(col("n").cast("double") * col("q").cast("double") >
         lit(Long.MaxValue.toDouble / 2.0),
       raise_error(lit("StreamAnova: n·Σx² (window totals) would overflow the exact moments — " +
         "rescale the value units (e.g. cents → dollars)")))
       .otherwise(col("q"))
     totals.select(col("w2"), col("n"), col("k"),
-        round(lit(1e9) * (col("n") * qTot - col("s") * col("s")).cast("double") /
-          col("n").cast("double")).cast("long").as("sst_nano"),
-        col("ssw_nano"))
-      .select(col("w2"), col("n"), col("k"), col("sst_nano"), col("ssw_nano"),
-        (col("sst_nano") - col("ssw_nano")).as("ssb_nano"))
+        round(lit(1e6) * (col("n") * qTot - col("s") * col("s")).cast("double") /
+          col("n").cast("double")).cast("long").as("sst_micro"),
+        col("ssw_micro"))
+      .select(col("w2"), col("n"), col("k"), col("sst_micro"), col("ssw_micro"),
+        (col("sst_micro") - col("ssw_micro")).as("ssb_micro"))
       .select(col("w2.start").as("w_start"), col("w2.end").as("w_end"),
-        col("n"), col("k"), col("sst_nano"), col("ssw_nano"), col("ssb_nano"),
-        when(col("k") < 2 || col("sst_nano") === 0, lit(null).cast("long"))
-          .otherwise(round(lit(1e9) * col("ssb_nano").cast("double") /
-            col("sst_nano").cast("double")).cast("long")).as("eta2_nano"),
-        when(col("k") < 2 || col("n") <= col("k") || col("ssw_nano") === 0,
+        col("n"), col("k"), col("sst_micro"), col("ssw_micro"), col("ssb_micro"),
+        when(col("k") < 2 || col("sst_micro") === 0, lit(null).cast("long"))
+          .otherwise(round(lit(1e9) * col("ssb_micro").cast("double") /
+            col("sst_micro").cast("double")).cast("long")).as("eta2_nano"),
+        when(col("k") < 2 || col("n") <= col("k") || col("ssw_micro") === 0,
             lit(null).cast("long"))
           .otherwise(round(lit(1e9) *
-            (col("ssb_nano").cast("double") / (col("k") - 1).cast("double")) /
-            (col("ssw_nano").cast("double") / (col("n") - col("k")).cast("double")))
+            (col("ssb_micro").cast("double") / (col("k") - 1).cast("double")) /
+            (col("ssw_micro").cast("double") / (col("n") - col("k")).cast("double")))
             .cast("long")).as("f_nano"))
   }
 }

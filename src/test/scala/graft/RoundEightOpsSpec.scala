@@ -415,7 +415,7 @@ class RoundEightOpsSpec extends SparkSpec {
     val r = graft.ops.Anova.decompose(df, "g", "x")
       .as[(Long, Long, Long, Long, Long, Option[Long], Option[Long])].collect().head
     assert(r._1 == 4L && r._2 == 2L)
-    assert(r._3 == 20000000000L && r._4 == 4000000000L && r._5 == 16000000000L)
+    assert(r._3 == 20000000L && r._4 == 4000000L && r._5 == 16000000L) // micro SS (r14)
     assert(r._6.contains(800000000L)) // η² = 16/20
     assert(r._7.contains(math.round(1e9 * (16.0 / 1.0) / (4.0 / 2.0)))) // F = 8
     // constant within groups → SSW 0 → η² = 1, F undefined (NULL)

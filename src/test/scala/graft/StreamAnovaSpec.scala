@@ -71,7 +71,7 @@ class StreamAnovaSpec extends SparkSpec {
         .collect().toSeq
       val w10 = got.find(_._1 == ts(10, 0)).get
       assert((w10._3, w10._4) == ((4L, 2L)))
-      assert(w10._5 == 20000000000L && w10._6 == 4000000000L) // the hand case, reassembled
+      assert(w10._5 == 20000000L && w10._6 == 4000000L) // the hand case, micro SS (r14)
     } finally q.stop()
   }
 }
