@@ -942,6 +942,50 @@ object Profile {
             graft.operators.Dbscan.cluster(p, "id", "x", "y", 20000L, 3).count())
         }
 
+      case "hbround" =>
+        // r14 optimization: decompose ONE HyperBall absorb round to
+        // attribute its measured 23-25 CPU-seconds — join fan-out vs
+        // union vs the RegMax aggregate vs the ObjectHashAggregate
+        // sort fallback (threshold 128 groups) vs broadcasting the
+        // edge side.
+        val e = graft.ops.Graphs.bipartiteQuarterSym(spark, sfDir)
+          .localCheckpoint(true)
+        val nodes = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        println(s"PROF |E|=${e.count()} |V|=${nodes.count()}")
+        val m = 128
+        val c = nodes.select(col("id"),
+          expr(s"transform(sequence(0, ${m - 1}), i -> int(pmod(id * 31 + i, 13)))")
+            .as("regs")).localCheckpoint(true)
+        c.count()
+        def round(cc: org.apache.spark.sql.DataFrame,
+                  ee: org.apache.spark.sql.DataFrame) =
+          cc.unionByName(cc.join(ee, cc("id") === ee("dst"))
+              .select(ee("src").as("id"), col("regs")))
+            .groupBy(col("id"))
+            .agg(graft.plans.RegMaxArr.regMax(col("regs")).as("regs"))
+        for (_ <- 1 to 2) {
+          time("join only")(
+            c.join(e, c("id") === e("dst")).select(e("src").as("id"), col("regs"))
+              .write.format("noop").mode("overwrite").save())
+          time("join+union noop")(
+            c.unionByName(c.join(e, c("id") === e("dst"))
+              .select(e("src").as("id"), col("regs")))
+              .write.format("noop").mode("overwrite").save())
+          time("full round (agg)")(
+            round(c, e).write.format("noop").mode("overwrite").save())
+          time("full round broadcast-e")(
+            round(c, broadcast(e)).write.format("noop").mode("overwrite").save())
+          spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "1000000")
+          time("full round fallback=1M")(
+            round(c, e).write.format("noop").mode("overwrite").save())
+          time("full round bcast+fallback=1M")(
+            round(c, broadcast(e)).write.format("noop").mode("overwrite").save())
+          spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+            "128")
+        }
+
       case name =>
         val q = SparkEntry.queries(name)
         time(s"$name cold")(q(spark, sfDir).count())

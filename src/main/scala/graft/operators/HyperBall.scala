@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * all-pairs reachability statistics at 100 TB. The loop runs on
   * DENSE per-node register arrays (the layout the HyperBall paper
   * uses): one m-int array per node, merged element-wise by the
-  * [[graft.functions.RegMax]] aggregate, whose map-side partials
+  * [[graft.plans.RegMaxArr]] aggregate, whose map-side partials
   * compress each round's shuffle to O(|V| · m) — the row-at-a-time
   * form would move O(|E| · m̄) (join fan-out) register rows instead,
   * measured 4× slower on the bench graph. Per round: one equi-join
@@ -65,15 +65,15 @@ object HyperBall {
   }
 
   /** One absorb round over DENSE arrays: v's array element-wise-max-
-    * merges its successors'. The aggregate is [[graft.functions
-    * .RegMax]], whose map-side partials compress the shuffle to one
+    * merges its successors'. The aggregate is [[graft.plans
+    * .RegMaxArr]], whose map-side partials compress the shuffle to one
     * m-int array per (node, partition) — O(|V|·m) traffic per round
     * instead of O(|E|·m̄) register rows. */
   private def denseRound(c: DataFrame, e: DataFrame): DataFrame =
     c.unionByName(
         c.join(e, c("id") === e("dst")).select(e("src").as("id"), col("regs")))
       .groupBy(col("id"))
-      .agg(graft.functions.RegMax.regMax(col("regs")).as("regs"))
+      .agg(graft.plans.RegMaxArr.regMax(col("regs")).as("regs"))
 
   /** Dense arrays → the portable (id, reg, r) row form (rho ≥ 1, so
     * zero elements are exactly the absent registers). */

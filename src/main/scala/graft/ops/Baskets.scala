@@ -52,7 +52,24 @@ object Baskets {
       .distinct()
     val frequent = facts.groupBy(col("__item")).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minSupport).select(col("__item"))
-    val pruned = facts.join(frequent, Seq("__item"), "left_semi")
+    // Materialize the pruned facts ONCE, hash-partitioned by basket
+    // (r14 optimization): previously this lazy frame re-ran the
+    // distinct + count + semi-join pipeline for EVERY consumer — the
+    // volume probe below, the self-join's two sides, and the callers'
+    // item-count aggregates (measured: 16-20 sequential jobs per
+    // basket query, the same 1.6 MB distinct stage 2-3×). The
+    // explicit basket-keyed repartition does double duty: the
+    // checkpointed layout feeds BOTH self-join sides exchange-free
+    // (they are projections of the same frame, guide §2.4), and the
+    // explicit partition count opts out of AQE byte-based coalescing,
+    // which sized this exchange for its ~MB input instead of its
+    // quadratic per-basket pair expansion (guide §2.5; measured: the
+    // pair stage ran on 3 tasks). Counts are order-free integers, so
+    // results are bit-identical under the new partitioning.
+    val pruned = graft.ops.Checkpoints.truncate(
+      facts.join(frequent, Seq("__item"), "left_semi")
+        .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+          col("__basket")))
     val probe = pruned.groupBy(col("__basket")).agg(count(lit(1)).as("__k"))
       .agg(max(col("__k")).as("kmax"),
         max_by(col("__basket"), col("__k")).as("hot"),

@@ -151,8 +151,21 @@ object Experiment {
           lit("bootstrapMeanCi: empty input — a CI over nothing is undefined")))
         .otherwise(col("__n")).as("n"), col("__sum").as("sx"))
     // each row is a DRAW SLOT for every replicate: explode b copies,
-    // hash-select the sampled index, one equi-join back to the values
-    val slots = s.crossJoin(broadcast(total))
+    // hash-select the sampled index, one equi-join back to the values.
+    // The explicit repartition is load-bearing (r14 optimization,
+    // guide §2.5): `s` leaves the global rank window as ONE partition
+    // (and AQE's coalescing would keep any tiny exchange at 1-3
+    // partitions — it sizes by INPUT bytes, blind to the B× explode
+    // and the per-draw md5 below), so the whole B·n draw stage ran
+    // single-task (measured 3.2 s of a 4.2 s query at sf0.1).
+    // Repartitioning the n pre-explode rows by rn spreads the B·n
+    // hash+join work across the session's shuffle parallelism; every
+    // downstream aggregate is an order-free integer/IEEE reduction,
+    // so results are bit-identical. Explicit numPartitions (the
+    // session's configured shuffle parallelism — scale-adaptive, not
+    // a local constant) opts this one exchange out of AQE coalescing.
+    val drawParallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    val slots = s.repartition(drawParallelism, col("rn")).crossJoin(broadcast(total))
       .withColumn("b", explode(sequence(lit(0), lit(b - 1))))
       .select(col("b"), (lit(1L) + pmod(graft.plans.Hash60.hash60(
         concat(col("b").cast("string"), lit(":"), col("rn").cast("string"))),
@@ -252,6 +265,15 @@ object Experiment {
       .where(pmod(graft.plans.Hash60.hash60(concat(lit("blb"),
         col("j").cast("string"), lit(":"), col("__id"))), col("n")) < mT)
       .select(col("j"), col("__id"), col("x"), col("n"))
+      // load-bearing repartition (r14 optimization, the bootstrapMeanCi
+      // precedent above): subs is s·m ≈ s·n^0.6 rows, small enough that
+      // AQE coalesces it to 1-2 partitions — but each row explodes B
+      // replicates × 12 md5 draws below (measured: a 1.5 s single-task
+      // stage at sf0.1). Spread the pre-explode rows across the
+      // session's shuffle parallelism; weights and sums are exact
+      // integers, so results are bit-identical under any partitioning.
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("j"), col("__id"))
     val sizes = subs.groupBy(col("j"))
       .agg(count(lit(1)).as("mj"), sum(col("x")).as("sxj"))
     // 12 independent 60-bit uniforms, each centered by 2^59 and

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** Element-wise max over fixed-length int arrays — the HLL register
+  * merge as one aggregate (used by [[graft.operators.HyperBall]]).
+  *
+  * Why a TypedImperativeAggregate and not the previous
+  * `udaf(Aggregator)` (r14 optimization, guide §1.2 "per-task work"):
+  * a `udaf` wraps every input row in an ExpressionEncoder round-trip —
+  * UnsafeArrayData → boxed Array[Int] → new buffer allocation per
+  * merge — and the HyperBall absorb round feeds it |V|+|E| rows per
+  * iteration. Measured at sf0.1: the two q_harmonic absorb stages
+  * cost 34-44 CPU-seconds; this implementation reads the unsafe array
+  * IN PLACE (`ArrayData.getInt`, no deserialization, no per-row
+  * allocation) and mutates a primitive int[] buffer, cutting the
+  * per-row cost to the m comparisons the algorithm actually needs.
+  *
+  * Semantics are IDENTICAL to the previous aggregate (element-wise
+  * max is associative, commutative, idempotent — partitioning-
+  * independent, the cross-engine oracle property): NULL input rows
+  * are ignored, the empty array is the additive zero (and the result
+  * for an all-NULL/empty group), mixed lengths fail loud (two
+  * different-lgK sketches can never merge meaningfully).
+  */
+case class RegMaxArr(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_regmax"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<INT>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Int] = Array.emptyIntArray
+
+  private def mergeArray(acc: Array[Int], x: ArrayData): Array[Int] = {
+    val n = x.numElements()
+    if (n == 0) acc
+    else if (acc.isEmpty) {
+      val fresh = new Array[Int](n)
+      var i = 0
+      while (i < n) { fresh(i) = x.getInt(i); i += 1 }
+      fresh
+    } else {
+      require(acc.length == n,
+        s"RegMax: register arrays of different lengths (${acc.length} vs $n) " +
+          "- sketches built at different lgK cannot merge")
+      var i = 0
+      while (i < n) { val v = x.getInt(i); if (v > acc(i)) acc(i) = v; i += 1 }
+      acc
+    }
+  }
+
+  override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v == null) buffer else mergeArray(buffer, v.asInstanceOf[ArrayData])
+  }
+
+  override def merge(buffer: Array[Int], other: Array[Int]): Array[Int] =
+    if (other.isEmpty) buffer
+    else if (buffer.isEmpty) other
+    else {
+      require(buffer.length == other.length,
+        s"RegMax: register arrays of different lengths (${buffer.length} vs " +
+          s"${other.length}) - sketches built at different lgK cannot merge")
+      var i = 0
+      while (i < buffer.length) {
+        if (other(i) > buffer(i)) buffer(i) = other(i); i += 1
+      }
+      buffer
+    }
+
+  override def eval(buffer: Array[Int]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 * buffer.length)
+    var i = 0
+    while (i < buffer.length) { bb.putInt(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Int](bytes.length / 4)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getInt(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RegMaxArr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RegMaxArr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): RegMaxArr =
+    copy(child = newChild)
+}
+
+object RegMaxArr {
+  /** Element-wise max of int-array registers (column form). */
+  def regMax(c: Column): Column =
+    GraftSqlShim.column(
+      RegMaxArr(GraftSqlShim.expression(c)).toAggregateExpression())
+}
