@@ -1053,11 +1053,14 @@ object SparkEntry {
     // numbers deterministic integers, so both are oracle-exact ----
     "q_cm_joinsize" -> ((s, dir) => {
       val keys = Tables.lineitem(s, dir).select(col("l_partkey"))
-      val grid = graft.operators.CountMin.build(keys, "l_partkey",
+      // per-key counts feed BOTH the grid (buildWeighted hashes each
+      // distinct key once — identical cells, ~3% of the md5 calls;
+      // r14 optimization) and the exact F2 — one aggregate, two uses
+      val counts = keys.groupBy(col("l_partkey")).agg(count(lit(1)).as("f"))
+      val grid = graft.operators.CountMin.buildWeighted(counts, "l_partkey", "f",
         depth = 4, width = 4096)
       val est = graft.operators.CountMin.joinSizeEstimate(grid, grid)
-      val exact = keys.groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("f"))
+      val exact = counts
         .agg(sum(col("f") * col("f")).cast("long").as("exact_size"))
       est.crossJoin(broadcast(exact)) // two 1-row scalars
     }),
@@ -2490,9 +2493,7 @@ object SparkEntry {
     // the pruned path — the oracle is the plain filtered aggregate
     // (pruning measured in SnapshotsSpec; the gate is equality) ----
     "q_optimize_zorder" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-zopt")
-      val t = root.resolve("t").toString
-      graft.sources.Snapshots.commit(Tables.documents(s, dir).repartition(8), t)
+      val t = graft.sources.Snapshots.ensureScatteredDocsTable(s, dir)
       graft.sources.Snapshots.optimizeZOrder(s, t, Seq("doc_id", "n_chars"), nFiles = 8)
       graft.sources.Snapshots.readPruned(s, t, "n_chars", 200L, 400L)
         .groupBy(col("lang"))
@@ -2503,9 +2504,7 @@ object SparkEntry {
     // query shape z-order exists for: every dimension's envelope
     // prunes independently; the oracle is the plain AND filter ----
     "q_zorder_box" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-zbox")
-      val t = root.resolve("t").toString
-      graft.sources.Snapshots.commit(Tables.documents(s, dir).repartition(8), t)
+      val t = graft.sources.Snapshots.ensureScatteredDocsTable(s, dir)
       graft.sources.Snapshots.optimizeZOrder(s, t, Seq("doc_id", "n_chars"), nFiles = 8)
       graft.sources.Snapshots.readPrunedBox(s, t,
           Seq(("doc_id", 100L, 400L), ("n_chars", 200L, 400L)))
@@ -2519,11 +2518,10 @@ object SparkEntry {
     // copy-on-write merge) — the oracle is the full aggregate over
     // the whole corpus, proving delta maintenance loses nothing ----
     "q_mv_refresh" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-mv")
-      val base = root.resolve("base").toString
-      val view = root.resolve("view").toString
+      val base = graft.sources.Snapshots.ensureEvenDocsTable(s, dir)
+      val view = java.nio.file.Files.createTempDirectory("graft-mv")
+        .resolve("view").toString
       val docs = Tables.documents(s, dir)
-      graft.sources.Snapshots.commit(docs.where("doc_id % 2 = 0"), base)
       graft.sources.MaterializedView.fullRefresh(s, base, view, "lang", Seq("n_chars"))
       graft.sources.Snapshots.commit(docs.where("doc_id % 2 = 1"), base)
       graft.sources.MaterializedView.refresh(s, base, view, "lang", Seq("n_chars"))

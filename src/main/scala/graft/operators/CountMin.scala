@@ -47,6 +47,30 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** [[build]] over a PRE-COUNTED key frame: each distinct key is
+    * hashed once per grid row and contributes its count to the cell —
+    * cell-for-cell identical to `build` over the raw rows (a cell's
+    * count is a sum either way), but the md5 `cell` hash — the
+    * dominant per-row cost — runs |distinct keys|·depth times instead
+    * of |rows|·depth (r14 optimization; guide §2.3 "aggregate before
+    * you shuffle", applied to the hash: q_cm_joinsize's lineitem keys
+    * are ~30× duplicated and its build stage was 2.3 s of md5 on the
+    * unsplittable single-row-group scan). Use when the caller already
+    * has (or cheaply gets) per-key counts; `build` stays the right
+    * call for near-unique keys, where the extra count aggregate would
+    * shuffle the whole key set for nothing. NULL keys are the
+    * caller's to drop (a NULL has no frequency identity). */
+  def buildWeighted(counts: DataFrame, keyCol: String, weightCol: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2, s"need depth>=1, width>=2; got $depth x $width")
+    counts.where(col(keyCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col(keyCol).as("__k"), col(weightCol).as("__n"))
+      .select(col("r"), cell(col("r"), col("__k"), width).as("c"), col("__n"))
+      .groupBy(col("r"), col("c"))
+      .agg(sum(col("__n")).as("cnt"))
+  }
+
   /** Element-wise merge of two cell grids built with the same
     * (depth, width) — the rollup step over stored sketch frames. */
   def merge(a: DataFrame, b: DataFrame): DataFrame =

@@ -2464,6 +2464,29 @@ object Snapshots {
     * committed with per-file source blooms — so an equality lookup
     * has real files to skip. Separate from [[ensureDemoTable]] to
     * keep the bloom build cost off the other snapshot queries. */
+  /** Scattered-corpus base table for the q_optimize_zorder /
+    * q_zorder_box fixtures: the documents corpus committed once,
+    * round-robin-scattered over 8 files — the "badly laid out" input
+    * OPTIMIZE exists to fix. Master built once per (JVM, sfDir),
+    * cloned per call (the fixture-lifecycle note above), so each
+    * query still runs its full OPTIMIZE rewrite on a pristine
+    * private copy. */
+  def ensureScatteredDocsTable(spark: SparkSession, sfDir: String): String =
+    clonedFixture("zbase", sfDir) { tableDir =>
+      commit(spark.read.parquet(s"$sfDir/documents.parquet").repartition(8),
+        tableDir.toString)
+    }
+
+  /** Even-docs base table for the q_mv_refresh fixture: the first
+    * append the view bootstraps from. The query's own protocol steps
+    * (fullRefresh, the second append, the delta refresh) still run
+    * fresh on the private clone every call. */
+  def ensureEvenDocsTable(spark: SparkSession, sfDir: String): String =
+    clonedFixture("mvbase", sfDir) { tableDir =>
+      commit(spark.read.parquet(s"$sfDir/documents.parquet").where("doc_id % 2 = 0"),
+        tableDir.toString)
+    }
+
   def ensureBloomTable(spark: SparkSession, sfDir: String): String =
     clonedFixture("bloomtab", sfDir) { tableDir =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
