@@ -83,6 +83,10 @@ object Bfs {
     while (!done && r < rounds) {
       r += 1
       dist = dist.unionByName(expand(edges, frontier, dist, r))
+        // deliberately cut EVERY round (r14: the half-cadence variant
+        // was inconsistent here — dist has three consumers per round
+        // (union, anti-join seen, frontier slice), so an uncut round
+        // re-executes the distinct's final aggregate in each)
         .transform(graft.ops.Checkpoints.truncate)
       // dist is materialized by the truncation, so re-slicing the
       // new wave out of it is a cheap scan, not a recompute.

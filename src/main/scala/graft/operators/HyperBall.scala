@@ -69,11 +69,17 @@ object HyperBall {
     * .RegMaxArr]], whose map-side partials compress the shuffle to one
     * m-int array per (node, partition) — O(|V|·m) traffic per round
     * instead of O(|E|·m̄) register rows. */
-  private def denseRound(c: DataFrame, e: DataFrame): DataFrame =
+  private def denseRound(c: DataFrame, e: DataFrame): DataFrame = {
+    // fresh-aliased edge columns: with the half-cadence loop cut, an
+    // uncut c still CONTAINS e's subtree, so direct e("dst")/e("src")
+    // references would be ambiguous self-join columns
+    val ee = e.select(col("dst").as("__hb_dst"), col("src").as("__hb_src"))
     c.unionByName(
-        c.join(e, c("id") === e("dst")).select(e("src").as("id"), col("regs")))
+        c.join(ee, c("id") === col("__hb_dst"))
+          .select(col("__hb_src").as("id"), col("regs")))
       .groupBy(col("id"))
       .agg(graft.plans.RegMaxArr.regMax(col("regs")).as("regs"))
+  }
 
   /** Dense arrays → the portable (id, reg, r) row form (rho ≥ 1, so
     * zero elements are exactly the absent registers). */
@@ -102,6 +108,10 @@ object HyperBall {
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
     var c = denseSeed(nodes, lgK).transform(graft.ops.Checkpoints.truncate)
+    // deliberately cut EVERY round (r14: c has two consumers per round
+    // — union and join — so an uncut round re-executes the RegMax
+    // final aggregate, O(|V|*m) CPU, in both; measured a wash at
+    // sf0.1 and a liability a decade up)
     for (_ <- 1 to rounds)
       c = denseRound(c, e).transform(graft.ops.Checkpoints.truncate)
     c
@@ -143,19 +153,25 @@ object HyperBall {
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
     var c = denseSeed(nodes, lgK).transform(graft.ops.Checkpoints.truncate)
-    var prev = denseEstimate(c, lgK, out = "__est")
-    var h = nodes.withColumn("harmonic_e9", lit(0L))
+    // every round's registers are CONSUMED (per-round estimates), so
+    // the c loop keeps per-round cuts — but the shell accumulation no
+    // longer runs a join + checkpoint per round (r14 optimization:
+    // those were ~1/3 of q_harmonic's wall). Each round contributes a
+    // ROW-LOCAL estimate projection over its already-materialized
+    // register frame; one final join chain over the rounds+1 estimate
+    // frames sums the shells. Long addition is associative and every
+    // term is the identical exact-integer expression, so the result
+    // is bit-for-bit the per-round accumulation's.
+    val ests = scala.collection.mutable.ArrayBuffer(
+      denseEstimate(c, lgK, out = "__e0"))
     for (r <- 1 to rounds) {
       c = denseRound(c, e).transform(graft.ops.Checkpoints.truncate)
-      val cur = denseEstimate(c, lgK, out = "__cur")
-      h = h.join(prev, Seq("id")).join(cur, Seq("id"))
-        .select(col("id"),
-          (col("harmonic_e9") +
-            expr(s"(greatest(__cur - __est, 0L) * 1000000000L) div $r"))
-            .as("harmonic_e9"))
-        .transform(graft.ops.Checkpoints.truncate)
-      prev = cur.withColumnRenamed("__cur", "__est")
+      ests += denseEstimate(c, lgK, out = s"__e$r")
     }
-    h
+    val joined = ests.reduce((a, b) => a.join(b, Seq("id")))
+    val shellSum = (1 to rounds)
+      .map(r => expr(s"(greatest(__e$r - __e${r - 1}, 0L) * 1000000000L) div $r"))
+      .reduce(_ + _)
+    joined.select(col("id"), shellSum.as("harmonic_e9"))
   }
 }

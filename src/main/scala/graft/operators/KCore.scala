@@ -55,6 +55,10 @@ object KCore {
     // truncate the INPUT too: validate() already ran one job over the
     // (possibly expensive) edge derivation — without this, round 1
     // recomputes it from scratch
+    // deliberately cut EVERY round (r14: the half-cadence variant was
+    // measured slightly slower — peelOnce references e three times, so
+    // an uncut round re-executes the peel's post-exchange operators in
+    // all three consumer stages)
     var e = graft.ops.Checkpoints.truncate(validate(edges))
     for (_ <- 0 until rounds)
       e = graft.ops.Checkpoints.truncate(peelOnce(e, k))

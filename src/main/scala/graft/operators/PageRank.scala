@@ -98,12 +98,12 @@ object PageRank {
     val baseCol = when(col("__seed"), lit(base)).otherwise(lit(0L))
     var r = nodes.withColumn("rank",
       when(col("__seed"), lit(scale)).otherwise(lit(0L)))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val sums = contribSums(withDeg, r)
       r = nodes.join(sums, Seq("id"), "left")
         .select(col("id"), col("__seed"),
           (baseCol + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
-        .transform(graft.ops.Checkpoints.truncate)
+        .transform(graft.ops.Checkpoints.truncateLoop(i, iters))
     }
     r.select(col("id"), col("rank"))
   }

@@ -76,6 +76,10 @@ object Sssp {
         .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
       dist = cand.unionByName(dist)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        // deliberately cut EVERY round (r14: the half-cadence variant
+        // was measured 1.5 s SLOWER here — dist's final aggregate sits
+        // above the reused exchange and re-executes in both consumer
+        // stages of the next round when uncut)
         .transform(graft.ops.Checkpoints.truncate)
       if (fix) {
         // distances only decrease and the reached set only grows, so
