@@ -251,7 +251,15 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] — 4 bands guarantee recall only to Hamming 3 " +
         s"(got $maxHamming; wider radii need a larger band family)")
-    val hashed = imageDHash(media, gridW, gridH).select(col("media_id"), col("dhash"))
+    // materialize the decode spine ONCE (r15, guide §8 "decide with
+    // small rows"): the band self-join otherwise executes the whole
+    // decode subtree (payload generation + mapPartitions pixel decode,
+    // opaque to the optimizer) once PER SIDE, and the multi-band plan
+    // re-optimizes per exchange — measured as 5 driver-gapped jobs at
+    // sf0.1. The spine is (media_id, dhash): two longs per image at
+    // any scale, the canonical lightweight proxy of the heavy payload.
+    val hashed = graft.ops.Checkpoints.truncate(
+      imageDHash(media, gridW, gridH).select(col("media_id"), col("dhash")))
     val bands = Seq((0, 16), (16, 16), (32, 16), (48, 15))
     val sig = hashed.select(col("media_id"), col("dhash"),
       posexplode(array(bands.map { case (off, w) =>

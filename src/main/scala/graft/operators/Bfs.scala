@@ -80,18 +80,23 @@ object Bfs {
     var frontier = dist
     var r = 0
     var done = false
-    while (!done && r < rounds) {
-      r += 1
-      dist = dist.unionByName(expand(edges, frontier, dist, r))
-        // deliberately cut EVERY round (r14: the half-cadence variant
-        // was inconsistent here — dist has three consumers per round
-        // (union, anti-join seen, frontier slice), so an uncut round
-        // re-executes the distinct's final aggregate in each)
-        .transform(graft.ops.Checkpoints.truncate)
-      // dist is materialized by the truncation, so re-slicing the
-      // new wave out of it is a cheap scan, not a recompute.
-      frontier = dist.where(col("dist") === r)
-      if (toFixpoint) done = frontier.limit(1).collect().isEmpty
+    // fused loop (r15): every round still cuts (the r14 half-cadence
+    // rejection was about UNCUT rounds re-executing the distinct in
+    // dist's three consumers — a lazy cut persists its blocks on
+    // first compute, so each consumer reads blocks), but lazily:
+    // fixed-round runs execute as one job at the consumer's action;
+    // fixpoint runs materialize each round inside the frontier-probe
+    // job. Reliable mode untouched.
+    graft.ops.Checkpoints.fusedLoop(dist) {
+      while (!done && r < rounds) {
+        r += 1
+        dist = dist.unionByName(expand(edges, frontier, dist, r))
+          .transform(graft.ops.Checkpoints.truncateFused)
+        // re-slicing the new wave out of the cut frame is a scan of
+        // its (first-compute-persisted) blocks, not a recompute
+        frontier = dist.where(col("dist") === r)
+        if (toFixpoint) done = frontier.limit(1).collect().isEmpty
+      }
     }
     if (toFixpoint)
       require(done,
@@ -106,6 +111,11 @@ object Bfs {
     * Output: (id, dist), dist 0 = seed. */
   def hops(edges: DataFrame, sources: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // edges deliberately NOT pinned (r15, measured): the frontier is
+    // tiny relative to |E| at every round, so broadcasting it into
+    // the edge scan beats co-partitioned layouts — an up-front edge
+    // repartition cost 1.26× here where the same pin won 0.66-0.89×
+    // on the register/rank loops whose state is O(|V|)
     run(normalize(edges).transform(graft.ops.Checkpoints.truncate),
       sources, rounds, toFixpoint = false)
   }

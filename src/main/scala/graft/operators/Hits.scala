@@ -39,15 +39,22 @@ object Hits {
     * with no out-edges has hub = rescaled 0, likewise auth for no
     * in-edges.
     */
-  def scores(edges: DataFrame, iters: Int, partitions: Int = 32): DataFrame = {
+  def scores(edges: DataFrame, iters: Int, partitions: Int = -1): DataFrame = {
     require(iters >= 1, s"scores: iters must be >= 1, got $iters")
+    // partition count defaults to the SESSION's shuffle parallelism
+    // (r15): the loop's aggregates and score checkpoints land on
+    // numShufflePartitions, so an edge cache at any other count can
+    // never prove co-partitioning and the static planner inside the
+    // fused loop would re-exchange it every half-step
+    val p = if (partitions > 0) partitions
+      else edges.sparkSession.sessionState.conf.numShufflePartitions
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .repartition(partitions, col("src"))
+      .repartition(p, col("src"))
       .persist()
     // the hub half-step gathers by dst — keep a dst-partitioned copy
     // cached too, so neither half-step re-exchanges the edge list
-    val eByDst = e.repartition(partitions, col("dst")).persist()
+    val eByDst = e.repartition(p, col("dst")).persist()
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct()
@@ -60,7 +67,12 @@ object Hits {
       // the max and AGAIN when the next round consumes the frame —
       // truncating up front materializes the gather-sum exactly once,
       // and the rescale stays a narrow projection over the
-      // materialized scan (constant-size plans, no second job)
+      // materialized scan (constant-size plans, no second job).
+      // Measured r15: neither the fused lazy cut nor an AQE-off loop
+      // helps here — each half-step ends in the max() action anyway,
+      // and the AQE-off variant lost the runtime broadcasts of the
+      // O(|V|) score frames into the cached edge join (1.37×); this
+      // operator keeps the r14 shape.
       val t = graft.ops.Checkpoints.truncate(scored)
       val mx = t.agg(max(col(c))).first() match {
         case r if r.isNullAt(0) => 0L

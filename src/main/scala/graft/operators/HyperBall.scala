@@ -104,16 +104,24 @@ object HyperBall {
   /** The shared dense loop: seed, then `rounds` absorb rounds. */
   private def denseLoop(edges: DataFrame, rounds: Int, lgK: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 30, s"rounds in [1,30], got $rounds")
-    val e = validated(edges).transform(graft.ops.Checkpoints.truncate)
+    // edge frame pinned on the absorb join's key (r15, §2.4): the
+    // static planner inside the fused loop then proves
+    // co-partitioning against each round's register checkpoint and
+    // the edge side never re-exchanges
+    val e = graft.ops.Checkpoints.pinPartitioned(validated(edges), col("dst"))
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
-    var c = denseSeed(nodes, lgK).transform(graft.ops.Checkpoints.truncate)
-    // deliberately cut EVERY round (r14: c has two consumers per round
-    // — union and join — so an uncut round re-executes the RegMax
-    // final aggregate, O(|V|*m) CPU, in both; measured a wash at
-    // sf0.1 and a liability a decade up)
-    for (_ <- 1 to rounds)
-      c = denseRound(c, e).transform(graft.ops.Checkpoints.truncate)
+    var c = graft.ops.Checkpoints.pinPartitioned(denseSeed(nodes, lgK), col("id"))
+    // fused loop (r15): every round still cuts (the r14 half-cadence
+    // rejection was about UNCUT rounds re-executing the RegMax final
+    // aggregate in c's two consumers — a lazy cut persists blocks on
+    // first compute, so both consumers read blocks), but lazily, so
+    // the absorb rounds execute as one job at the consumer's action.
+    // Reliable mode untouched.
+    graft.ops.Checkpoints.fusedLoop(c) {
+      for (_ <- 1 to rounds)
+        c = denseRound(c, e).transform(graft.ops.Checkpoints.truncateFused)
+    }
     c
   }
 
@@ -147,12 +155,14 @@ object HyperBall {
   def harmonicCentrality(edges: DataFrame, rounds: Int, lgK: Int = 7): DataFrame = {
     require(rounds >= 1 && rounds <= 30, s"rounds in [1,30], got $rounds")
     // transpose: v's counter absorbs along REVERSED out-edges, so the
-    // ball collects the nodes that can reach v
-    val e = validated(edges).select(col("dst").as("src"), col("src").as("dst"))
-      .transform(graft.ops.Checkpoints.truncate)
+    // ball collects the nodes that can reach v. Pinned on the absorb
+    // join's key, the denseLoop rationale.
+    val e = graft.ops.Checkpoints.pinPartitioned(
+      validated(edges).select(col("dst").as("src"), col("src").as("dst")),
+      col("dst"))
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct()
-    var c = denseSeed(nodes, lgK).transform(graft.ops.Checkpoints.truncate)
+    var c = graft.ops.Checkpoints.pinPartitioned(denseSeed(nodes, lgK), col("id"))
     // every round's registers are CONSUMED (per-round estimates), so
     // the c loop keeps per-round cuts — but the shell accumulation no
     // longer runs a join + checkpoint per round (r14 optimization:
@@ -162,11 +172,28 @@ object HyperBall {
     // frames sums the shells. Long addition is associative and every
     // term is the identical exact-integer expression, so the result
     // is bit-for-bit the per-round accumulation's.
-    val ests = scala.collection.mutable.ArrayBuffer(
-      denseEstimate(c, lgK, out = "__e0"))
-    for (r <- 1 to rounds) {
-      c = denseRound(c, e).transform(graft.ops.Checkpoints.truncate)
-      ests += denseEstimate(c, lgK, out = s"__e$r")
+    //
+    // Each estimate frame is eagerly truncated (r15, the r14 advice):
+    // a LAZY projection would keep every round's |V|×m register
+    // checkpoint pinned in the block store until the final join chain
+    // executes — peak storage linear in rounds (up to 31 register
+    // frames). Materializing the (id, estimate) frame — two narrow
+    // columns, tiny — drops the only reference to the previous
+    // round's registers, so ContextCleaner frees them as the loop
+    // advances; peak register storage stays O(2 frames) at any round
+    // count. The extra per-round job is a narrow scan of an
+    // already-materialized frame.
+    // ...and the register cut itself is LAZY (fused, r15): the eager
+    // estimate checkpoint's job computes (and block-persists) that
+    // round's registers on the way, so each round costs ONE eager job
+    // — the tiny estimate — instead of registers + estimate.
+    val ests = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    graft.ops.Checkpoints.fusedLoop(c) {
+      ests += graft.ops.Checkpoints.truncate(denseEstimate(c, lgK, out = "__e0"))
+      for (r <- 1 to rounds) {
+        c = denseRound(c, e).transform(graft.ops.Checkpoints.truncateFused)
+        ests += graft.ops.Checkpoints.truncate(denseEstimate(c, lgK, out = s"__e$r"))
+      }
     }
     val joined = ests.reduce((a, b) => a.join(b, Seq("id")))
     val shellSum = (1 to rounds)

@@ -55,13 +55,16 @@ object KCore {
     // truncate the INPUT too: validate() already ran one job over the
     // (possibly expensive) edge derivation — without this, round 1
     // recomputes it from scratch
-    // deliberately cut EVERY round (r14: the half-cadence variant was
-    // measured slightly slower — peelOnce references e three times, so
-    // an uncut round re-executes the peel's post-exchange operators in
-    // all three consumer stages)
     var e = graft.ops.Checkpoints.truncate(validate(edges))
-    for (_ <- 0 until rounds)
-      e = graft.ops.Checkpoints.truncate(peelOnce(e, k))
+    // fused loop (r15): every round still cuts (the r14 half-cadence
+    // rejection was about UNCUT rounds re-executing the peel in e's
+    // three consumers — a lazy cut persists blocks on first compute),
+    // but lazily, so the fixed peel rounds execute as one job at the
+    // consumer's action. Reliable mode untouched.
+    graft.ops.Checkpoints.fusedLoop(e) {
+      for (_ <- 0 until rounds)
+        e = graft.ops.Checkpoints.truncateFused(peelOnce(e, k))
+    }
     e.select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))
   }
@@ -75,15 +78,20 @@ object KCore {
     var n = e.count()
     var converged = n == 0L
     var round = 0
-    while (!converged) {
-      require(round < maxRounds,
-        s"KCore: no fixpoint after $maxRounds rounds (still $n edges) — " +
-          "raise maxRounds; convergence needs at most the graph's degeneracy depth")
-      e = graft.ops.Checkpoints.truncate(peelOnce(e, k))
-      val m = e.count() // driver-side fixpoint probe, one count per round
-      converged = m == n || m == 0L
-      n = m
-      round += 1
+    // fused (r15): the lazy cut materializes inside the fixpoint
+    // probe's count job — one job per round instead of checkpoint +
+    // count. Reliable mode untouched.
+    graft.ops.Checkpoints.fusedLoop(e) {
+      while (!converged) {
+        require(round < maxRounds,
+          s"KCore: no fixpoint after $maxRounds rounds (still $n edges) — " +
+            "raise maxRounds; convergence needs at most the graph's degeneracy depth")
+        e = graft.ops.Checkpoints.truncateFused(peelOnce(e, k))
+        val m = e.count() // driver-side fixpoint probe, one count per round
+        converged = m == n || m == 0L
+        n = m
+        round += 1
+      }
     }
     e.select(explode(array(col("src"), col("dst"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).cast("long").as("deg"))

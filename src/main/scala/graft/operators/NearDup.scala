@@ -94,6 +94,12 @@ object NearDup {
   /** As `jaccardPairs`, over a pre-built (optionally caller-persisted)
     * `clusteredSets` frame. */
   def jaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    // NOTE (r15, measured): an explicit repartition of `sh` before
+    // this explode (the r14 Experiment amplification pattern) was
+    // tried and REVERTED — the repartition subtree is consumed by
+    // both inv branches and re-executed per consumer (1.54× end to
+    // end), while the explode's downstream exchanges (join by h,
+    // window by doc_id) already redistribute the amplified rows.
     val inv = sh.select(col("doc_id"), col("n_shingles"), explode(col("hs")).as("h"))
     val dfCounts = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // rarest-first prefix per document

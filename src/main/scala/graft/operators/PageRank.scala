@@ -98,12 +98,21 @@ object PageRank {
     val baseCol = when(col("__seed"), lit(base)).otherwise(lit(0L))
     var r = nodes.withColumn("rank",
       when(col("__seed"), lit(scale)).otherwise(lit(0L)))
-    for (i <- 0 until iters) {
-      val sums = contribSums(withDeg, r)
-      r = nodes.join(sums, Seq("id"), "left")
-        .select(col("id"), col("__seed"),
-          (baseCol + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
-        .transform(graft.ops.Checkpoints.truncateLoop(i, iters))
+    // fused loop (r15): every round cuts LAZILY — constant-size plans,
+    // blocks persisted as computed — and the whole loop executes as
+    // one job at the consumer's action instead of an eager checkpoint
+    // job (+ AQE replan of the identical shape) every 2nd round, which
+    // at sf0.1 cost more wall than the loop's shuffles. Reliable mode
+    // (checkpoint dir set) is untouched: eager per-round recovery
+    // points, AQE on.
+    graft.ops.Checkpoints.fusedLoop(nodes) {
+      for (_ <- 0 until iters) {
+        val sums = contribSums(withDeg, r)
+        r = nodes.join(sums, Seq("id"), "left")
+          .select(col("id"), col("__seed"),
+            (baseCol + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("rank"))
+          .transform(graft.ops.Checkpoints.truncateFused)
+      }
     }
     r.select(col("id"), col("rank"))
   }
@@ -117,12 +126,19 @@ object PageRank {
             dampNum: Long = 17L, dampDen: Long = 20L): DataFrame = {
     val base = checkParams(iters, scale, dampNum, dampDen)
     val e = normalize(edges).transform(graft.ops.Checkpoints.truncate)
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .distinct().transform(graft.ops.Checkpoints.truncate)
+    // loop frames PINNED to hashpartitioning(key, shuffle parallelism)
+    // (r15, §2.4): the per-round join then proves co-partitioning
+    // against the previous round's checkpoint (same key, same count)
+    // and the edge side never re-exchanges inside the fused loop —
+    // only the O(|V|) rank frame moves, the ranksBucketed trade
+    // without a catalog table.
+    val nodes = graft.ops.Checkpoints.pinPartitioned(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct(), col("id"))
     // N is already materialized (checkpointed), so the count is cheap.
     val n = nodes.count()
     checkOverflow(n, scale, dampNum)
-    val withDeg = withDegrees(e).transform(graft.ops.Checkpoints.truncate)
+    val withDeg = graft.ops.Checkpoints.pinPartitioned(withDegrees(e), col("src"))
     run(withDeg, nodes.withColumn("__seed", lit(true)),
       iters, base, scale, dampNum, dampDen)
   }
@@ -147,17 +163,18 @@ object PageRank {
     val base = checkParams(iters, scale, dampNum, dampDen)
     val e = normalize(edges).transform(graft.ops.Checkpoints.truncate)
     val sd = seeds.select(col("id").cast("long").as("id")).distinct()
-    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
-      .distinct()
-      .join(sd.withColumn("__seed", lit(true)), Seq("id"), "left")
-      .na.fill(false, Seq("__seed"))
-      .transform(graft.ops.Checkpoints.truncate)
+    // same pinned loop layout as [[ranks]] (r15, §2.4)
+    val nodes = graft.ops.Checkpoints.pinPartitioned(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+        .distinct()
+        .join(sd.withColumn("__seed", lit(true)), Seq("id"), "left")
+        .na.fill(false, Seq("__seed")), col("id"))
     require(nodes.where(col("__seed")).limit(1).collect().nonEmpty,
       "personalizedRanks: no seed id is present in the graph - an all-zero " +
         "rank frame would silently read as 'nothing is trusted'")
     val n = nodes.count()
     checkOverflow(n, scale, dampNum)
-    val withDeg = withDegrees(e).transform(graft.ops.Checkpoints.truncate)
+    val withDeg = graft.ops.Checkpoints.pinPartitioned(withDegrees(e), col("src"))
     run(withDeg, nodes, iters, base, scale, dampNum, dampDen)
   }
 
@@ -186,9 +203,10 @@ object PageRank {
                     dampDen: Long = 20L): DataFrame = {
     val base = checkParams(iters, scale, dampNum, dampDen)
     val withDeg = spark.table(edgeTable)
-    val nodes = withDeg.select(col("src").as("id"))
-      .union(withDeg.select(col("dst").as("id")))
-      .distinct().transform(graft.ops.Checkpoints.truncate)
+    val nodes = graft.ops.Checkpoints.pinPartitioned(
+      withDeg.select(col("src").as("id"))
+        .union(withDeg.select(col("dst").as("id")))
+        .distinct(), col("id"))
     val n = nodes.count()
     checkOverflow(n, scale, dampNum)
     run(withDeg, nodes.withColumn("__seed", lit(true)),

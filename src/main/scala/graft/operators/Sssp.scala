@@ -41,17 +41,17 @@ object Sssp {
   /** (id, dist) for every node reachable within `rounds` edges of
     * the source set. Edge frame columns: src, dst, w. */
   def distances(edges: DataFrame, sources: DataFrame, rounds: Int,
-                partitions: Int = 32): DataFrame =
+                partitions: Int = -1): DataFrame =
     run(edges, sources, rounds, fix = false, partitions)
 
   /** The production fixpoint: relax until no distance improves;
     * loud failure at `maxRounds`. */
   def toFixpoint(edges: DataFrame, sources: DataFrame, maxRounds: Int = 64,
-                 partitions: Int = 32): DataFrame =
+                 partitions: Int = -1): DataFrame =
     run(edges, sources, maxRounds, fix = true, partitions)
 
   private def run(edges: DataFrame, sources: DataFrame, rounds: Int,
-                  fix: Boolean, partitions: Int = 32): DataFrame = {
+                  fix: Boolean, partitions: Int = -1): DataFrame = {
     require(rounds >= 1, s"Sssp: rounds must be >= 1, got $rounds")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -60,7 +60,13 @@ object Sssp {
     require(bad.isEmpty,
       "Sssp: NULL endpoint/weight or negative weight — truncated " +
         "Bellman-Ford would silently report non-minimal paths; clean the edges")
-    val ec = e.repartition(partitions, col("src")).persist()
+    // default partition count = the session's shuffle parallelism
+    // (r15): the per-round dist checkpoints land on
+    // numShufflePartitions, so any other edge-cache count breaks the
+    // co-partitioning proof and the join re-exchanges the edges
+    val p = if (partitions > 0) partitions
+      else edges.sparkSession.sessionState.conf.numShufflePartitions
+    val ec = e.repartition(p, col("src")).persist()
     var dist = sources.select(col("id").cast("long").as("id")).distinct()
       .withColumn("dist", lit(0L))
       .transform(graft.ops.Checkpoints.truncate)
@@ -69,25 +75,31 @@ object Sssp {
     var r = 0
     var done = false
     var prevSum: Option[(Long, Long)] = None
-    while (!done && r < rounds) {
-      r += 1
-      val cand = ec
-        .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
-        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
-      dist = cand.unionByName(dist)
-        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        // deliberately cut EVERY round (r14: the half-cadence variant
-        // was measured 1.5 s SLOWER here — dist's final aggregate sits
-        // above the reused exchange and re-executes in both consumer
-        // stages of the next round when uncut)
-        .transform(graft.ops.Checkpoints.truncate)
-      if (fix) {
-        // distances only decrease and the reached set only grows, so
-        // the (count, sum) pair is a complete convergence witness
-        val row = dist.agg(count(lit(1)), sum(col("dist"))).first()
-        val sig = (row.getLong(0), row.getLong(1))
-        done = prevSum.contains(sig)
-        prevSum = Some(sig)
+    // fused loop (r15): every round still cuts (constant-size plans —
+    // and unlike the rejected r14 half-cadence variant the cut frame's
+    // blocks persist on first compute, so the min-aggregate never
+    // re-executes in the next round's two consumer stages), but the
+    // cut is LAZY: fixed-round runs execute as one job at the
+    // consumer's action; fixpoint runs materialize each round inside
+    // its convergence-probe job instead of in a separate checkpoint
+    // job. Reliable mode (checkpoint dir) is untouched.
+    graft.ops.Checkpoints.fusedLoop(ec) {
+      while (!done && r < rounds) {
+        r += 1
+        val cand = ec
+          .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+          .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+        dist = cand.unionByName(dist)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+          .transform(graft.ops.Checkpoints.truncateFused)
+        if (fix) {
+          // distances only decrease and the reached set only grows, so
+          // the (count, sum) pair is a complete convergence witness
+          val row = dist.agg(count(lit(1)), sum(col("dist"))).first()
+          val sig = (row.getLong(0), row.getLong(1))
+          done = prevSum.contains(sig)
+          prevSum = Some(sig)
+        }
       }
     }
     ec.unpersist(blocking = false)

@@ -65,4 +65,62 @@ object Checkpoints {
     * the final frame being a constant-size checkpoint scan. */
   def truncateLoop(i: Int, iters: Int, k: Int = 2)(df: DataFrame): DataFrame =
     if (i == iters - 1) truncate(df) else truncateEvery(i, k)(df)
+
+  /** LAZY executor-local cut for fused fixed-round loops (r15): the
+    * returned frame scans a checkpoint-marked RDD — the logical plan
+    * is bounded to constant size per round exactly as with
+    * [[truncate]] — but materialization defers to the next action, so
+    * the whole loop executes as ONE Spark job instead of one eager
+    * checkpoint job (plus its per-round Catalyst/AQE replan and
+    * block-store round-trip) per round. Every round's blocks still
+    * persist as they are first computed (localCheckpoint storage), so
+    * a frame consumed twice downstream is computed once and plan
+    * depth per round stays constant. Under a configured checkpoint
+    * dir the cut stays the EAGER reliable checkpoint — the
+    * executor-loss recovery point is per round, the durability
+    * contract of the object doc. */
+  def truncateFused(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(false)
+
+  /** Run a fixed-shape loop body with adaptive execution OFF, in
+    * executor-local mode only (restored after; reliable mode runs the
+    * body untouched — there each round is its own recovery-point job
+    * and AQE's runtime sizing keeps its value). Two reasons, both
+    * measured at sf0.1 (r15): (1) AQE re-plans the IDENTICAL loop
+    * plan every round — pure driver latency for a shape that never
+    * changes; (2) an AQE root materializes its exchange stages
+    * EAGERLY when the plan is turned into an RDD, which would defeat
+    * [[truncateFused]]'s single-job fusion. Loop bodies pre-size
+    * their exchanges explicitly (the operators repartition on the
+    * session's shuffle parallelism), so the static planner's shape is
+    * already the right one at any scale. */
+  /** Pin a loop frame's layout for [[fusedLoop]]: explicit hash
+    * partitioning on `keys` at the session's shuffle parallelism,
+    * eagerly truncated. The checkpoint scan PRESERVES the output
+    * partitioning (Dataset.checkpoint passes the physical plan's
+    * partitioning into the LogicalRDD), so the static planner inside
+    * the AQE-off loop joins against it exchange-free every round —
+    * the bucketed-table move (§2.4) without a catalog. Without the
+    * pin, the frame's checkpoint inherits whatever AQE-coalesced
+    * layout its build ended on, the loop join can't prove
+    * co-partitioning, and the BIG side re-exchanges every round
+    * (measured: PageRank/TrustRank/HITS regressed 1.2-1.4× under the
+    * fused loop until their edge/node frames were pinned).
+    * Scale-adaptive: keyed on `spark.sql.shuffle.partitions`, never a
+    * core count. */
+  def pinPartitioned(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    truncate(df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*))
+
+  def fusedLoop[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    if (spark.sparkContext.getCheckpointDir.isDefined) body
+    else {
+      val key = "spark.sql.adaptive.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      try body finally spark.conf.set(key, prev)
+    }
+  }
 }

@@ -51,27 +51,47 @@ object Skyline {
   def frontier2D(df: DataFrame, xCol: String, yCol: String,
                  buckets: Int = 64): DataFrame = {
     require(buckets > 0, "frontier2D: buckets must be positive")
-    // persist the reduced frame: the quantile-cut sampling pass and
-    // the main flow both consume it, and without a cache the per-x
-    // aggregate (the expensive data-sized step) runs twice
-    val m = df
+    // narrow raw point frame, persisted: the quantile-cut sampling,
+    // the per-bucket-max pass and the prune pass all consume it.
+    // Explicitly spread to the session's shuffle parallelism (r15):
+    // the bucket expression below costs ~|cuts| comparisons per ROW,
+    // and left on the scan's partitioning that compute pins to however
+    // few tasks the input happens to split into (3 on the gate's
+    // single-row-group files) — the r14 amplification lesson.
+    val pts = df
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
-      .groupBy(col(xCol)).agg(max(col(yCol)).as(yCol))
+      .select(col(xCol), col(yCol))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(xCol))
       .persist()
 
     val probes = (1 until buckets).map(_.toDouble / buckets).toArray
     val cuts =
       if (probes.isEmpty) Seq.empty[Double]
-      else m.stat.approxQuantile(xCol, probes, 0.001).toSeq.distinct.sorted
+      else pts.stat.approxQuantile(xCol, probes, 0.001).toSeq.distinct.sorted
+    // bucket = #cuts strictly below x (cuts distinct + sorted), as a
+    // BINARY-SEARCH CaseWhen tree: the previous aggregate() higher-
+    // order function evaluated its lambda INTERPRETED per array
+    // element (~|cuts| boxed evals per row — measured 8.5+ CPU-s per
+    // pass over 600 k rows at 64 buckets); a CaseWhen tree evaluates
+    // lazily, so each row costs ceil(log2 |cuts|) comparisons in
+    // codegen'd branches (r15, guide §1.2 per-task work /
+    // "expressions and codegen"). searchAbove(lo, hi) = count of ALL
+    // cuts strictly below x given that cuts[0, lo) already are and
+    // cuts[hi, n) already aren't — the standard upper-bound search.
+    val xd = col(xCol).cast("double")
+    def searchAbove(lo: Int, hi: Int): Column =
+      if (lo >= hi) lit(lo)
+      else {
+        val mid = (lo + hi) / 2
+        when(xd > cuts(mid), searchAbove(mid + 1, hi))
+          .otherwise(searchAbove(lo, mid))
+      }
     val bucket: Column =
-      if (cuts.isEmpty) lit(0)
-      else aggregate(
-        array(cuts.map(lit): _*),
-        lit(0),
-        (acc, c) => acc + when(col(xCol).cast("double") > c, 1).otherwise(0))
-    val withB = m.withColumn("__xb", bucket)
+      if (cuts.isEmpty) lit(0) else searchAbove(0, cuts.size)
+    val withB = pts.withColumn("__xb", bucket)
 
-    // step 3: suffix max over STRICTLY-later buckets, computed on the
+    // suffix max over STRICTLY-later buckets, computed on the
     // <= buckets-row per-bucket-max frame (the one single-partition
     // window, bounded by the parameter), broadcast back.
     val wSuffix = Window.orderBy(col("__xb").desc)
@@ -81,14 +101,31 @@ object Skyline {
       .withColumn("__later", max(col("__bmax")).over(wSuffix))
       .drop("__bmax")
 
-    // step 4: per-bucket running max over larger-x rows (x is unique
-    // after step 1, so the within-bucket order is total).
+    // grid pre-filter (r15, the skyline grid-prune): a RAW row whose y
+    // is <= the max y of any strictly-later bucket is dominated by
+    // that bucket's max point (strictly greater x, >= y) — drop it
+    // BEFORE the data-sized per-x aggregate and the per-bucket window
+    // sort, which then run over the tiny undominated residue instead
+    // of every distinct x. Exact: a pruned row can never reach the
+    // frontier, and a pruned larger-x row q in the SAME bucket cannot
+    // dominate a surviving p (q.y <= later < p.y), so removing q from
+    // the running max below never changes survivorship. The bucket-max
+    // aggregate itself is a cheap map-side-combined pass (one long per
+    // bucket per task).
+    val pruned = withB.join(broadcast(later), Seq("__xb"))
+      .where(col("__later").isNull || col(yCol) > col("__later"))
+
+    // per-x max over the survivors (same-x dominated points die here;
+    // the surviving max y per x is itself a surviving row's y, so the
+    // __later condition stays satisfied), then the per-bucket running
+    // max over larger-x rows (x is unique after the aggregate, so the
+    // within-bucket order is total).
+    val m = pruned.groupBy(col("__xb"), col(xCol))
+      .agg(max(col(yCol)).as(yCol))
     val wRun = Window.partitionBy(col("__xb")).orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    withB.join(broadcast(later), Seq("__xb"))
-      .withColumn("__run", max(col(yCol)).over(wRun))
-      .where((col("__later").isNull || col(yCol) > col("__later")) &&
-        (col("__run").isNull || col(yCol) > col("__run")))
+    m.withColumn("__run", max(col(yCol)).over(wRun))
+      .where(col("__run").isNull || col(yCol) > col("__run"))
       .select(col(xCol), col(yCol))
   }
 }

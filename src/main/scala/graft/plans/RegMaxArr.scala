@@ -49,20 +49,40 @@ case class RegMaxArr(
 
   override def createAggregationBuffer(): Array[Int] = Array.emptyIntArray
 
+  // a NULL element read through getInt is silent garbage/0 — a
+  // corrupted register no estimate would ever flag. Only schemas that
+  // CAN carry null elements pay the per-element branch (HyperBall's
+  // transform(sequence) arrays are containsNull=false and skip it).
+  private lazy val mayHaveNullElements: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
+  private def checkNoNull(x: ArrayData, i: Int): Unit =
+    if (x.isNullAt(i)) throw new IllegalArgumentException(
+      s"RegMax: NULL register element at index $i - a null read as 0 would " +
+        "silently corrupt every downstream estimate; clean the arrays")
+
   private def mergeArray(acc: Array[Int], x: ArrayData): Array[Int] = {
     val n = x.numElements()
     if (n == 0) acc
     else if (acc.isEmpty) {
       val fresh = new Array[Int](n)
       var i = 0
-      while (i < n) { fresh(i) = x.getInt(i); i += 1 }
+      if (mayHaveNullElements)
+        while (i < n) { checkNoNull(x, i); fresh(i) = x.getInt(i); i += 1 }
+      else
+        while (i < n) { fresh(i) = x.getInt(i); i += 1 }
       fresh
     } else {
       require(acc.length == n,
         s"RegMax: register arrays of different lengths (${acc.length} vs $n) " +
           "- sketches built at different lgK cannot merge")
       var i = 0
-      while (i < n) { val v = x.getInt(i); if (v > acc(i)) acc(i) = v; i += 1 }
+      if (mayHaveNullElements)
+        while (i < n) { checkNoNull(x, i); val v = x.getInt(i); if (v > acc(i)) acc(i) = v; i += 1 }
+      else
+        while (i < n) { val v = x.getInt(i); if (v > acc(i)) acc(i) = v; i += 1 }
       acc
     }
   }

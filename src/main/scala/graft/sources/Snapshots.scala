@@ -2396,6 +2396,18 @@ object Snapshots {
         if (p.getParent.getFileName.toString == SnapDir &&
             p.getFileName.toString.endsWith(".txt")) {
           val txt = new String(Files.readAllBytes(p), "UTF-8")
+          // dv: parts point at PARQUET sidecars whose ROWS carry
+          // absolute data-file paths as anti-join keys — a text
+          // replace cannot rewrite those, so a cloned MOR table would
+          // silently resurrect its deleted rows. No current fixture
+          // master carries DVs; fail loud so the helper can never be
+          // reused unsafely when one does.
+          require(!txt.linesIterator.exists(
+              _.split('\t').drop(1).exists(_.startsWith("dv:"))),
+            s"Snapshots.copyTree: manifest $p carries a dv: part — deletion-" +
+              "vector sidecars are parquet whose rows hold absolute file " +
+              "paths; cloning would alias the master's keys. Rebuild the " +
+              "fixture per call (or rewrite the sidecar contents) instead.")
           Files.write(to, txt.replace(srcS, dstS).getBytes("UTF-8"))
         } else Files.copy(p, to)
       }
@@ -2450,8 +2462,8 @@ object Snapshots {
     * EVENT TIME with timestamp + double envelopes — the layout a
     * 100 TB event table actually has (time-ordered ingest ⇒ tight
     * per-file time ranges), so a time-range predicate prunes files
-    * through [[readPrunedTyped]]. Rebuilt fresh per call (the
-    * ensureDemoTable convention). */
+    * through [[readPrunedTyped]]. Master built once per (JVM, sfDir),
+    * cloned per call (the ensureDemoTable lifecycle). */
   def ensureTimeTable(spark: SparkSession, sfDir: String): String =
     clonedFixture("timetab", sfDir) { tableDir =>
       val ev = graft.Tables.events(spark, sfDir)
@@ -2459,11 +2471,6 @@ object Snapshots {
         tableDir.toString, "append", statsCols = Seq("ts", "value"))
     }
 
-  /** Demo table for the q_snapshot_bloom oracle: the corpus in two
-    * appends, each hash-clustered by `source` into 4 files and
-    * committed with per-file source blooms — so an equality lookup
-    * has real files to skip. Separate from [[ensureDemoTable]] to
-    * keep the bloom build cost off the other snapshot queries. */
   /** Scattered-corpus base table for the q_optimize_zorder /
     * q_zorder_box fixtures: the documents corpus committed once,
     * round-robin-scattered over 8 files — the "badly laid out" input
@@ -2487,6 +2494,11 @@ object Snapshots {
         tableDir.toString)
     }
 
+  /** Demo table for the q_snapshot_bloom oracle: the corpus in two
+    * appends, each hash-clustered by `source` into 4 files and
+    * committed with per-file source blooms — so an equality lookup
+    * has real files to skip. Separate from [[ensureDemoTable]] to
+    * keep the bloom build cost off the other snapshot queries. */
   def ensureBloomTable(spark: SparkSession, sfDir: String): String =
     clonedFixture("bloomtab", sfDir) { tableDir =>
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -44,11 +44,14 @@ class PageRankSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         .orderBy($"id").collect()
       assert(plain.nonEmpty && plain.sameElements(bucketed))
 
-      // Plan shape of one iteration step: the bucketed edge scan joins
-      // in place, so the only exchanges are the rank frame moving to
-      // the bucket layout and the final aggregate by dst — exactly 2.
-      // The ad-hoc layout pays a third exchange shuffling the edges
-      // themselves, the one that costs O(|E|) per iteration at scale.
+      // Plan shape of one iteration step. Since the r15 fused loop,
+      // the rank frame's checkpoint PRESERVES its hash(id, parallelism)
+      // layout, so the rank side joins exchange-free against BOTH edge
+      // layouts; what remains is:
+      //  - bucketed: exactly 1 exchange — the contribution aggregate
+      //    (the fundamental per-iteration shuffle);
+      //  - ad-hoc: 2 — the same aggregate plus the edge-side shuffle,
+      //    the one that costs O(|E|) per iteration at scale.
       val r0 = PageRank.ranksBucketed(spark, "pr_edges", iters = 1)
       def exchanges(step: org.apache.spark.sql.DataFrame): Int = {
         step.count() // materialize so AQE settles the final plan
@@ -57,11 +60,11 @@ class PageRankSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         }.size
       }
       val bucketedStep = PageRank.contribSums(spark.table("pr_edges"), r0)
-      assert(exchanges(bucketedStep) == 2,
-        "bucketed step: expected only rank-side + aggregate exchanges")
+      assert(exchanges(bucketedStep) == 1,
+        "bucketed step: expected only the contribution-aggregate exchange")
       val adhocDeg = spark.table("pr_edges").localCheckpoint(true) // same data, bucket info erased
-      assert(exchanges(PageRank.contribSums(adhocDeg, r0)) == 3,
-        "ad-hoc step: expected edge-side + rank-side + aggregate exchanges")
+      assert(exchanges(PageRank.contribSums(adhocDeg, r0)) == 2,
+        "ad-hoc step: expected edge-side + aggregate exchanges")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS pr_edges")
